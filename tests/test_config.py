@@ -1,0 +1,91 @@
+import glob
+
+import pytest
+import yaml
+
+from biapy_tpu.config.config import CN, get_cfg_defaults
+from biapy_tpu.config.migrate import convert_old_model_cfg_to_current_version, diff_between_configs
+
+TEMPLATES = sorted(glob.glob("/root/reference/templates/**/*.yaml", recursive=True))
+
+
+def test_defaults_tree():
+    cfg = get_cfg_defaults("/tmp/job", "run1")
+    assert cfg.PROBLEM.TYPE == "SEMANTIC_SEG"
+    assert cfg.PROBLEM.NDIM == "2D"
+    assert isinstance(cfg.DATA.PATCH_SIZE, (tuple, list))
+    assert cfg.PATHS.CHECKPOINT == "/tmp/job/checkpoints"
+    assert cfg.LOG.LOG_FILE_PREFIX == "run1"
+    # derived instance channel dir carries the channel code tag
+    assert "y_BC" in cfg.DATA.TRAIN.INSTANCE_CHANNELS_MASK_DIR
+
+
+def test_tuple_string_coercion():
+    cfg = get_cfg_defaults()
+    cfg.merge_from_dict({"DATA": {"PATCH_SIZE": "(256, 256, 1)"}})
+    assert tuple(cfg.DATA.PATCH_SIZE) == (256, 256, 1)
+
+
+def test_scalar_to_list_promotion():
+    cfg = get_cfg_defaults()
+    cfg.merge_from_dict({"TRAIN": {"OPTIMIZER": "ADAMW", "LR": 0.001}})
+    assert cfg.TRAIN.OPTIMIZER == ["ADAMW"]
+    assert cfg.TRAIN.LR == [0.001]
+
+
+def test_unknown_key_rejected():
+    cfg = get_cfg_defaults()
+    with pytest.raises(KeyError):
+        cfg.merge_from_dict({"TRAIN": {"NO_SUCH_KEY": 1}})
+
+
+def test_freeze():
+    cfg = get_cfg_defaults()
+    cfg.freeze()
+    with pytest.raises(AttributeError):
+        cfg.TRAIN.EPOCHS = 3
+    cfg.defrost()
+    cfg.TRAIN.EPOCHS = 3
+    assert cfg.TRAIN.EPOCHS == 3
+
+
+def test_clone_and_dump_roundtrip():
+    cfg = get_cfg_defaults()
+    cfg.TRAIN.EPOCHS = 7
+    c2 = cfg.clone()
+    assert c2.TRAIN.EPOCHS == 7
+    loaded = yaml.safe_load(cfg.dump())
+    assert loaded["TRAIN"]["EPOCHS"] == 7
+
+
+def test_merge_from_list():
+    cfg = get_cfg_defaults()
+    cfg.merge_from_list(["TRAIN.EPOCHS", "12", "PROBLEM.NDIM", "3D"])
+    assert cfg.TRAIN.EPOCHS == 12
+    assert cfg.PROBLEM.NDIM == "3D"
+
+
+@pytest.mark.parametrize("template", TEMPLATES, ids=lambda t: t.split("templates/")[1])
+def test_all_reference_templates_merge(template):
+    cfg = get_cfg_defaults("/tmp/job", "run1")
+    raw = yaml.safe_load(open(template)) or {}
+    cfg.merge_from_dict(convert_old_model_cfg_to_current_version(raw))
+
+
+def test_migration_da_prob_fanout():
+    raw = {"AUGMENTOR": {"ENABLE": True, "DA_PROB": 0.7, "VFLIP": True}}
+    new = convert_old_model_cfg_to_current_version(raw)
+    assert "DA_PROB" not in new["AUGMENTOR"]
+    assert new["AUGMENTOR"]["VFLIP_PROB"] == 0.7
+    assert new["AUGMENTOR"]["ZOOM_PROB"] == 0.7
+
+
+def test_migration_channel_string():
+    raw = {"PROBLEM": {"NDIM": "2D", "INSTANCE_SEG": {"DATA_CHANNELS": "BC"}}}
+    new = convert_old_model_cfg_to_current_version(raw)
+    assert new["PROBLEM"]["INSTANCE_SEG"]["DATA_CHANNELS"] == ["F", "C"]
+
+
+def test_diff_between_configs():
+    d = diff_between_configs({"A": {"B": 1, "C": 2}}, {"A": {"B": 1, "C": 3}})
+    assert d == [("A.C", 2, 3)]
