@@ -1,0 +1,295 @@
+"""Minimal Zarr v2 store (read/write), dependency-free.
+
+The reference uses the ``zarr`` package for chunked volume IO
+(reference: biapy/data/data_3D_manipulation.py:210-340, chunked generators).
+That package is not available here, so this module implements the Zarr v2
+on-disk format directly: a directory with a ``.zarray`` JSON metadata file
+and one file per chunk, named by chunk grid coordinates.
+
+Supported compressors: ``null`` (raw), ``zlib``, ``gzip``. Chunks written by
+this store default to zlib. Blosc-compressed stores (the zarr-python default)
+are detected and rejected with a clear error.
+
+Concurrency contract (same as the reference relies on): concurrent writers
+must own **disjoint chunk sets**; a chunk file is written atomically via
+rename so readers never observe partial chunks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import zlib
+from typing import Dict, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+
+def _encode(data: bytes, compressor: Optional[Dict]) -> bytes:
+    if compressor is None:
+        return data
+    cid = compressor.get("id")
+    if cid in ("zlib", "gzip"):
+        return zlib.compress(data, compressor.get("level", 1))
+    raise ValueError(f"Unsupported zarr compressor for writing: {cid}")
+
+
+def _decode(data: bytes, compressor: Optional[Dict]) -> bytes:
+    if compressor is None:
+        return data
+    cid = compressor.get("id")
+    if cid == "zlib":
+        return zlib.decompress(data)
+    if cid == "gzip":
+        import gzip as _gz
+
+        return _gz.decompress(data)
+    if cid == "blosc":
+        raise ValueError(
+            "This store cannot read blosc-compressed zarr arrays. "
+            "Re-write the array with compressor 'zlib' or none."
+        )
+    raise ValueError(f"Unsupported zarr compressor: {cid}")
+
+
+class ZarrArray:
+    """A chunked N-D array backed by a Zarr v2 directory.
+
+    Supports numpy-style slicing for read (``arr[10:20, :, 5]``) and
+    assignment for write. Reads and writes go chunk-by-chunk, touching only
+    the chunks that overlap the request — a terabyte array is never
+    materialised.
+    """
+
+    def __init__(self, path: str, mode: str = "r"):
+        self.path = path
+        self.mode = mode
+        meta_path = os.path.join(path, ".zarray")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("zarr_format") != 2:
+            raise ValueError(f"Only zarr v2 supported, got format {meta.get('zarr_format')}")
+        if meta.get("order", "C") != "C":
+            raise ValueError("Only C-order zarr arrays supported")
+        if meta.get("filters"):
+            raise ValueError("Zarr filters not supported")
+        self.shape: Tuple[int, ...] = tuple(meta["shape"])
+        self.chunks: Tuple[int, ...] = tuple(meta["chunks"])
+        self.dtype = np.dtype(meta["dtype"])
+        self.compressor: Optional[Dict] = meta.get("compressor")
+        self.fill_value = meta.get("fill_value", 0)
+        if self.fill_value is None:
+            self.fill_value = 0
+        self.sep = meta.get("dimension_separator", ".")
+        self._meta = meta
+
+    # -- creation ----------------------------------------------------------
+    @staticmethod
+    def create(
+        path: str,
+        shape: Sequence[int],
+        chunks: Sequence[int],
+        dtype: Union[str, np.dtype],
+        compressor: Optional[Dict] = None,
+        fill_value: Union[int, float] = 0,
+        overwrite: bool = False,
+        dimension_separator: str = ".",
+    ) -> "ZarrArray":
+        if os.path.exists(os.path.join(path, ".zarray")) and not overwrite:
+            return ZarrArray(path, mode="r+")
+        os.makedirs(path, exist_ok=True)
+        dt = np.dtype(dtype)
+        meta = {
+            "zarr_format": 2,
+            "shape": list(int(s) for s in shape),
+            "chunks": list(int(c) for c in chunks),
+            "dtype": dt.str,
+            "compressor": compressor,
+            "fill_value": fill_value,
+            "order": "C",
+            "filters": None,
+            "dimension_separator": dimension_separator,
+        }
+        tmp = tempfile.NamedTemporaryFile("w", dir=path, delete=False, suffix=".tmp")
+        json.dump(meta, tmp)
+        tmp.close()
+        os.replace(tmp.name, os.path.join(path, ".zarray"))
+        return ZarrArray(path, mode="r+")
+
+    # -- helpers -------------------------------------------------------------
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def size(self) -> int:
+        return int(np.prod(self.shape))
+
+    @property
+    def nchunks(self) -> Tuple[int, ...]:
+        return tuple(-(-s // c) for s, c in zip(self.shape, self.chunks))
+
+    def _chunk_path(self, coords: Tuple[int, ...]) -> str:
+        name = self.sep.join(str(c) for c in coords)
+        return os.path.join(self.path, name)
+
+    def _read_chunk(self, coords: Tuple[int, ...]) -> np.ndarray:
+        p = self._chunk_path(coords)
+        if not os.path.exists(p):
+            return np.full(self.chunks, self.fill_value, dtype=self.dtype)
+        with open(p, "rb") as f:
+            raw = _decode(f.read(), self.compressor)
+        return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks).copy()
+
+    def _write_chunk(self, coords: Tuple[int, ...], data: np.ndarray) -> None:
+        if self.mode == "r":
+            raise PermissionError("ZarrArray opened read-only")
+        raw = _encode(np.ascontiguousarray(data, dtype=self.dtype).tobytes(), self.compressor)
+        p = self._chunk_path(coords)
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".part")
+        with os.fdopen(fd, "wb") as f:
+            f.write(raw)
+        os.replace(tmp, p)
+
+    def _normalize_key(self, key) -> Tuple[Tuple[int, int], ...]:
+        """Turn a slicing key into per-dim (start, stop); ints keep a size-1 dim
+        marked for squeezing (returned separately)."""
+        if not isinstance(key, tuple):
+            key = (key,)
+        if any(k is Ellipsis for k in key):
+            idx = key.index(Ellipsis)
+            fill = self.ndim - (len(key) - 1)
+            key = key[:idx] + (slice(None),) * fill + key[idx + 1 :]
+        key = key + (slice(None),) * (self.ndim - len(key))
+        ranges = []
+        squeeze = []
+        for d, k in enumerate(key):
+            n = self.shape[d]
+            if isinstance(k, (int, np.integer)):
+                i = int(k)
+                if i < 0:
+                    i += n
+                if not (0 <= i < n):
+                    raise IndexError(f"index {k} out of bounds for dim {d} (size {n})")
+                ranges.append((i, i + 1))
+                squeeze.append(d)
+            elif isinstance(k, slice):
+                start, stop, step = k.indices(n)
+                if step != 1:
+                    raise IndexError("Only step-1 slices supported")
+                ranges.append((start, max(start, stop)))
+            else:
+                raise IndexError(f"Unsupported index type: {type(k)}")
+        return tuple(ranges), tuple(squeeze)
+
+    def _overlapping_chunks(self, ranges):
+        """Yield (chunk_coords, chunk_slice_within, out_slice) for all chunks
+        overlapping the requested per-dim ranges."""
+        lo = [r[0] // c for r, c in zip(ranges, self.chunks)]
+        hi = [max(r[0], r[1] - 1) // c for r, c in zip(ranges, self.chunks)]
+
+        def rec(d, coords):
+            if d == self.ndim:
+                yield tuple(coords)
+                return
+            for i in range(lo[d], hi[d] + 1):
+                yield from rec(d + 1, coords + [i])
+
+        if any(r[1] <= r[0] for r in ranges):
+            return
+        for coords in rec(0, []):
+            cs, os_ = [], []
+            for d, ci in enumerate(coords):
+                c0 = ci * self.chunks[d]
+                s = max(ranges[d][0], c0)
+                e = min(ranges[d][1], c0 + self.chunks[d])
+                cs.append(slice(s - c0, e - c0))
+                os_.append(slice(s - ranges[d][0], e - ranges[d][0]))
+            yield coords, tuple(cs), tuple(os_)
+
+    # -- numpy protocol ------------------------------------------------------
+    def __getitem__(self, key) -> np.ndarray:
+        ranges, squeeze = self._normalize_key(key)
+        out_shape = tuple(r[1] - r[0] for r in ranges)
+        out = np.full(out_shape, self.fill_value, dtype=self.dtype)
+        for coords, cs, osl in self._overlapping_chunks(ranges):
+            out[osl] = self._read_chunk(coords)[cs]
+        if squeeze:
+            out = np.squeeze(out, axis=tuple(squeeze))
+        return out
+
+    def __setitem__(self, key, value) -> None:
+        ranges, squeeze = self._normalize_key(key)
+        req_shape = tuple(r[1] - r[0] for r in ranges)
+        value = np.asarray(value, dtype=self.dtype)
+        value = np.broadcast_to(value, tuple(s for d, s in enumerate(req_shape) if d not in squeeze))
+        value = value.reshape(req_shape)
+        full_chunk = self.chunks
+        for coords, cs, osl in self._overlapping_chunks(ranges):
+            piece = value[osl]
+            covers_all = all(
+                s.stop - s.start == c for s, c in zip(cs, full_chunk)
+            )
+            if covers_all:
+                chunk = piece
+            else:
+                chunk = self._read_chunk(coords)
+                chunk[cs] = piece
+            self._write_chunk(coords, chunk)
+
+    def __array__(self, dtype=None) -> np.ndarray:
+        out = self[tuple(slice(None) for _ in self.shape)]
+        return out.astype(dtype) if dtype is not None else out
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+
+class ZarrGroup:
+    """A Zarr v2 group: directory with ``.zgroup``, containing arrays/groups."""
+
+    def __init__(self, path: str, mode: str = "r"):
+        self.path = path
+        self.mode = mode
+
+    @staticmethod
+    def create(path: str) -> "ZarrGroup":
+        os.makedirs(path, exist_ok=True)
+        meta_path = os.path.join(path, ".zgroup")
+        if not os.path.exists(meta_path):
+            with open(meta_path, "w") as f:
+                json.dump({"zarr_format": 2}, f)
+        return ZarrGroup(path, mode="r+")
+
+    def keys(self):
+        for name in sorted(os.listdir(self.path)):
+            sub = os.path.join(self.path, name)
+            if os.path.isdir(sub) and (
+                os.path.exists(os.path.join(sub, ".zarray")) or os.path.exists(os.path.join(sub, ".zgroup"))
+            ):
+                yield name
+
+    def __contains__(self, name: str) -> bool:
+        sub = os.path.join(self.path, name.replace("/", os.sep))
+        return os.path.isdir(sub)
+
+    def __getitem__(self, name: str) -> Union[ZarrArray, "ZarrGroup"]:
+        sub = os.path.join(self.path, name.replace("/", os.sep))
+        if os.path.exists(os.path.join(sub, ".zarray")):
+            return ZarrArray(sub, self.mode)
+        if os.path.exists(os.path.join(sub, ".zgroup")):
+            return ZarrGroup(sub, self.mode)
+        raise KeyError(name)
+
+    def create_dataset(self, name: str, **kwargs) -> ZarrArray:
+        return ZarrArray.create(os.path.join(self.path, name.replace("/", os.sep)), **kwargs)
+
+
+def open_zarr(path: str, mode: str = "r") -> Union[ZarrArray, ZarrGroup]:
+    """Open a zarr array or group at ``path``."""
+    if os.path.exists(os.path.join(path, ".zarray")):
+        return ZarrArray(path, mode)
+    if os.path.exists(os.path.join(path, ".zgroup")):
+        return ZarrGroup(path, mode)
+    raise FileNotFoundError(f"No zarr array/group at {path}")

@@ -1,0 +1,198 @@
+import numpy as np
+import pytest
+
+from biapy_tpu.data.io import ensure_channels_last, imread, imwrite, read_img_as_ndarray
+from biapy_tpu.data.norm import denormalize, normalize_image, normalize_mask
+from biapy_tpu.data.patching import (
+    compute_patch_grid,
+    crop_data_with_overlap,
+    merge_data_with_overlap,
+    pad_to_min_shape,
+    spline_window_1d,
+)
+from biapy_tpu.data.tiff import read_tiff, write_tiff
+from biapy_tpu.data.zarr_store import ZarrArray, open_zarr
+
+RNG = np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------- TIFF / IO
+@pytest.mark.parametrize(
+    "shape,dtype",
+    [
+        ((37, 53), np.uint8),
+        ((64, 48), np.uint16),
+        ((33, 41), np.float32),
+        ((40, 50, 3), np.uint8),
+        ((7, 32, 32), np.uint8),
+        ((5, 16, 24), np.float32),
+        ((4, 16, 16, 2), np.uint16),
+        ((3, 8, 8, 12), np.float32),
+    ],
+)
+def test_tiff_roundtrip(tmp_path, shape, dtype):
+    arr = (RNG.random(shape) * 100).astype(dtype)
+    p = str(tmp_path / "x.tif")
+    write_tiff(p, arr)
+    back = read_tiff(p)
+    assert np.array_equal(np.squeeze(arr), np.squeeze(back))
+
+
+def test_io_dispatch_h5_zarr_npy(tmp_path):
+    arr = RNG.random((10, 20, 30)).astype(np.float32)
+    for ext in (".h5", ".zarr", ".npy", ".tif"):
+        p = str(tmp_path / ("x" + ext))
+        imwrite(p, arr)
+        assert np.allclose(imread(p), arr)
+
+
+def test_read_img_as_ndarray_channels_last(tmp_path):
+    arr = RNG.integers(0, 255, (40, 50)).astype(np.uint8)
+    p = str(tmp_path / "img.tif")
+    write_tiff(p, arr)
+    img = read_img_as_ndarray(p, is_3d=False)
+    assert img.shape == (40, 50, 1)
+    vol = RNG.integers(0, 255, (8, 16, 16)).astype(np.uint8)
+    p2 = str(tmp_path / "vol.tif")
+    write_tiff(p2, vol)
+    v = read_img_as_ndarray(p2, is_3d=True)
+    assert v.shape == (8, 16, 16, 1)
+
+
+def test_ensure_channels_last_axes_order():
+    x = RNG.random((3, 10, 20, 30)).astype(np.float32)  # CZYX
+    out = ensure_channels_last(x, ndim=3, axes_order="CZYX")
+    assert out.shape == (10, 20, 30, 3)
+    assert np.array_equal(out[..., 1], x[1])
+
+
+# ---------------------------------------------------------------- Zarr store
+def test_zarr_roundtrip_and_partial(tmp_path):
+    p = str(tmp_path / "a.zarr")
+    arr = ZarrArray.create(p, shape=(50, 60, 7), chunks=(16, 16, 4), dtype="f4",
+                           compressor={"id": "zlib", "level": 1})
+    data = RNG.random((50, 60, 7)).astype(np.float32)
+    arr[:, :, :] = data
+    re = open_zarr(p)
+    assert re.shape == (50, 60, 7)
+    assert np.array_equal(re[:, :, :], data)
+    assert np.array_equal(re[10:30, 5:50, 2:6], data[10:30, 5:50, 2:6])
+    assert np.array_equal(re[3], data[3])
+    # partial write into existing chunks
+    w = open_zarr(p, mode="r+")
+    patch = RNG.random((8, 9, 3)).astype(np.float32)
+    w[20:28, 30:39, 1:4] = patch
+    data[20:28, 30:39, 1:4] = patch
+    assert np.array_equal(open_zarr(p)[:, :, :], data)
+
+
+def test_zarr_fill_value(tmp_path):
+    p = str(tmp_path / "b.zarr")
+    arr = ZarrArray.create(p, shape=(10, 10), chunks=(4, 4), dtype="i4", fill_value=7)
+    assert np.all(arr[0:10, 0:10] == 7)
+
+
+# ---------------------------------------------------------------- Normalization
+def test_norm_div_roundtrip():
+    img = RNG.integers(0, 255, (32, 32, 1)).astype(np.uint8)
+    out, stats = normalize_image(img, {"type": "div", "percentile_clip": False, "out_dtype": "float32"})
+    assert out.max() <= 1.0 and out.dtype == np.float32
+    back = denormalize(out, stats)
+    assert back.dtype == np.uint8
+    assert np.array_equal(back, img)
+
+
+def test_norm_scale_range():
+    img = (RNG.random((16, 16, 2)) * 1000 + 500).astype(np.float32)
+    out, stats = normalize_image(img, {"type": "scale_range", "percentile_clip": False, "out_dtype": "float32"})
+    assert abs(float(out.min())) < 1e-5 and abs(float(out.max()) - 1) < 1e-5
+    back = denormalize(out, stats)
+    assert np.allclose(back, img, atol=1e-2)
+
+
+def test_norm_zmuv_and_reuse():
+    img = RNG.random((16, 16, 1)).astype(np.float32) * 50
+    out, stats = normalize_image(img, {"type": "zero_mean_unit_var", "percentile_clip": False, "out_dtype": "float32"})
+    assert abs(float(out.mean())) < 1e-4
+    # stats reuse: another patch normalized with same stats uses same mean
+    patch = img[:8, :8]
+    out2, _ = normalize_image(patch, {"type": "zero_mean_unit_var", "percentile_clip": False, "out_dtype": "float32"}, stats=stats)
+    expected = (patch - stats["channels"][0]["mean"]) / stats["channels"][0]["std"]
+    assert np.allclose(out2, expected, atol=1e-5)
+
+
+def test_norm_percentile_clip():
+    img = np.concatenate([np.zeros((99, 1, 1)), np.full((1, 1, 1), 1e6)]).astype(np.float32)
+    out, stats = normalize_image(
+        img,
+        {"type": "scale_range", "percentile_clip": True, "lower_perc": 2, "upper_perc": 98,
+         "lower_value": None, "upper_value": None, "out_dtype": "float32"},
+    )
+    assert stats["channels"][0]["clip_high"] < 1e6
+
+
+def test_normalize_mask():
+    m = np.zeros((8, 8, 1), dtype=np.uint8)
+    m[2:4] = 255
+    out = normalize_mask(m)
+    assert set(np.unique(out)) == {0.0, 1.0}
+
+
+# ---------------------------------------------------------------- Patching
+def test_grid_matches_reference_docstring_examples():
+    # reference: data_2D_manipulation.py crop_data_with_overlap docstring
+    for ov, expected in [((0, 0), (3, 4)), ((0.25, 0.25), (4, 6)), ((0.5, 0.5), (6, 8)), ((0.5, 0), (6, 4))]:
+        _, grids = compute_patch_grid((768, 1024), (256, 256), ov, (0, 0))
+        assert tuple(g.n for g in grids) == expected
+
+
+@pytest.mark.parametrize("ov,pad", [((0, 0), (0, 0)), ((0.3, 0.3), (8, 8)), ((0.5, 0.1), (0, 16))])
+def test_crop_merge_roundtrip_2d(ov, pad):
+    img = RNG.random((3, 100, 120, 2)).astype(np.float32)
+    p, coords = crop_data_with_overlap(img, (64, 64, 2), overlap=ov, padding=pad)
+    back = merge_data_with_overlap(p, img.shape, overlap=ov, padding=pad)
+    assert np.allclose(back, img, atol=1e-5)
+
+
+def test_crop_merge_roundtrip_3d():
+    vol = RNG.random((1, 40, 80, 90, 1)).astype(np.float32)
+    p, _ = crop_data_with_overlap(vol, (32, 64, 64, 1), overlap=(0.1, 0.2, 0.2), padding=(4, 8, 8))
+    back = merge_data_with_overlap(p, vol.shape, overlap=(0.1, 0.2, 0.2), padding=(4, 8, 8))
+    assert np.allclose(back, vol, atol=1e-5)
+
+
+def test_spline_window_taper():
+    w = spline_window_1d(64, 16)
+    assert w[0] < 0.05 and abs(w[32] - 1) < 1e-6 and w[-1] < 0.05
+    assert np.allclose(w, w[::-1])
+
+
+def test_pad_to_min_shape():
+    img = RNG.random((20, 30, 1)).astype(np.float32)
+    out, pads = pad_to_min_shape(img, (64, 64))
+    assert out.shape[:2] == (64, 64)
+
+
+# ----------------------------------------------------- reference golden parity
+def _load_ref(relpath, name):
+    import os
+    here = os.path.dirname(__file__)
+    ns = {}
+    exec(open(os.path.join(here, "_reference_loader.py")).read(), ns)
+    return ns["load_ref"](relpath, name)
+
+
+@pytest.mark.skipif(not __import__("os").path.exists("/root/reference"), reason="reference not mounted")
+def test_crop_merge_bit_exact_vs_reference_2d():
+    try:
+        m = _load_ref("biapy/data/data_2D_manipulation.py", "ref_d2m")
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference module failed to load: {e}")
+    img = RNG.random((2, 300, 250, 1)).astype(np.float32)
+    for ov, pad in [((0, 0), (0, 0)), ((0.25, 0.1), (16, 16)), ((0.5, 0.5), (0, 0))]:
+        rp, _ = m.crop_data_with_overlap(img, (128, 128, 1), overlap=ov, padding=pad, verbose=False)
+        mp, _ = crop_data_with_overlap(img, (128, 128, 1), overlap=ov, padding=pad)
+        assert np.array_equal(rp, mp)
+        rm = m.merge_data_with_overlap(rp, img.shape, overlap=ov, padding=pad, verbose=False)
+        mm = merge_data_with_overlap(mp, img.shape, overlap=ov, padding=pad)
+        assert np.abs(np.asarray(rm, dtype=np.float64) - mm).max() == 0.0
