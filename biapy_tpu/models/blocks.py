@@ -1,0 +1,477 @@
+"""Shared Flax building blocks for the model zoo.
+
+Reference analog: biapy/models/blocks.py (ConvBlock:25, UpBlock:510,
+AttentionBlock:1014, SqExBlock:1119, ResConvBlock:1194, ResUpBlock:1462,
+ConvNeXtBlock_V1/V2:268/423, GRN:366).
+
+TPU-first design notes:
+* channels-last layouts (NHWC / NDHWC) throughout — native for XLA:TPU convs,
+* one rank-generic implementation covers 2D and 3D (flax convs are N-D),
+* anisotropic 3D levels use (1, k, k) kernels / (z_down, yx, yx) pooling,
+  matching the reference's isotropy/z_down semantics,
+* he-normal conv init (the reference applies Kaiming init, models/blocks.py
+  init_weights).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+KERNEL_INIT = nn.initializers.he_normal()
+
+
+def get_activation(name: Optional[str]) -> Callable:
+    """Map a BiaPy activation name to a jax function (reference:
+    models/blocks.py get_activation)."""
+    if not name or name.lower() in ("none", "linear"):
+        return lambda x: x
+    name = name.lower()
+    table = {
+        "relu": nn.relu,
+        "elu": nn.elu,
+        "gelu": nn.gelu,
+        "silu": nn.silu,
+        "swish": nn.silu,
+        "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.01),
+        "prelu": lambda x: nn.leaky_relu(x, negative_slope=0.25),
+        "tanh": jnp.tanh,
+        "sigmoid": nn.sigmoid,
+        "softmax": lambda x: nn.softmax(x, axis=-1),
+        "mish": lambda x: x * jnp.tanh(nn.softplus(x)),
+        "relu6": lambda x: jnp.minimum(nn.relu(x), 6.0),
+        "hardswish": lambda x: x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0,
+    }
+    if name not in table:
+        raise ValueError(f"Unknown activation: {name}")
+    return table[name]
+
+
+class Norm(nn.Module):
+    """Normalization by name: 'bn', 'sync_bn', 'in', 'gn', 'none'.
+
+    'sync_bn' maps to BatchNorm with cross-device axis 'data' when inside
+    pjit/shard_map — on TPU, batch stats are synchronized via psum by setting
+    ``axis_name`` (the reference uses torch SyncBatchNorm).
+    """
+
+    kind: str = "none"
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.kind == "none":
+            return x
+        if self.kind in ("bn", "sync_bn"):
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                axis_name=self.axis_name if self.kind == "sync_bn" else None,
+            )(x)
+        if self.kind == "gn":
+            groups = min(8, x.shape[-1])
+            while x.shape[-1] % groups != 0:
+                groups -= 1
+            return nn.GroupNorm(num_groups=groups, epsilon=1e-5)(x)
+        if self.kind == "in":
+            # InstanceNorm == GroupNorm with one group per channel.
+            return nn.GroupNorm(num_groups=x.shape[-1], epsilon=1e-5)(x)
+        if self.kind == "ln":
+            return nn.LayerNorm(epsilon=1e-6)(x)
+        raise ValueError(f"Unknown normalization: {self.kind}")
+
+
+def _expand(val: Union[int, Sequence[int]], ndim: int) -> Tuple[int, ...]:
+    if isinstance(val, int):
+        return (val,) * ndim
+    return tuple(val)
+
+
+def aniso_kernel(k: int, ndim: int, isotropic: bool) -> Tuple[int, ...]:
+    """(k,k) in 2D; (k,k,k) or (1,k,k) in 3D depending on level isotropy."""
+    if ndim == 2:
+        return (k, k)
+    return (k, k, k) if isotropic else (1, k, k)
+
+
+class SqExBlock(nn.Module):
+    """Squeeze-and-Excitation channel recalibration (reference: blocks.py:1119)."""
+
+    r: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        s = jnp.mean(x, axis=spatial_axes)  # (B, C)
+        s = nn.Dense(max(1, c // self.r), use_bias=False, kernel_init=KERNEL_INIT)(s)
+        s = nn.relu(s)
+        s = nn.Dense(c, use_bias=False, kernel_init=KERNEL_INIT)(s)
+        s = nn.sigmoid(s)
+        s = s.reshape((x.shape[0],) + (1,) * (x.ndim - 2) + (c,))
+        return x * s
+
+
+class ConvBlock(nn.Module):
+    """``nconvs`` stacked (conv, norm, act, dropout) units with configurable
+    ordering, optional SE block (reference: blocks.py:25)."""
+
+    features: int
+    k_size: Union[int, Tuple[int, ...]] = 3
+    strides: Union[int, Tuple[int, ...]] = 1
+    act: Optional[str] = None
+    norm: str = "none"
+    dropout: float = 0.0
+    se_block: bool = False
+    nconvs: int = 1
+    order: str = "conv_norm_act"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act_fn = get_activation(self.act)
+        ndim = x.ndim - 2
+        k = _expand(self.k_size, ndim)
+        for i in range(self.nconvs):
+            strides = _expand(self.strides if i == 0 else 1, ndim)
+            conv = nn.Conv(
+                self.features, kernel_size=k, strides=strides, padding="SAME",
+                use_bias=self.use_bias, kernel_init=KERNEL_INIT,
+            )
+            if self.order == "norm_act_conv":
+                x = Norm(self.norm)(x, train)
+                x = act_fn(x)
+                x = conv(x)
+            else:
+                x = conv(x)
+                x = Norm(self.norm)(x, train)
+                x = act_fn(x)
+            if self.dropout > 0:
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            # SE is applied after every conv when stacking (the reference's
+            # nconvs>1 path builds one inner ConvBlock per conv, each with its
+            # own SE; blocks.py:127-147).
+            if self.se_block:
+                x = SqExBlock()(x)
+        return x
+
+
+class ResConvBlock(nn.Module):
+    """Residual block (reference: blocks.py:1194).
+
+    Default ``order='conv_norm_act'`` is the reference's historical
+    post-activation design: optional [norm, act] on the block input (skipped
+    for the network's very first block), optional pre-activated extra conv
+    (Kisuk et al. 2017; makes the shortcut an identity), then a main path of
+    ``nconvs`` ConvBlocks whose FINAL conv is bare (no norm/act), plus a
+    projection shortcut (1-wide conv + skip_norm). ``order='norm_act_conv'``
+    builds the full pre-activation variant (He et al. 2016).
+    SE (if any) recalibrates the summed output once.
+    """
+
+    features: int
+    k_size: Union[int, Tuple[int, ...]] = 3
+    act: Optional[str] = None
+    norm: str = "none"
+    dropout: float = 0.0
+    skip_k_size: Union[int, Tuple[int, ...]] = 1
+    skip_norm: str = "none"
+    first_block: bool = False
+    se_block: bool = False
+    extra_conv: bool = False
+    nconvs: int = 2
+    order: str = "conv_norm_act"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act_fn = get_activation(self.act)
+        ndim = x.ndim - 2
+        k = _expand(self.k_size, ndim)
+        pre = self.order == "norm_act_conv"
+
+        main_in = x
+        if pre:
+            if self.extra_conv:
+                main_in = ConvBlock(
+                    self.features, k, act=self.act, norm=self.norm,
+                    dropout=self.dropout, order="norm_act_conv",
+                )(main_in, train)
+            h = main_in
+            for _ in range(self.nconvs):
+                h = ConvBlock(
+                    self.features, k, act=self.act, norm=self.norm,
+                    dropout=self.dropout, order="norm_act_conv",
+                )(h, train)
+        else:
+            input_prelude = not self.first_block
+            if self.extra_conv:
+                if input_prelude:
+                    main_in = Norm(self.norm)(main_in, train)
+                    main_in = act_fn(main_in)
+                main_in = ConvBlock(
+                    self.features, k, act=self.act, norm=self.norm, dropout=self.dropout
+                )(main_in, train)
+                h = main_in
+            else:
+                # [norm, act] belong to the main path only; the shortcut sees
+                # the raw block input (reference: forward does
+                # block(x) + shortcut(x)).
+                h = main_in
+                if input_prelude:
+                    h = Norm(self.norm)(h, train)
+                    h = act_fn(h)
+            h = ConvBlock(self.features, k, act=self.act, norm=self.norm, dropout=self.dropout)(h, train)
+            for _ in range(max(0, self.nconvs - 2)):
+                h = ConvBlock(self.features, k, act=self.act, norm=self.norm, dropout=self.dropout)(h, train)
+            if self.nconvs >= 2:
+                h = ConvBlock(self.features, k)(h, train)  # final bare conv
+
+        if self.extra_conv:
+            shortcut = main_in
+        else:
+            shortcut = nn.Conv(
+                self.features, kernel_size=_expand(self.skip_k_size, ndim), padding="SAME",
+                use_bias=True, kernel_init=KERNEL_INIT,
+            )(main_in)
+            shortcut = Norm(self.skip_norm)(shortcut, train)
+
+        out = h + shortcut
+        if self.se_block:
+            out = SqExBlock()(out)
+        return out
+
+
+class AttentionGate(nn.Module):
+    """Attention U-Net gating of the skip connection (reference:
+    blocks.py:1014; Oktay et al. 2018)."""
+
+    features: int
+    norm: str = "none"
+
+    @nn.compact
+    def __call__(self, x_skip, g, train: bool = False):
+        ndim = x_skip.ndim - 2
+        one = (1,) * ndim
+        wg = nn.Conv(self.features, kernel_size=one, kernel_init=KERNEL_INIT)(g)
+        wg = Norm(self.norm)(wg, train)
+        # The skip branch is intentionally un-normalized, matching the
+        # reference's effective behaviour (its w_x norm is never registered,
+        # blocks.py:1065-1072).
+        wx = nn.Conv(self.features, kernel_size=one, kernel_init=KERNEL_INIT)(x_skip)
+        psi = nn.relu(wg + wx)
+        psi = nn.Conv(1, kernel_size=one, kernel_init=KERNEL_INIT)(psi)
+        psi = Norm(self.norm)(psi, train)
+        psi = nn.sigmoid(psi)
+        return x_skip * psi
+
+
+def upsample_nearest(x, scale: Sequence[int]):
+    """Nearest-neighbour upsampling by integer per-axis factors."""
+    for d, s in enumerate(scale):
+        if s > 1:
+            x = jnp.repeat(x, s, axis=d + 1)
+    return x
+
+
+def upsample_linear(x, scale: Sequence[int]):
+    """Bi/tri-linear upsampling by integer per-axis factors (reference:
+    nn.Upsample(mode='bilinear'/'trilinear'))."""
+    new_shape = (x.shape[0],) + tuple(s * f for s, f in zip(x.shape[1:-1], scale)) + (x.shape[-1],)
+    return jax.image.resize(x, new_shape, method="linear")
+
+
+class UpLayer(nn.Module):
+    """Upsampling step: transpose conv, or bilinear upsample + 1-wide conv,
+    followed by optional norm + activation (reference: UpBlock's `up`
+    sequential, blocks.py:600-614)."""
+
+    features: int
+    scale: Tuple[int, ...]
+    up_mode: str = "convtranspose"
+    norm: str = "none"
+    act: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.up_mode == "convtranspose":
+            x = nn.ConvTranspose(
+                self.features, kernel_size=self.scale, strides=self.scale,
+                kernel_init=KERNEL_INIT,
+            )(x)
+        else:
+            x = upsample_linear(x, self.scale)
+            x = nn.Conv(self.features, kernel_size=(1,) * len(self.scale), kernel_init=KERNEL_INIT)(x)
+        x = Norm(self.norm)(x, train)
+        return get_activation(self.act)(x)
+
+
+class UpBlock(nn.Module):
+    """Decoder stage: upsample, (optionally attention-gate the skip),
+    concat skip, refine (reference: blocks.py:510 / ResUpBlock:1462)."""
+
+    features: int
+    scale: Tuple[int, ...]
+    k_size: Union[int, Tuple[int, ...]] = 3
+    up_mode: str = "convtranspose"
+    act: Optional[str] = None
+    norm: str = "none"
+    dropout: float = 0.0
+    attention_gate: bool = False
+    se_block: bool = False
+    residual: bool = False
+    extra_conv: bool = False
+    skip_norm: str = "none"
+    skip_k_size: Union[int, Tuple[int, ...]] = 1
+    nconvs: int = 2
+    order: str = "conv_norm_act"
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        if self.residual:
+            # ResUpBlock (reference: blocks.py:1462): channel-preserving
+            # upsample with no norm/act, refinement in the ResConvBlock.
+            if self.up_mode == "convtranspose":
+                up = nn.ConvTranspose(
+                    x.shape[-1], kernel_size=self.scale, strides=self.scale,
+                    kernel_init=KERNEL_INIT,
+                )(x)
+            else:
+                up = upsample_linear(x, self.scale)
+        else:
+            up = UpLayer(self.features, self.scale, self.up_mode, norm=self.norm, act=self.act)(x, train)
+        if self.attention_gate:
+            skip = AttentionGate(max(1, self.features // 2), norm=self.norm)(skip, up, train)
+        h = jnp.concatenate([up, skip], axis=-1)
+        if self.residual:
+            return ResConvBlock(
+                self.features, self.k_size, act=self.act, norm=self.norm,
+                dropout=self.dropout, se_block=self.se_block, extra_conv=self.extra_conv,
+                skip_norm=self.skip_norm, skip_k_size=self.skip_k_size,
+                nconvs=self.nconvs, order=self.order,
+            )(h, train)
+        return ConvBlock(
+            self.features, self.k_size, act=self.act, norm=self.norm,
+            dropout=self.dropout, se_block=self.se_block, nconvs=self.nconvs,
+            order=self.order,
+        )(h, train)
+
+
+class GRN(nn.Module):
+    """Global Response Normalization (ConvNeXt V2; reference: blocks.py:366)."""
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.zeros, (dim,))
+        beta = self.param("beta", nn.initializers.zeros, (dim,))
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        gx = jnp.sqrt(jnp.sum(jnp.square(x), axis=spatial_axes, keepdims=True) + 1e-12)
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        return gamma * (x * nx) + beta + x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: randomly drop the residual branch per sample."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class ConvNeXtBlockV1(nn.Module):
+    """ConvNeXt V1 block: depthwise 7x7, LN, pointwise MLP with GELU,
+    layer-scale, stochastic depth (reference: blocks.py:268)."""
+
+    features: int
+    sd_prob: float = 0.0
+    layer_scale: float = 1e-6
+    k_size: Union[int, Tuple[int, ...]] = 7
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ndim = x.ndim - 2
+        h = nn.Conv(
+            self.features, kernel_size=_expand(self.k_size, ndim), padding="SAME",
+            feature_group_count=self.features, kernel_init=KERNEL_INIT,
+        )(x)
+        h = nn.LayerNorm(epsilon=1e-6)(h)
+        h = nn.Dense(4 * self.features, kernel_init=KERNEL_INIT)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.features, kernel_init=KERNEL_INIT)(h)
+        gamma = self.param("layer_scale", nn.initializers.constant(self.layer_scale), (self.features,))
+        h = gamma * h
+        return x + DropPath(self.sd_prob)(h, train)
+
+
+class ConvNeXtBlockV2(nn.Module):
+    """ConvNeXt V2 block: GRN replaces layer-scale (reference: blocks.py:423)."""
+
+    features: int
+    sd_prob: float = 0.0
+    k_size: Union[int, Tuple[int, ...]] = 7
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ndim = x.ndim - 2
+        h = nn.Conv(
+            self.features, kernel_size=_expand(self.k_size, ndim), padding="SAME",
+            feature_group_count=self.features, kernel_init=KERNEL_INIT,
+        )(x)
+        h = nn.LayerNorm(epsilon=1e-6)(h)
+        h = nn.Dense(4 * self.features, kernel_init=KERNEL_INIT)(h)
+        h = nn.gelu(h)
+        h = GRN()(h)
+        h = nn.Dense(self.features, kernel_init=KERNEL_INIT)(h)
+        return x + DropPath(self.sd_prob)(h, train)
+
+
+class ProjectionHead(nn.Module):
+    """Pixel embedding projection head for contrastive loss
+    (reference: models/heads.py ProjectionHead)."""
+
+    proj_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ndim = x.ndim - 2
+        one = (1,) * ndim
+        in_ch = x.shape[-1]
+        h = nn.Conv(in_ch, kernel_size=one, kernel_init=KERNEL_INIT)(x)
+        h = nn.relu(h)
+        h = nn.Conv(self.proj_dim, kernel_size=one, kernel_init=KERNEL_INIT)(h)
+        norm = jnp.linalg.norm(h, axis=-1, keepdims=True)
+        return h / jnp.maximum(norm, 1e-8)
+
+
+def max_pool(x, window: Sequence[int]):
+    """Max pooling with stride == window (reference: MaxPool2d/3d usage)."""
+    w = (1,) + tuple(window) + (1,)
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, w, w, "VALID")
+
+
+def avg_pool(x, window: Sequence[int]):
+    w = (1,) + tuple(window) + (1,)
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, w, w, "VALID")
+    return summed / float(jnp.prod(jnp.array(window)))
+
+
+def get_decoder_feature_maps(feature_maps, num_decoders: int, divide: bool):
+    """Per-decoder feature maps when separated decoders are enabled
+    (reference: blocks.py get_decoder_feature_maps)."""
+    if num_decoders <= 1 or not divide:
+        return list(feature_maps)
+    return [max(1, f // num_decoders) for f in feature_maps]

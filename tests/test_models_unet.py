@@ -1,0 +1,114 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from biapy_tpu.models.unet_family import UNetFamily
+
+RNGS = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+
+
+def build(variant, **kw):
+    base = dict(
+        variant=variant, ndim=2, feature_maps=(16, 32, 64), drop_values=(0.1,) * 3,
+        conv_layers=(2, 2, 2), yx_down=(2, 2, 2), z_down=(2, 2, 2), isotropy=(True,),
+        normalization="none", output_channels=(1,), activation="elu",
+    )
+    base.update(kw)
+    return UNetFamily(**base)
+
+
+def n_params(variables):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+
+
+# Golden parameter counts verified bit-exact against the reference torch
+# models (biapy/models/{unet,resunet,seunet,attention_unet,resunet_se}.py)
+# with feature_maps=[16,32,64], conv_layers=[2,2,2], larger_io=True.
+GOLDEN = {
+    ("unet", "none"): 125_745,
+    ("unet", "bn"): 126_545,
+    ("resunet", "none"): 154_369,
+    ("seunet", "none"): 127_409,
+    ("attention_unet", "none"): 127_099,
+    ("resunet_se", "none"): 208_449,
+}
+
+
+@pytest.mark.parametrize("variant,norm", list(GOLDEN))
+def test_param_count_parity(variant, norm):
+    m = build(variant, normalization=norm)
+    v = m.init(RNGS, jnp.zeros((1, 64, 64, 1)), train=False)
+    assert n_params(v) == GOLDEN[(variant, norm)]
+
+
+@pytest.mark.parametrize("variant", ["unet", "resunet", "seunet", "resunet_se", "attention_unet"])
+def test_forward_2d(variant):
+    m = build(variant)
+    x = jnp.zeros((2, 64, 64, 1))
+    v = m.init(RNGS, x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (2, 64, 64, 1)
+
+
+def test_forward_3d_anisotropic_multihead():
+    m = UNetFamily(
+        variant="resunet", ndim=3, feature_maps=(8, 16, 32), drop_values=(0, 0, 0),
+        conv_layers=(2, 2, 2), yx_down=(2, 2, 2), z_down=(1, 2, 2),
+        isotropy=(False, True, True), output_channels=(2, 1), output_channel_info=("F", "D"),
+    )
+    x = jnp.zeros((1, 8, 32, 32, 1))
+    v = m.init(RNGS, x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (1, 8, 32, 32, 3)
+
+
+def test_class_head_and_contrast():
+    m = build("unet", output_channels=(3,), contrast=True, contrast_proj_dim=64)
+    x = jnp.zeros((1, 32, 32, 1))
+    v = m.init(RNGS, x, train=False)
+    out = m.apply(v, x, train=False)
+    assert set(out) == {"pred", "embed"}
+    assert out["pred"].shape == (1, 32, 32, 3)
+    assert out["embed"].shape == (1, 32, 32, 64)
+    # embeddings are L2-normalized
+    norms = jnp.linalg.norm(out["embed"], axis=-1)
+    assert np.allclose(np.asarray(norms), 1.0, atol=1e-4)
+
+
+def test_separated_decoders_and_sr():
+    m = build(
+        "unet", output_channels=(1, 1), output_channel_info=("F", "D"),
+        separated_decoders=True, divide_decoder_feature_maps=True,
+        upsampling_factor=(2, 2), upsampling_position="post",
+    )
+    x = jnp.zeros((1, 32, 32, 1))
+    v = m.init(RNGS, x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (1, 64, 64, 2)
+
+
+def test_batchnorm_train_updates_stats():
+    m = build("unet", normalization="bn")
+    x = jnp.ones((2, 32, 32, 1))
+    v = m.init(RNGS, x, train=True)
+    assert "batch_stats" in v
+    out, updates = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)},
+                           mutable=["batch_stats"])
+    assert "batch_stats" in updates
+
+
+def test_upsampling_mode():
+    m = build("unet", upsample_layer="upsampling")
+    x = jnp.zeros((1, 32, 32, 1))
+    v = m.init(RNGS, x, train=False)
+    assert m.apply(v, x, train=False).shape == (1, 32, 32, 1)
+
+
+def test_jit_forward():
+    m = build("unet")
+    x = jnp.zeros((1, 64, 64, 1))
+    v = m.init(RNGS, x, train=False)
+    f = jax.jit(lambda vv, xx: m.apply(vv, xx, train=False))
+    out = f(v, x)
+    assert out.shape == (1, 64, 64, 1)
