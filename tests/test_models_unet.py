@@ -65,7 +65,7 @@ def test_forward_3d_anisotropic_multihead():
 
 def test_class_head_and_contrast():
     m = build("unet", output_channels=(3,), contrast=True, contrast_proj_dim=64)
-    x = jnp.zeros((1, 32, 32, 1))
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 1))
     v = m.init(RNGS, x, train=False)
     out = m.apply(v, x, train=False)
     assert set(out) == {"pred", "embed"}
