@@ -1,0 +1,362 @@
+"""Losses and metrics, as pure JAX functions.
+
+Reference analog: biapy/engine/metrics.py (jaccard_index:138,
+weight_binary_ratio:93, CrossEntropyLoss_wrapper:475, DiceLoss:708,
+DiceCELoss:746, detection_loss:571, instance_segmentation_loss:1400,
+SSIM family:2109-2246, n2v_loss_mse:2247).
+
+Everything here runs on device under jit: losses take channels-last arrays
+(B, ..., C) of logits (activations applied by the engine only at inference,
+matching the reference's apply_model_activations contract) and return
+scalars; metrics return scalars per batch. No torch, no host round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPS = 1e-7
+
+
+# --------------------------------------------------------------------------
+# elementwise losses
+# --------------------------------------------------------------------------
+def bce_with_logits(logits, targets, weight=None):
+    """Numerically-stable binary cross-entropy on logits."""
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    loss = -(targets * log_p + (1.0 - targets) * log_not_p)
+    if weight is not None:
+        loss = loss * weight
+    return loss
+
+
+def softmax_ce_with_logits(logits, labels_int, class_weights=None, ignore_index=None):
+    """Per-pixel softmax cross-entropy; ``labels_int`` integer class map
+    (B, ..., 1) or (B, ...)."""
+    if labels_int.shape[-1] == 1:
+        labels_int = labels_int[..., 0]
+    labels_int = labels_int.astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nclass = logits.shape[-1]
+    safe_labels = jnp.clip(labels_int, 0, nclass - 1)
+    picked = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    loss = -picked
+    if class_weights is not None:
+        w = jnp.asarray(class_weights)[safe_labels]
+        loss = loss * w
+    if ignore_index is not None:
+        valid = (labels_int != ignore_index).astype(loss.dtype)
+        loss = loss * valid
+        return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1.0)
+    return jnp.mean(loss)
+
+
+def weight_binary_ratio(target):
+    """Per-element weight map balancing foreground/background frequency
+    (reference: metrics.py:93). Returns weights with mean ~1."""
+    fg = jnp.clip(jnp.mean((target > 0.5).astype(jnp.float32)), EPS, 1 - EPS)
+    # weight foreground by (1-fg)/fg when foreground is the minority (and
+    # symmetrically otherwise), normalized so that weights >= 1.
+    alpha = jnp.where(fg <= 0.5, (1.0 - fg) / fg, fg / (1.0 - fg))
+    is_minority_fg = fg <= 0.5
+    w_fg = jnp.where(is_minority_fg, alpha, 1.0)
+    w_bg = jnp.where(is_minority_fg, 1.0, alpha)
+    return jnp.where(target > 0.5, w_fg, w_bg)
+
+
+# --------------------------------------------------------------------------
+# composite losses
+# --------------------------------------------------------------------------
+def cross_entropy_loss(
+    logits,
+    targets,
+    num_classes: int = 2,
+    class_rebalance: str = "none",
+    class_weights: Optional[Sequence[float]] = None,
+    ignore_index: Optional[int] = None,
+):
+    """BCE (binary) / softmax CE (multiclass) with optional rebalancing
+    (reference: CrossEntropyLoss_wrapper, metrics.py:475)."""
+    if isinstance(logits, dict):
+        logits = logits["pred"]
+    if num_classes <= 2 and logits.shape[-1] == 1:
+        weight = None
+        if class_rebalance == "auto":
+            weight = weight_binary_ratio(targets)
+        elif class_rebalance == "manual" and class_weights:
+            w_bg, w_fg = class_weights[0], class_weights[-1]
+            weight = jnp.where(targets > 0.5, w_fg, w_bg)
+        return jnp.mean(bce_with_logits(logits, targets.astype(logits.dtype), weight))
+    cw = jnp.asarray(class_weights) if (class_rebalance == "manual" and class_weights) else None
+    return softmax_ce_with_logits(logits, targets, cw, ignore_index)
+
+
+def dice_loss(logits, targets, smooth: float = 1e-5, apply_sigmoid: bool = True):
+    """Soft Dice over the batch (reference: DiceLoss, metrics.py:708)."""
+    p = jax.nn.sigmoid(logits) if apply_sigmoid else logits
+    t = targets.astype(p.dtype)
+    axes = tuple(range(1, p.ndim))
+    inter = jnp.sum(p * t, axis=axes)
+    denom = jnp.sum(p, axis=axes) + jnp.sum(t, axis=axes)
+    dice = (2.0 * inter + smooth) / (denom + smooth)
+    return 1.0 - jnp.mean(dice)
+
+
+def dice_ce_loss(
+    logits, targets, num_classes: int = 2, w_dice: float = 0.5, w_ce: float = 0.5,
+    class_rebalance: str = "none", class_weights=None, ignore_index=None,
+):
+    """Combined Dice + CE (reference: DiceCELoss, metrics.py:746)."""
+    if isinstance(logits, dict):
+        logits = logits["pred"]
+    ce = cross_entropy_loss(logits, targets, num_classes, class_rebalance, class_weights, ignore_index)
+    if num_classes > 2 and logits.shape[-1] > 1:
+        t1h = jax.nn.one_hot(targets[..., 0].astype(jnp.int32), logits.shape[-1])
+        d = dice_loss(jax.nn.softmax(logits, axis=-1), t1h, apply_sigmoid=False)
+    else:
+        d = dice_loss(logits, targets)
+    return w_dice * d + w_ce * ce
+
+
+def masked_mse(pred, target, mask):
+    m = mask.astype(pred.dtype)
+    return jnp.sum(jnp.square(pred - target) * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def n2v_loss_mse(pred, target, mask):
+    """Noise2Void masked MSE: loss only on manipulated pixels
+    (reference: n2v_loss_mse, metrics.py:2247)."""
+    return masked_mse(pred, target, mask)
+
+
+_CHANNEL_LOSS_FNS: Dict[str, Callable] = {}
+
+
+def _channel_loss(name: str, logits, target, weight=None):
+    """One channel's loss by name (bce / mse / l1=mae / ce)."""
+    name = name.lower()
+    if name in ("bce", "ce_sigmoid"):
+        return jnp.mean(bce_with_logits(logits, target, weight))
+    if name in ("mse", "l2"):
+        err = jnp.square(logits - target)
+    elif name in ("mae", "l1"):
+        err = jnp.abs(logits - target)
+    else:
+        raise ValueError(f"Unknown channel loss: {name}")
+    if weight is not None:
+        return jnp.sum(err * weight) / jnp.maximum(jnp.sum(weight), 1.0)
+    return jnp.mean(err)
+
+
+def instance_segmentation_loss(
+    out_channels: Sequence[str],
+    losses_to_use: Sequence[str],
+    channel_weights: Sequence[float],
+    channels_per_output: Sequence[int],
+    mask_distances: Optional[Dict[str, bool]] = None,
+    class_rebalance_within_channels: bool = False,
+):
+    """Build the multi-channel instance-seg loss
+    (reference: instance_segmentation_loss, metrics.py:1400).
+
+    ``out_channels`` e.g. ["F","C","D"]; ``channels_per_output`` gives how
+    many prediction channels each representation occupies (e.g. flows take
+    2/3). The ground truth is laid out with the same channel structure.
+    Regression channels (distances, flows) can be masked to the foreground
+    (``mask_distances``), and binary channels can be rebalanced.
+    """
+    mask_distances = mask_distances or {}
+
+    def loss_fn(y_pred, y_true):
+        if isinstance(y_pred, dict):
+            y_pred = y_pred["pred"]
+        total = 0.0
+        off = 0
+        # the F (or first binary) channel index, used as mask for regression
+        fg_idx = None
+        o = 0
+        for ch, n in zip(out_channels, channels_per_output):
+            if ch in ("F", "B", "P", "C"):
+                fg_idx = o
+                break
+            o += n
+        for ch, lname, w, n in zip(out_channels, losses_to_use, channel_weights, channels_per_output):
+            pred_c = y_pred[..., off : off + n]
+            true_c = y_true[..., off : off + n].astype(pred_c.dtype)
+            weight = None
+            if lname.lower() in ("bce",) and class_rebalance_within_channels:
+                weight = weight_binary_ratio(true_c)
+            if mask_distances.get(ch, False) and fg_idx is not None:
+                fg = (y_true[..., fg_idx : fg_idx + 1] > 0.5).astype(pred_c.dtype)
+                weight = fg if weight is None else weight * fg
+            total = total + w * _channel_loss(lname, pred_c, true_c, weight)
+            off += n
+        return total
+
+    return loss_fn
+
+
+def detection_loss(
+    channel_weights=(1.0,),
+    class_rebalance_within_channels: bool = True,
+    num_classes: int = 2,
+    class_rebalance: str = "none",
+    class_weights=None,
+):
+    """Point-heatmap detection loss: rebalanced BCE on the point channel,
+    optional CE on a separated class head (reference: detection_loss,
+    metrics.py:571)."""
+
+    def loss_fn(y_pred, y_true):
+        cls_pred = None
+        if isinstance(y_pred, dict):
+            cls_pred = y_pred.get("class")
+            y_pred = y_pred["pred"]
+        t = y_true[..., :1].astype(y_pred.dtype)
+        weight = weight_binary_ratio(t) if class_rebalance_within_channels else None
+        loss = channel_weights[0] * jnp.mean(bce_with_logits(y_pred[..., :1], t, weight))
+        if cls_pred is not None and num_classes > 2:
+            cls_true = y_true[..., 1:2]
+            cw = jnp.asarray(class_weights) if (class_rebalance == "manual" and class_weights) else None
+            loss = loss + (channel_weights[-1] if len(channel_weights) > 1 else 1.0) * softmax_ce_with_logits(
+                cls_pred, cls_true, cw
+            )
+        return loss
+
+    return loss_fn
+
+
+# --------------------------------------------------------------------------
+# image-quality losses / metrics (SR, denoising, I2I, SSL)
+# --------------------------------------------------------------------------
+def mse_metric(pred, target):
+    return jnp.mean(jnp.square(pred - target))
+
+
+def mae_metric(pred, target):
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def psnr_metric(pred, target, data_range: float = 1.0):
+    mse = jnp.mean(jnp.square(pred - target))
+    return 20.0 * jnp.log10(data_range) - 10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+def _gaussian_kernel1d(size: int = 11, sigma: float = 1.5):
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-0.5 * jnp.square(x / sigma))
+    return g / jnp.sum(g)
+
+
+def _ssim_filter(img, ndim: int, size: int = 11, sigma: float = 1.5):
+    """Separable Gaussian filter over spatial dims of (B, ..., C)."""
+    g = _gaussian_kernel1d(size, sigma)
+    out = img
+    for d in range(1, 1 + ndim):
+        pad = [(0, 0)] * out.ndim
+        pad[d] = (size // 2, size // 2)
+        padded = jnp.pad(out, pad, mode="symmetric")
+        out = _conv1d_along_axis(padded, g, d)
+    return out
+
+
+def _conv1d_along_axis(x, kernel1d, axis: int):
+    """Depthwise 1-D convolution along ``axis`` via correlation (VALID)."""
+    k = kernel1d.shape[0]
+    x_moved = jnp.moveaxis(x, axis, -1)
+    lead_shape = x_moved.shape[:-1]
+    flat = x_moved.reshape(-1, x_moved.shape[-1])
+    out = jax.vmap(lambda row: jnp.correlate(row, kernel1d, mode="valid"))(flat)
+    return jnp.moveaxis(out.reshape(lead_shape + (out.shape[-1],)), -1, axis)
+
+
+def ssim_metric(pred, target, data_range: float = 1.0, size: int = 11, sigma: float = 1.5):
+    """SSIM over channels-last batches (matches pytorch_msssim defaults used
+    by the reference's SSIM losses, metrics.py:2109)."""
+    ndim = pred.ndim - 2
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    mu_x = _ssim_filter(pred, ndim, size, sigma)
+    mu_y = _ssim_filter(target, ndim, size, sigma)
+    mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
+    sx = _ssim_filter(pred * pred, ndim, size, sigma) - mu_x2
+    sy = _ssim_filter(target * target, ndim, size, sigma) - mu_y2
+    sxy = _ssim_filter(pred * target, ndim, size, sigma) - mu_xy
+    ssim_map = ((2 * mu_xy + c1) * (2 * sxy + c2)) / ((mu_x2 + mu_y2 + c1) * (sx + sy + c2))
+    return jnp.mean(ssim_map)
+
+
+def ssim_loss(pred, target, data_range: float = 1.0):
+    return 1.0 - ssim_metric(pred, target, data_range)
+
+
+def w_mae_ssim_loss(pred, target, w_mae: float = 0.5, w_ssim: float = 0.5):
+    """Weighted MAE + SSIM (reference: W_MAE_SSIM_loss, metrics.py:2155)."""
+    return w_mae * mae_metric(pred, target) + w_ssim * ssim_loss(pred, target)
+
+
+def w_mse_ssim_loss(pred, target, w_mse: float = 0.5, w_ssim: float = 0.5):
+    """Weighted MSE + SSIM (reference: W_MSE_SSIM_loss, metrics.py:2200)."""
+    return w_mse * mse_metric(pred, target) + w_ssim * ssim_loss(pred, target)
+
+
+# --------------------------------------------------------------------------
+# segmentation metrics
+# --------------------------------------------------------------------------
+def jaccard_index(y_pred, y_true, num_classes: int = 2, t: float = 0.5,
+                  ignore_index: Optional[int] = None, apply_activation: bool = True):
+    """IoU / Jaccard (reference: metrics.py:138). Binary: sigmoid+threshold
+    each channel; multiclass: argmax vs integer labels."""
+    if isinstance(y_pred, dict):
+        y_pred = y_pred["pred"]
+    if num_classes > 2 and y_pred.shape[-1] > 1:
+        pred_lab = jnp.argmax(y_pred, axis=-1)
+        true_lab = y_true[..., 0].astype(jnp.int32) if y_true.shape[-1] == 1 else y_true.astype(jnp.int32)
+        valid = jnp.ones_like(true_lab, dtype=bool) if ignore_index is None else (true_lab != ignore_index)
+        ious = []
+        for c in range(num_classes):
+            p = (pred_lab == c) & valid
+            g = (true_lab == c) & valid
+            inter = jnp.sum(p & g)
+            union = jnp.sum(p | g)
+            ious.append(jnp.where(union > 0, inter / jnp.maximum(union, 1), jnp.nan))
+        ious = jnp.stack(ious)
+        return jnp.nanmean(ious)
+    p = jax.nn.sigmoid(y_pred) if apply_activation else y_pred
+    pb = p > t
+    gb = y_true > 0.5
+    inter = jnp.sum(pb & gb)
+    union = jnp.sum(pb | gb)
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
+
+
+def accuracy_metric(logits, labels):
+    """Top-1 accuracy for classification."""
+    pred = jnp.argmax(logits, axis=-1)
+    labels = labels.reshape(pred.shape)
+    return jnp.mean((pred == labels).astype(jnp.float32))
+
+
+def top_k_accuracy(logits, labels, k: int = 5):
+    k = min(k, logits.shape[-1])
+    topk = jax.lax.top_k(logits, k)[1]
+    labels = labels.reshape(labels.shape[0], 1)
+    return jnp.mean(jnp.any(topk == labels, axis=-1).astype(jnp.float32))
+
+
+# --------------------------------------------------------------------------
+# numpy-side helpers (test-time, host)
+# --------------------------------------------------------------------------
+def jaccard_index_numpy(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    """Binary IoU on numpy arrays (reference: metrics.py:25)."""
+    tp = np.count_nonzero((y_pred > 0.5) & (y_true > 0.5))
+    fp = np.count_nonzero((y_pred > 0.5) & (y_true <= 0.5))
+    fn = np.count_nonzero((y_pred <= 0.5) & (y_true > 0.5))
+    denom = tp + fp + fn
+    return 1.0 if denom == 0 else tp / denom

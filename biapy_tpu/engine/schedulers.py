@@ -1,0 +1,144 @@
+"""Learning-rate schedules and the optimizer factory.
+
+Reference analog: biapy/engine/__init__.py:21-106 (prepare_optimizer, one
+optimizer per loss head via timm's create_optimizer_v2) and
+biapy/engine/schedulers/* (warmupcosine / onecycle / reduceonplateau /
+warmupreduceonplateau).
+
+optax mapping: warm-up cosine and one-cycle are pure optax schedules
+(compiled into the update); the two plateau-driven schedules are host-side
+controllers that scale an ``inject_hyperparams`` learning-rate field after
+each validation — the same split the reference has between per-iteration
+and per-epoch schedulers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import optax
+
+
+def build_schedule(cfg, lr: float, steps_per_epoch: int):
+    """Return (optax schedule or float, host_plateau_controller or None)."""
+    sch = cfg.TRAIN.LR_SCHEDULER
+    name = (sch.NAME or "").lower()
+    epochs = cfg.TRAIN.EPOCHS
+    if not name:
+        return lr, None
+    if name == "warmupcosine":
+        min_lr = sch.MIN_LR[0] if isinstance(sch.MIN_LR, (list, tuple)) else sch.MIN_LR
+        warm_e = sch.WARMUP_COSINE_DECAY_EPOCHS
+        warm_steps = max(1, warm_e * steps_per_epoch)
+        total = max(warm_steps + 1, epochs * steps_per_epoch)
+        return (
+            optax.warmup_cosine_decay_schedule(
+                init_value=float(min_lr) if min_lr != -1.0 else 0.0,
+                peak_value=lr,
+                warmup_steps=warm_steps,
+                decay_steps=total,
+                end_value=float(min_lr) if min_lr != -1.0 else 0.0,
+            ),
+            None,
+        )
+    if name == "onecycle":
+        total = max(2, epochs * steps_per_epoch)
+        return optax.cosine_onecycle_schedule(transition_steps=total, peak_value=lr), None
+    if name in ("reduceonplateau", "warmupreduceonplateau"):
+        warm = 0
+        if name == "warmupreduceonplateau":
+            warm = max(1, sch.WARMUP_COSINE_DECAY_EPOCHS * steps_per_epoch)
+        ctrl = PlateauController(
+            factor=float(sch.REDUCEONPLATEAU_FACTOR),
+            patience=int(sch.REDUCEONPLATEAU_PATIENCE),
+            min_lr=float(sch.MIN_LR[0] if isinstance(sch.MIN_LR, (list, tuple)) else sch.MIN_LR),
+            base_lr=lr,
+        )
+        if warm:
+            schedule = optax.linear_schedule(init_value=0.0, end_value=1.0, transition_steps=warm)
+            ctrl.warmup_schedule = schedule
+        return lr, ctrl
+    raise ValueError(f"Unknown LR scheduler: {name}")
+
+
+class PlateauController:
+    """Host-side ReduceLROnPlateau (reference: schedulers/ + torch's
+    ReduceLROnPlateau stepped in evaluate, train_engine.py:324)."""
+
+    def __init__(self, factor: float = 0.5, patience: int = 10, min_lr: float = 0.0, base_lr: float = 1e-3):
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = max(min_lr, 0.0) if min_lr != -1.0 else 0.0
+        self.lr = base_lr
+        self.best = float("inf")
+        self.bad_epochs = 0
+        self.warmup_schedule = None
+
+    def step(self, val_loss: float) -> float:
+        """Update with the epoch's validation loss; returns the current lr."""
+        if val_loss < self.best - 1e-12:
+            self.best = val_loss
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.bad_epochs = 0
+        return self.lr
+
+
+def build_optimizer(cfg, steps_per_epoch: int, head: int = 0):
+    """Build one optax optimizer (+ optional plateau controller) for loss
+    head ``head`` (reference: prepare_optimizer, engine/__init__.py:21)."""
+    name = cfg.TRAIN.OPTIMIZER[min(head, len(cfg.TRAIN.OPTIMIZER) - 1)].upper()
+    lr = float(cfg.TRAIN.LR[min(head, len(cfg.TRAIN.LR) - 1)])
+    wd = float(cfg.TRAIN.W_DECAY)
+    betas = cfg.TRAIN.OPT_BETAS
+    if betas and isinstance(betas[0], (list, tuple)):
+        betas = betas[min(head, len(betas) - 1)]
+    b1, b2 = (betas[0], betas[1]) if betas and len(betas) >= 2 else (0.9, 0.999)
+
+    schedule, plateau = build_schedule(cfg, lr, steps_per_epoch)
+    if plateau is not None:
+        # lr is a mutable hyperparam the host scales after validation.
+        schedule = lr
+
+    if name == "ADAMW":
+        opt_fn = lambda learning_rate: optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=wd)
+    elif name == "ADAM":
+        opt_fn = lambda learning_rate: optax.adam(learning_rate, b1=b1, b2=b2)
+    elif name == "SGD":
+        opt_fn = lambda learning_rate: optax.sgd(learning_rate, momentum=0.9)
+    else:
+        raise ValueError(f"Unknown optimizer: {name} (expected SGD/ADAM/ADAMW)")
+
+    tx = optax.inject_hyperparams(opt_fn)(learning_rate=schedule)
+    clip = float(getattr(cfg.TRAIN, "CLIP_GRAD", 0.0) or 0.0)
+    if clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    return tx, plateau
+
+
+def set_learning_rate(opt_state, new_lr: float):
+    """Update the injected learning-rate hyperparameter in an opt state
+    (used by the plateau controllers)."""
+    import jax
+
+    def visit(s):
+        if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+            s.hyperparams["learning_rate"] = jax.numpy.asarray(
+                new_lr, dtype=s.hyperparams["learning_rate"].dtype
+            )
+        return s
+
+    if isinstance(opt_state, tuple):
+        return tuple(visit(s) for s in opt_state)
+    return visit(opt_state)
+
+
+def get_learning_rate(opt_state) -> Optional[float]:
+    states = opt_state if isinstance(opt_state, tuple) else (opt_state,)
+    for s in states:
+        if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+            return float(s.hyperparams["learning_rate"])
+    return None

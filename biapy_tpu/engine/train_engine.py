@@ -1,0 +1,145 @@
+"""Jitted, mesh-sharded train/eval steps.
+
+Reference analog: biapy/engine/train_engine.py (train_one_epoch:25,
+evaluate:211). The torch per-batch loop (forward -> loss -> backward ->
+clip -> step per optimizer, metric logging, NaN abort) maps to a single
+pure function ``(state, batch, rng) -> (state, metrics)`` compiled once by
+XLA and executed per batch; the DDP gradient all-reduce is implicit in the
+'data'-axis sharding of the batch under GSPMD.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from biapy_tpu.parallel import batch_sharding, replicated
+
+
+class TrainState(struct.PyTreeNode):
+    """Model + optimizer state (flax-struct so it shards/jits cleanly)."""
+
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any  # empty dict when the model has no BN
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, apply_fn, params, tx, batch_stats=None):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats if batch_stats is not None else {},
+            opt_state=tx.init(params),
+            tx=tx,
+            apply_fn=apply_fn,
+        )
+
+
+def _forward(state: TrainState, x, train: bool, rng=None):
+    variables = {"params": state.params}
+    has_bn = bool(state.batch_stats)
+    if has_bn:
+        variables["batch_stats"] = state.batch_stats
+    rngs = {"dropout": rng} if (train and rng is not None) else None
+    if train and has_bn:
+        out, updates = state.apply_fn(variables, x, train=True, rngs=rngs, mutable=["batch_stats"])
+        return out, updates["batch_stats"]
+    out = state.apply_fn(variables, x, train=train, rngs=rngs)
+    return out, state.batch_stats
+
+
+def make_train_step(
+    loss_fn: Callable,
+    metric_fns: Optional[Dict[str, Callable]] = None,
+    mesh=None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    ``loss_fn(outputs, targets) -> scalar``; ``metric_fns`` maps names to
+    ``fn(outputs, targets) -> scalar``. When ``mesh`` is given, the state is
+    replicated and the batch sharded along the data axis; the mean loss and
+    grads are globally correct because XLA reduces over the full sharded
+    batch.
+    """
+    metric_fns = metric_fns or {}
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        x, y = batch["x"], batch["y"]
+        rng = jax.random.fold_in(rng, state.step)
+
+        def compute_loss(params):
+            st = state.replace(params=params)
+            outputs, new_bs = _forward(st, x, train=True, rng=rng)
+            return loss_fn(outputs, y), (outputs, new_bs)
+
+        (loss, (outputs, new_bs)), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # NaN guard (reference: train_engine.py:160 hard-aborts on NaN loss;
+        # here the step is skipped on device and the host checks the flag).
+        loss_ok = jnp.isfinite(loss)
+        new_params = jax.tree.map(lambda n, o: jnp.where(loss_ok, n, o), new_params, state.params)
+        new_opt = jax.tree.map(lambda n, o: jnp.where(loss_ok, n, o), new_opt, state.opt_state)
+
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt, batch_stats=new_bs
+        )
+        metrics = {"loss": loss}
+        for name, fn in metric_fns.items():
+            metrics[name] = fn(outputs, y)
+        return new_state, metrics
+
+    if mesh is not None:
+        bs = batch_sharding(mesh)
+        rep = replicated(mesh)
+        return jax.jit(
+            step,
+            in_shardings=(rep, {"x": bs, "y": bs}, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(loss_fn: Callable, metric_fns: Optional[Dict[str, Callable]] = None, mesh=None):
+    metric_fns = metric_fns or {}
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        outputs, _ = _forward(state, batch["x"], train=False)
+        metrics = {"loss": loss_fn(outputs, batch["y"])}
+        for name, fn in metric_fns.items():
+            metrics[name] = fn(outputs, batch["y"])
+        return metrics
+
+    if mesh is not None:
+        bs = batch_sharding(mesh)
+        rep = replicated(mesh)
+        return jax.jit(step, in_shardings=(rep, {"x": bs, "y": bs}), out_shardings=rep)
+    return jax.jit(step)
+
+
+def make_predict_fn(apply_fn: Callable, mesh=None, activations: Optional[Callable] = None):
+    """Jitted inference: variables replicated, patch batch sharded on data."""
+
+    def predict(variables, x):
+        out = apply_fn(variables, x, train=False)
+        if activations is not None:
+            out = activations(out)
+        return out
+
+    if mesh is not None:
+        bs = batch_sharding(mesh)
+        rep = replicated(mesh)
+        return jax.jit(predict, in_shardings=(rep, bs), out_shardings=bs)
+    return jax.jit(predict)

@@ -1,0 +1,137 @@
+"""Device mesh, sharding helpers and distributed runtime.
+
+Reference analog: biapy/utils/misc.py:160-269 (init_devices,
+dist.init_process_group, rank helpers) and the DDP wrapping in
+base_workflow.py:942-948.
+
+TPU-native mapping: instead of one process per GPU with NCCL process groups,
+a single program lays out a ``jax.sharding.Mesh`` over all local+remote
+devices; data parallelism is expressed as a 'data'-sharded batch under
+``jit``, and XLA GSPMD inserts the gradient all-reduces over ICI/DCN.
+Multi-host jobs call ``jax.distributed.initialize`` once; everything else is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host init (reference analog: init_devices/misc.py:160).
+
+    On single-host (the common case, incl. CI) this is a no-op. On SLURM/GKE
+    the arguments are auto-detected by jax.distributed.
+    """
+    want_dist = (
+        coordinator_address is not None
+        or os.environ.get("SLURM_NTASKS", "1") not in ("", "1")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    )
+    if want_dist:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def get_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_names: Sequence[str] = (DATA_AXIS,)) -> Mesh:
+    """1-D data mesh over all devices by default; pass reshaped devices for
+    hybrid layouts (e.g. (hosts, chips) for dp over DCN x ICI)."""
+    if devices is None:
+        devices = jax.devices()
+    dev_arr = np.array(devices)
+    if len(axis_names) > 1:
+        raise NotImplementedError("multi-axis meshes are built by callers that need them")
+    return Mesh(dev_arr, axis_names=tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host batch (pytree of numpy arrays) onto the mesh, sharded on
+    the leading axis. Batch size must divide the device count."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_tree(tree: Any, mesh: Mesh) -> Any:
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_batch_to(batch: Dict[str, np.ndarray], size: int) -> Dict[str, np.ndarray]:
+    """Pad the leading axis to ``size`` by repeating the last sample
+    (reference analog: duplicate-sample padding, base_workflow.py:2530)."""
+
+    def pad(x):
+        n = x.shape[0]
+        if n == size:
+            return x
+        reps = np.repeat(x[-1:], size - n, axis=0)
+        return np.concatenate([x, reps], axis=0)
+
+    return {k: pad(v) for k, v in batch.items()}
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
+
+
+def device_count() -> int:
+    return jax.device_count()
+
+
+def barrier(name: str = "barrier") -> None:
+    """Cross-host barrier (reference: dist.barrier). No-op single-host."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def broadcast_from_main(obj: Any) -> Any:
+    """Host-side object broadcast over DCN (reference analog:
+    dist.broadcast_object_list; used by the chunked instance merge)."""
+    if jax.process_count() <= 1:
+        return obj
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(obj)
+
+
+def all_gather_objects(obj: Any) -> list:
+    """Gather a picklable object from every process (reference analog:
+    dist.all_gather_object)."""
+    if jax.process_count() <= 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    return list(multihost_utils.process_allgather(obj, tiled=False))
