@@ -1,0 +1,218 @@
+"""Top-level BiaPy job API.
+
+Reference analog: biapy/_biapy.py (BiaPy:106 — job lifecycle: config
+load/migrate/merge, device init, workflow build, train/test/predict/run_job;
+build_config:1992; _Tee output routing:85).
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+from typing import Any, Dict, List, Optional, Union
+
+import numpy as np
+import yaml
+
+from biapy_tpu.config.config import CN, Config, update_dependencies
+from biapy_tpu.config.migrate import convert_old_model_cfg_to_current_version
+from biapy_tpu.engine.check_configuration import check_configuration
+from biapy_tpu.parallel import initialize_distributed, is_main_process
+
+VALID_WORKFLOWS = [
+    "SEMANTIC_SEG",
+    "INSTANCE_SEG",
+    "DETECTION",
+    "DENOISING",
+    "SUPER_RESOLUTION",
+    "SELF_SUPERVISED",
+    "CLASSIFICATION",
+    "IMAGE_TO_IMAGE",
+]
+
+_WORKFLOW_MODULES = {
+    "SEMANTIC_SEG": ("biapy_tpu.engine.semantic_seg", "Semantic_Segmentation_Workflow"),
+    "INSTANCE_SEG": ("biapy_tpu.engine.instance_seg", "Instance_Segmentation_Workflow"),
+    "DETECTION": ("biapy_tpu.engine.detection", "Detection_Workflow"),
+    "DENOISING": ("biapy_tpu.engine.denoising", "Denoising_Workflow"),
+    "SUPER_RESOLUTION": ("biapy_tpu.engine.super_resolution", "Super_resolution_Workflow"),
+    "SELF_SUPERVISED": ("biapy_tpu.engine.self_supervised", "Self_supervised_Workflow"),
+    "CLASSIFICATION": ("biapy_tpu.engine.classification", "Classification_Workflow"),
+    "IMAGE_TO_IMAGE": ("biapy_tpu.engine.image_to_image", "Image_to_Image_Workflow"),
+}
+
+
+class _Tee:
+    """Mirror stdout/stderr into the per-run log file (reference: _biapy.py:85)."""
+
+    def __init__(self, stream, logfile):
+        self.stream = stream
+        self.logfile = logfile
+
+    def write(self, data):
+        self.stream.write(data)
+        self.logfile.write(data)
+
+    def flush(self):
+        self.stream.flush()
+        self.logfile.flush()
+
+
+class BiaPy:
+    """One configured job: build from YAML path / dict / CN / checkpoint."""
+
+    def __init__(
+        self,
+        config: Union[str, Dict, CN],
+        result_dir: str = "",
+        name: str = "my_2d_semantic_segmentation",
+        run_id: int = 1,
+        gpu: Optional[str] = None,
+        dist_backend: str = "ici",
+        silent: bool = False,
+        **kwargs,
+    ):
+        self.job_identifier = name
+        if "/" in name:
+            raise ValueError("Job name can not contain / character")
+        self.run_id = run_id
+        result_dir = result_dir or os.getenv("HOME", ".")
+        self.job_dir = os.path.join(result_dir, name)
+
+        raw = self._load_raw_config(config)
+        raw = convert_old_model_cfg_to_current_version(
+            raw, verbose=raw.get("PROBLEM", {}).get("PRINT_OLD_KEY_CHANGES", True) and not silent
+        )
+
+        cfg_holder = Config(self.job_dir, self.job_identifier)
+        self.cfg = cfg_holder.get_cfg_defaults()
+        self.cfg.merge_from_dict(raw)
+        update_dependencies(self.cfg, self.job_dir, self.job_identifier)
+
+        initialize_distributed()
+        check_configuration(self.cfg, self.job_identifier)
+
+        self._silent = silent
+        self._tee_handles = None
+        if not silent and is_main_process():
+            os.makedirs(self.cfg.LOG.LOG_DIR, exist_ok=True)
+
+        self.workflow = None
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _load_raw_config(config) -> Dict:
+        if isinstance(config, CN):
+            return config.to_dict()
+        if isinstance(config, dict):
+            return dict(config)
+        if isinstance(config, str):
+            if config.endswith((".yaml", ".yml")):
+                with open(config) as f:
+                    return yaml.safe_load(f) or {}
+            if config.endswith(".ckpt"):
+                from biapy_tpu.utils.misc import load_checkpoint
+
+                ck = load_checkpoint(config)
+                raw = yaml.safe_load(ck["cfg"]) or {}
+                raw.setdefault("PATHS", {})["CHECKPOINT_FILE"] = config
+                raw.setdefault("MODEL", {})["LOAD_CHECKPOINT"] = True
+                return raw
+            raise ValueError(f"Config file must be .yaml/.yml/.ckpt: {config}")
+        raise ValueError(f"Unsupported config type: {type(config)}")
+
+    def _build_workflow(self):
+        if self.workflow is not None:
+            return
+        wf = self.cfg.PROBLEM.TYPE
+        mod_name, cls_name = _WORKFLOW_MODULES[wf]
+        mod = importlib.import_module(mod_name)
+        cls = getattr(mod, cls_name)
+        self.cfg.freeze()
+        self.workflow = cls(self.cfg, self.job_identifier, verbose=not self._silent)
+
+    # ------------------------------------------------------------------
+    def train(self):
+        self._build_workflow()
+        self.workflow.train()
+
+    def test(self):
+        self._build_workflow()
+        self.workflow.test()
+
+    def predict(self, image: np.ndarray, gt: Optional[np.ndarray] = None) -> List[Dict[str, Any]]:
+        """In-memory inference; returns predictions without writing anything
+        to disk (reference: BiaPy.predict, _biapy.py:932)."""
+        self._build_workflow()
+        cfg = self.workflow.cfg
+        was_frozen = cfg.is_frozen()
+        if was_frozen:
+            cfg.defrost()
+        cfg.TEST.ENABLE = True
+        cfg.TEST.BY_CHUNKS.ENABLE = False
+        if was_frozen:
+            cfg.freeze()
+        self.workflow.save_to_disk = False
+        try:
+            self.workflow.test(image=image, gt=gt)
+            return list(self.workflow._predictions)
+        finally:
+            self.workflow.save_to_disk = True
+
+    def run_job(self):
+        """train() then test() as configured (reference: run_job, :1906)."""
+        if self.cfg.TRAIN.ENABLE:
+            self.train()
+        if self.cfg.TEST.ENABLE:
+            self.test()
+        if is_main_process() and not self._silent:
+            print("FINISHED JOB {} !!".format(self.job_identifier))
+
+
+def build_config(
+    workflow: str,
+    ndim: str = "2D",
+    patch_size: Optional[tuple] = None,
+    train_path: Optional[str] = None,
+    train_gt_path: Optional[str] = None,
+    val_split: float = 0.1,
+    test_path: Optional[str] = None,
+    test_gt_path: Optional[str] = None,
+    model: Optional[str] = None,
+    epochs: int = 20,
+    batch_size: int = 2,
+    **extra,
+) -> Dict:
+    """High-level kwargs -> config-override dict (reference: build_config,
+    _biapy.py:1992)."""
+    wf = workflow.upper()
+    if wf not in VALID_WORKFLOWS:
+        raise ValueError(f"workflow must be one of {VALID_WORKFLOWS}")
+    cfg: Dict[str, Any] = {
+        "PROBLEM": {"TYPE": wf, "NDIM": ndim.upper()},
+        "DATA": {},
+        "TRAIN": {"ENABLE": train_path is not None, "EPOCHS": epochs, "BATCH_SIZE": batch_size},
+        "TEST": {"ENABLE": test_path is not None},
+        "MODEL": {},
+    }
+    if patch_size:
+        cfg["DATA"]["PATCH_SIZE"] = tuple(patch_size)
+    if train_path:
+        cfg["DATA"]["TRAIN"] = {"PATH": train_path, "IN_MEMORY": True}
+        if train_gt_path:
+            cfg["DATA"]["TRAIN"]["GT_PATH"] = train_gt_path
+        cfg["DATA"]["VAL"] = {"SPLIT_TRAIN": val_split}
+    if test_path:
+        cfg["DATA"]["TEST"] = {"PATH": test_path, "IN_MEMORY": True, "LOAD_GT": test_gt_path is not None}
+        if test_gt_path:
+            cfg["DATA"]["TEST"]["GT_PATH"] = test_gt_path
+    if model:
+        cfg["MODEL"]["ARCHITECTURE"] = model
+    for k, v in extra.items():
+        node = cfg
+        parts = k.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return cfg

@@ -1,0 +1,278 @@
+"""Train/val/test dataset preparation.
+
+Reference analog: biapy/data/data_manipulation.py (load_and_prepare_train_data:83,
+load_and_prepare_test_data:955, samples_from_image_list:1688,
+filter_samples_by_properties:2415, prepare_in_memory_test_data:1086).
+
+Builds metadata-first ``BiaPyDataset`` objects: scan directories, pair image
+and GT files by sorted order, compute the patch-coordinate grid (overlap +
+padding) per file, optionally load pixels in memory, split train/val
+(fraction, k-fold, or separate dir), and filter samples by simple
+properties (foreground fraction / mean / min / max).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from biapy_tpu.data.dataset import BiaPyDataset, DataSample, DatasetFile
+from biapy_tpu.data.io import list_image_files, read_img_as_ndarray
+from biapy_tpu.data.norm import normalize_image
+from biapy_tpu.data.patching import compute_patch_grid, extract_patch, pad_to_min_shape
+
+
+def _scan_pairs(x_path: str, y_path: Optional[str]) -> List[Tuple[str, Optional[str]]]:
+    xs = list_image_files(x_path)
+    if not xs:
+        raise FileNotFoundError(f"No images found in {x_path}")
+    if y_path is None:
+        return [(x, None) for x in xs]
+    ys = list_image_files(y_path)
+    if len(xs) != len(ys):
+        raise ValueError(f"Image/GT count mismatch: {len(xs)} in {x_path} vs {len(ys)} in {y_path}")
+    return list(zip(xs, ys))
+
+
+def _sample_props(img: np.ndarray, gt: Optional[np.ndarray]) -> Dict[str, float]:
+    props = {
+        "mean": float(img.mean()),
+        "min": float(img.min()),
+        "max": float(img.max()),
+        "foreground": float((gt > 0).mean()) if gt is not None else 0.0,
+        "diff": float(img.max() - img.min()),
+    }
+    return props
+
+
+_SIGN_FNS = {
+    "gt": lambda a, b: a > b, "lt": lambda a, b: a < b,
+    "ge": lambda a, b: a >= b, "le": lambda a, b: a <= b,
+    "eq": lambda a, b: a == b, "ne": lambda a, b: a != b,
+    "gte": lambda a, b: a >= b, "lte": lambda a, b: a <= b,
+}
+
+
+def filter_samples_by_properties(
+    ds: BiaPyDataset,
+    props: Sequence[Sequence[str]],
+    values: Sequence[Sequence[float]],
+    signs: Sequence[Sequence[str]],
+    is_3d: bool,
+) -> BiaPyDataset:
+    """Drop samples matching any AND-group of (prop, sign, value) conditions
+    (reference: filter_samples_by_properties, data_manipulation.py:2415)."""
+    if not props:
+        return ds
+    kept = []
+    for s in ds.sample_list:
+        f = ds.dataset_info[s.fid]
+        img = s.img
+        gt = s.gt
+        if img is None:
+            img = read_img_as_ndarray(f.path, is_3d=is_3d, data_path=f.data_path)
+            if s.coords:
+                img = extract_patch(img, s.coords)
+            if f.gt_path:
+                gt = read_img_as_ndarray(f.gt_path, is_3d=is_3d, data_path=f.gt_data_path)
+                if s.coords:
+                    gt = extract_patch(gt, s.coords)
+        p = _sample_props(img, gt)
+        drop = False
+        for group_p, group_v, group_s in zip(props, values, signs):
+            if all(_SIGN_FNS[sg](p[pr], vv) for pr, vv, sg in zip(group_p, group_v, group_s)):
+                drop = True
+                break
+        if not drop:
+            kept.append(s)
+    out = BiaPyDataset(dataset_info=ds.dataset_info, sample_list=kept)
+    if len(kept) == 0:
+        raise ValueError("All samples were filtered out by DATA.*.FILTER_SAMPLES")
+    return out
+
+
+def build_dataset(
+    x_path: str,
+    y_path: Optional[str],
+    crop_shape: Sequence[int],
+    overlap: Sequence[float],
+    padding: Sequence[int],
+    is_3d: bool,
+    in_memory: bool = True,
+    norm_spec: Optional[Dict] = None,
+    reflect_to_complete_shape: bool = True,
+    whole_images: bool = False,
+    y_upscaling: Sequence[int] = (),
+    convert_to_rgb: bool = False,
+) -> BiaPyDataset:
+    """Scan a directory pair into a BiaPyDataset with patch-grid samples.
+
+    ``whole_images``: one sample per image (random-crop training mode or
+    per-image test mode); otherwise a full patch grid per image.
+    ``y_upscaling``: SR factor — GT coords are scaled accordingly
+    (reference: LR->HR crop pairing through the data layer).
+    """
+    nd = 3 if is_3d else 2
+    pairs = _scan_pairs(x_path, y_path)
+    ds = BiaPyDataset()
+    for fi, (xp, yp) in enumerate(pairs):
+        img = read_img_as_ndarray(xp, is_3d=is_3d)
+        if convert_to_rgb and img.shape[-1] == 1:
+            img = np.repeat(img, 3, axis=-1)
+        gt = read_img_as_ndarray(yp, is_3d=is_3d) if yp else None
+        if reflect_to_complete_shape:
+            img, _ = pad_to_min_shape(img, crop_shape[:nd])
+            if gt is not None:
+                up = list(y_upscaling) if y_upscaling else [1] * nd
+                gt_min = [crop_shape[d] * up[d] for d in range(nd)]
+                gt, _ = pad_to_min_shape(gt, gt_min)
+        stats = None
+        if norm_spec is not None:
+            _, stats = normalize_image(img, norm_spec)
+        f = DatasetFile(path=xp, shape=img.shape, gt_path=yp,
+                        gt_shape=gt.shape if gt is not None else None, norm_stats=stats)
+        ds.dataset_info.append(f)
+        if whole_images:
+            ds.sample_list.append(DataSample(fid=fi, coords=None,
+                                             img=img if in_memory else None,
+                                             gt=gt if in_memory else None))
+        else:
+            coords, _ = compute_patch_grid(img.shape[:nd], crop_shape[:nd], overlap, padding)
+            for pc in coords:
+                s = DataSample(fid=fi, coords=pc)
+                if in_memory:
+                    s.img = extract_patch(img, pc)
+                    if gt is not None:
+                        up = list(y_upscaling) if y_upscaling else [1] * nd
+                        if any(u != 1 for u in up):
+                            from biapy_tpu.data.patching import PatchCoords
+
+                            gpc = PatchCoords(
+                                starts=tuple(st * u for st, u in zip(pc.starts, up)),
+                                ends=tuple(en * u for en, u in zip(pc.ends, up)),
+                            )
+                            s.gt = extract_patch(gt, gpc)
+                        else:
+                            s.gt = extract_patch(gt, pc)
+                ds.sample_list.append(s)
+    return ds
+
+
+def split_train_val(
+    ds: BiaPyDataset, val_split: float, seed: int, shuffle: bool = True,
+    cross_val: bool = False, cross_val_nsplits: int = 5, cross_val_fold: int = 1,
+) -> Tuple[BiaPyDataset, BiaPyDataset]:
+    """Fraction split or k-fold split over SAMPLES (reference:
+    load_and_prepare_train_data val handling)."""
+    n = len(ds.sample_list)
+    idx = np.arange(n)
+    rng = np.random.default_rng(seed)
+    if shuffle:
+        rng.shuffle(idx)
+    if cross_val:
+        fold_size = math.ceil(n / cross_val_nsplits)
+        lo = (cross_val_fold - 1) * fold_size
+        hi = min(n, lo + fold_size)
+        val_idx = set(idx[lo:hi].tolist())
+    else:
+        n_val = int(round(n * val_split))
+        val_idx = set(idx[:n_val].tolist())
+    tr, va = BiaPyDataset(dataset_info=ds.dataset_info), BiaPyDataset(dataset_info=ds.dataset_info)
+    for i, s in enumerate(ds.sample_list):
+        (va if i in val_idx else tr).sample_list.append(s)
+    return tr, va
+
+
+def load_and_prepare_train_data(cfg, norm_spec: Optional[Dict] = None,
+                                y_upscaling: Sequence[int] = ()) -> Tuple[BiaPyDataset, BiaPyDataset]:
+    """Top-level train+val preparation from config (reference:
+    load_and_prepare_train_data, data_manipulation.py:83)."""
+    is_3d = cfg.PROBLEM.NDIM == "3D"
+    nd = 3 if is_3d else 2
+    crop_shape = tuple(cfg.DATA.PATCH_SIZE)
+    random_crops = bool(cfg.DATA.TRAIN.EXTRACT_RANDOM_PATCH)
+    use_gt = _needs_gt(cfg)
+
+    train = build_dataset(
+        cfg.DATA.TRAIN.PATH,
+        cfg.DATA.TRAIN.GT_PATH if use_gt else None,
+        crop_shape,
+        tuple(cfg.DATA.TRAIN.OVERLAP),
+        tuple(cfg.DATA.TRAIN.PADDING),
+        is_3d=is_3d,
+        in_memory=bool(cfg.DATA.TRAIN.IN_MEMORY),
+        norm_spec=norm_spec,
+        reflect_to_complete_shape=bool(cfg.DATA.REFLECT_TO_COMPLETE_SHAPE) or random_crops,
+        whole_images=random_crops,
+        y_upscaling=y_upscaling,
+        convert_to_rgb=bool(cfg.DATA.FORCE_RGB),
+    )
+    fs = cfg.DATA.TRAIN.FILTER_SAMPLES
+    if fs.ENABLE:
+        train = filter_samples_by_properties(train, fs.PROPS, fs.VALUES, fs.SIGNS, is_3d)
+
+    if not cfg.DATA.VAL.FROM_TRAIN:
+        val = build_dataset(
+            cfg.DATA.VAL.PATH,
+            cfg.DATA.VAL.GT_PATH if use_gt else None,
+            crop_shape,
+            tuple(cfg.DATA.VAL.OVERLAP),
+            tuple(cfg.DATA.VAL.PADDING),
+            is_3d=is_3d,
+            in_memory=bool(cfg.DATA.VAL.IN_MEMORY),
+            norm_spec=norm_spec,
+            reflect_to_complete_shape=bool(cfg.DATA.REFLECT_TO_COMPLETE_SHAPE) or random_crops,
+            whole_images=random_crops,
+            y_upscaling=y_upscaling,
+            convert_to_rgb=bool(cfg.DATA.FORCE_RGB),
+        )
+    else:
+        train, val = split_train_val(
+            train,
+            float(cfg.DATA.VAL.SPLIT_TRAIN),
+            seed=cfg.SYSTEM.SEED,
+            cross_val=bool(cfg.DATA.VAL.CROSS_VAL),
+            cross_val_nsplits=int(cfg.DATA.VAL.CROSS_VAL_NFOLD),
+            cross_val_fold=int(cfg.DATA.VAL.CROSS_VAL_FOLD),
+        )
+    return train, val
+
+
+def load_and_prepare_test_data(cfg, norm_spec: Optional[Dict] = None) -> BiaPyDataset:
+    """Per-image test dataset: one whole-image sample per file (reference:
+    load_and_prepare_test_data, data_manipulation.py:955)."""
+    is_3d = cfg.PROBLEM.NDIM == "3D"
+    use_gt = bool(cfg.DATA.TEST.LOAD_GT)
+    return build_dataset(
+        cfg.DATA.TEST.PATH,
+        cfg.DATA.TEST.GT_PATH if use_gt else None,
+        tuple(cfg.DATA.PATCH_SIZE),
+        (0.0,) * (3 if is_3d else 2),
+        (0,) * (3 if is_3d else 2),
+        is_3d=is_3d,
+        in_memory=bool(cfg.DATA.TEST.IN_MEMORY),
+        norm_spec=norm_spec,
+        reflect_to_complete_shape=bool(cfg.DATA.REFLECT_TO_COMPLETE_SHAPE),
+        whole_images=True,
+        convert_to_rgb=bool(cfg.DATA.FORCE_RGB),
+    )
+
+
+def prepare_in_memory_test_data(image: np.ndarray, gt: Optional[np.ndarray], is_3d: bool) -> BiaPyDataset:
+    """Wrap an in-memory array for the Python predict() API (reference:
+    prepare_in_memory_test_data, data_manipulation.py:1086)."""
+    from biapy_tpu.data.io import ensure_channels_last
+
+    img = ensure_channels_last(np.asarray(image), 3 if is_3d else 2)
+    g = ensure_channels_last(np.asarray(gt), 3 if is_3d else 2) if gt is not None else None
+    ds = BiaPyDataset()
+    ds.dataset_info.append(DatasetFile(path="<in_memory>", shape=img.shape))
+    ds.sample_list.append(DataSample(fid=0, coords=None, img=img, gt=g))
+    return ds
+
+
+def _needs_gt(cfg) -> bool:
+    return cfg.PROBLEM.TYPE not in ("CLASSIFICATION", "SELF_SUPERVISED", "DENOISING")

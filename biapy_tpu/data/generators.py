@@ -1,0 +1,221 @@
+"""Training/eval data generators: the host-side input pipeline.
+
+Reference analog: biapy/data/generators/ (PairBaseDataGenerator:36,
+create_train_val_augmentors, DataLoader + DistributedSampler factory,
+generators/__init__.py:38-523).
+
+TPU-first design: instead of torch DataLoader worker processes, a
+deterministic sample pipeline (seeded per (seed, epoch, index)) feeds a
+double-buffered host->device prefetcher. Batches are channels-last numpy,
+padded to a multiple of the device count, and placed sharded on the mesh by
+the caller. Multi-process sharding mirrors DistributedSampler: each process
+takes samples [rank::nprocs] of the epoch permutation.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from biapy_tpu.data.augmentors import AugmentorPipeline
+from biapy_tpu.data.dataset import BiaPyDataset
+from biapy_tpu.data.io import read_img_as_ndarray
+from biapy_tpu.data.norm import normalize_image, normalize_mask
+from biapy_tpu.data.patching import extract_patch
+
+
+class PairDataset:
+    """Image+mask sample source with normalization and augmentation.
+
+    ``target_fn(img, mask, rng) -> (x, y)`` lets workflows compile targets
+    (e.g. instance channels, N2V masking, crappify) at sample time —
+    the reference's ``prepare_targets``/manipulation hooks.
+    """
+
+    def __init__(
+        self,
+        ds: BiaPyDataset,
+        cfg,
+        norm_spec: Dict,
+        augment: bool = True,
+        random_crop: bool = False,
+        target_fn: Optional[Callable] = None,
+        n_classes: int = 2,
+        y_upscaling: Sequence[int] = (),
+        seed: int = 0,
+    ):
+        self.ds = ds
+        self.cfg = cfg
+        self.is_3d = cfg.PROBLEM.NDIM == "3D"
+        self.nd = 3 if self.is_3d else 2
+        self.crop_shape = tuple(cfg.DATA.PATCH_SIZE)
+        self.norm_spec = norm_spec
+        self.aug = AugmentorPipeline(cfg, self.nd) if augment else None
+        self.random_crop = random_crop
+        self.target_fn = target_fn
+        self.n_classes = n_classes
+        self.y_upscaling = list(y_upscaling) if y_upscaling else [1] * self.nd
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return len(self.ds.sample_list)
+
+    def _load(self, idx: int) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        s = self.ds.sample_list[idx]
+        f = self.ds.dataset_info[s.fid]
+        img, gt = s.img, s.gt
+        if img is None:
+            img = read_img_as_ndarray(f.path, is_3d=self.is_3d, data_path=f.data_path)
+            if s.coords is not None:
+                img = extract_patch(img, s.coords)
+            if f.gt_path:
+                gt = read_img_as_ndarray(f.gt_path, is_3d=self.is_3d, data_path=f.gt_data_path)
+                if s.coords is not None:
+                    gt = extract_patch(gt, s.coords)
+        return img, gt
+
+    def _random_crop(self, img, gt, rng):
+        ps = self.crop_shape[: self.nd]
+        starts = [int(rng.integers(0, max(1, img.shape[d] - ps[d] + 1))) for d in range(self.nd)]
+        sl = tuple(slice(st, st + ps[d]) for d, st in enumerate(starts))
+        imgc = img[sl]
+        gtc = None
+        if gt is not None:
+            gsl = tuple(
+                slice(st * u, (st + ps[d]) * u) for d, (st, u) in enumerate(zip(starts, self.y_upscaling))
+            )
+            gtc = gt[gsl]
+        return imgc, gtc
+
+    def get(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        img, gt = self._load(idx)
+        if self.random_crop:
+            img, gt = self._random_crop(img, gt, rng)
+        f = self.ds.dataset_info[self.ds.sample_list[idx].fid]
+        img, _ = normalize_image(img, self.norm_spec, stats=f.norm_stats)
+        if gt is not None and gt.dtype.kind != "f":
+            gt = normalize_mask(gt, self.n_classes)
+        if self.aug is not None:
+            if self.aug.uses_cutmix and len(self) > 1:
+                j = int(rng.integers(0, len(self)))
+                img_b, gt_b = self._load(j)
+                if self.random_crop:
+                    img_b, gt_b = self._random_crop(img_b, gt_b, rng)
+                img_b, _ = normalize_image(img_b, self.norm_spec,
+                                           stats=self.ds.dataset_info[self.ds.sample_list[j].fid].norm_stats)
+                if gt_b is not None and gt_b.dtype.kind != "f":
+                    gt_b = normalize_mask(gt_b, self.n_classes)
+                img, gt = self.aug.maybe_cutmix(img, gt, img_b, gt_b, rng)
+            img, gt = self.aug(img, gt, rng)
+        if self.target_fn is not None:
+            x, y = self.target_fn(img, gt, rng)
+        else:
+            x, y = img, gt
+        out = {"x": np.ascontiguousarray(x, dtype=np.float32)}
+        if y is not None:
+            out["y"] = np.ascontiguousarray(y, dtype=np.float32)
+        return out
+
+
+class BatchLoader:
+    """Epoch iterator: shuffles, shards across processes, batches, and
+    prefetches on a background thread (the host-pipeline parallelism that
+    torch DataLoader workers provide in the reference, misc.py:1148)."""
+
+    def __init__(
+        self,
+        dataset: PairDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        rank: int = 0,
+        world: int = 1,
+        drop_last: bool = False,
+        pad_to_batch: bool = True,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.rank = rank
+        self.world = world
+        self.drop_last = drop_last
+        self.pad_to_batch = pad_to_batch
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        per_rank = (n + self.world - 1) // self.world
+        if self.drop_last:
+            return per_rank // self.batch_size
+        return (per_rank + self.batch_size - 1) // self.batch_size
+
+    def _index_order(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx[self.rank :: self.world]
+
+    def _make_batch(self, indices: List[int]) -> Dict[str, np.ndarray]:
+        samples = []
+        for i in indices:
+            rng = np.random.default_rng((self.seed, self.epoch, int(i)))
+            samples.append(self.dataset.get(int(i), rng))
+        batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        if self.pad_to_batch and len(indices) < self.batch_size:
+            pad = self.batch_size - len(indices)
+            batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)]) for k, v in batch.items()}
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._index_order()
+        chunks = [order[i : i + self.batch_size] for i in range(0, len(order), self.batch_size)]
+        if self.drop_last:
+            chunks = [c for c in chunks if len(c) == self.batch_size]
+        if self.prefetch <= 0:
+            for c in chunks:
+                yield self._make_batch(list(c))
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for c in chunks:
+                    q.put(self._make_batch(list(c)))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()
+
+
+def check_generator_consistence(loader: BatchLoader, out_dir: str, n: int = 3):
+    """Dump generator output for visual inspection (reference:
+    DATA.CHECK_GENERATORS, generators/__init__.py:884)."""
+    import os
+
+    from biapy_tpu.data.io import save_tif
+
+    os.makedirs(out_dir, exist_ok=True)
+    it = iter(loader)
+    batch = next(it)
+    save_tif(batch["x"][:n], os.path.join(out_dir, "x"), verbose=False)
+    if "y" in batch:
+        save_tif(batch["y"][:n], os.path.join(out_dir, "y"), verbose=False)

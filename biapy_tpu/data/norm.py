@@ -41,7 +41,7 @@ def build_norm_dict(cfg) -> Dict[str, Any]:
         uv = list(n.PERC_CLIP.UPPER_VALUE)
         spec["lower_value"] = None if (not lv or lv[0] == -1) else [float(v) for v in lv]
         spec["upper_value"] = None if (not uv or uv[0] == -1) else [float(v) for v in uv]
-    if n.TYPE == "zero_mean_unit_var":
+    if n.TYPE in ("zero_mean_unit_var", "zero_mean_unit_variance"):
         zm = n.ZERO_MEAN_UNIT_VAR
         mv = list(zm.MEAN_VAL)
         sv = list(zm.STD_VAL)
@@ -114,7 +114,7 @@ def normalize_image(
                         s["max"] = 65535.0 if cmax > 255 else 255.0
             denom = max(s["max"] - s["min"], 1e-6)
             out[..., ci] = (ch - s["min"]) / denom
-    elif ntype == "zero_mean_unit_var":
+    elif ntype in ("zero_mean_unit_var", "zero_mean_unit_variance"):
         mean_v = _per_channel(img, spec.get("mean"))
         std_v = _per_channel(img, spec.get("std"))
         for ci in range(c):
@@ -143,7 +143,7 @@ def denormalize(img: np.ndarray, stats: Dict[str, Any]) -> np.ndarray:
         if ntype in ("div", "scale_range"):
             denom = max(s["max"] - s["min"], 1e-6)
             out[..., ci] = out[..., ci] * denom + s["min"]
-        elif ntype == "zero_mean_unit_var":
+        elif ntype in ("zero_mean_unit_var", "zero_mean_unit_variance"):
             out[..., ci] = out[..., ci] * max(s["std"], 1e-6) + s["mean"]
     odt = np.dtype(stats.get("orig_dtype", "float32"))
     if odt.kind in "ui":

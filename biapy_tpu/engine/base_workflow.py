@@ -1,0 +1,398 @@
+"""Base workflow: shared train/test orchestration.
+
+Reference analog: biapy/engine/base_workflow.py (Base_Workflow, 2749 LoC) —
+model build (:894), train loop (:1007), test loop (:1445), per-image patch
+inference + stitch (process_test_sample:1840), activation application
+(apply_model_activations:1353), stats aggregation (:2272-2307).
+
+TPU mapping: the torch DDP/per-batch Python loop becomes a jitted
+``(state, batch, rng) -> (state, metrics)`` step over a device mesh; patch
+inference is one jitted forward over sharded patch batches; stitching is the
+spline-blend merge (host now, device scatter-add in ops/stitch.py).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from abc import ABCMeta, abstractmethod
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from biapy_tpu.data.data_manipulation import (
+    load_and_prepare_test_data,
+    load_and_prepare_train_data,
+    prepare_in_memory_test_data,
+)
+from biapy_tpu.data.generators import BatchLoader, PairDataset
+from biapy_tpu.data.norm import build_norm_dict, denormalize, normalize_image
+from biapy_tpu.data.patching import crop_data_with_overlap, merge_data_with_overlap
+from biapy_tpu.engine import metrics as M
+from biapy_tpu.engine.schedulers import (
+    PlateauController,
+    build_optimizer,
+    get_learning_rate,
+    set_learning_rate,
+)
+from biapy_tpu.engine.train_engine import TrainState, make_eval_step, make_predict_fn, make_train_step
+from biapy_tpu.models import build_model
+from biapy_tpu.parallel import get_mesh, is_main_process, shard_batch
+from biapy_tpu.utils.callbacks import EarlyStopping
+from biapy_tpu.utils.misc import (
+    JsonLogger,
+    MetricLogger,
+    TensorboardLogger,
+    apply_checkpoint_params,
+    get_checkpoint_path,
+    load_checkpoint,
+    save_model,
+    set_seed,
+)
+
+
+def apply_activations(pred: jnp.ndarray, acts: List[str], channels: List[int], training: bool = False):
+    """Apply per-head output activations (reference:
+    apply_model_activations, base_workflow.py:1353). 'ce_*' activations are
+    folded into the loss during training and applied only at inference."""
+    outs = []
+    off = 0
+    for act, ch in zip(acts, channels):
+        seg = pred[..., off : off + ch]
+        a = act.lower()
+        if a in ("ce_sigmoid", "sigmoid"):
+            if not (training and a == "ce_sigmoid"):
+                seg = jax.nn.sigmoid(seg)
+        elif a in ("ce_softmax", "softmax"):
+            if not (training and a == "ce_softmax"):
+                seg = jax.nn.softmax(seg, axis=-1)
+        elif a == "tanh":
+            seg = jnp.tanh(seg)
+        elif a in ("linear", "none"):
+            pass
+        else:
+            raise ValueError(f"Unknown head activation: {act}")
+        outs.append(seg)
+        off += ch
+    return jnp.concatenate(outs, axis=-1)
+
+
+class Base_Workflow(metaclass=ABCMeta):
+    """Shared workflow machinery; subclasses define channels/activations,
+    losses/metrics, target compilation and post-processing hooks."""
+
+    def __init__(self, cfg, job_identifier: str = "job", verbose: bool = True):
+        self.cfg = cfg
+        self.job_identifier = job_identifier
+        self.verbose = verbose and is_main_process()
+        self.is_3d = cfg.PROBLEM.NDIM == "3D"
+        self.nd = 3 if self.is_3d else 2
+        self.rng_np = set_seed(cfg.SYSTEM.SEED)
+        self.mesh = get_mesh()
+        self.norm_spec = build_norm_dict(cfg)
+        self.y_upscaling = [1] * self.nd
+
+        # workflow contract
+        self.activations: List[str] = []
+        self.output_channels: List[int] = []
+        self.output_channel_info: List[str] = []
+        self.define_activations_and_channels()
+        self.define_metrics()
+
+        # state
+        self.state: Optional[TrainState] = None
+        self.model = None
+        self.model_build_kwargs: Dict = {}
+        self.start_epoch = 0
+        self.plateau: Optional[PlateauController] = None
+        self._predictions: List[Dict[str, Any]] = []
+        self.save_to_disk = True
+        self.metrics_per_test_file: List[Dict[str, float]] = []
+
+    # ---------------------------------------------------------------- hooks
+    @abstractmethod
+    def define_activations_and_channels(self):
+        """Set self.activations / output_channels / output_channel_info."""
+
+    @abstractmethod
+    def define_metrics(self):
+        """Set self.loss (callable) and self.train_metrics dict."""
+
+    def prepare_targets_fn(self) -> Optional[Callable]:
+        """Return target_fn(img, mask, rng) -> (x, y) for the generator."""
+        return None
+
+    def metric_calculation(self, pred: np.ndarray, gt: np.ndarray) -> Dict[str, float]:
+        """Per-image test metrics on stitched predictions."""
+        return {}
+
+    def after_merge_patches(self, pred: np.ndarray, sample, fname: str) -> None:
+        """Post-hook on the stitched prediction (reference: :2389)."""
+
+    def after_all_images(self) -> None:
+        """Post-hook after the whole test set (reference: :2415)."""
+
+    # ------------------------------------------------------------- model
+    def prepare_model(self):
+        if self.model is not None:
+            return
+        self.model, self.model_build_kwargs = build_model(
+            self.cfg, self.output_channels, self.output_channel_info, self.activations
+        )
+        ps = tuple(self.cfg.DATA.PATCH_SIZE)
+        example = jnp.zeros((1,) + ps, jnp.float32)
+        rngs = {"params": jax.random.PRNGKey(self.cfg.SYSTEM.SEED), "dropout": jax.random.PRNGKey(0)}
+        variables = self.model.init(rngs, example, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        if self.verbose:
+            n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+            print(f"Model: {self.cfg.MODEL.ARCHITECTURE} — {n:,} parameters")
+
+        steps_per_epoch = max(1, getattr(self, "_steps_per_epoch", 100))
+        tx, self.plateau = build_optimizer(self.cfg, steps_per_epoch)
+        self.state = TrainState.create(self.model.apply, params, tx, batch_stats)
+
+        # checkpoint loading (finetune / resume)
+        if self.cfg.MODEL.LOAD_CHECKPOINT:
+            path = get_checkpoint_path(self.cfg, self.job_identifier)
+            if path and os.path.exists(path):
+                ck = load_checkpoint(path)
+                self.state = self.state.replace(
+                    params=apply_checkpoint_params(self.state.params, ck["params"]),
+                    batch_stats=ck.get("batch_stats") or batch_stats,
+                )
+                if self.cfg.MODEL.LOAD_CHECKPOINT_EPOCH == "last_on_train":
+                    self.start_epoch = int(ck.get("epoch", 0))
+                if self.verbose:
+                    print(f"Loaded checkpoint {path} (epoch {self.start_epoch})")
+            elif self.verbose:
+                print("No checkpoint found to load")
+
+    # ------------------------------------------------------------- training
+    def train(self):
+        cfg = self.cfg
+        if self.verbose:
+            print("###########################\n#  PREPARE TRAINING DATA  #\n###########################")
+        train_ds, val_ds = load_and_prepare_train_data(cfg, self.norm_spec, self.y_upscaling)
+        n_classes = int(cfg.DATA.N_CLASSES)
+        target_fn = self.prepare_targets_fn()
+        train_data = PairDataset(train_ds, cfg, self.norm_spec, augment=True,
+                                 random_crop=bool(cfg.DATA.TRAIN.EXTRACT_RANDOM_PATCH),
+                                 target_fn=target_fn, n_classes=n_classes,
+                                 y_upscaling=self.y_upscaling, seed=cfg.SYSTEM.SEED)
+        val_data = PairDataset(val_ds, cfg, self.norm_spec, augment=False,
+                               random_crop=bool(cfg.DATA.TRAIN.EXTRACT_RANDOM_PATCH),
+                               target_fn=target_fn, n_classes=n_classes,
+                               y_upscaling=self.y_upscaling, seed=cfg.SYSTEM.SEED)
+        bs = int(cfg.TRAIN.BATCH_SIZE)
+        ndev = len(self.mesh.devices.flatten())
+        gbs = max(bs, ndev) if bs % ndev else bs  # batch must tile the mesh
+        if gbs % ndev:
+            gbs = int(math.ceil(gbs / ndev) * ndev)
+        train_loader = BatchLoader(train_data, gbs, shuffle=cfg.AUGMENTOR.SHUFFLE_TRAIN_DATA_EACH_EPOCH,
+                                   seed=cfg.SYSTEM.SEED)
+        val_loader = BatchLoader(val_data, gbs, shuffle=False, seed=cfg.SYSTEM.SEED)
+        self._steps_per_epoch = len(train_loader)
+
+        if self.verbose:
+            print(f"Train samples: {len(train_data)}, val samples: {len(val_data)}, "
+                  f"global batch: {gbs} over {ndev} devices")
+
+        self.prepare_model()
+        train_step = make_train_step(self.loss, self.train_metrics, mesh=self.mesh)
+        eval_step = make_eval_step(self.loss, self.train_metrics, mesh=self.mesh)
+
+        early = EarlyStopping(patience=int(cfg.TRAIN.PATIENCE)) if cfg.TRAIN.PATIENCE >= 0 else None
+        jsonlog = JsonLogger(os.path.join(cfg.LOG.LOG_DIR, f"{self.job_identifier}_train.jsonl"))
+        tb = TensorboardLogger(cfg.LOG.TENSORBOARD_LOG_DIR)
+        key = jax.random.PRNGKey(cfg.SYSTEM.SEED)
+        best_val = float("inf")
+
+        if self.verbose:
+            print("#####################\n#  TRAIN THE MODEL  #\n#####################")
+        for epoch in range(self.start_epoch, int(cfg.TRAIN.EPOCHS)):
+            t0 = time.time()
+            train_loader.set_epoch(epoch)
+            logger = MetricLogger(verbose=self.verbose)
+            for batch in logger.log_every(train_loader, 10, header=f"Epoch: [{epoch}]"):
+                sb = shard_batch(batch, self.mesh)
+                self.state, mtr = train_step(self.state, sb, key)
+                logger.update(**{k: float(v) for k, v in mtr.items()},
+                              lr=get_learning_rate(self.state.opt_state) or 0.0)
+            if not np.isfinite(logger.meters["loss"].global_avg):
+                raise RuntimeError("Loss is NaN — stopping training (reference: train_engine.py:160)")
+
+            record = {"epoch": epoch, **{k: m.global_avg for k, m in logger.meters.items()}}
+
+            # validation
+            if len(val_data) > 0:
+                vals: Dict[str, List[float]] = {}
+                for batch in val_loader:
+                    mtr = eval_step(self.state, shard_batch(batch, self.mesh))
+                    for k, v in mtr.items():
+                        vals.setdefault(k, []).append(float(v))
+                val_metrics = {("val_" + k): float(np.mean(v)) for k, v in vals.items()}
+                record.update(val_metrics)
+                val_loss = val_metrics["val_loss"]
+                if self.plateau is not None:
+                    new_lr = self.plateau.step(val_loss)
+                    self.state = self.state.replace(opt_state=set_learning_rate(self.state.opt_state, new_lr))
+                if val_loss < best_val:
+                    best_val = val_loss
+                    save_model(self.cfg, cfg.PATHS.CHECKPOINT, self.job_identifier,
+                               self.state.params, epoch, self.state.batch_stats,
+                               model_build_kwargs=self.model_build_kwargs, metric="best")
+                if early is not None and early(val_loss):
+                    if self.verbose:
+                        print(f"Early stopping at epoch {epoch}")
+                    break
+            freq = int(cfg.MODEL.SAVE_CKPT_FREQ)  # -1 => only best + final
+            if (freq > 0 and (epoch + 1) % freq == 0) or epoch == cfg.TRAIN.EPOCHS - 1:
+                save_model(self.cfg, cfg.PATHS.CHECKPOINT, self.job_identifier,
+                           self.state.params, epoch, self.state.batch_stats,
+                           model_build_kwargs=self.model_build_kwargs)
+            record["time"] = time.time() - t0
+            jsonlog.write(record)
+            tb.update(step=epoch, **{k: v for k, v in record.items() if isinstance(v, (int, float))})
+            if self.verbose:
+                print(f"Epoch {epoch} done in {record['time']:.1f}s: "
+                      + " ".join(f"{k}={v:.4f}" for k, v in record.items() if isinstance(v, float)))
+        tb.close()
+
+        # reload the best checkpoint for testing (reference: :1244)
+        best_path = os.path.join(cfg.PATHS.CHECKPOINT, f"{self.job_identifier}-checkpoint-best.ckpt")
+        if os.path.exists(best_path):
+            ck = load_checkpoint(best_path)
+            self.state = self.state.replace(
+                params=apply_checkpoint_params(self.state.params, ck["params"]),
+                batch_stats=ck.get("batch_stats") or self.state.batch_stats,
+            )
+            if self.verbose:
+                print("Reloaded best checkpoint for testing")
+
+    # ------------------------------------------------------------- inference
+    def _ensure_model_for_test(self):
+        if self.state is None:
+            self.prepare_model()
+            if not self.cfg.MODEL.LOAD_CHECKPOINT:
+                path = get_checkpoint_path(self.cfg, self.job_identifier)
+                if path and os.path.exists(path):
+                    ck = load_checkpoint(path)
+                    self.state = self.state.replace(
+                        params=apply_checkpoint_params(self.state.params, ck["params"]),
+                        batch_stats=ck.get("batch_stats") or self.state.batch_stats,
+                    )
+                    if self.verbose:
+                        print(f"Loaded checkpoint {path} for inference")
+
+    def _predict_fn(self):
+        acts = self.activations
+        chans = self.output_channels
+
+        def apply_with_acts(variables, x, train=False):
+            out = self.model.apply(variables, x, train=False)
+            if isinstance(out, dict):
+                out = out["pred"]
+            return apply_activations(out, acts, chans, training=False)
+
+        return make_predict_fn(lambda v, x, train=False: apply_with_acts(v, x), mesh=self.mesh)
+
+    def predict_patches(self, patches: np.ndarray, batch_size: Optional[int] = None) -> np.ndarray:
+        """Run the jitted forward over all patches in sharded batches."""
+        self._ensure_model_for_test()
+        predict = getattr(self, "_cached_predict", None)
+        if predict is None:
+            predict = self._predict_fn()
+            self._cached_predict = predict
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        ndev = len(self.mesh.devices.flatten())
+        bs = batch_size or max(int(self.cfg.TRAIN.BATCH_SIZE), ndev)
+        bs = int(math.ceil(bs / ndev) * ndev)
+        outs = []
+        for i in range(0, len(patches), bs):
+            chunk = patches[i : i + bs]
+            n = len(chunk)
+            if n < bs:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
+            sb = shard_batch(jnp.asarray(chunk), self.mesh)
+            out = np.asarray(jax.device_get(predict(variables, sb)))
+            outs.append(out[:n])
+        return np.concatenate(outs, axis=0)
+
+    def process_test_sample(self, img: np.ndarray, gt: Optional[np.ndarray], fname: str, sample=None):
+        """Sliding-window inference on one image (reference:
+        process_test_sample, base_workflow.py:1840)."""
+        cfg = self.cfg
+        ov = tuple(cfg.DATA.TEST.OVERLAP)
+        pad = tuple(cfg.DATA.TEST.PADDING)
+        crop_shape = tuple(cfg.DATA.PATCH_SIZE)
+        img_n, stats = normalize_image(img, self.norm_spec)
+        patches, _ = crop_data_with_overlap(img_n[None], crop_shape, overlap=ov, padding=pad)
+        preds = self.predict_patches(patches)
+        out_ch = preds.shape[-1]
+        up = self.y_upscaling
+        out_spatial = tuple(img.shape[d] * up[d] for d in range(self.nd))
+        if any(u != 1 for u in up):
+            ov_scaled, pad_scaled = ov, tuple(p * u for p, u in zip(pad, up))
+        else:
+            ov_scaled, pad_scaled = ov, pad
+        merged = merge_data_with_overlap(
+            preds, (1,) + out_spatial + (out_ch,), overlap=ov_scaled, padding=pad_scaled
+        )[0]
+        res = {"pred": merged}
+        m = self.metric_calculation(merged, gt) if gt is not None else {}
+        if m:
+            self.metrics_per_test_file.append(m)
+            if self.verbose:
+                print(f"  {fname}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+        self.after_merge_patches(merged, sample, fname)
+        self._predictions.append({"role": "raw", "pred": merged, "file": fname, "metrics": m})
+        if self.save_to_disk:
+            from biapy_tpu.data.io import save_tif
+
+            save_tif(merged[None], cfg.PATHS.RESULT_DIR.PER_IMAGE, [fname], verbose=False)
+        return res
+
+    def test(self, image: Optional[np.ndarray] = None, gt: Optional[np.ndarray] = None):
+        cfg = self.cfg
+        self._predictions = []
+        self.metrics_per_test_file = []
+        self._ensure_model_for_test()
+        if image is not None:
+            ds = prepare_in_memory_test_data(image, gt, self.is_3d)
+        else:
+            ds = load_and_prepare_test_data(cfg, self.norm_spec)
+        if self.verbose:
+            print("###############\n#  INFERENCE  #\n###############")
+            print(f"Processing {len(ds.sample_list)} test images")
+        for i, s in enumerate(ds.sample_list):
+            f = ds.dataset_info[s.fid]
+            img, g = s.img, s.gt
+            if img is None:
+                from biapy_tpu.data.io import read_img_as_ndarray
+
+                img = read_img_as_ndarray(f.path, is_3d=self.is_3d)
+                if f.gt_path:
+                    g = read_img_as_ndarray(f.gt_path, is_3d=self.is_3d)
+            fname = os.path.basename(f.path) if f.path != "<in_memory>" else f"pred_{i}.tif"
+            self.process_test_sample(img, g, fname, s)
+        self.after_all_images()
+        self.print_stats()
+
+    def print_stats(self):
+        """Aggregate per-image metrics (reference: print_stats, :2307)."""
+        if not self.metrics_per_test_file or not is_main_process():
+            return
+        keys = self.metrics_per_test_file[0].keys()
+        agg = {k: float(np.mean([m[k] for m in self.metrics_per_test_file])) for k in keys}
+        for k, v in agg.items():
+            print(f"Test {k} (per image): {v:.6f}")
+        self.stats = agg
+        return agg

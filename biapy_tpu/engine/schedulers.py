@@ -113,32 +113,42 @@ def build_optimizer(cfg, steps_per_epoch: int, head: int = 0):
         raise ValueError(f"Unknown optimizer: {name} (expected SGD/ADAM/ADAMW)")
 
     tx = optax.inject_hyperparams(opt_fn)(learning_rate=schedule)
-    clip = float(getattr(cfg.TRAIN, "CLIP_GRAD", 0.0) or 0.0)
+    clip = float(cfg.TRAIN.GRADIENT_CLIP_NORM or 0.0)
     if clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
     return tx, plateau
 
 
+def _find_inject_states(opt_state):
+    """Yield every Inject*HyperparamsState holding a learning_rate, at any
+    nesting level (optax chains wrap states in plain tuples; the inject state
+    itself is a NamedTuple, so check for .hyperparams before iterating)."""
+    if hasattr(opt_state, "hyperparams") and "learning_rate" in opt_state.hyperparams:
+        yield opt_state
+        return
+    if isinstance(opt_state, tuple):
+        for s in opt_state:
+            yield from _find_inject_states(s)
+
+
 def set_learning_rate(opt_state, new_lr: float):
     """Update the injected learning-rate hyperparameter in an opt state
-    (used by the plateau controllers)."""
-    import jax
+    (used by the plateau controllers). Returns a new state tree."""
+    import jax.numpy as jnp
 
-    def visit(s):
+    def rebuild(s):
         if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
-            s.hyperparams["learning_rate"] = jax.numpy.asarray(
-                new_lr, dtype=s.hyperparams["learning_rate"].dtype
-            )
+            hp = dict(s.hyperparams)
+            hp["learning_rate"] = jnp.asarray(new_lr, dtype=jnp.asarray(hp["learning_rate"]).dtype)
+            return s._replace(hyperparams=hp)
+        if isinstance(s, tuple) and not hasattr(s, "_fields"):
+            return tuple(rebuild(x) for x in s)
         return s
 
-    if isinstance(opt_state, tuple):
-        return tuple(visit(s) for s in opt_state)
-    return visit(opt_state)
+    return rebuild(opt_state)
 
 
 def get_learning_rate(opt_state) -> Optional[float]:
-    states = opt_state if isinstance(opt_state, tuple) else (opt_state,)
-    for s in states:
-        if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
-            return float(s.hyperparams["learning_rate"])
+    for s in _find_inject_states(opt_state):
+        return float(s.hyperparams["learning_rate"])
     return None

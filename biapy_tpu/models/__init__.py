@@ -1,0 +1,214 @@
+"""Model factory.
+
+Reference analog: biapy/models/__init__.py build_model:44-482 — dispatches
+``cfg.MODEL.ARCHITECTURE`` to a constructed model with the engine-provided
+head spec (output_channels / output_channel_info / head_activations).
+
+Returns ``(flax_module, model_build_kwargs)``; ``model_build_kwargs`` is
+embedded in checkpoints so a checkpoint alone can rebuild the model.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+UNET_FAMILY = ("unet", "resunet", "resunet++", "seunet", "resunet_se", "attention_unet")
+
+
+def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
+                head_activations: List[str]) -> Tuple[object, Dict]:
+    arch = str(cfg.MODEL.ARCHITECTURE).lower()
+    ndim = 3 if cfg.PROBLEM.NDIM == "3D" else 2
+
+    if arch in UNET_FAMILY or arch in ("unext_v1", "unext_v2"):
+        separated_decoders = False
+        divide = False
+        for wf, node in (("IMAGE_TO_IMAGE", cfg.PROBLEM.IMAGE_TO_IMAGE),
+                         ("INSTANCE_SEG", cfg.PROBLEM.INSTANCE_SEG),
+                         ("DETECTION", cfg.PROBLEM.DETECTION)):
+            if cfg.PROBLEM.TYPE == wf and node.SEPARATED_DECODERS_PER_HEAD:
+                separated_decoders = True
+                divide = node.SEPARATED_DECODERS_DIVIDE_FEATURE_MAPS
+        upsampling_factor: Tuple[int, ...] = ()
+        upsampling_position = "pre"
+        if cfg.PROBLEM.TYPE == "SUPER_RESOLUTION":
+            upsampling_factor = tuple(cfg.PROBLEM.SUPER_RESOLUTION.UPSCALING)
+            upsampling_position = cfg.MODEL.UNET_SR_UPSAMPLE_POSITION
+        iso = cfg.MODEL.ISOTROPY
+        if isinstance(iso, bool):
+            iso = (iso,)
+        kwargs = dict(
+            ndim=ndim,
+            activation=str(cfg.MODEL.ACTIVATION).lower(),
+            feature_maps=tuple(cfg.MODEL.FEATURE_MAPS),
+            drop_values=tuple(cfg.MODEL.DROPOUT_VALUES),
+            normalization=cfg.MODEL.NORMALIZATION,
+            k_size=int(cfg.MODEL.KERNEL_SIZE),
+            upsample_layer=cfg.MODEL.UPSAMPLE_LAYER,
+            yx_down=tuple(cfg.MODEL.YX_DOWN),
+            z_down=tuple(cfg.MODEL.Z_DOWN),
+            output_channels=tuple(output_channels),
+            output_channel_info=tuple(output_channel_info),
+            separated_decoders=separated_decoders,
+            divide_decoder_feature_maps=divide,
+            upsampling_factor=upsampling_factor,
+            upsampling_position=upsampling_position,
+            isotropy=tuple(iso),
+            larger_io=bool(cfg.MODEL.LARGER_IO),
+            conv_layers=tuple(cfg.MODEL.CONV_LAYERS),
+            contrast=bool(cfg.LOSS.CONTRAST.ENABLE),
+            contrast_proj_dim=int(cfg.LOSS.CONTRAST.PROJ_DIM),
+            conv_block_order=cfg.MODEL.CONV_BLOCK_ORDER,
+        )
+        if arch in ("unet", "resunet", "seunet", "resunet_se", "attention_unet"):
+            from biapy_tpu.models.unet_family import UNetFamily
+
+            kwargs["variant"] = arch
+            return UNetFamily(**kwargs), {"class": "UNetFamily", **kwargs}
+        if arch == "resunet++":
+            from biapy_tpu.models.resunet_pp import ResUNetPlusPlus
+
+            for k in ("separated_decoders", "divide_decoder_feature_maps", "conv_block_order",
+                      "larger_io", "conv_layers"):
+                kwargs.pop(k, None)
+            return ResUNetPlusPlus(**kwargs), {"class": "ResUNetPlusPlus", **kwargs}
+        if arch in ("unext_v1", "unext_v2"):
+            from biapy_tpu.models.unext import UNeXt
+
+            for k in ("activation", "drop_values", "normalization", "k_size", "larger_io",
+                      "conv_block_order"):
+                kwargs.pop(k, None)
+            kwargs["version"] = 1 if arch == "unext_v1" else 2
+            kwargs["cn_layers"] = kwargs.pop("conv_layers")
+            kwargs["stochastic_depth_prob"] = float(cfg.MODEL.CONVNEXT_SD_PROB)
+            kwargs["stem_k_size"] = int(cfg.MODEL.CONVNEXT_STEM_K_SIZE)
+            if arch == "unext_v1":
+                kwargs["layer_scale"] = float(cfg.MODEL.CONVNEXT_LAYER_SCALE)
+            return UNeXt(**kwargs), {"class": "UNeXt", **kwargs}
+
+    if arch == "multiresunet":
+        from biapy_tpu.models.multiresunet import MultiResUNet
+
+        kwargs = dict(
+            ndim=ndim,
+            input_channels=int(cfg.DATA.PATCH_SIZE[-1]),
+            alpha=1.67,
+            feature_maps=tuple(cfg.MODEL.FEATURE_MAPS),
+            output_channels=tuple(output_channels),
+            output_channel_info=tuple(output_channel_info),
+            z_down=tuple(cfg.MODEL.Z_DOWN),
+        )
+        return MultiResUNet(**kwargs), {"class": "MultiResUNet", **kwargs}
+
+    if arch in ("edsr", "rcan", "wdsr", "dfcan"):
+        from biapy_tpu.models import sr_models
+
+        upscaling = tuple(cfg.PROBLEM.SUPER_RESOLUTION.UPSCALING) or (2,) * ndim
+        scale = upscaling[-1]
+        kwargs = dict(ndim=ndim, scale=int(scale),
+                      num_channels=int(cfg.DATA.PATCH_SIZE[-1]),
+                      out_channels=int(output_channels[0]) if output_channels else int(cfg.DATA.PATCH_SIZE[-1]))
+        cls = {"edsr": sr_models.EDSR, "rcan": sr_models.RCAN,
+               "wdsr": sr_models.WDSR, "dfcan": sr_models.DFCAN}[arch]
+        if arch == "rcan":
+            kwargs["filters"] = int(cfg.MODEL.RCAN_CONV_FILTERS)
+        return cls(**kwargs), {"class": cls.__name__, **kwargs}
+
+    if arch == "vit":
+        from biapy_tpu.models.vit import ViT
+
+        kwargs = _vit_kwargs(cfg, ndim)
+        kwargs["n_classes"] = int(output_channels[0]) if output_channels else int(cfg.DATA.N_CLASSES)
+        return ViT(**kwargs), {"class": "ViT", **kwargs}
+
+    if arch == "mae":
+        from biapy_tpu.models.mae import MAE
+
+        kwargs = _vit_kwargs(cfg, ndim)
+        kwargs.pop("drop_rate", None)
+        kwargs["mask_ratio"] = float(cfg.MODEL.MAE_MASK_RATIO)
+        kwargs["masking_type"] = str(cfg.MODEL.MAE_MASK_TYPE)
+        kwargs["dec_embed_dim"] = int(cfg.MODEL.MAE_DEC_HIDDEN_SIZE)
+        kwargs["dec_depth"] = int(cfg.MODEL.MAE_DEC_NUM_LAYERS)
+        kwargs["dec_num_heads"] = int(cfg.MODEL.MAE_DEC_NUM_HEADS)
+        return MAE(**kwargs), {"class": "MAE", **kwargs}
+
+    if arch == "unetr":
+        from biapy_tpu.models.unetr import UNETR
+
+        kwargs = _vit_kwargs(cfg, ndim)
+        kwargs.pop("drop_rate", None)
+        kwargs["output_channels"] = tuple(output_channels)
+        kwargs["decoder_activation"] = str(cfg.MODEL.ACTIVATION).lower()
+        kwargs["vit_hidden_multiple"] = int(cfg.MODEL.UNETR_VIT_HIDD_MULT)
+        kwargs["decoder_filters"] = int(cfg.MODEL.UNETR_VIT_NUM_FILTERS)
+        return UNETR(**kwargs), {"class": "UNETR", **kwargs}
+
+    if arch == "simple_cnn":
+        from biapy_tpu.models.simple_cnn import SimpleCNN
+
+        kwargs = dict(ndim=ndim, n_classes=int(output_channels[0]))
+        return SimpleCNN(**kwargs), {"class": "SimpleCNN", **kwargs}
+
+    if "efficientnet" in arch:
+        from biapy_tpu.models.efficientnet import EfficientNet
+
+        kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
+        return EfficientNet(**kwargs), {"class": "EfficientNet", **kwargs}
+
+    if arch == "nafnet":
+        from biapy_tpu.models.nafnet import NAFNet
+
+        n = cfg.MODEL.NAFNET
+        kwargs = dict(
+            ndim=ndim,
+            img_channels=int(cfg.DATA.PATCH_SIZE[-1]),
+            width=int(n.WIDTH),
+            middle_blk_num=int(n.MIDDLE_BLK_NUM),
+            enc_blk_nums=tuple(n.ENC_BLK_NUMS),
+            dec_blk_nums=tuple(n.DEC_BLK_NUMS),
+            dw_expand=int(n.DW_EXPAND),
+            ffn_expand=int(n.FFN_EXPAND),
+        )
+        return NAFNet(**kwargs), {"class": "NAFNet", **kwargs}
+
+    if "hrnet" in arch:
+        from biapy_tpu.models.hrnet import HRNet
+
+        variant = arch.replace("hrnet", "") or str(cfg.MODEL.HRNET.VARIANT).lower().lstrip("w")
+        kwargs = dict(
+            ndim=ndim,
+            variant=variant,
+            output_channels=tuple(output_channels),
+            normalization=cfg.MODEL.NORMALIZATION or "bn",
+            contrast=bool(cfg.LOSS.CONTRAST.ENABLE),
+            contrast_proj_dim=int(cfg.LOSS.CONTRAST.PROJ_DIM),
+        )
+        return HRNet(**kwargs), {"class": "HRNet", **kwargs}
+
+    if arch == "stunet":
+        from biapy_tpu.models.stunet import STUNet
+
+        kwargs = dict(
+            ndim=ndim,
+            variant=str(cfg.MODEL.STUNET.VARIANT).lower(),
+            output_channels=tuple(output_channels),
+            z_down=tuple(cfg.MODEL.Z_DOWN),
+        )
+        return STUNet(**kwargs), {"class": "STUNet", **kwargs}
+
+    raise ValueError(f"Unknown MODEL.ARCHITECTURE: {cfg.MODEL.ARCHITECTURE}")
+
+
+def _vit_kwargs(cfg, ndim: int) -> Dict:
+    return dict(
+        ndim=ndim,
+        patch_size=int(cfg.MODEL.VIT_TOKEN_SIZE),
+        embed_dim=int(cfg.MODEL.VIT_EMBED_DIM),
+        depth=int(cfg.MODEL.VIT_NUM_LAYERS),
+        num_heads=int(cfg.MODEL.VIT_NUM_HEADS),
+        mlp_ratio=float(cfg.MODEL.VIT_MLP_RATIO),
+        in_channels=int(cfg.DATA.PATCH_SIZE[-1]),
+        img_size=int(cfg.DATA.PATCH_SIZE[0]),
+        drop_rate=float(cfg.MODEL.DROPOUT_VALUES[0]) if cfg.MODEL.DROPOUT_VALUES else 0.0,
+    )
