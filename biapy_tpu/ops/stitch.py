@@ -1,0 +1,137 @@
+"""On-device sliding-window inference with spline-blend stitching.
+
+Reference analog: the per-patch CPU loop in predict_batches_in_test +
+merge_data_with_overlap (biapy/engine/base_workflow.py:1598,
+biapy/data/data_2D_manipulation.py:366). The reference round-trips every
+patch host<->GPU and stitches in NumPy; here the WHOLE volume lives in HBM
+and one jitted program scans the (static) patch grid: dynamic-slice a patch
+batch, run the model forward, multiply by the spline window, and
+dynamic-update-slice accumulate into output and weight buffers. Host
+transfers: one volume in, one stitched result out.
+
+The patch grid math is identical to biapy_tpu.data.patching (bit-exact with
+the reference), so device stitching == host stitching up to float eps.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from biapy_tpu.data.patching import axis_grid, spline_window
+
+
+def _grid_starts(spatial, patch, overlap, padding) -> Tuple[np.ndarray, Tuple[int, ...]]:
+    """All patch start coordinates in PADDED volume space (static, host)."""
+    nd = len(spatial)
+    grids = [axis_grid(spatial[d], patch[d], overlap[d], padding[d]) for d in range(nd)]
+    axes = [np.array([g.start(i) for i in range(g.n)], np.int32) for g in grids]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    starts = np.stack([m.reshape(-1) for m in mesh], axis=-1)  # (npatches, nd)
+    ov_px = tuple(g.ov_px for g in grids)
+    return starts, ov_px
+
+
+def sliding_window_inference(
+    apply_fn: Callable,
+    variables,
+    volume: jnp.ndarray,
+    patch: Sequence[int],
+    overlap: Sequence[float],
+    padding: Sequence[int],
+    out_channels: int,
+    batch_size: int = 1,
+    out_dtype=jnp.float32,
+    compute_dtype=None,
+    pad_mode: str = "reflect",
+):
+    """Stitched prediction for one channels-last volume (spatial..., C).
+
+    ``apply_fn(variables, x)`` maps a (B, *patch, C) batch to (B, *patch,
+    out_channels) activated predictions. Returns (spatial..., out_channels).
+    """
+    nd = len(patch)
+    spatial = volume.shape[:nd]
+    starts_np, ov_px = _grid_starts(spatial, patch, overlap, padding)
+    n = len(starts_np)
+    # pad the patch list to a batch multiple; duplicates are harmless — the
+    # blend divides by the accumulated weight, and repeated patches add the
+    # same contribution to both numerator and denominator.
+    n_pad = (-n) % batch_size
+    if n_pad:
+        starts_np = np.concatenate([starts_np, np.repeat(starts_np[-1:], n_pad, axis=0)])
+    starts = jnp.asarray(starts_np.reshape(-1, batch_size, nd))
+
+    core = tuple(patch[d] - 2 * padding[d] for d in range(nd))
+    window_np = spline_window(core, ov_px)  # (*core, 1)
+    window = jnp.asarray(window_np, out_dtype)
+
+    pad_width = [(padding[d], padding[d]) for d in range(nd)] + [(0, 0)]
+    vol_p = jnp.pad(volume, pad_width, mode=pad_mode)
+    if compute_dtype is not None:
+        vol_p = vol_p.astype(compute_dtype)
+
+    out_shape = spatial + (out_channels,)
+
+    @partial(jax.jit, donate_argnums=())
+    def run(variables, vol_p):
+        acc = jnp.zeros(out_shape, out_dtype)
+        wacc = jnp.zeros(spatial + (1,), out_dtype)
+        core_sizes = core
+
+        def body(carry, batch_starts):
+            acc, wacc = carry
+
+            def get_patch(st):
+                idx = tuple(st[d] for d in range(nd)) + (0,)
+                return jax.lax.dynamic_slice(vol_p, idx, tuple(patch) + (vol_p.shape[-1],))
+
+            x = jax.vmap(get_patch)(batch_starts)
+            y = apply_fn(variables, x).astype(out_dtype)
+            # strip padding to the core region
+            core_sl = tuple(slice(padding[d], patch[d] - padding[d]) for d in range(nd))
+            y_core = y[(slice(None),) + core_sl] * window
+
+            def upd(i, c):
+                acc, wacc = c
+                st = batch_starts[i]
+                idx = tuple(st[d] for d in range(nd)) + (0,)
+                cur = jax.lax.dynamic_slice(acc, idx, core_sizes + (out_channels,))
+                acc = jax.lax.dynamic_update_slice(acc, cur + y_core[i], idx)
+                curw = jax.lax.dynamic_slice(wacc, idx, core_sizes + (1,))
+                wacc = jax.lax.dynamic_update_slice(wacc, curw + window, idx)
+                return acc, wacc
+
+            acc, wacc = jax.lax.fori_loop(0, batch_size, upd, (acc, wacc))
+            return (acc, wacc), None
+
+        (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), starts)
+        return acc / (wacc + 1e-18)
+
+    return run(variables, vol_p)
+
+
+def make_sliding_window_fn(
+    apply_fn: Callable,
+    spatial: Sequence[int],
+    in_channels: int,
+    patch: Sequence[int],
+    overlap: Sequence[float],
+    padding: Sequence[int],
+    out_channels: int,
+    batch_size: int = 1,
+    compute_dtype=None,
+):
+    """Pre-bound variant for repeated same-shape volumes (one compile)."""
+
+    def fn(variables, volume):
+        return sliding_window_inference(
+            apply_fn, variables, volume, patch, overlap, padding, out_channels,
+            batch_size=batch_size, compute_dtype=compute_dtype,
+        )
+
+    return fn
