@@ -1,0 +1,95 @@
+"""UNETR: ViT encoder + convolutional decoder.
+
+Reference analog: biapy/models/unetr.py (UNETR:~60; Hatamizadeh et al.
+2022). The ViT encoder's hidden states are tapped every
+``vit_hidden_multiple`` layers; each tap is reshaped back to a spatial grid,
+upsampled through deconv stacks, and fused U-Net-style with the decoder.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from biapy_tpu.models.blocks import KERNEL_INIT, ConvBlock, get_activation
+from biapy_tpu.models.vit import ViT
+
+
+class UNETR(nn.Module):
+    ndim: int = 2
+    img_size: int = 256
+    patch_size: int = 16
+    in_channels: int = 1
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    output_channels: Sequence[int] = (1,)
+    output_channel_info: Sequence[str] = ("F",)
+    decoder_activation: str = "relu"
+    decoder_filters: int = 16
+    vit_hidden_multiple: int = -1  # -1 => depth // 4
+    norm: str = "none"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nd = self.ndim
+        g = self.img_size // self.patch_size
+        mult = self.vit_hidden_multiple if self.vit_hidden_multiple > 0 else max(1, self.depth // 4)
+        taps = [mult * i for i in range(1, 4) if mult * i < self.depth]
+
+        vit = ViT(
+            ndim=nd, img_size=self.img_size, patch_size=self.patch_size,
+            in_channels=self.in_channels, embed_dim=self.embed_dim, depth=self.depth,
+            num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+        )
+        feats, saved = vit(x, train=train, features=True, save_layers=taps)
+
+        def to_grid(tokens):
+            t = tokens[:, 1:]  # drop cls
+            shape = (t.shape[0],) + (g,) * nd + (t.shape[-1],)
+            return t.reshape(shape)
+
+        act = self.decoder_activation
+        f = self.decoder_filters
+        two = (2,) * nd
+
+        # bottom feature (z12) and intermediate taps (z3/z6/z9 analogs)
+        bottom = to_grid(feats)
+        skips = [to_grid(s) for s in saved]  # shallow -> deep
+
+        # Build multi-resolution skip pyramids: tap i upsampled (4 - i - 1) times.
+        n_levels = 4  # patch 16 = 2^4
+        pyr = []
+        for i, s in enumerate(skips):
+            ups = n_levels - 1 - i
+            h = s
+            for u in range(ups):
+                h = nn.ConvTranspose(f * 2 ** (n_levels - 2 - i - u), kernel_size=two,
+                                     strides=two, kernel_init=KERNEL_INIT)(h)
+                h = ConvBlock(h.shape[-1], 3, act=act, norm=self.norm)(h, train)
+            pyr.append(h)
+        # stem skip from the raw input at full resolution
+        stem = ConvBlock(f, 3, act=act, norm=self.norm, nconvs=2)(x, train)
+
+        h = bottom
+        for i in range(len(pyr) - 1, -1, -1):
+            h = nn.ConvTranspose(pyr[i].shape[-1], kernel_size=two, strides=two,
+                                 kernel_init=KERNEL_INIT)(h)
+            h = jnp.concatenate([h, pyr[i]], axis=-1)
+            h = ConvBlock(pyr[i].shape[-1], 3, act=act, norm=self.norm, nconvs=2)(h, train)
+        h = nn.ConvTranspose(f, kernel_size=two, strides=two, kernel_init=KERNEL_INIT)(h)
+        h = jnp.concatenate([h, stem], axis=-1)
+        h = ConvBlock(f, 3, act=act, norm=self.norm, nconvs=2)(h, train)
+
+        one = (1,) * nd
+        preds, class_outs = [], []
+        for i, out_ch in enumerate(self.output_channels):
+            head = nn.Conv(out_ch, kernel_size=one, kernel_init=KERNEL_INIT)(h)
+            (class_outs if "class" in self.output_channel_info[i] else preds).append(head)
+        out: Dict = {"pred": jnp.concatenate(preds, axis=-1)}
+        if class_outs:
+            out["class"] = jnp.concatenate(class_outs, axis=-1)
+        return out["pred"] if len(out) == 1 else out
