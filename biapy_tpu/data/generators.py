@@ -46,6 +46,7 @@ class PairDataset:
         n_classes: int = 2,
         y_upscaling: Sequence[int] = (),
         seed: int = 0,
+        gt_as_image: bool = False,
     ):
         self.ds = ds
         self.cfg = cfg
@@ -59,6 +60,9 @@ class PairDataset:
         self.n_classes = n_classes
         self.y_upscaling = list(y_upscaling) if y_upscaling else [1] * self.nd
         self.seed = seed
+        # SR / image-to-image / SSL targets are images: value-normalize them
+        # like inputs instead of binarizing as masks.
+        self.gt_as_image = gt_as_image
 
     def __len__(self) -> int:
         return len(self.ds.sample_list)
@@ -96,8 +100,11 @@ class PairDataset:
             img, gt = self._random_crop(img, gt, rng)
         f = self.ds.dataset_info[self.ds.sample_list[idx].fid]
         img, _ = normalize_image(img, self.norm_spec, stats=f.norm_stats)
-        if gt is not None and gt.dtype.kind != "f":
-            gt = normalize_mask(gt, self.n_classes)
+        if gt is not None:
+            if self.gt_as_image:
+                gt, _ = normalize_image(gt.astype(np.float32), self.norm_spec)
+            elif gt.dtype.kind != "f":
+                gt = normalize_mask(gt, self.n_classes)
         if self.aug is not None:
             if self.aug.uses_cutmix and len(self) > 1:
                 j = int(rng.integers(0, len(self)))

@@ -96,10 +96,11 @@ class Base_Workflow(metaclass=ABCMeta):
         self.norm_spec = build_norm_dict(cfg)
         self.y_upscaling = [1] * self.nd
 
-        # workflow contract
+        # workflow contract (defaults first — the hooks below may override)
         self.activations: List[str] = []
         self.output_channels: List[int] = []
         self.output_channel_info: List[str] = []
+        self.gt_as_image = False  # SR/I2I/SSL override: GT is an image, not a mask
         self.define_activations_and_channels()
         self.define_metrics()
 
@@ -184,11 +185,13 @@ class Base_Workflow(metaclass=ABCMeta):
         train_data = PairDataset(train_ds, cfg, self.norm_spec, augment=True,
                                  random_crop=bool(cfg.DATA.TRAIN.EXTRACT_RANDOM_PATCH),
                                  target_fn=target_fn, n_classes=n_classes,
-                                 y_upscaling=self.y_upscaling, seed=cfg.SYSTEM.SEED)
+                                 y_upscaling=self.y_upscaling, seed=cfg.SYSTEM.SEED,
+                                 gt_as_image=self.gt_as_image)
         val_data = PairDataset(val_ds, cfg, self.norm_spec, augment=False,
                                random_crop=bool(cfg.DATA.TRAIN.EXTRACT_RANDOM_PATCH),
                                target_fn=target_fn, n_classes=n_classes,
-                               y_upscaling=self.y_upscaling, seed=cfg.SYSTEM.SEED)
+                               y_upscaling=self.y_upscaling, seed=cfg.SYSTEM.SEED,
+                               gt_as_image=self.gt_as_image)
         bs = int(cfg.TRAIN.BATCH_SIZE)
         ndev = len(self.mesh.devices.flatten())
         gbs = max(bs, ndev) if bs % ndev else bs  # batch must tile the mesh

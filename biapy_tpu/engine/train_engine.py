@@ -49,7 +49,11 @@ def _forward(state: TrainState, x, train: bool, rng=None):
     has_bn = bool(state.batch_stats)
     if has_bn:
         variables["batch_stats"] = state.batch_stats
-    rngs = {"dropout": rng} if (train and rng is not None) else None
+    if train and rng is not None:
+        k1, k2 = jax.random.split(rng)
+        rngs = {"dropout": k1, "mask": k2}  # 'mask' feeds MAE-style models
+    else:
+        rngs = None
     if train and has_bn:
         out, updates = state.apply_fn(variables, x, train=True, rngs=rngs, mutable=["batch_stats"])
         return out, updates["batch_stats"]

@@ -23,7 +23,10 @@ from flax import linen as nn
 
 Dtype = Any
 
-KERNEL_INIT = nn.initializers.he_normal()
+# The reference applies xavier_uniform to every conv/linear
+# (models/blocks.py init_weights); matching it keeps residual stacks
+# (EDSR/RCAN) numerically tame at initialization.
+KERNEL_INIT = nn.initializers.xavier_uniform()
 
 
 def get_activation(name: Optional[str]) -> Callable:

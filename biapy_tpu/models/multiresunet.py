@@ -64,7 +64,11 @@ class ResPath(nn.Module):
         for i in range(self.length):
             short = ConvBN(self.num_out, k=1, act=False)(x, train)
             h = ConvBN(self.num_out, k=3)(x, train)
-            x = nn.relu(h + short)
+            # the reference applies one extra BN module twice around the
+            # residual add (multiresunet.py Respath.forward)
+            bn = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)
+            h = nn.relu(bn(h))
+            x = nn.relu(bn(h + short))
         return x
 
 

@@ -1,0 +1,156 @@
+"""End-to-end smoke runs for the non-segmentation workflows on synthetic
+data (the reference's run_checks.py pattern with tiny budgets)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from biapy_tpu.data.tiff import write_tiff
+
+RNG = np.random.default_rng(7)
+
+
+def _noisy_circles(shape=(64, 64), n=2, noise=0.1, rng=RNG):
+    img = np.zeros(shape, np.float32)
+    for _ in range(n):
+        cy, cx = rng.integers(12, shape[0] - 12, 2)
+        r = rng.integers(5, 10)
+        yy, xx = np.mgrid[: shape[0], : shape[1]]
+        img += (((yy - cy) ** 2 + (xx - cx) ** 2) < r * r) * 0.6
+    return (img + rng.normal(0, noise, shape)).astype(np.float32)
+
+
+def _run(cfg, root, name):
+    from biapy_tpu._biapy import BiaPy
+
+    job = BiaPy(cfg, result_dir=os.path.join(root, "results"), name=name, silent=True)
+    job.run_job()
+    return job
+
+
+@pytest.mark.slow
+def test_super_resolution_2d(tmp_path):
+    root = str(tmp_path)
+    for d, n in [("train", 8), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            hr = _noisy_circles((64, 64), noise=0.02)
+            lr = hr[::2, ::2]
+            write_tiff(f"{root}/{d}/x/{i}.tif", (lr * 200).clip(0, 255).astype(np.uint8))
+            write_tiff(f"{root}/{d}/y/{i}.tif", (hr * 200).clip(0, 255).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "SUPER_RESOLUTION", "NDIM": "2D",
+                    "SUPER_RESOLUTION": {"UPSCALING": (2, 2)}},
+        "DATA": {"PATCH_SIZE": (16, 16, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                          "LOAD_GT": True, "PADDING": (4, 4)}},
+        "MODEL": {"ARCHITECTURE": "edsr"},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3, "BATCH_SIZE": 8, "EPOCHS": 25},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "sr2d")
+    assert job.workflow.stats["psnr"] > 10.0, job.workflow.stats
+
+
+@pytest.mark.slow
+def test_denoising_n2v_2d(tmp_path):
+    root = str(tmp_path)
+    for d, n in [("train", 8), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        for i in range(n):
+            img = _noisy_circles((64, 64), noise=0.2)
+            write_tiff(f"{root}/{d}/x/{i}.tif", (img * 180).clip(0, 255).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "DENOISING", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "IN_MEMORY": True, "LOAD_GT": False,
+                          "PADDING": (4, 4)}},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16], "DROPOUT_VALUES": [0.0, 0.0],
+                  "Z_DOWN": [2, 2], "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3, "BATCH_SIZE": 8, "EPOCHS": 4},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "n2v2d")
+    assert len(job.workflow._predictions) == 2
+
+
+@pytest.mark.slow
+def test_classification_2d(tmp_path):
+    root = str(tmp_path)
+    for d, n in [("train", 40), ("test", 8)]:
+        for ci, cname in enumerate(["dark", "bright"]):
+            os.makedirs(f"{root}/{d}/{cname}", exist_ok=True)
+            for i in range(n // 2):
+                base = 40 if ci == 0 else 200
+                img = (RNG.normal(base, 15, (32, 32))).clip(0, 255).astype(np.uint8)
+                write_tiff(f"{root}/{d}/{cname}/{i}.tif", img)
+    cfg = {
+        "PROBLEM": {"TYPE": "CLASSIFICATION", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (32, 32, 1), "N_CLASSES": 2,
+                 "NORMALIZATION": {"TYPE": "div"},
+                 "TRAIN": {"PATH": f"{root}/train", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test", "IN_MEMORY": True, "LOAD_GT": True}},
+        "MODEL": {"ARCHITECTURE": "simple_cnn"},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3, "BATCH_SIZE": 8, "EPOCHS": 12},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "cls2d")
+    assert job.workflow.stats["accuracy"] > 0.7, job.workflow.stats
+
+
+@pytest.mark.slow
+def test_ssl_crappify_2d(tmp_path):
+    root = str(tmp_path)
+    for d, n in [("train", 8), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        for i in range(n):
+            img = _noisy_circles((64, 64), noise=0.02)
+            write_tiff(f"{root}/{d}/x/{i}.tif", (img * 200).clip(0, 255).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "SELF_SUPERVISED", "NDIM": "2D",
+                    "SELF_SUPERVISED": {"PRETEXT_TASK": "crappify", "RESIZING_FACTOR": 2, "NOISE": 0.1}},
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "IN_MEMORY": True, "LOAD_GT": False,
+                          "PADDING": (4, 4)}},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16], "DROPOUT_VALUES": [0.0, 0.0],
+                  "Z_DOWN": [2, 2], "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3, "BATCH_SIZE": 8, "EPOCHS": 3},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "ssl2d")
+    assert len(job.workflow._predictions) == 2
+
+
+@pytest.mark.slow
+def test_image_to_image_2d(tmp_path):
+    root = str(tmp_path)
+    for d, n in [("train", 8), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            img = _noisy_circles((64, 64), noise=0.05)
+            write_tiff(f"{root}/{d}/x/{i}.tif", (img * 200).clip(0, 255).astype(np.uint8))
+            write_tiff(f"{root}/{d}/y/{i}.tif", (255 - (img * 200).clip(0, 255)).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "IMAGE_TO_IMAGE", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                          "LOAD_GT": True, "PADDING": (4, 4)}},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16], "DROPOUT_VALUES": [0.0, 0.0],
+                  "Z_DOWN": [2, 2], "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 8, "EPOCHS": 6},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "i2i2d")
+    assert job.workflow.stats["psnr"] > 10.0, job.workflow.stats
