@@ -8,6 +8,10 @@ import pytest
 
 from biapy_tpu.data.tiff import write_tiff
 
+def _rng():
+    return np.random.default_rng(7)
+
+
 RNG = np.random.default_rng(7)
 
 
@@ -31,12 +35,13 @@ def _run(cfg, root, name):
 
 @pytest.mark.slow
 def test_super_resolution_2d(tmp_path):
+    rng = np.random.default_rng(11)
     root = str(tmp_path)
     for d, n in [("train", 8), ("test", 2)]:
         os.makedirs(f"{root}/{d}/x")
         os.makedirs(f"{root}/{d}/y")
         for i in range(n):
-            hr = _noisy_circles((64, 64), noise=0.02)
+            hr = _noisy_circles((64, 64), noise=0.02, rng=rng)
             lr = hr[::2, ::2]
             write_tiff(f"{root}/{d}/x/{i}.tif", (lr * 200).clip(0, 255).astype(np.uint8))
             write_tiff(f"{root}/{d}/y/{i}.tif", (hr * 200).clip(0, 255).astype(np.uint8))
@@ -58,11 +63,12 @@ def test_super_resolution_2d(tmp_path):
 
 @pytest.mark.slow
 def test_denoising_n2v_2d(tmp_path):
+    rng = np.random.default_rng(12)
     root = str(tmp_path)
     for d, n in [("train", 8), ("test", 2)]:
         os.makedirs(f"{root}/{d}/x")
         for i in range(n):
-            img = _noisy_circles((64, 64), noise=0.2)
+            img = _noisy_circles((64, 64), noise=0.2, rng=rng)
             write_tiff(f"{root}/{d}/x/{i}.tif", (img * 180).clip(0, 255).astype(np.uint8))
     cfg = {
         "PROBLEM": {"TYPE": "DENOISING", "NDIM": "2D"},
@@ -82,13 +88,14 @@ def test_denoising_n2v_2d(tmp_path):
 
 @pytest.mark.slow
 def test_classification_2d(tmp_path):
+    rng = np.random.default_rng(13)
     root = str(tmp_path)
     for d, n in [("train", 40), ("test", 8)]:
         for ci, cname in enumerate(["dark", "bright"]):
             os.makedirs(f"{root}/{d}/{cname}", exist_ok=True)
             for i in range(n // 2):
                 base = 40 if ci == 0 else 200
-                img = (RNG.normal(base, 15, (32, 32))).clip(0, 255).astype(np.uint8)
+                img = (rng.normal(base, 15, (32, 32))).clip(0, 255).astype(np.uint8)
                 write_tiff(f"{root}/{d}/{cname}/{i}.tif", img)
     cfg = {
         "PROBLEM": {"TYPE": "CLASSIFICATION", "NDIM": "2D"},
@@ -107,11 +114,12 @@ def test_classification_2d(tmp_path):
 
 @pytest.mark.slow
 def test_ssl_crappify_2d(tmp_path):
+    rng = np.random.default_rng(14)
     root = str(tmp_path)
     for d, n in [("train", 8), ("test", 2)]:
         os.makedirs(f"{root}/{d}/x")
         for i in range(n):
-            img = _noisy_circles((64, 64), noise=0.02)
+            img = _noisy_circles((64, 64), noise=0.02, rng=rng)
             write_tiff(f"{root}/{d}/x/{i}.tif", (img * 200).clip(0, 255).astype(np.uint8))
     cfg = {
         "PROBLEM": {"TYPE": "SELF_SUPERVISED", "NDIM": "2D",
@@ -132,12 +140,13 @@ def test_ssl_crappify_2d(tmp_path):
 
 @pytest.mark.slow
 def test_image_to_image_2d(tmp_path):
+    rng = np.random.default_rng(15)
     root = str(tmp_path)
     for d, n in [("train", 8), ("test", 2)]:
         os.makedirs(f"{root}/{d}/x")
         os.makedirs(f"{root}/{d}/y")
         for i in range(n):
-            img = _noisy_circles((64, 64), noise=0.05)
+            img = _noisy_circles((64, 64), noise=0.05, rng=rng)
             write_tiff(f"{root}/{d}/x/{i}.tif", (img * 200).clip(0, 255).astype(np.uint8))
             write_tiff(f"{root}/{d}/y/{i}.tif", (255 - (img * 200).clip(0, 255)).astype(np.uint8))
     cfg = {
