@@ -1,0 +1,116 @@
+"""ctypes bindings for the native host ops (hostops.cpp).
+
+Compiled on first import with g++ -O3 (cached as a .so next to the source).
+These are the first-party replacements for the scikit-image / fill-voids
+C extensions the reference depends on (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "hostops.cpp")
+_SO = os.path.join(_HERE, "_hostops.so")
+
+_lib = None
+
+
+def _build() -> str:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
+    os.close(fd)
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _SO)
+    return _SO
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(_build())
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.watershed.argtypes = [f32p, i32p, u8p, i64p, ctypes.c_int]
+    lib.watershed.restype = None
+    lib.connected_components.argtypes = [u8p, i32p, i64p, ctypes.c_int]
+    lib.connected_components.restype = ctypes.c_int32
+    lib.fill_holes.argtypes = [u8p, i64p, ctypes.c_int]
+    lib.fill_holes.restype = None
+    lib.union_find_merge.argtypes = [i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int64]
+    lib.union_find_merge.restype = None
+    _lib = lib
+    return lib
+
+
+def _shape_arr(a: np.ndarray):
+    return (ctypes.c_int64 * a.ndim)(*a.shape)
+
+
+def watershed(topography: np.ndarray, markers: np.ndarray,
+              mask: Optional[np.ndarray] = None) -> np.ndarray:
+    """Marker-controlled watershed (priority flood).
+
+    ``topography``: flood in increasing order of this map; ``markers``: int
+    seed labels (0 = unlabelled); ``mask``: restrict growth to mask != 0.
+    """
+    lib = _load()
+    topo = np.ascontiguousarray(topography, dtype=np.float32)
+    labels = np.ascontiguousarray(markers, dtype=np.int32).copy()
+    m = None
+    if mask is not None:
+        m = np.ascontiguousarray(mask != 0, dtype=np.uint8)
+    lib.watershed(
+        topo.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) if m is not None else None,
+        _shape_arr(topo), topo.ndim,
+    )
+    return labels
+
+
+def connected_components(mask: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Label face-connected components of a binary mask; returns (labels, n)."""
+    lib = _load()
+    m = np.ascontiguousarray(mask != 0, dtype=np.uint8)
+    labels = np.zeros(m.shape, dtype=np.int32)
+    n = lib.connected_components(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _shape_arr(m), m.ndim,
+    )
+    return labels, int(n)
+
+
+def fill_holes(mask: np.ndarray) -> np.ndarray:
+    """Fill background cavities not connected to the border."""
+    lib = _load()
+    m = np.ascontiguousarray(mask != 0, dtype=np.uint8)
+    lib.fill_holes(m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _shape_arr(m), m.ndim)
+    return m.astype(bool)
+
+
+def union_find_merge(edges: np.ndarray, n_labels: int) -> np.ndarray:
+    """Canonical relabel map from merge edges (k, 2) over labels 1..n."""
+    lib = _load()
+    e = np.ascontiguousarray(edges, dtype=np.int32).reshape(-1, 2)
+    a = np.ascontiguousarray(e[:, 0])
+    b = np.ascontiguousarray(e[:, 1])
+    remap = np.zeros(n_labels + 1, dtype=np.int32)
+    lib.union_find_merge(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(e), remap.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_labels,
+    )
+    return remap
