@@ -1,0 +1,271 @@
+"""Instance/detection post-processing.
+
+Reference analog: biapy/data/post_processing/post_processing.py
+(watershed_by_channels:121, remove_close_points:1994, voronoi expansion:1742,
+measure+filter instance properties:2420, median filtering:1218).
+
+Accelerated sequential kernels (watershed, connected components, hole fill)
+come from the first-party C++ module (biapy_tpu/native); everything else is
+NumPy/SciPy.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+from biapy_tpu.native import connected_components, fill_holes, watershed
+
+
+def _otsu(x: np.ndarray) -> float:
+    """Otsu threshold on float data (reference uses skimage's
+    threshold_otsu for its automatic seed thresholds)."""
+    hist, edges = np.histogram(x.reshape(-1), bins=256)
+    centers = (edges[:-1] + edges[1:]) / 2
+    w = hist.astype(np.float64)
+    total = w.sum()
+    if total == 0:
+        return 0.5
+    sum_all = (w * centers).sum()
+    w_bg = np.cumsum(w)
+    sum_bg = np.cumsum(w * centers)
+    w_fg = total - w_bg
+    valid = (w_bg > 0) & (w_fg > 0)
+    mean_bg = np.where(valid, sum_bg / np.maximum(w_bg, 1e-12), 0)
+    mean_fg = np.where(valid, (sum_all - sum_bg) / np.maximum(w_fg, 1e-12), 0)
+    between = w_bg * w_fg * (mean_bg - mean_fg) ** 2
+    return float(centers[int(np.argmax(between))])
+
+
+def watershed_by_channels(
+    data: np.ndarray,
+    channel_codes: Sequence[str],
+    seed_channels: Optional[Sequence[str]] = None,
+    seed_channel_ths: Optional[Sequence[float]] = None,
+    growth_mask_channels: Optional[Sequence[str]] = None,
+    growth_mask_channel_ths: Optional[Sequence[float]] = None,
+    topo_surface_channel: str = "",
+    seed_morph_sequence: Sequence[str] = (),
+    seed_morph_radius: Sequence[int] = (),
+    erode_and_dilate_growth_mask: bool = False,
+    fore_erosion_radius: int = 5,
+    fore_dilation_radius: int = 5,
+    remove_before: bool = False,
+    thres_small_before: int = 10,
+) -> np.ndarray:
+    """Marker-controlled watershed over predicted channels (reference:
+    watershed_by_channels, post_processing.py:121).
+
+    ``data``: channels-last predictions; ``channel_codes``: the semantic code
+    of each channel (e.g. ["F","C"]). Seeds = AND of thresholded seed
+    channels (contour channels contribute inverted, "under threshold");
+    growth mask = thresholded foreground; topography = -distance channel if
+    present else contour probability else -EDT of the mask.
+    """
+
+    def chan(code: str) -> Optional[np.ndarray]:
+        off = 0
+        for c, n in zip(channel_codes, [1] * len(channel_codes)):
+            if c == code:
+                return data[..., off]
+            off += 1
+        return None
+
+    seed_channels = list(seed_channels) if seed_channels else []
+    seed_channel_ths = list(seed_channel_ths) if seed_channel_ths else []
+    growth_mask_channels = list(growth_mask_channels) if growth_mask_channels else []
+    growth_mask_channel_ths = list(growth_mask_channel_ths) if growth_mask_channel_ths else []
+
+    fg_chan = chan("F")
+    if fg_chan is None:
+        fg_chan = 1.0 - chan("B") if chan("B") is not None else np.ones(data.shape[:-1], np.float32)
+
+    # default seed recipe (reference auto mode): F over th AND C under th
+    if not seed_channels:
+        seed_channels = [c for c in ("F", "P", "Db", "D") if chan(c) is not None][:1] or ["F"]
+        if chan("C") is not None:
+            seed_channels.append("C")
+        seed_channel_ths = ["auto"] * len(seed_channels)
+    if not growth_mask_channels:
+        growth_mask_channels = ["F"]
+        growth_mask_channel_ths = ["auto"]
+
+    seeds_mask = np.ones(data.shape[:-1], bool)
+    for code, th in zip(seed_channels, seed_channel_ths):
+        c = chan(code)
+        if c is None:
+            continue
+        t = _otsu(c) if (th in ("auto", -1, None)) else float(th)
+        if code == "C":  # contours suppress seeds
+            seeds_mask &= c < t
+        else:
+            seeds_mask &= c > t
+
+    # seed morphology (reference: SEED_MORPH_SEQUENCE)
+    for op, r in zip(seed_morph_sequence, seed_morph_radius):
+        it = max(1, int(r))
+        if op == "erode":
+            seeds_mask = ndimage.binary_erosion(seeds_mask, iterations=it)
+        elif op == "dilate":
+            seeds_mask = ndimage.binary_dilation(seeds_mask, iterations=it)
+
+    growth = np.ones(data.shape[:-1], bool)
+    for code, th in zip(growth_mask_channels, growth_mask_channel_ths):
+        c = chan(code)
+        if c is None:
+            continue
+        t = _otsu(c) if (th in ("auto", -1, None)) else float(th)
+        growth &= c > t
+    if erode_and_dilate_growth_mask:
+        growth = ndimage.binary_erosion(growth, iterations=max(1, fore_erosion_radius))
+        growth = ndimage.binary_dilation(growth, iterations=max(1, fore_dilation_radius))
+    seeds_mask &= growth
+
+    markers, n = connected_components(seeds_mask)
+    if remove_before and thres_small_before > 0 and n > 0:
+        sizes = np.bincount(markers.reshape(-1))
+        small = np.nonzero(sizes < thres_small_before)[0]
+        if len(small):
+            markers[np.isin(markers, small)] = 0
+
+    # topography: prefer a distance channel (invert), else the contour map,
+    # else -EDT of the growth mask.
+    dist = chan("Db") if chan("Db") is not None else chan("D")
+    if dist is not None:
+        topo = -dist.astype(np.float32)
+    elif chan("C") is not None:
+        topo = chan("C").astype(np.float32)
+    else:
+        topo = -ndimage.distance_transform_edt(growth).astype(np.float32)
+
+    return watershed(topo, markers, growth)
+
+
+def remove_small_instances(labels: np.ndarray, min_size: int) -> np.ndarray:
+    if min_size <= 0:
+        return labels
+    sizes = np.bincount(labels.reshape(-1))
+    small = np.nonzero(sizes < min_size)[0]
+    out = labels.copy()
+    out[np.isin(out, small) & (out > 0)] = 0
+    return out
+
+
+def relabel_sequential(labels: np.ndarray) -> np.ndarray:
+    uniq = np.unique(labels)
+    uniq = uniq[uniq > 0]
+    remap = np.zeros(int(labels.max()) + 1, labels.dtype)
+    remap[uniq] = np.arange(1, len(uniq) + 1, dtype=labels.dtype)
+    return remap[labels]
+
+
+def peak_local_max(img: np.ndarray, min_distance: int = 1, threshold_abs: float = 0.0,
+                   exclude_border: bool = False) -> np.ndarray:
+    """Local maxima coordinates (reference uses skimage peak_local_max in the
+    detection workflow). Returns (n, ndim) coords sorted by peak value desc."""
+    size = 2 * min_distance + 1
+    maxf = ndimage.maximum_filter(img, size=size, mode="constant", cval=-np.inf)
+    peaks = (img == maxf) & (img > threshold_abs)
+    if exclude_border and min_distance > 0:
+        for d in range(img.ndim):
+            sl = [slice(None)] * img.ndim
+            sl[d] = slice(0, min_distance)
+            peaks[tuple(sl)] = False
+            sl[d] = slice(-min_distance, None)
+            peaks[tuple(sl)] = False
+    coords = np.argwhere(peaks)
+    if len(coords) == 0:
+        return coords
+    vals = img[tuple(coords.T)]
+    order = np.argsort(-vals)
+    coords = coords[order]
+    # greedy min-distance suppression, like peak_local_max's behavior
+    if min_distance > 1 and len(coords) > 1:
+        kept: List[np.ndarray] = []
+        for c in coords:
+            if all(np.linalg.norm(c - k) >= min_distance for k in kept):
+                kept.append(c)
+        coords = np.asarray(kept)
+    return coords
+
+
+def remove_close_points(points: np.ndarray, radius: float,
+                        resolution: Sequence[float] = (1, 1, 1),
+                        classes: Optional[np.ndarray] = None) -> np.ndarray:
+    """Greedy removal of points closer than ``radius`` (reference:
+    post_processing.py:1994)."""
+    if len(points) == 0:
+        return points
+    res = np.asarray(resolution[: points.shape[1]], np.float32)
+    kept: List[int] = []
+    pts = np.asarray(points, np.float32) * res
+    for i in range(len(pts)):
+        if all(np.linalg.norm(pts[i] - pts[j]) >= radius for j in kept):
+            kept.append(i)
+    return np.asarray(points)[kept]
+
+
+def voronoi_on_mask(labels: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Expand instances to fill a mask by nearest-instance assignment
+    (reference: voronoi expansion, post_processing.py:1742)."""
+    if labels.max() == 0:
+        return labels
+    dist, (inds) = ndimage.distance_transform_edt(labels == 0, return_indices=True)
+    expanded = labels[tuple(inds)]
+    out = labels.copy()
+    grow = (labels == 0) & (mask > 0)
+    out[grow] = expanded[grow]
+    return out
+
+
+def apply_median_filter(img: np.ndarray, axes: Sequence[str], sizes: Sequence[int]) -> np.ndarray:
+    """Axis-restricted median filtering (reference: post_processing.py:1218,
+    TEST.POST_PROCESSING.MEDIAN_FILTER)."""
+    out = img
+    for axis_spec, s in zip(axes, sizes):
+        size = [1] * out.ndim
+        spec = axis_spec.lower()
+        nd = out.ndim - 1  # channels-last
+        ax_map = {"z": 0, "y": nd - 2, "x": nd - 1} if nd == 3 else {"y": 0, "x": 1}
+        for a in spec:
+            if a in ax_map:
+                size[ax_map[a]] = s
+        out = ndimage.median_filter(out, size=tuple(size))
+    return out
+
+
+def measure_instance_properties(labels: np.ndarray, resolution: Sequence[float] = (1, 1, 1)) -> Dict[str, np.ndarray]:
+    """Per-instance morphology: size, centroid, diameter, circularity-ish
+    (reference: measure/filter props -> CSV, post_processing.py:2420)."""
+    objs = ndimage.find_objects(labels)
+    ids, sizes, centroids, diameters = [], [], [], []
+    for lab, sl in zip(range(1, len(objs) + 1), objs):
+        if sl is None:
+            continue
+        m = labels[sl] == lab
+        ids.append(lab)
+        sizes.append(int(m.sum()))
+        com = ndimage.center_of_mass(m)
+        centroids.append([float(c + s.start) for c, s in zip(com, sl)])
+        diameters.append(float(2 * (m.sum() * 3 / (4 * np.pi)) ** (1 / 3)) if labels.ndim == 3
+                         else float(2 * np.sqrt(m.sum() / np.pi)))
+    return {"id": np.asarray(ids), "size": np.asarray(sizes),
+            "centroid": np.asarray(centroids), "diameter": np.asarray(diameters)}
+
+
+def filter_instances_by_properties(labels: np.ndarray, props: Sequence[str],
+                                   values: Sequence[float], signs: Sequence[str]) -> np.ndarray:
+    """Remove instances matching the (prop, sign, value) conditions."""
+    measured = measure_instance_properties(labels)
+    drop = np.zeros(len(measured["id"]), bool)
+    fns = {"gt": np.greater, "lt": np.less, "ge": np.greater_equal, "le": np.less_equal,
+           "gte": np.greater_equal, "lte": np.less_equal}
+    for p, v, s in zip(props, values, signs):
+        if p in measured:
+            drop |= fns[s](measured[p], v)
+    out = labels.copy()
+    for lab in measured["id"][drop]:
+        out[out == lab] = 0
+    return out

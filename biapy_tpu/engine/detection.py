@@ -1,0 +1,176 @@
+"""Detection workflow: point heatmap regression.
+
+Reference analog: biapy/engine/detection.py (Detection_Workflow:47, 1418
+LoC): GT points (CSV files with (z,)y,x coordinates, or pre-made point
+masks) are dilated into point masks (pre_processing.create_detection_masks);
+the model regresses the heatmap with rebalanced BCE; at test time peaks are
+extracted (peak_local_max), optionally de-duplicated
+(TEST.POST_PROCESSING.REMOVE_CLOSE_POINTS), written to CSV, and scored
+against GT points with distance tolerance TEST.DET_TOLERANCE.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from biapy_tpu.data.post_processing import peak_local_max, remove_close_points
+from biapy_tpu.data.pre_processing import create_detection_masks
+from biapy_tpu.engine import metrics as M
+from biapy_tpu.engine.base_workflow import Base_Workflow
+from biapy_tpu.utils.matching import detection_metrics
+
+
+def read_points_csv(path: str, ndim: int) -> np.ndarray:
+    """Read point coordinates from a CSV (header optional; columns
+    (z,)y,x [,class]; reference: detection workflow CSV IO)."""
+    pts = []
+    with open(path) as f:
+        for row in csv.reader(f):
+            if not row:
+                continue
+            try:
+                vals = [float(v) for v in row[:ndim]]
+            except ValueError:
+                continue  # header
+            pts.append(vals)
+    return np.asarray(pts, dtype=np.float32).reshape(-1, ndim)
+
+
+def points_from_mask(mask: np.ndarray) -> np.ndarray:
+    """Centroids of connected components of a point mask."""
+    from scipy import ndimage
+
+    lab, n = __import__("biapy_tpu.native", fromlist=["connected_components"]).connected_components(
+        mask > 0.5
+    )
+    if n == 0:
+        return np.zeros((0, mask.ndim), np.float32)
+    coms = ndimage.center_of_mass(mask > 0.5, lab, range(1, n + 1))
+    return np.asarray(coms, dtype=np.float32)
+
+
+class Detection_Workflow(Base_Workflow):
+    def define_activations_and_channels(self):
+        cfg = self.cfg
+        self.n_classes = max(int(cfg.DATA.N_CLASSES), 2)
+        self.output_channels = [1]
+        self.activations = ["ce_sigmoid"]
+        self.output_channel_info = ["points"]
+
+    def define_metrics(self):
+        cfg = self.cfg
+        self.loss = M.detection_loss(
+            channel_weights=tuple(cfg.PROBLEM.DETECTION.DATA_CHANNEL_WEIGHTS),
+            class_rebalance_within_channels=bool(cfg.PROBLEM.DETECTION.CLASS_REBALANCE_WITHIN_CHANNELS),
+            num_classes=self.n_classes,
+        )
+        self.train_metrics = {"iou": lambda out, y: M.jaccard_index(out, y[..., :1])}
+
+    # -- data -----------------------------------------------------------------
+    def _prepare_detection_masks(self, split: str):
+        """If the GT dir holds CSV point lists, compile cached point-mask
+        TIFFs (reference: prepare_detection_data / create_detection_masks)."""
+        import glob
+
+        from biapy_tpu.data.io import list_image_files, read_img_as_ndarray, save_tif
+
+        node = self.cfg.DATA[split]
+        gt_dir = node.GT_PATH
+        csvs = sorted(glob.glob(os.path.join(str(gt_dir), "*.csv")))
+        if not csvs:
+            return  # GT is already masks
+        mask_dir = node.DETECTION_MASK_DIR
+        xs = list_image_files(node.PATH)
+        if len(xs) != len(csvs):
+            raise ValueError(f"{split}: {len(xs)} images but {len(csvs)} CSV point files")
+        regen = not os.path.isdir(mask_dir) or len(list_image_files(mask_dir)) != len(csvs)
+        if regen:
+            os.makedirs(mask_dir, exist_ok=True)
+            dil = list(self.cfg.PROBLEM.DETECTION.CENTRAL_POINT_DILATION)
+            if len(dil) == 1:
+                dil = dil * self.nd
+            for xp, cp in zip(xs, csvs):
+                img = read_img_as_ndarray(xp, is_3d=self.is_3d)
+                pts = read_points_csv(cp, self.nd)
+                mask = create_detection_masks(pts, img.shape[: self.nd], dilation=dil,
+                                              n_classes=self.n_classes)
+                save_tif(mask[None].astype(np.uint8),
+                         mask_dir, [os.path.basename(xp)], verbose=False)
+        frozen = self.cfg.is_frozen()
+        if frozen:
+            self.cfg.defrost()
+        self.cfg.DATA[split].GT_PATH = mask_dir
+        if frozen:
+            self.cfg.freeze()
+
+    def train(self):
+        self._prepare_detection_masks("TRAIN")
+        if not self.cfg.DATA.VAL.FROM_TRAIN:
+            self._prepare_detection_masks("VAL")
+        super().train()
+
+    def test(self, image=None, gt=None):
+        if image is None and self.cfg.DATA.TEST.LOAD_GT:
+            self._prepare_detection_masks("TEST")
+        super().test(image=image, gt=gt)
+
+    def prepare_targets_fn(self):
+        dil = list(self.cfg.PROBLEM.DETECTION.CENTRAL_POINT_DILATION)
+
+        def target_fn(img, gt, rng):
+            # gt arrives as a point mask image (CSV GT is converted at data
+            # prep time); dilate thin points if they are single pixels.
+            return img, gt
+
+        return target_fn
+
+    # -- test -----------------------------------------------------------------
+    def _extract_points(self, heatmap: np.ndarray) -> np.ndarray:
+        cfg = self.cfg
+        th = float(cfg.TEST.DET_MIN_TH_TO_BE_PEAK)
+        coords = peak_local_max(
+            heatmap[..., 0],
+            min_distance=int(cfg.TEST.DET_PEAK_LOCAL_MAX_MIN_DISTANCE),
+            threshold_abs=th,
+            exclude_border=bool(cfg.TEST.DET_EXCLUDE_BORDER),
+        )
+        pp = cfg.TEST.POST_PROCESSING
+        if pp.REMOVE_CLOSE_POINTS and len(coords):
+            coords = remove_close_points(
+                coords, float(pp.REMOVE_CLOSE_POINTS_RADIUS),
+                resolution=list(cfg.DATA.TEST.RESOLUTION) if cfg.DATA.TEST.RESOLUTION else (1,) * self.nd,
+            )
+        return coords
+
+    def metric_calculation(self, pred: np.ndarray, gt: Optional[np.ndarray]) -> Dict[str, float]:
+        m: Dict[str, float] = {}
+        if gt is not None:
+            gtb = (gt[..., :1] > 0.5).astype(np.float32)
+            m["iou"] = float(M.jaccard_index_numpy(gtb, pred[..., :1]))
+        coords = self._extract_points(pred)
+        self._last_points = coords
+        if gt is not None:
+            true_pts = points_from_mask(gt[..., 0])
+            dm = detection_metrics(true_pts, coords, float(self.cfg.TEST.DET_TOLERANCE))
+            m.update({f"det_{k}": float(v) for k, v in dm.items()})
+        return m
+
+    def after_merge_patches(self, pred, sample, fname):
+        coords = getattr(self, "_last_points", None)
+        if coords is None:
+            coords = self._extract_points(pred)
+        if self.save_to_disk:
+            out_dir = self.cfg.PATHS.RESULT_DIR.DET_LOCAL_MAX_COORDS_CHECK
+            os.makedirs(out_dir, exist_ok=True)
+            base = os.path.splitext(fname)[0]
+            with open(os.path.join(out_dir, base + "_points.csv"), "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["axis-0", "axis-1", "axis-2"][: self.nd])
+                for c in coords:
+                    w.writerow([int(v) for v in c])
+        self._predictions.append({"role": "points", "points": coords, "file": fname})
+        self._last_points = None

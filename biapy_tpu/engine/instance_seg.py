@@ -1,0 +1,271 @@
+"""Instance segmentation workflow.
+
+Reference analog: biapy/engine/instance_seg.py
+(Instance_Segmentation_Workflow:79, 3080 LoC): channel-representation heads
+with per-channel activations/losses (:238-480), GT label -> channel compile
+cached next to the GT (prepare_instance_data:2864 ->
+pre_processing.create_instance_channels:387), instance creation via
+marker-controlled watershed (post_processing.py:121), matching-stats
+evaluation (utils/matching.py). StarDist NMS / Cellpose flow tracking /
+EmbedSeg clustering and the synapse mode are later verticals.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from biapy_tpu.data.post_processing import (
+    relabel_sequential,
+    remove_small_instances,
+    voronoi_on_mask,
+    watershed_by_channels,
+)
+from biapy_tpu.data.pre_processing import channels_per_code, labels_into_channels
+from biapy_tpu.engine import metrics as M
+from biapy_tpu.engine.base_workflow import Base_Workflow
+from biapy_tpu.utils.matching import aggregate_matching, matching
+
+BINARY_CODES = ("B", "F", "P", "C", "T", "M", "F_pre", "F_post", "F_cleft")
+REGRESSION_CODES = ("Dc", "Dn", "Z", "V", "H", "Db", "D", "R")
+FLOW_CODES = ("Gv", "Gh", "Gz")
+
+
+class Instance_Segmentation_Workflow(Base_Workflow):
+    def define_activations_and_channels(self):
+        cfg = self.cfg
+        inst = cfg.PROBLEM.INSTANCE_SEG
+        self.channel_codes: List[str] = list(inst.DATA_CHANNELS)
+        extra_l = list(inst.DATA_CHANNELS_EXTRA_OPTS)
+        self.channel_extra_opts: Dict = extra_l[0] if extra_l else {}
+        losses = list(inst.DATA_CHANNELS_LOSSES)
+        if not losses:
+            # auto defaults (reference: check_configuration.py:375): bce for
+            # binary codes, l1 for distances, mse for flows/offsets.
+            losses = []
+            for c in self.channel_codes:
+                if c in BINARY_CODES or c == "A":
+                    losses.append("bce")
+                elif c in FLOW_CODES or c in ("H", "V", "Z"):
+                    losses.append("mse")
+                else:
+                    losses.append("l1")
+        self.channel_losses = losses
+
+        acts: List[str] = []
+        self.channels_per_output: List[int] = []
+        for i, c in enumerate(self.channel_codes):
+            n = channels_per_code(c, self.channel_extra_opts)
+            self.channels_per_output.append(n)
+            if c in BINARY_CODES or c == "A":
+                acts.extend(["ce_sigmoid"] * n)
+            elif c == "D":
+                acts.extend(["tanh"] * n)
+            elif c in ("H", "V", "Z"):
+                acts.extend(["tanh" if self.channel_extra_opts.get(c, {}).get("act") == "tanh"
+                             else "linear"] * n)
+            else:
+                acts.extend(["linear"] * n)
+        total = sum(self.channels_per_output)
+        self.output_channels = [total]
+        self.activations = acts
+        # apply_activations works per activation entry with 1 channel each
+        self._act_channels = [1] * total
+        self.output_channel_info = ["+".join(self.channel_codes)]
+
+    def define_metrics(self):
+        cfg = self.cfg
+        inst = cfg.PROBLEM.INSTANCE_SEG
+        weights = list(inst.DATA_CHANNEL_WEIGHTS)
+        if len(weights) < len(self.channel_codes):
+            weights = weights + [1.0] * (len(self.channel_codes) - len(weights))
+        mask_distances = {}
+        for c in self.channel_codes:
+            opts = self.channel_extra_opts.get(c, {})
+            if c in ("Db", "Dc", "Dn", "H", "V", "Z") or c in FLOW_CODES:
+                mask_distances[c] = bool(opts.get("mask_values", True))
+        self.loss = M.instance_segmentation_loss(
+            out_channels=self.channel_codes,
+            losses_to_use=self.channel_losses,
+            channel_weights=weights,
+            channels_per_output=self.channels_per_output,
+            mask_distances=mask_distances,
+            class_rebalance_within_channels=bool(inst.CLASS_REBALANCE_WITHIN_CHANNELS),
+        )
+        # IoU of the first binary channel during training
+        first_bin = 0
+        off = 0
+        for c, n in zip(self.channel_codes, self.channels_per_output):
+            if c in BINARY_CODES:
+                first_bin = off
+                break
+            off += n
+        self.train_metrics = {
+            "iou": lambda out, y, _o=first_bin: M.jaccard_index(
+                (out["pred"] if isinstance(out, dict) else out)[..., _o : _o + 1],
+                y[..., _o : _o + 1],
+            )
+        }
+
+    # -- activations use per-channel granularity -------------------------------
+    def _predict_fn(self):
+        from biapy_tpu.engine.base_workflow import apply_activations
+        from biapy_tpu.engine.train_engine import make_predict_fn
+
+        acts, chans = self.activations, self._act_channels
+
+        def apply_with_acts(variables, x, train=False):
+            out = self.model.apply(variables, x, train=False)
+            if isinstance(out, dict):
+                out = out["pred"]
+            return apply_activations(out, acts, chans, training=False)
+
+        return make_predict_fn(apply_with_acts, mesh=self.mesh)
+
+    # -- data: GT labels -> channel masks ----------------------------------------
+    def _prepare_instance_data(self, split: str):
+        """Compile + cache channel masks (reference: prepare_instance_data,
+        instance_seg.py:2864; cached in DATA.*.INSTANCE_CHANNELS_MASK_DIR)."""
+        from biapy_tpu.data.io import list_image_files, read_img_as_ndarray, save_tif
+        from biapy_tpu.data.tiff import read_tiff
+
+        node = self.cfg.DATA[split]
+        gt_dir = str(node.GT_PATH)
+        out_dir = str(node.INSTANCE_CHANNELS_MASK_DIR)
+        gts = list_image_files(gt_dir)
+        if not gts:
+            raise FileNotFoundError(f"No GT instance label images in {gt_dir}")
+        if not os.path.isdir(out_dir) or len(list_image_files(out_dir)) != len(gts):
+            os.makedirs(out_dir, exist_ok=True)
+            if self.verbose:
+                print(f"Creating {self.channel_codes} channel masks for {split} in {out_dir}")
+            for p in gts:
+                lab = read_img_as_ndarray(p, is_3d=self.is_3d)
+                chans = labels_into_channels(lab, self.channel_codes, self.channel_extra_opts)
+                # .npy keeps arbitrary channel counts unambiguous (a 2D
+                # many-channel TIFF is indistinguishable from a z-stack)
+                base = os.path.splitext(os.path.basename(p))[0]
+                np.save(os.path.join(out_dir, base + ".npy"), chans.astype(np.float32))
+        frozen = self.cfg.is_frozen()
+        if frozen:
+            self.cfg.defrost()
+        # keep the raw instance GT dir for test-time matching stats
+        self._instance_gt_dirs = getattr(self, "_instance_gt_dirs", {})
+        self._instance_gt_dirs[split] = gt_dir
+        self.cfg.DATA[split].GT_PATH = out_dir
+        if frozen:
+            self.cfg.freeze()
+
+    def train(self):
+        self._prepare_instance_data("TRAIN")
+        if not self.cfg.DATA.VAL.FROM_TRAIN:
+            self._prepare_instance_data("VAL")
+        super().train()
+
+    def test(self, image=None, gt=None):
+        self.all_matching_stats: List[List[Dict]] = []
+        if image is None and self.cfg.DATA.TEST.LOAD_GT:
+            # keep raw instance GT for matching; channels not needed at test
+            self._instance_gt_dirs = getattr(self, "_instance_gt_dirs", {})
+            self._instance_gt_dirs["TEST"] = str(self.cfg.DATA.TEST.GT_PATH)
+        super().test(image=image, gt=gt)
+
+    # -- instances ---------------------------------------------------------------
+    def instance_seg_process(self, pred: np.ndarray) -> np.ndarray:
+        """Channel maps -> instance labels (reference: instance_seg_process,
+        instance_seg.py:924 -> watershed_by_channels)."""
+        cfg = self.cfg
+        ws = cfg.PROBLEM.INSTANCE_SEG.WATERSHED
+        # expand per-channel view: the watershed consumes one channel per code
+        # (multi-channel codes like R/A are not watershed drivers).
+        flat_codes: List[str] = []
+        flat_idx: List[int] = []
+        off = 0
+        for c, n in zip(self.channel_codes, self.channels_per_output):
+            flat_codes.append(c)
+            flat_idx.append(off)
+            off += n
+        data = np.stack([pred[..., i] for i in flat_idx], axis=-1)
+        labels = watershed_by_channels(
+            data,
+            flat_codes,
+            seed_channels=list(ws.SEED_CHANNELS),
+            seed_channel_ths=list(ws.SEED_CHANNELS_THRESH),
+            growth_mask_channels=list(ws.GROWTH_MASK_CHANNELS),
+            growth_mask_channel_ths=list(ws.GROWTH_MASK_CHANNELS_THRESH),
+            topo_surface_channel=str(ws.TOPOGRAPHIC_SURFACE_CHANNEL),
+            seed_morph_sequence=list(ws.SEED_MORPH_SEQUENCE),
+            seed_morph_radius=list(ws.SEED_MORPH_RADIUS),
+            erode_and_dilate_growth_mask=bool(ws.ERODE_AND_DILATE_GROWTH_MASK),
+            fore_erosion_radius=int(ws.FORE_EROSION_RADIUS),
+            fore_dilation_radius=int(ws.FORE_DILATION_RADIUS),
+            remove_before=bool(ws.DATA_REMOVE_BEFORE_MW),
+            thres_small_before=int(ws.DATA_REMOVE_SMALL_OBJ_BEFORE),
+        )
+        pp = cfg.TEST.POST_PROCESSING
+        if pp.VORONOI_ON_MASK:
+            fg_idx = flat_idx[flat_codes.index("F")] if "F" in flat_codes else flat_idx[0]
+            labels = voronoi_on_mask(labels, pred[..., fg_idx] > float(pp.VORONOI_TH or 0.5))
+        mp = pp.MEASURE_PROPERTIES
+        if mp.ENABLE and mp.REMOVE_BY_PROPERTIES.ENABLE:
+            from biapy_tpu.data.post_processing import filter_instances_by_properties
+
+            alias = {"area": "size", "npixels": "size", "volume": "size", "circularity": "size"}
+            for props, values, signs in zip(mp.REMOVE_BY_PROPERTIES.PROPS,
+                                            mp.REMOVE_BY_PROPERTIES.VALUES,
+                                            mp.REMOVE_BY_PROPERTIES.SIGNS):
+                props = [alias.get(str(p), str(p)) for p in props]
+                labels = filter_instances_by_properties(labels, props, values, signs)
+        return relabel_sequential(labels)
+
+    def after_merge_patches(self, pred, sample, fname):
+        cfg = self.cfg
+        instances = self.instance_seg_process(pred)
+        self._predictions.append({"role": "instances", "instances": instances, "file": fname})
+        if self.save_to_disk:
+            from biapy_tpu.data.io import save_tif
+
+            save_tif(instances[None][..., None].astype(np.uint16 if instances.max() < 2**16 else np.uint32),
+                     cfg.PATHS.RESULT_DIR.PER_IMAGE_INSTANCES, [fname], verbose=False)
+        # matching stats vs raw instance GT
+        gt_dir = getattr(self, "_instance_gt_dirs", {}).get("TEST")
+        if gt_dir and cfg.TEST.MATCHING_STATS:
+            from biapy_tpu.data.io import read_img_as_ndarray
+
+            gt_path = os.path.join(gt_dir, fname)
+            if os.path.exists(gt_path):
+                gt_lab = read_img_as_ndarray(gt_path, is_3d=self.is_3d)[..., 0].astype(np.int32)
+                stats = matching(gt_lab, instances, thresh=list(cfg.TEST.MATCHING_STATS_THS))
+                self.all_matching_stats.append(stats)
+                if self.verbose:
+                    for s in stats:
+                        print(f"  {fname} matching@{s['thresh']}: f1={s['f1']:.4f} "
+                              f"(tp={s['tp']} fp={s['fp']} fn={s['fn']})")
+
+    def after_all_images(self):
+        if getattr(self, "all_matching_stats", None):
+            agg = aggregate_matching(self.all_matching_stats)
+            self.matching_stats = agg
+            if self.verbose:
+                for s in agg:
+                    print(f"Dataset matching@{s['thresh']}: f1={s['f1']:.4f} "
+                          f"precision={s['precision']:.4f} recall={s['recall']:.4f}")
+
+    def metric_calculation(self, pred: np.ndarray, gt: Optional[np.ndarray]) -> Dict[str, float]:
+        # IoU of the first binary channel vs binarized GT labels
+        if gt is None:
+            return {}
+        off = 0
+        for c, n in zip(self.channel_codes, self.channels_per_output):
+            if c in BINARY_CODES and c != "B":
+                break
+            if c == "B":
+                off += n
+                continue
+            off += n
+        else:
+            off = 0
+        gtb = (gt[..., :1] > 0.5).astype(np.float32)
+        return {"iou": float(M.jaccard_index_numpy(gtb, pred[..., off : off + 1]))}
