@@ -137,6 +137,11 @@ class Base_Workflow(metaclass=ABCMeta):
     def after_all_images(self) -> None:
         """Post-hook after the whole test set (reference: :2415)."""
 
+    def tta_spec(self):
+        """Channel-semantics spec for TTA; None = all scalars. Instance seg
+        overrides with its representation spec."""
+        return None
+
     # ------------------------------------------------------------- model
     def prepare_model(self):
         if self.model is not None:
@@ -318,16 +323,28 @@ class Base_Workflow(metaclass=ABCMeta):
         ndev = len(self.mesh.devices.flatten())
         bs = batch_size or max(int(self.cfg.TRAIN.BATCH_SIZE), ndev)
         bs = int(math.ceil(bs / ndev) * ndev)
-        outs = []
-        for i in range(0, len(patches), bs):
-            chunk = patches[i : i + bs]
-            n = len(chunk)
-            if n < bs:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
-            sb = shard_batch(jnp.asarray(chunk), self.mesh)
-            out = np.asarray(jax.device_get(predict(variables, sb)))
-            outs.append(out[:n])
-        return np.concatenate(outs, axis=0)
+
+        def run_batches(p):
+            outs = []
+            for i in range(0, len(p), bs):
+                chunk = p[i : i + bs]
+                n = len(chunk)
+                if n < bs:
+                    chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
+                sb = shard_batch(jnp.asarray(chunk), self.mesh)
+                out = np.asarray(jax.device_get(predict(variables, sb)))
+                outs.append(out[:n])
+            return np.concatenate(outs, axis=0)
+
+        if self.cfg.TEST.AUGMENTATION:
+            # representation-aware TTA (reference: ensemble_predictions,
+            # post_processing.py:1371; tta.py)
+            from biapy_tpu.data.tta import ensemble_predictions
+
+            mode = (self.cfg.TEST.AUGMENTATION_MODE or "mean").lower()
+            return ensemble_predictions(run_batches, patches, spec=self.tta_spec(),
+                                        ndim=self.nd, mode=mode)
+        return run_batches(patches)
 
     def process_test_sample(self, img: np.ndarray, gt: Optional[np.ndarray], fname: str, sample=None):
         """Sliding-window inference on one image (reference:

@@ -109,6 +109,12 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             )
         }
 
+    def tta_spec(self):
+        from biapy_tpu.data.tta import build_tta_spec
+
+        return build_tta_spec(self.channel_codes, self.channels_per_output,
+                              self.nd, self.channel_extra_opts)
+
     # -- activations use per-channel granularity -------------------------------
     def _predict_fn(self):
         from biapy_tpu.engine.base_workflow import apply_activations
