@@ -234,6 +234,16 @@ def update_dependencies(cfg: CN, job_dir: str = ".", job_identifier: str = "job"
     if frozen:
         cfg.defrost()
 
+    # 3D problems: default 2-length OVERLAP/PADDING tuples gain a leading z
+    # entry (the reference's defaults are per-NDIM; ours is one tree).
+    if cfg.PROBLEM.NDIM == "3D":
+        for split in ("TRAIN", "VAL", "TEST"):
+            node = cfg.DATA[split]
+            for key in ("OVERLAP", "PADDING"):
+                v = node[key]
+                if len(v) == 2:
+                    node[key] = type(v)((0,)) + type(v)(v) if isinstance(v, tuple) else [0] + list(v)
+
     # Instance channel dirs sit next to the GT dirs, tagged by the channel code.
     chans = cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNELS
     tag = "".join(chans) if isinstance(chans, (list, tuple)) else str(chans)

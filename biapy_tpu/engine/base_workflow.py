@@ -385,6 +385,9 @@ class Base_Workflow(metaclass=ABCMeta):
         self._predictions = []
         self.metrics_per_test_file = []
         self._ensure_model_for_test()
+        if image is None and cfg.TEST.BY_CHUNKS.ENABLE and self.is_3d:
+            self.process_test_by_chunks()
+            return
         if image is not None:
             ds = prepare_in_memory_test_data(image, gt, self.is_3d)
         else:
@@ -405,6 +408,39 @@ class Base_Workflow(metaclass=ABCMeta):
             self.process_test_sample(img, g, fname, s)
         self.after_all_images()
         self.print_stats()
+
+    def process_test_by_chunks(self):
+        """Tile-streamed inference over huge Zarr/H5 volumes (reference:
+        process_test_sample_by_chunks, base_workflow.py:2469)."""
+        import jax
+
+        from biapy_tpu.data.io import list_image_files
+        from biapy_tpu.engine.chunked import ChunkedInference
+
+        cfg = self.cfg
+        bc = cfg.TEST.BY_CHUNKS
+        files = list_image_files(cfg.DATA.TEST.PATH)
+        out_ch = sum(self.output_channels)
+        phases = [str(p) for p in bc.PHASES]
+        for f in files:
+            base = os.path.splitext(os.path.basename(f))[0]
+            out_dir = os.path.join(cfg.PATHS.RESULT_DIR.PER_IMAGE, base + "_chunks")
+            ci = ChunkedInference(
+                self, tuple(cfg.DATA.PATCH_SIZE)[: self.nd], tuple(cfg.DATA.TEST.OVERLAP),
+                tuple(cfg.DATA.TEST.PADDING), tuple(bc.WORKFLOW_PROCESS.PATCHES_PER_TILE),
+                out_ch, out_dir, rank=jax.process_index(), world=jax.process_count(),
+            )
+            raw_path = os.path.join(out_dir, "raw_pred.zarr")
+            if "prediction" in phases:
+                raw_path = ci.predict_volume(
+                    f, z_range=(int(bc.Z_START), int(bc.Z_END)), verbose=self.verbose
+                )
+            self.after_by_chunks_prediction(ci, raw_path, base)
+        self.after_all_images()
+
+    def after_by_chunks_prediction(self, ci, raw_path: str, base: str) -> None:
+        """Workflow hook after the raw-prediction Zarr exists (instance seg
+        runs the tile watershed + merge here)."""
 
     def print_stats(self):
         """Aggregate per-image metrics (reference: print_stats, :2307)."""

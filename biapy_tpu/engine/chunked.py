@@ -1,0 +1,310 @@
+"""By-chunks inference engine: terabyte-scale volumes, tile by tile.
+
+Reference analog: the chunked path across base_workflow.py:2469-2743,
+chunked_test_pair_data_generator.py (rank_workload:403, shared-Zarr writes
+:753-833), chunked_tiles.py (ChunkedTileProcessor:15) and the 5-pass
+distributed instance merge (instance_seg.py:1915-2290).
+
+TPU-native design (SURVEY.md §5.7): the volume streams host->HBM one tile
+(+halo) at a time; each tile runs the on-device sliding-window stitch
+(biapy_tpu/ops/stitch.py — one compiled program per tile shape), and the
+blended tile core is written into a shared output Zarr. Tiles are sharded
+across processes round-robin; every process owns disjoint output regions so
+concurrent Zarr writes never collide (same invariant the reference relies
+on). The instance merge runs host-side:
+  A. per-tile instance creation (watershed) with halo context,
+  B. disjoint relabel via per-tile offsets (allgather of per-tile max ids),
+  C. boundary-face IoU edge extraction between adjacent tiles,
+  D. union-find on the edges (C++ op) -> canonical remap, broadcast,
+  E. rewrite every owned tile with canonical ids.
+
+Restartability: phases can run as separate jobs
+(TEST.BY_CHUNKS.PHASES / Z_START / Z_END, reference config.py:1918-1941) —
+the raw-prediction Zarr is the checkpoint between them.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from biapy_tpu.data.io import open_lazy
+from biapy_tpu.data.patching import compute_patch_grid, extract_patch, spline_window
+from biapy_tpu.data.zarr_store import ZarrArray
+from biapy_tpu.parallel import all_gather_objects, barrier, is_main_process
+
+
+@dataclass(frozen=True)
+class Tile:
+    index: Tuple[int, ...]           # tile grid coords
+    core_start: Tuple[int, ...]      # in volume coords
+    core_end: Tuple[int, ...]
+    halo_start: Tuple[int, ...]      # core +/- halo, clamped
+    halo_end: Tuple[int, ...]
+
+
+def tile_grid(vol_shape: Sequence[int], tile_size: Sequence[int], halo: Sequence[int]) -> List[Tile]:
+    """Split a volume into core tiles with clamped halos (reference:
+    chunked_tile_grid, data_3D_manipulation.py:1156)."""
+    nd = len(vol_shape)
+    counts = [max(1, math.ceil(vol_shape[d] / tile_size[d])) for d in range(nd)]
+    tiles = []
+    for flat in range(int(np.prod(counts))):
+        idx = []
+        rem = flat
+        for c in reversed(counts):
+            idx.append(rem % c)
+            rem //= c
+        idx = tuple(reversed(idx))
+        cs = tuple(idx[d] * tile_size[d] for d in range(nd))
+        ce = tuple(min(vol_shape[d], cs[d] + tile_size[d]) for d in range(nd))
+        hs = tuple(max(0, cs[d] - halo[d]) for d in range(nd))
+        he = tuple(min(vol_shape[d], ce[d] + halo[d]) for d in range(nd))
+        tiles.append(Tile(idx, cs, ce, hs, he))
+    return tiles
+
+
+class ChunkedInference:
+    """Runs sliding-window inference over a huge volume, tile by tile."""
+
+    def __init__(
+        self,
+        workflow,
+        patch_size: Sequence[int],
+        overlap: Sequence[float],
+        padding: Sequence[int],
+        patches_per_tile: Sequence[int],
+        out_channels: int,
+        out_dir: str,
+        rank: int = 0,
+        world: int = 1,
+    ):
+        self.wf = workflow
+        self.nd = len(patch_size)
+        self.patch = tuple(patch_size)
+        self.overlap = tuple(overlap)
+        self.padding = tuple(padding)
+        core = tuple(self.patch[d] - 2 * self.padding[d] for d in range(self.nd))
+        ppt = list(patches_per_tile) + [1] * (self.nd - len(patches_per_tile))
+        self.tile_size = tuple(core[d] * max(1, int(ppt[d])) for d in range(self.nd))
+        self.halo = tuple(self.padding)
+        self.out_channels = out_channels
+        self.out_dir = out_dir
+        self.rank = rank
+        self.world = world
+
+    def my_tiles(self, tiles: List[Tile]) -> List[Tile]:
+        """Round-robin tile ownership (reference: rank_workload)."""
+        return [t for i, t in enumerate(tiles) if i % self.world == self.rank]
+
+    # -- phase 1: raw prediction ---------------------------------------------
+    def predict_volume(self, vol_path: str, out_name: str = "raw_pred.zarr",
+                       z_range: Tuple[int, int] = (-1, -1),
+                       verbose: bool = True) -> str:
+        vol, handle = open_lazy(vol_path)
+        shape = tuple(vol.shape)
+        has_c = len(shape) == self.nd + 1
+        spatial = shape[: self.nd]
+        if z_range[0] >= 0 or z_range[1] >= 0:
+            z0 = max(0, z_range[0]) if z_range[0] >= 0 else 0
+            z1 = z_range[1] if z_range[1] >= 0 else spatial[0]
+        else:
+            z0, z1 = 0, spatial[0]
+
+        tiles = tile_grid(spatial, self.tile_size, self.halo)
+        tiles = [t for t in tiles if t.core_start[0] >= z0 and t.core_end[0] <= max(z1, t.core_end[0]) and t.core_start[0] < z1]
+        mine = self.my_tiles(tiles)
+
+        out_path = os.path.join(self.out_dir, out_name)
+        os.makedirs(self.out_dir, exist_ok=True)
+        out = ZarrArray.create(
+            out_path, shape=spatial + (self.out_channels,),
+            chunks=self.tile_size + (self.out_channels,), dtype="f4",
+            compressor={"id": "zlib", "level": 1},
+        )
+        if verbose and is_main_process():
+            print(f"[by-chunks] volume {spatial} -> {len(tiles)} tiles "
+                  f"({self.tile_size}), {len(mine)} owned by rank {self.rank}")
+
+        for ti, t in enumerate(mine):
+            region = tuple(slice(t.halo_start[d], t.halo_end[d]) for d in range(self.nd))
+            block = np.asarray(vol[region]).astype(np.float32)
+            if not has_c:
+                block = block[..., None]
+            from biapy_tpu.data.norm import normalize_image
+
+            block_n, _ = normalize_image(block, self.wf.norm_spec)
+            pred = self._predict_block(block_n)
+            core_sl_local = tuple(
+                slice(t.core_start[d] - t.halo_start[d],
+                      t.core_end[d] - t.halo_start[d]) for d in range(self.nd)
+            )
+            core_sl_out = tuple(slice(t.core_start[d], t.core_end[d]) for d in range(self.nd))
+            out[core_sl_out + (slice(None),)] = pred[core_sl_local]
+            if verbose:
+                print(f"[by-chunks] rank {self.rank}: tile {ti + 1}/{len(mine)} done")
+        if handle is not None:
+            handle.close()
+        barrier("chunked_raw_pred")
+        return out_path
+
+    def _predict_block(self, block: np.ndarray) -> np.ndarray:
+        """Sliding-window inference over one (halo-extended) tile; host path
+        via the workflow's jitted patch forward + spline merge."""
+        from biapy_tpu.data.patching import crop_data_with_overlap, merge_data_with_overlap
+
+        pad = tuple(min(self.padding[d], max(0, (self.patch[d] - block.shape[d]) // 2))
+                    for d in range(self.nd))
+        # ensure the block fits at least one patch
+        from biapy_tpu.data.patching import pad_to_min_shape
+
+        block_p, pads = pad_to_min_shape(block, self.patch)
+        patches, _ = crop_data_with_overlap(block_p[None], self.patch + (block.shape[-1],),
+                                            overlap=self.overlap, padding=self.padding)
+        preds = self.wf.predict_patches(patches)
+        merged = merge_data_with_overlap(
+            preds, (1,) + block_p.shape[: self.nd] + (self.out_channels,),
+            overlap=self.overlap, padding=self.padding,
+        )[0]
+        unpad = tuple(slice(p[0], merged.shape[d] - p[1]) for d, p in enumerate(pads))
+        return merged[unpad]
+
+    # -- phase 2+3: per-tile instances + cross-tile merge ----------------------
+    def create_and_merge_instances(
+        self,
+        raw_pred_path: str,
+        instance_fn: Callable[[np.ndarray], np.ndarray],
+        merge_iou_th: float = 0.3,
+        out_name: str = "instances.zarr",
+        min_instance_size: int = 0,
+        verbose: bool = True,
+    ) -> str:
+        """Pass A-E of the distributed instance merge (reference:
+        instance_seg.py:1915-2290)."""
+        pred = ZarrArray(raw_pred_path)
+        spatial = tuple(pred.shape[: self.nd])
+        tiles = tile_grid(spatial, self.tile_size, self.halo)
+        mine = self.my_tiles(tiles)
+        out_path = os.path.join(self.out_dir, out_name)
+        out = ZarrArray.create(out_path, shape=spatial, chunks=self.tile_size,
+                               dtype="i4", compressor={"id": "zlib", "level": 1})
+
+        # Pass A: per-tile instances (with halo context), core written out.
+        local_max: Dict[Tuple[int, ...], int] = {}
+        for t in mine:
+            region = tuple(slice(t.halo_start[d], t.halo_end[d]) for d in range(self.nd))
+            p = pred[region + (slice(None),)]
+            labels = instance_fn(p)
+            core_local = tuple(slice(t.core_start[d] - t.halo_start[d],
+                                     t.core_end[d] - t.halo_start[d]) for d in range(self.nd))
+            core = labels[core_local]
+            local_max[t.index] = int(core.max())
+            out[tuple(slice(t.core_start[d], t.core_end[d]) for d in range(self.nd))] = core
+        barrier("chunked_pass_a")
+
+        # Pass B: allgather per-tile max ids -> prefix offsets -> disjoint relabel.
+        gathered = all_gather_objects(local_max)
+        tile_max: Dict[Tuple[int, ...], int] = {}
+        for g in gathered:
+            tile_max.update(g)
+        order = sorted(tile_max.keys())
+        offsets: Dict[Tuple[int, ...], int] = {}
+        acc = 0
+        for k in order:
+            offsets[k] = acc
+            acc += tile_max[k]
+        total_ids = acc
+        for t in mine:
+            if tile_max.get(t.index, 0) == 0:
+                continue
+            sl = tuple(slice(t.core_start[d], t.core_end[d]) for d in range(self.nd))
+            lab = out[sl]
+            lab[lab > 0] += offsets[t.index]
+            out[sl] = lab
+        barrier("chunked_pass_b")
+
+        # Pass C: boundary-face edges between adjacent tiles (IoU over the
+        # touching faces).
+        edges: List[Tuple[int, int]] = []
+        index_map = {t.index: t for t in tiles}
+        for t in mine:
+            for d in range(self.nd):
+                nb_idx = list(t.index)
+                nb_idx[d] += 1
+                nb = index_map.get(tuple(nb_idx))
+                if nb is None:
+                    continue
+                face_a_sl = []
+                face_b_sl = []
+                for dd in range(self.nd):
+                    if dd == d:
+                        face_a_sl.append(slice(t.core_end[d] - 1, t.core_end[d]))
+                        face_b_sl.append(slice(nb.core_start[d], nb.core_start[d] + 1))
+                    else:
+                        lo = max(t.core_start[dd], nb.core_start[dd])
+                        hi = min(t.core_end[dd], nb.core_end[dd])
+                        face_a_sl.append(slice(lo, hi))
+                        face_b_sl.append(slice(lo, hi))
+                a = out[tuple(face_a_sl)].reshape(-1)
+                b = out[tuple(face_b_sl)].reshape(-1)
+                both = (a > 0) & (b > 0)
+                if not both.any():
+                    continue
+                pairs, counts = np.unique(np.stack([a[both], b[both]]), axis=1, return_counts=True)
+                for (ia, ib), c in zip(pairs.T, counts):
+                    na = np.count_nonzero(a == ia)
+                    nb_ = np.count_nonzero(b == ib)
+                    iou = c / max(na + nb_ - c, 1)
+                    if iou >= merge_iou_th:
+                        edges.append((int(ia), int(ib)))
+        barrier("chunked_pass_c")
+
+        # Pass D: gather edges, union-find (C++), broadcast canonical remap.
+        all_edges: List[Tuple[int, int]] = []
+        for g in all_gather_objects(edges):
+            all_edges.extend(g)
+        from biapy_tpu.native import union_find_merge
+
+        if all_edges and total_ids > 0:
+            remap = union_find_merge(np.asarray(all_edges, np.int32), total_ids)
+        else:
+            remap = np.arange(total_ids + 1, dtype=np.int32)
+        # compact ids
+        used = np.unique(remap)
+        used = used[used > 0]
+        compact = np.zeros(total_ids + 1, np.int32)
+        compact[used] = np.arange(1, len(used) + 1, dtype=np.int32)
+        remap = compact[remap]
+
+        # Pass E: rewrite owned tiles with canonical ids, accumulating global
+        # per-id voxel counts for the post-merge size filter (instances are
+        # filtered AFTER merging — a fragment split across tiles must not be
+        # dropped for its per-tile size).
+        n_final = len(used)
+        local_sizes = np.zeros(n_final + 1, np.int64)
+        for t in mine:
+            sl = tuple(slice(t.core_start[d], t.core_end[d]) for d in range(self.nd))
+            lab = remap[out[sl]]
+            out[sl] = lab
+            local_sizes += np.bincount(lab.reshape(-1), minlength=n_final + 1)
+        barrier("chunked_pass_e")
+
+        if min_instance_size > 0:
+            sizes = np.sum(all_gather_objects(local_sizes), axis=0)
+            keep = sizes >= min_instance_size
+            keep[0] = False
+            final_map = np.zeros(n_final + 1, np.int32)
+            final_map[keep] = np.arange(1, int(keep.sum()) + 1, dtype=np.int32)
+            for t in mine:
+                sl = tuple(slice(t.core_start[d], t.core_end[d]) for d in range(self.nd))
+                out[sl] = final_map[out[sl]]
+            n_final = int(keep.sum())
+            barrier("chunked_size_filter")
+
+        if verbose and is_main_process():
+            print(f"[by-chunks] merged instances: {total_ids} tile-local ids -> {n_final} final")
+        return out_path

@@ -259,6 +259,49 @@ class Instance_Segmentation_Workflow(Base_Workflow):
                     print(f"Dataset matching@{s['thresh']}: f1={s['f1']:.4f} "
                           f"precision={s['precision']:.4f} recall={s['recall']:.4f}")
 
+    def _instance_fn_no_size_filter(self, pred: np.ndarray) -> np.ndarray:
+        """Tile-level instance creation without the size filter (applied
+        globally after the merge instead)."""
+        mp = self.cfg.TEST.POST_PROCESSING.MEASURE_PROPERTIES
+        was = mp.ENABLE
+        frozen = self.cfg.is_frozen()
+        if frozen:
+            self.cfg.defrost()
+        mp.ENABLE = False
+        try:
+            return self.instance_seg_process(pred)
+        finally:
+            mp.ENABLE = was
+            if frozen:
+                self.cfg.freeze()
+
+    def after_by_chunks_prediction(self, ci, raw_path: str, base: str) -> None:
+        """Per-tile watershed + 5-pass cross-tile merge (reference:
+        after_all_chunk_prediction_workflow_process, instance_seg.py:1915)."""
+        bc = self.cfg.TEST.BY_CHUNKS
+        phases = [str(p) for p in bc.PHASES]
+        if not bc.WORKFLOW_PROCESS.ENABLE:
+            return
+        # size filtering happens post-merge: pull a min size from the
+        # REMOVE_BY_PROPERTIES 'size lt X' rule when present
+        min_size = 0
+        mp = self.cfg.TEST.POST_PROCESSING.MEASURE_PROPERTIES
+        if mp.ENABLE and mp.REMOVE_BY_PROPERTIES.ENABLE:
+            for props, values, signs in zip(mp.REMOVE_BY_PROPERTIES.PROPS,
+                                            mp.REMOVE_BY_PROPERTIES.VALUES,
+                                            mp.REMOVE_BY_PROPERTIES.SIGNS):
+                for p, v, s in zip(props, values, signs):
+                    if str(p) in ("size", "area", "npixels", "volume") and s in ("lt", "le", "lte"):
+                        min_size = max(min_size, int(v))
+        if "instance_creation" in phases or "instance_merging" in phases:
+            inst_path = ci.create_and_merge_instances(
+                raw_path, self._instance_fn_no_size_filter,
+                merge_iou_th=float(bc.WORKFLOW_PROCESS.INSTANCE_SEG_MERGE_IOU_TH),
+                min_instance_size=min_size,
+                verbose=self.verbose,
+            )
+            self._predictions.append({"role": "instances_zarr", "path": inst_path, "file": base})
+
     def metric_calculation(self, pred: np.ndarray, gt: Optional[np.ndarray]) -> Dict[str, float]:
         # IoU of the first binary channel vs binarized GT labels
         if gt is None:

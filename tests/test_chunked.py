@@ -1,0 +1,165 @@
+"""By-chunks engine tests: tile grid, oracle instance merge, full pipeline."""
+
+import os
+
+import numpy as np
+import pytest
+
+from biapy_tpu.data.zarr_store import ZarrArray
+from biapy_tpu.engine.chunked import ChunkedInference, Tile, tile_grid
+from biapy_tpu.utils.matching import matching
+
+
+def _spheres(shape=(48, 96, 96), n=10, seed=3):
+    rng = np.random.default_rng(seed)
+    lab = np.zeros(shape, np.int32)
+    centers = []
+    tries = 0
+    while len(centers) < n and tries < 500:
+        tries += 1
+        c = rng.integers(8, np.array(shape) - 8)
+        r = int(rng.integers(4, 7))
+        if any(np.sum((c - cc) ** 2) < (r + rr + 2) ** 2 for cc, rr in centers):
+            continue
+        zz, yy, xx = np.mgrid[: shape[0], : shape[1], : shape[2]]
+        lab[((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2) < r * r] = len(centers) + 1
+        centers.append((c, r))
+    return lab
+
+
+def test_tile_grid_covers_volume():
+    tiles = tile_grid((48, 96, 96), (32, 48, 48), (8, 8, 8))
+    assert len(tiles) == 2 * 2 * 2
+    covered = np.zeros((48, 96, 96), bool)
+    for t in tiles:
+        sl = tuple(slice(s, e) for s, e in zip(t.core_start, t.core_end))
+        assert not covered[sl].any(), "tile cores must be disjoint"
+        covered[sl] = True
+    assert covered.all(), "tile cores must cover the volume"
+
+
+class _OracleWorkflow:
+    """Stub workflow whose 'prediction' is the GT channel representation."""
+
+    def __init__(self, labels):
+        from biapy_tpu.config.config import get_cfg_defaults
+
+        self.labels = labels
+        self.norm_spec = {"type": "none", "percentile_clip": False, "out_dtype": "float32"}
+        cfg = get_cfg_defaults()
+        cfg.merge_from_dict({
+            "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "3D",
+                        "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"]}},
+            "DATA": {"PATCH_SIZE": (32, 48, 48, 1)},
+        })
+        self.cfg = cfg
+
+    def predict_patches(self, patches):  # unused by the merge test
+        raise NotImplementedError
+
+
+def test_instance_merge_across_tiles(tmp_path):
+    """Oracle merge: per-tile watershed over GT-derived channels must
+    reassemble the global instances (reference: 5-pass merge)."""
+    from biapy_tpu.data.pre_processing import labels_into_channels
+    from biapy_tpu.engine.instance_seg import Instance_Segmentation_Workflow
+
+    labels = _spheres()
+    chans = labels_into_channels(labels, ["F", "C"])
+
+    # write the "raw prediction" zarr directly from the oracle channels
+    out_dir = str(tmp_path / "chunks")
+    os.makedirs(out_dir)
+    raw = ZarrArray.create(os.path.join(out_dir, "raw_pred.zarr"),
+                           shape=chans.shape, chunks=(32, 48, 48, 2), dtype="f4",
+                           compressor={"id": "zlib", "level": 1})
+    raw[:, :, :, :] = chans
+
+    wf = _OracleWorkflow(labels)
+    ci = ChunkedInference(wf, (32, 48, 48), (0, 0, 0), (4, 8, 8), (1, 1, 1), 2, out_dir)
+
+    # borrow the real workflow's watershed-based instance_fn
+    from biapy_tpu.config.config import get_cfg_defaults
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_dict({
+        "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "3D",
+                    "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"]}},
+        "DATA": {"PATCH_SIZE": (32, 48, 48, 1)},
+    })
+    inst_wf = Instance_Segmentation_Workflow.__new__(Instance_Segmentation_Workflow)
+    inst_wf.cfg = cfg
+    inst_wf.nd = 3
+    inst_wf.define_activations_and_channels()
+
+    inst_path = ci.create_and_merge_instances(
+        os.path.join(out_dir, "raw_pred.zarr"), inst_wf.instance_seg_process,
+        merge_iou_th=0.2, verbose=False,
+    )
+    merged = np.asarray(ZarrArray(inst_path))
+    n_true = int(labels.max())
+    stats = matching(labels, merged, thresh=[0.5])[0]
+    assert stats["f1"] > 0.9, stats
+    # instance count close to truth (no duplicated cross-tile ids)
+    n_pred = len(np.unique(merged)) - 1
+    assert abs(n_pred - n_true) <= 1, (n_pred, n_true)
+
+
+@pytest.mark.slow
+def test_by_chunks_end_to_end(tmp_path):
+    """Train a tiny 3D net on spheres, then by-chunks zarr inference with
+    instance merging (reference: run_checks Test24-style)."""
+    from biapy_tpu.data.tiff import write_tiff
+
+    rng = np.random.default_rng(5)
+    root = str(tmp_path)
+    os.makedirs(f"{root}/train/x")
+    os.makedirs(f"{root}/train/y")
+    for i in range(10):
+        lab = _spheres((32, 64, 64), n=5, seed=100 + i)
+        img = (lab > 0) * 0.7 + rng.normal(0, 0.08, lab.shape)
+        write_tiff(f"{root}/train/x/{i}.tif", (img * 200).clip(0, 255).astype(np.uint8))
+        write_tiff(f"{root}/train/y/{i}.tif", lab.astype(np.uint16))
+    # big test volume as zarr
+    os.makedirs(f"{root}/test/x")
+    lab_big = _spheres((48, 96, 96), n=10, seed=7)
+    img_big = ((lab_big > 0) * 0.7 + rng.normal(0, 0.08, lab_big.shape))
+    img_u8 = (img_big * 200).clip(0, 255).astype(np.uint8)
+    z = ZarrArray.create(f"{root}/test/x/vol.zarr", shape=img_u8.shape, chunks=(16, 48, 48),
+                         dtype="u1", compressor={"id": "zlib", "level": 1})
+    z[:, :, :] = img_u8
+
+    from biapy_tpu._biapy import BiaPy
+
+    cfg = {
+        "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "3D",
+                    "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"],
+                                     "WATERSHED": {"SEED_MORPH_SEQUENCE": ["erode", "dilate"],
+                                                   "SEED_MORPH_RADIUS": [1, 2]}}},
+        "DATA": {"PATCH_SIZE": (16, 32, 32, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y",
+                           "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "LOAD_GT": False, "PADDING": (2, 4, 4),
+                          "OVERLAP": (0, 0, 0)}},
+        "MODEL": {"ARCHITECTURE": "resunet", "FEATURE_MAPS": [8, 16], "DROPOUT_VALUES": [0.0, 0.0],
+                  "Z_DOWN": [1, 2], "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2],
+                  "ISOTROPY": [False, True]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 8,
+                  "EPOCHS": 25},
+        "TEST": {"ENABLE": True,
+                 "BY_CHUNKS": {"ENABLE": True,
+                               "WORKFLOW_PROCESS": {"ENABLE": True, "PATCHES_PER_TILE": [2, 2, 2],
+                                                    "INSTANCE_SEG_MERGE_IOU_TH": 0.2}},
+                 "POST_PROCESSING": {"MEASURE_PROPERTIES": {
+                     "ENABLE": True,
+                     "REMOVE_BY_PROPERTIES": {"ENABLE": True, "PROPS": [["size"]],
+                                              "VALUES": [[30]], "SIGNS": [["lt"]]}}}},
+    }
+    job = BiaPy(cfg, result_dir=root + "/results", name="chunk3d", silent=True)
+    job.run_job()
+    preds = [p for p in job.workflow._predictions if p["role"] == "instances_zarr"]
+    assert preds, "by-chunks instances zarr missing"
+    merged = np.asarray(ZarrArray(preds[0]["path"]))
+    stats = matching(lab_big, merged, thresh=[0.3])[0]
+    assert stats["f1"] > 0.5, stats
