@@ -1,0 +1,111 @@
+"""STU-Net: nnU-Net-style residual U-Net.
+
+Reference analog: biapy/models/stunet.py (STUNet:103, BasicResBlock:31,
+STUNet_small/base/large helpers: dims (16|32|64)*2^i, depth 1 or 2 per
+stage, strided-conv downsampling, nearest-upsample + 1-conv decoder,
+InstanceNorm + LeakyReLU). Works in 2D and 3D (the reference is 3D-only and
+notes the 2D port is the same pattern).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from biapy_tpu.models.blocks import KERNEL_INIT, Norm, upsample_nearest
+
+VARIANTS = {
+    "small": dict(dims=(16, 32, 64, 128, 256, 256), depth=(1,) * 6),
+    "base": dict(dims=(32, 64, 128, 256, 512, 512), depth=(1,) * 6),
+    "large": dict(dims=(64, 128, 256, 512, 1024, 1024), depth=(2,) * 6),
+    "huge": dict(dims=(96, 192, 384, 768, 1536, 1536), depth=(3,) * 6),
+}
+
+
+class BasicResBlock(nn.Module):
+    """conv -> IN -> lrelu -> conv -> IN -> +skip -> lrelu (reference:
+    stunet.py:31)."""
+
+    features: int
+    k: Sequence[int]
+    stride: Sequence[int] = ()
+    use_1x1conv: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nd = x.ndim - 2
+        stride = tuple(self.stride) if self.stride else (1,) * nd
+        y = nn.Conv(self.features, kernel_size=tuple(self.k), strides=stride, padding="SAME",
+                    kernel_init=KERNEL_INIT)(x)
+        y = nn.GroupNorm(num_groups=self.features, epsilon=1e-5)(y)
+        y = nn.leaky_relu(y, negative_slope=0.01)
+        y = nn.Conv(self.features, kernel_size=tuple(self.k), padding="SAME",
+                    kernel_init=KERNEL_INIT)(y)
+        y = nn.GroupNorm(num_groups=self.features, epsilon=1e-5)(y)
+        if self.use_1x1conv:
+            x = nn.Conv(self.features, kernel_size=(1,) * nd, strides=stride,
+                        kernel_init=KERNEL_INIT)(x)
+        return nn.leaky_relu(y + x, negative_slope=0.01)
+
+
+class STUNet(nn.Module):
+    ndim: int = 3
+    variant: str = "base"
+    output_channels: Sequence[int] = (1,)
+    output_channel_info: Sequence[str] = ("F",)
+    z_down: Sequence[int] = (2, 2, 2, 2, 2)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        spec = VARIANTS[self.variant]
+        dims = list(spec["dims"])
+        depth = list(spec["depth"])
+        nd = self.ndim
+        num_pool = len(dims) - 1
+        zd = list(self.z_down) + [2] * (num_pool - len(self.z_down))
+        pools = [
+            ((zd[i], 2, 2) if nd == 3 else (2, 2)) for i in range(num_pool)
+        ]
+        k = (3,) * nd
+
+        # Encoder
+        h = BasicResBlock(dims[0], k, use_1x1conv=True)(x, train)
+        for _ in range(depth[0] - 1):
+            h = BasicResBlock(dims[0], k)(h, train)
+        skips = [h]
+        for d in range(1, num_pool + 1):
+            h = BasicResBlock(dims[d], k, stride=pools[d - 1], use_1x1conv=True)(h, train)
+            for _ in range(depth[d] - 1):
+                h = BasicResBlock(dims[d], k)(h, train)
+            if d < num_pool:
+                skips.append(h)
+
+        # Decoder: nearest upsample + 1-conv, concat skip, res blocks.
+        # Upsampling targets the skip's exact spatial shape so inputs that are
+        # not divisible by the pool product still work (the reference instead
+        # requires divisibility, stunet.py input_shape_must_be_divisible_by).
+        import jax
+
+        for u in range(num_pool):
+            target_dim = dims[-2 - u]
+            skip = skips[num_pool - 1 - u]
+            new_shape = (h.shape[0],) + skip.shape[1:-1] + (h.shape[-1],)
+            h = jax.image.resize(h, new_shape, method="nearest")
+            h = nn.Conv(target_dim, kernel_size=(1,) * nd, use_bias=False,
+                        kernel_init=KERNEL_INIT)(h)
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = BasicResBlock(target_dim, k, use_1x1conv=True)(h, train)
+            for _ in range(depth[-2 - u] - 1):
+                h = BasicResBlock(target_dim, k)(h, train)
+
+        one = (1,) * nd
+        preds, class_outs = [], []
+        for i, out_ch in enumerate(self.output_channels):
+            head = nn.Conv(out_ch, kernel_size=one, kernel_init=KERNEL_INIT)(h)
+            (class_outs if "class" in self.output_channel_info[i] else preds).append(head)
+        out: Dict = {"pred": jnp.concatenate(preds, axis=-1)}
+        if class_outs:
+            out["class"] = jnp.concatenate(class_outs, axis=-1)
+        return out["pred"] if len(out) == 1 else out

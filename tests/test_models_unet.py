@@ -112,3 +112,62 @@ def test_jit_forward():
     f = jax.jit(lambda vv, xx: m.apply(vv, xx, train=False))
     out = f(v, x)
     assert out.shape == (1, 64, 64, 1)
+
+
+def test_stunet_3d():
+    from biapy_tpu.models.stunet import STUNet
+
+    m = STUNet(ndim=3, variant="small", output_channels=(1,), z_down=(1, 2, 2, 2, 2))
+    x = jnp.zeros((1, 8, 64, 64, 1))
+    v = m.init(RNGS, x, train=False)
+    assert m.apply(v, x, train=False).shape == (1, 8, 64, 64, 1)
+
+
+def test_hrnet_2d():
+    from biapy_tpu.models.hrnet import HRNet
+
+    m = HRNet(ndim=2, variant="18", output_channels=(2,))
+    x = jnp.zeros((1, 64, 64, 1))
+    v = m.init(RNGS, x, train=False)
+    assert m.apply(v, x, train=False).shape == (1, 64, 64, 2)
+
+
+def test_zoo_small_models():
+    from biapy_tpu.models.multiresunet import MultiResUNet
+    from biapy_tpu.models.nafnet import NAFNet, PatchGANDiscriminator
+    from biapy_tpu.models.resunet_pp import ResUNetPlusPlus
+    from biapy_tpu.models.simple_cnn import SimpleCNN
+    from biapy_tpu.models.sr_models import DFCAN, EDSR, RCAN, WDSR
+    from biapy_tpu.models.unext import UNeXt
+    from biapy_tpu.models.unetr import UNETR
+    from biapy_tpu.models.vit import ViT
+
+    x = jnp.zeros((1, 32, 32, 1))
+    cases = [
+        (ResUNetPlusPlus(ndim=2, feature_maps=(8, 16, 32, 64), drop_values=(0,) * 4,
+                         conv_layers=(1, 1, 1, 1), yx_down=(2, 2, 2, 2), z_down=(2, 2, 2, 2),
+                         isotropy=(True,)), (1, 32, 32, 1)),
+        (UNeXt(version=1, ndim=2, feature_maps=(8, 16), cn_layers=(1, 1),
+               yx_down=(2, 2), z_down=(2, 2)), (1, 32, 32, 1)),
+        (EDSR(ndim=2, scale=2, num_res_blocks=1), (1, 64, 64, 1)),
+        (RCAN(ndim=2, scale=2, num_rg=1, num_rcab=1), (1, 64, 64, 1)),
+        (WDSR(ndim=2, scale=2, num_res_blocks=1), (1, 64, 64, 1)),
+        (DFCAN(ndim=2, scale=2, n_resgroup=1, n_rcab=1), (1, 64, 64, 1)),
+        (NAFNet(width=8, middle_blk_num=1, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1)), (1, 32, 32, 1)),
+        (UNETR(ndim=2, img_size=32, patch_size=16, embed_dim=64, depth=4, num_heads=4), (1, 32, 32, 1)),
+        (MultiResUNet(ndim=2, input_channels=1, z_down=(2, 2, 2, 2)), (1, 32, 32, 1)),
+    ]
+    for m, want in cases:
+        v = m.init(RNGS, x, train=False)
+        out = m.apply(v, x, train=False)
+        assert out.shape == want, (type(m).__name__, out.shape)
+    # classifiers
+    m = SimpleCNN(ndim=2, n_classes=3)
+    v = m.init(RNGS, x, train=False)
+    assert m.apply(v, x, train=False)["class"].shape == (1, 3)
+    m = ViT(ndim=2, img_size=32, patch_size=16, embed_dim=64, depth=2, num_heads=4, n_classes=3)
+    v = m.init(RNGS, x, train=False)
+    assert m.apply(v, x, train=False)["class"].shape == (1, 3)
+    m = PatchGANDiscriminator(base_filters=8)
+    v = m.init(RNGS, x, train=False)
+    assert m.apply(v, x, train=False).shape[0] == 1
