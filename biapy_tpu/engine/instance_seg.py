@@ -181,8 +181,17 @@ class Instance_Segmentation_Workflow(Base_Workflow):
     # -- instances ---------------------------------------------------------------
     def instance_seg_process(self, pred: np.ndarray) -> np.ndarray:
         """Channel maps -> instance labels (reference: instance_seg_process,
-        instance_seg.py:924 -> watershed_by_channels)."""
+        instance_seg.py:924). Dispatches to watershed / Cellpose flow
+        tracking / StarDist NMS based on the channel representation (or
+        PROBLEM.INSTANCE_SEG.INSTANCE_CREATION_PROCESS)."""
         cfg = self.cfg
+        process = str(cfg.PROBLEM.INSTANCE_SEG.INSTANCE_CREATION_PROCESS or "").lower()
+        has_flows = any(c in FLOW_CODES for c in self.channel_codes)
+        has_rays = "R" in self.channel_codes
+        if process in ("flow_tracking", "gradient_tracking") or (not process and has_flows):
+            return self._instances_from_flows(pred)
+        if process in ("stardist", "nms") or (not process and has_rays):
+            return self._instances_from_rays(pred)
         ws = cfg.PROBLEM.INSTANCE_SEG.WATERSHED
         # expand per-channel view: the watershed consumes one channel per code
         # (multi-channel codes like R/A are not watershed drivers).
@@ -274,6 +283,47 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             mp.ENABLE = was
             if frozen:
                 self.cfg.freeze()
+
+    def _channel_slice(self, code: str) -> Optional[slice]:
+        off = 0
+        for c, n in zip(self.channel_codes, self.channels_per_output):
+            if c == code:
+                return slice(off, off + n)
+            off += n
+        return None
+
+    def _instances_from_flows(self, pred: np.ndarray) -> np.ndarray:
+        """Cellpose/Omnipose flow tracking (reference: gradient_tracking.py)."""
+        from biapy_tpu.ops.flows import flows_to_instances
+
+        axes = [("Gz", 0), ("Gv", self.nd - 2), ("Gh", self.nd - 1)]
+        comps = []
+        for code, _ in axes:
+            sl = self._channel_slice(code)
+            if sl is not None:
+                comps.append((code, pred[..., sl][..., 0]))
+        # order components by spatial axis: (z,)y,x
+        order = {"Gz": 0, "Gv": 1 if self.nd == 3 else 0, "Gh": 2 if self.nd == 3 else 1}
+        comps.sort(key=lambda t: order[t[0]])
+        flows = np.stack([c for _, c in comps], axis=-1)
+        fg_sl = self._channel_slice("F")
+        if fg_sl is not None:
+            fg = pred[..., fg_sl][..., 0] > 0.5
+        else:
+            fg = np.linalg.norm(flows, axis=-1) > 0.3
+        suppressed = str(self.cfg.PROBLEM.INSTANCE_SEG.INSTANCE_CREATION_PROCESS).lower() == "omnipose"
+        return flows_to_instances(flows, fg, suppressed=suppressed)
+
+    def _instances_from_rays(self, pred: np.ndarray) -> np.ndarray:
+        """StarDist ray NMS (reference: polygon_nms.py:395); 2D."""
+        from biapy_tpu.data.polygon_nms import stardist_nms_2d
+
+        if self.nd != 2:
+            raise NotImplementedError("StarDist NMS is 2D in this round (3D polyhedra pending)")
+        rays_sl = self._channel_slice("R")
+        prob_sl = self._channel_slice("P") or self._channel_slice("F")
+        prob = pred[..., prob_sl][..., 0] if prob_sl is not None else np.ones(pred.shape[:-1], np.float32)
+        return stardist_nms_2d(prob, pred[..., rays_sl])
 
     def after_by_chunks_prediction(self, ci, raw_path: str, base: str) -> None:
         """Per-tile watershed + 5-pass cross-tile merge (reference:

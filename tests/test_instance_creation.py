@@ -1,0 +1,77 @@
+"""Oracle tests for flow-tracking and StarDist-NMS instance creation:
+GT labels -> channel representation -> instance creation must recover the
+instances (reference pattern: run the representation's own compiler as the
+perfect model)."""
+
+import numpy as np
+import pytest
+
+from biapy_tpu.config.config import get_cfg_defaults
+from biapy_tpu.data.pre_processing import channels_per_code, labels_into_channels
+from biapy_tpu.engine.instance_seg import Instance_Segmentation_Workflow
+from biapy_tpu.utils.matching import matching
+
+
+def _circles_2d(shape=(96, 96), n=5, seed=1):
+    rng = np.random.default_rng(seed)
+    lab = np.zeros(shape, np.int32)
+    centers = []
+    tries = 0
+    while len(centers) < n and tries < 300:
+        tries += 1
+        cy, cx = rng.integers(14, shape[0] - 14, 2)
+        r = int(rng.integers(7, 12))
+        if any((cy - y) ** 2 + (cx - x) ** 2 < (r + rr + 4) ** 2 for y, x, rr in centers):
+            continue
+        yy, xx = np.mgrid[: shape[0], : shape[1]]
+        lab[((yy - cy) ** 2 + (xx - cx) ** 2) < r * r] = len(centers) + 1
+        centers.append((cy, cx, r))
+    return lab
+
+
+def _workflow(codes, extra=None, ndim=2):
+    cfg = get_cfg_defaults()
+    cfg.merge_from_dict({
+        "PROBLEM": {"TYPE": "INSTANCE_SEG",
+                    "NDIM": "3D" if ndim == 3 else "2D",
+                    "INSTANCE_SEG": {"DATA_CHANNELS": list(codes),
+                                     "DATA_CHANNELS_EXTRA_OPTS": [extra or {}]}},
+        "DATA": {"PATCH_SIZE": (32, 32, 1) if ndim == 2 else (16, 32, 32, 1)},
+    })
+    wf = Instance_Segmentation_Workflow.__new__(Instance_Segmentation_Workflow)
+    wf.cfg = cfg
+    wf.nd = ndim
+    wf.define_activations_and_channels()
+    return wf
+
+
+def test_flow_tracking_oracle_2d():
+    lab = _circles_2d()
+    chans = labels_into_channels(lab, ["F", "Gv", "Gh"])
+    wf = _workflow(["F", "Gv", "Gh"])
+    inst = wf.instance_seg_process(chans)
+    stats = matching(lab, inst, thresh=[0.5])[0]
+    assert stats["f1"] > 0.8, stats
+
+
+def test_stardist_nms_oracle_2d():
+    lab = _circles_2d(seed=2)
+    extra = {"R": {"nrays": 32}}
+    chans = labels_into_channels(lab, ["P", "R"], extra)
+    # probability channel: use the F map instead of sparse points for a
+    # denser candidate field
+    f = labels_into_channels(lab, ["F"])
+    chans[..., 0] = f[..., 0]
+    wf = _workflow(["P", "R"], extra)
+    inst = wf.instance_seg_process(chans)
+    stats = matching(lab, inst, thresh=[0.5])[0]
+    assert stats["f1"] > 0.8, stats
+
+
+def test_watershed_oracle_2d():
+    lab = _circles_2d(seed=3)
+    chans = labels_into_channels(lab, ["F", "C"])
+    wf = _workflow(["F", "C"])
+    inst = wf.instance_seg_process(chans)
+    stats = matching(lab, inst, thresh=[0.5])[0]
+    assert stats["f1"] > 0.9, stats
