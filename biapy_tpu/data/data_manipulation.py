@@ -275,4 +275,7 @@ def prepare_in_memory_test_data(image: np.ndarray, gt: Optional[np.ndarray], is_
 
 
 def _needs_gt(cfg) -> bool:
-    return cfg.PROBLEM.TYPE not in ("CLASSIFICATION", "SELF_SUPERVISED", "DENOISING")
+    if cfg.PROBLEM.TYPE == "DENOISING":
+        # supervised (GAN) denoising pairs noisy/clean images
+        return bool(cfg.PROBLEM.DENOISING.LOAD_GT_DATA)
+    return cfg.PROBLEM.TYPE not in ("CLASSIFICATION", "SELF_SUPERVISED")

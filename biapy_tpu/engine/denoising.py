@@ -91,6 +91,12 @@ def _manipulated_values(ch: np.ndarray, idx, rng, manipulator: str, radius: int)
 
 
 class Denoising_Workflow(Base_Workflow):
+    def _gan_mode(self) -> bool:
+        """Supervised GAN denoising: NAFNet generator + PatchGAN
+        discriminator, dual optimizers (reference: denoising.py:191)."""
+        return (str(self.cfg.MODEL.ARCHITECTURE).lower() == "nafnet"
+                and bool(self.cfg.PROBLEM.DENOISING.LOAD_GT_DATA))
+
     def define_activations_and_channels(self):
         out_c = int(self.cfg.DATA.PATCH_SIZE[-1])
         self.out_c = out_c
@@ -107,10 +113,15 @@ class Denoising_Workflow(Base_Workflow):
             pred = out["pred"] if isinstance(out, dict) else out
             return M.n2v_loss_mse(pred, y[..., :c], y[..., c:])
 
-        self.loss = loss
+        if self._gan_mode():
+            self.loss = lambda out, y: M.mae_metric(out["pred"] if isinstance(out, dict) else out, y)
+        else:
+            self.loss = loss
         self.train_metrics = {}
 
     def prepare_targets_fn(self):
+        if self._gan_mode():
+            return None  # paired noisy/clean images straight through
         d = self.cfg.PROBLEM.DENOISING
 
         def target_fn(img, gt, rng):
@@ -121,6 +132,85 @@ class Denoising_Workflow(Base_Workflow):
             return manip, np.concatenate([target, mask], axis=-1)
 
         return target_fn
+
+    # -- GAN training path --------------------------------------------------
+    def train(self):
+        if not self._gan_mode():
+            return super().train()
+        import math
+        import os
+        import time
+
+        import jax
+
+        from biapy_tpu.data.data_manipulation import load_and_prepare_train_data
+        from biapy_tpu.data.generators import BatchLoader, PairDataset
+        from biapy_tpu.engine.gan import GANTrainState, make_gan_train_step
+        from biapy_tpu.engine.schedulers import build_optimizer
+        from biapy_tpu.models import build_model
+        from biapy_tpu.models.nafnet import PatchGANDiscriminator
+        from biapy_tpu.parallel import shard_batch
+        from biapy_tpu.utils.misc import JsonLogger, MetricLogger, save_model
+
+        cfg = self.cfg
+        train_ds, val_ds = load_and_prepare_train_data(cfg, self.norm_spec)
+        train_data = PairDataset(train_ds, cfg, self.norm_spec, augment=True,
+                                 gt_as_image=True, seed=cfg.SYSTEM.SEED)
+        ndev = len(self.mesh.devices.flatten())
+        gbs = int(math.ceil(max(int(cfg.TRAIN.BATCH_SIZE), ndev) / ndev) * ndev)
+        loader = BatchLoader(train_data, gbs, shuffle=True, seed=cfg.SYSTEM.SEED)
+        self._steps_per_epoch = len(loader)
+
+        self.model, self.model_build_kwargs = build_model(
+            cfg, self.output_channels, self.output_channel_info, self.activations)
+        import jax.numpy as jnp
+
+        disc = PatchGANDiscriminator(base_filters=int(cfg.MODEL.NAFNET.PATCHGAN.BASE_FILTERS))
+        ps = tuple(cfg.DATA.PATCH_SIZE)
+        ex = jnp.zeros((1,) + ps, jnp.float32)
+        rngs = {"params": jax.random.PRNGKey(cfg.SYSTEM.SEED), "dropout": jax.random.PRNGKey(1)}
+        g_vars = self.model.init(rngs, ex, train=False)
+        d_vars = disc.init(rngs, ex, train=False)
+        g_tx, _ = build_optimizer(cfg, self._steps_per_epoch, head=0)
+        d_tx, _ = build_optimizer(cfg, self._steps_per_epoch, head=1)
+        gan = cfg.LOSS.CYCLEGAN
+        gan_step = make_gan_train_step(
+            lambda_gan=float(gan.LAMBDA_GAN), lambda_recon=float(gan.LAMBDA_RECON),
+            gamma_ssim=float(gan.GAMMA_SSIM), delta_mse=float(gan.DELTA_MSE), mesh=self.mesh,
+        )
+        gstate = GANTrainState.create(self.model.apply, g_vars, g_tx, disc.apply, d_vars, d_tx)
+        key = jax.random.PRNGKey(cfg.SYSTEM.SEED)
+        jsonlog = JsonLogger(os.path.join(cfg.LOG.LOG_DIR, f"{self.job_identifier}_train.jsonl"))
+        best = float("inf")
+        for epoch in range(int(cfg.TRAIN.EPOCHS)):
+            t0 = time.time()
+            loader.set_epoch(epoch)
+            logger = MetricLogger(verbose=self.verbose)
+            for batch in logger.log_every(loader, 20, header=f"Epoch: [{epoch}]"):
+                gstate, mtr = gan_step(gstate, shard_batch(batch, self.mesh), key)
+                logger.update(**{k: float(v) for k, v in mtr.items()})
+            record = {"epoch": epoch, **{k: m.global_avg for k, m in logger.meters.items()},
+                      "time": time.time() - t0}
+            jsonlog.write(record)
+            if self.verbose:
+                print(f"Epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in record.items()
+                                                    if isinstance(v, float)))
+            if record["loss"] < best:
+                best = record["loss"]
+                save_model(cfg, cfg.PATHS.CHECKPOINT, self.job_identifier, gstate.g_params,
+                           epoch, gstate.g_batch_stats,
+                           model_build_kwargs=self.model_build_kwargs, metric="best")
+        # expose the generator for inference through the standard path
+        from biapy_tpu.engine.train_engine import TrainState
+
+        self.state = TrainState.create(self.model.apply, gstate.g_params,
+                                       optax_identity(), gstate.g_batch_stats)
+
+
+def optax_identity():
+    import optax
+
+    return optax.identity()
 
     def metric_calculation(self, pred, gt):
         if gt is None:

@@ -163,3 +163,32 @@ def test_image_to_image_2d(tmp_path):
     }
     job = _run(cfg, root, "i2i2d")
     assert job.workflow.stats["psnr"] > 10.0, job.workflow.stats
+
+
+@pytest.mark.slow
+def test_gan_denoising_2d(tmp_path):
+    rng = np.random.default_rng(16)
+    root = str(tmp_path)
+    for d, n in [("train", 8)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            clean = _noisy_circles((64, 64), noise=0.0, rng=rng)
+            noisy = clean + rng.normal(0, 0.15, clean.shape)
+            write_tiff(f"{root}/{d}/x/{i}.tif", (noisy * 180).clip(0, 255).astype(np.uint8))
+            write_tiff(f"{root}/{d}/y/{i}.tif", (clean * 180).clip(0, 255).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "DENOISING", "NDIM": "2D", "DENOISING": {"LOAD_GT_DATA": True}},
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2}},
+        "MODEL": {"ARCHITECTURE": "nafnet",
+                  "NAFNET": {"WIDTH": 8, "MIDDLE_BLK_NUM": 1, "ENC_BLK_NUMS": [1, 1],
+                             "DEC_BLK_NUMS": [1, 1], "PATCHGAN": {"BASE_FILTERS": 8}}},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": ["ADAMW", "ADAMW"], "LR": [1.0e-3, 1.0e-3],
+                  "BATCH_SIZE": 8, "EPOCHS": 3},
+        "TEST": {"ENABLE": False},
+    }
+    job = _run(cfg, root, "gan2d")
+    # training ran and exposed the generator state
+    assert job.workflow.state is not None
