@@ -354,6 +354,28 @@ class Base_Workflow(metaclass=ABCMeta):
         pad = tuple(cfg.DATA.TEST.PADDING)
         crop_shape = tuple(cfg.DATA.PATCH_SIZE)
         img_n, stats = normalize_image(img, self.norm_spec)
+
+        if cfg.TEST.FULL_IMG and not self.is_3d:
+            # whole-image forward (reference: TEST.FULL_IMG / after_full_image,
+            # base_workflow.py:2401): pad to a stride-safe multiple, one pass.
+            mult = 64
+            pads = [(0, (-img_n.shape[d]) % mult) for d in range(self.nd)] + [(0, 0)]
+            full = np.pad(img_n, pads, mode="reflect") if any(p[1] for p in pads) else img_n
+            pred = self.predict_patches(full[None], batch_size=1)[0]
+            up = self.y_upscaling
+            pred = pred[tuple(slice(0, img.shape[d] * up[d]) for d in range(self.nd))]
+            merged = self.apply_roi_mask(pred, fname)
+            m = self.metric_calculation(merged, gt) if gt is not None else {}
+            if m:
+                self.metrics_per_test_file.append(m)
+            self.after_merge_patches(merged, sample, fname)
+            self._predictions.append({"role": "raw", "pred": merged, "file": fname, "metrics": m})
+            if self.save_to_disk:
+                from biapy_tpu.data.io import save_tif
+
+                save_tif(merged[None], cfg.PATHS.RESULT_DIR.FULL_IMAGE, [fname], verbose=False)
+            return {"pred": merged}
+
         patches, _ = crop_data_with_overlap(img_n[None], crop_shape, overlap=ov, padding=pad)
         preds = self.predict_patches(patches)
         out_ch = preds.shape[-1]
@@ -366,6 +388,7 @@ class Base_Workflow(metaclass=ABCMeta):
         merged = merge_data_with_overlap(
             preds, (1,) + out_spatial + (out_ch,), overlap=ov_scaled, padding=pad_scaled
         )[0]
+        merged = self.apply_roi_mask(merged, fname)
         res = {"pred": merged}
         m = self.metric_calculation(merged, gt) if gt is not None else {}
         if m:
@@ -408,6 +431,29 @@ class Base_Workflow(metaclass=ABCMeta):
             self.process_test_sample(img, g, fname, s)
         self.after_all_images()
         self.print_stats()
+
+    def apply_roi_mask(self, pred: np.ndarray, fname: str) -> np.ndarray:
+        """Restrict inference to a region-of-interest mask (reference:
+        apply_roi_mask, base_workflow.py:1801; data/roi_mask.py): the
+        prediction is zeroed outside the mask."""
+        roi_cfg = self.cfg.DATA.TEST.ROI_MASK
+        if not roi_cfg.ENABLE:
+            return pred
+        from biapy_tpu.data.io import list_image_files, read_img_as_ndarray
+
+        path = str(roi_cfg.PATH)
+        candidates = list_image_files(path) if os.path.isdir(path) else [path]
+        match = [c for c in candidates if os.path.basename(c) == fname] or candidates[:1]
+        if not match:
+            return pred
+        roi = read_img_as_ndarray(match[0], is_3d=self.is_3d)
+        m = (roi[..., :1] > 0).astype(pred.dtype)
+        if m.shape[: self.nd] != pred.shape[: self.nd]:
+            from scipy import ndimage
+
+            zoom = [pred.shape[d] / m.shape[d] for d in range(self.nd)] + [1.0]
+            m = (ndimage.zoom(m, zoom, order=0) > 0).astype(pred.dtype)
+        return pred * m
 
     def process_test_by_chunks(self):
         """Tile-streamed inference over huge Zarr/H5 volumes (reference:
