@@ -40,7 +40,7 @@ def main():
 
     vol_shape = (256, 512, 512)  # ~67M voxels; stand-in for 1024^3 (same kernel shapes)
     patch = (128, 128, 128)
-    padding = (16, 16, 16)
+    padding = (10, 10, 10)  # the reference's own measured by-chunks config (config.py:1974)
     batch = 4
 
     model = UNetFamily(

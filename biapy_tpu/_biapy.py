@@ -160,12 +160,44 @@ class BiaPy:
         finally:
             self.workflow.save_to_disk = True
 
+    def update_config(self, new_cfg: Dict, reset_workflow: bool = False) -> None:
+        """Merge post-hoc config edits, re-derive dependent keys, and rebuild
+        the workflow if requested (reference: BiaPy.update_config,
+        _biapy.py:652)."""
+        was_frozen = self.cfg.is_frozen()
+        if was_frozen:
+            self.cfg.defrost()
+        self.cfg.merge_from_dict(convert_old_model_cfg_to_current_version(new_cfg, verbose=False))
+        update_dependencies(self.cfg, self.job_dir, self.job_identifier)
+        check_configuration(self.cfg, self.job_identifier)
+        if was_frozen:
+            self.cfg.freeze()
+        if reset_workflow:
+            self.workflow = None
+
+    @classmethod
+    def load_workflow_from_model(cls, checkpoint_path: str, **kwargs) -> "BiaPy":
+        """Build a ready-to-infer job from a checkpoint alone (the config is
+        embedded; reference: _biapy.py load_workflow_from_model)."""
+        return cls(checkpoint_path, **kwargs)
+
+    def export_model_to_bmz(self, output_dir: Optional[str] = None) -> str:
+        """Package the trained model as a BioImage-Model-Zoo-style RDF zip
+        (reference: export_model_to_bmz, _biapy.py:1012)."""
+        from biapy_tpu.utils.bmz import export_model_to_bmz
+
+        self._build_workflow()
+        return export_model_to_bmz(self.workflow, output_dir or self.cfg.PATHS.BMZ_EXPORT_PATH)
+
     def run_job(self):
-        """train() then test() as configured (reference: run_job, :1906)."""
+        """train() then test() then optional BMZ export (reference: run_job,
+        _biapy.py:1906)."""
         if self.cfg.TRAIN.ENABLE:
             self.train()
         if self.cfg.TEST.ENABLE:
             self.test()
+        if self.cfg.MODEL.BMZ.EXPORT.ENABLE:
+            self.export_model_to_bmz()
         if is_main_process() and not self._silent:
             print("FINISHED JOB {} !!".format(self.job_identifier))
 

@@ -86,3 +86,35 @@ def test_semantic_seg_end_to_end(tmp_path):
         after.update(os.path.join(dirpath, f) for f in files)
     assert preds and preds[0]["pred"].shape[:2] == img.shape[:2]
     assert before == after, "predict() must not write files"
+
+
+@pytest.mark.slow
+def test_bmz_export(tmp_path):
+    root = str(tmp_path)
+    _make_data(root, 4, "train", 0)
+
+    from biapy_tpu._biapy import BiaPy
+
+    cfg = {
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (64, 64, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.25}},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16], "DROPOUT_VALUES": [0.0, 0.0],
+                  "Z_DOWN": [2, 2], "YX_DOWN": [2, 2], "CONV_LAYERS": [1, 1]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3, "BATCH_SIZE": 4, "EPOCHS": 1},
+        "TEST": {"ENABLE": False},
+    }
+    job = BiaPy(cfg, result_dir=root + "/results", name="bmztest", silent=True)
+    job.train()
+    zpath = job.export_model_to_bmz()
+    import zipfile
+
+    import yaml as _yaml
+
+    with zipfile.ZipFile(zpath) as z:
+        names = set(z.namelist())
+        assert {"rdf.yaml", "test_input.npy", "test_output.npy", "README.md"} <= names
+        rdf = _yaml.safe_load(z.read("rdf.yaml"))
+        assert rdf["format_version"].startswith("0.5")
+        assert rdf["config"]["biapy_tpu"]["workflow"] == "SEMANTIC_SEG"
