@@ -220,6 +220,7 @@ class Base_Workflow(metaclass=ABCMeta):
         tb = TensorboardLogger(cfg.LOG.TENSORBOARD_LOG_DIR)
         key = jax.random.PRNGKey(cfg.SYSTEM.SEED)
         best_val = float("inf")
+        history: List[Dict[str, float]] = []
 
         if self.verbose:
             print("#####################\n#  TRAIN THE MODEL  #\n#####################")
@@ -267,6 +268,12 @@ class Base_Workflow(metaclass=ABCMeta):
             record["time"] = time.time() - t0
             jsonlog.write(record)
             tb.update(step=epoch, **{k: v for k, v in record.items() if isinstance(v, (int, float))})
+            history.append(record)
+            freq = int(cfg.LOG.CHART_CREATION_FREQ)
+            if is_main_process() and freq > 0 and ((epoch + 1) % freq == 0 or epoch == cfg.TRAIN.EPOCHS - 1):
+                from biapy_tpu.utils.util import create_plots
+
+                create_plots(history, cfg.PATHS.CHARTS, self.job_identifier)
             if self.verbose:
                 print(f"Epoch {epoch} done in {record['time']:.1f}s: "
                       + " ".join(f"{k}={v:.4f}" for k, v in record.items() if isinstance(v, float)))

@@ -70,8 +70,40 @@ class Semantic_Segmentation_Workflow(Base_Workflow):
 
     def after_merge_patches(self, pred, sample, fname):
         cfg = self.cfg
+        pp = cfg.TEST.POST_PROCESSING
+        if pp.MEDIAN_FILTER and not (cfg.TEST.ANALIZE_2D_IMGS_AS_3D_STACK and not self.is_3d):
+            from biapy_tpu.data.post_processing import apply_median_filter
+
+            pred = apply_median_filter(pred, [str(a) for a in pp.MEDIAN_FILTER_AXIS],
+                                       [int(s) for s in pp.MEDIAN_FILTER_SIZE])
         if self.save_to_disk and cfg.DATA.N_CLASSES <= 2:
             from biapy_tpu.data.io import save_tif
 
             binar = (pred > 0.5).astype(np.uint8)
             save_tif(binar[None], cfg.PATHS.RESULT_DIR.PER_IMAGE_BIN, [fname], verbose=False)
+
+    def after_all_images(self):
+        """2D predictions analysed as one 3D stack, with optional z-median
+        filtering (reference: TEST.ANALIZE_2D_IMGS_AS_3D_STACK +
+        POST_PROCESSING.MEDIAN_FILTER; run_checks Test1)."""
+        cfg = self.cfg
+        if not cfg.TEST.ANALIZE_2D_IMGS_AS_3D_STACK or self.is_3d:
+            return
+        raws = [p for p in self._predictions if p.get("role") == "raw"]
+        if not raws:
+            return
+        try:
+            stack = np.stack([p["pred"] for p in raws], axis=0)
+        except ValueError:
+            return  # ragged shapes: nothing to stack
+        pp = cfg.TEST.POST_PROCESSING
+        if pp.MEDIAN_FILTER:
+            from biapy_tpu.data.post_processing import apply_median_filter
+
+            stack = apply_median_filter(stack, [str(a) for a in pp.MEDIAN_FILTER_AXIS],
+                                        [int(s) for s in pp.MEDIAN_FILTER_SIZE])
+        self._predictions.append({"role": "as_3d_stack", "pred": stack})
+        if self.save_to_disk:
+            from biapy_tpu.data.io import save_tif
+
+            save_tif(stack[None], cfg.PATHS.RESULT_DIR.AS_3D_STACK, ["stack.tif"], verbose=False)
