@@ -47,6 +47,7 @@ class PairDataset:
         y_upscaling: Sequence[int] = (),
         seed: int = 0,
         gt_as_image: bool = False,
+        gt_keep_labels: bool = False,
     ):
         self.ds = ds
         self.cfg = cfg
@@ -63,6 +64,8 @@ class PairDataset:
         # SR / image-to-image / SSL targets are images: value-normalize them
         # like inputs instead of binarizing as masks.
         self.gt_as_image = gt_as_image
+        # EmbedSeg-style losses consume raw integer instance labels
+        self.gt_keep_labels = gt_keep_labels
 
     def __len__(self) -> int:
         return len(self.ds.sample_list)
@@ -101,7 +104,9 @@ class PairDataset:
         f = self.ds.dataset_info[self.ds.sample_list[idx].fid]
         img, _ = normalize_image(img, self.norm_spec, stats=f.norm_stats)
         if gt is not None:
-            if self.gt_as_image:
+            if self.gt_keep_labels:
+                gt = gt.astype(np.float32)
+            elif self.gt_as_image:
                 gt, _ = normalize_image(gt.astype(np.float32), self.norm_spec)
             elif gt.dtype.kind != "f":
                 gt = normalize_mask(gt, self.n_classes)

@@ -27,7 +27,13 @@ import numpy as np
 from scipy import ndimage
 
 
-def channels_per_code(code: str, extra: Dict) -> int:
+def channels_per_code(code: str, extra: Dict, nd: int = 2) -> int:
+    if code == "E":
+        return 2 * nd + 1
+    if code in ("E_offset", "E_sigma"):
+        return nd
+    if code == "E_seediness":
+        return 1
     if code == "R":
         return int(extra.get("R", {}).get("nrays", 32 if True else 0))
     if code == "A":

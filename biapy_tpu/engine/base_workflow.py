@@ -191,12 +191,14 @@ class Base_Workflow(metaclass=ABCMeta):
                                  random_crop=bool(cfg.DATA.TRAIN.EXTRACT_RANDOM_PATCH),
                                  target_fn=target_fn, n_classes=n_classes,
                                  y_upscaling=self.y_upscaling, seed=cfg.SYSTEM.SEED,
-                                 gt_as_image=self.gt_as_image)
+                                 gt_as_image=self.gt_as_image,
+                                 gt_keep_labels=getattr(self, "gt_keep_labels", False))
         val_data = PairDataset(val_ds, cfg, self.norm_spec, augment=False,
                                random_crop=bool(cfg.DATA.TRAIN.EXTRACT_RANDOM_PATCH),
                                target_fn=target_fn, n_classes=n_classes,
                                y_upscaling=self.y_upscaling, seed=cfg.SYSTEM.SEED,
-                               gt_as_image=self.gt_as_image)
+                               gt_as_image=self.gt_as_image,
+                               gt_keep_labels=getattr(self, "gt_keep_labels", False))
         bs = int(cfg.TRAIN.BATCH_SIZE)
         ndev = len(self.mesh.devices.flatten())
         gbs = max(bs, ndev) if bs % ndev else bs  # batch must tile the mesh

@@ -53,13 +53,17 @@ class Instance_Segmentation_Workflow(Base_Workflow):
                 else:
                     losses.append("l1")
         self.channel_losses = losses
+        self.embedseg_mode = bool(self.channel_codes) and all(c.startswith("E") for c in self.channel_codes)
+        self.gt_keep_labels = self.embedseg_mode
 
         acts: List[str] = []
         self.channels_per_output: List[int] = []
         for i, c in enumerate(self.channel_codes):
-            n = channels_per_code(c, self.channel_extra_opts)
+            n = channels_per_code(c, self.channel_extra_opts, self.nd)
             self.channels_per_output.append(n)
-            if c in BINARY_CODES or c == "A":
+            if c.startswith("E"):
+                acts.extend(["linear"] * n)  # EmbedSeg clustering consumes raw maps
+            elif c in BINARY_CODES or c == "A":
                 acts.extend(["ce_sigmoid"] * n)
             elif c == "D":
                 acts.extend(["tanh"] * n)
@@ -81,6 +85,20 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         weights = list(inst.DATA_CHANNEL_WEIGHTS)
         if len(weights) < len(self.channel_codes):
             weights = weights + [1.0] * (len(self.channel_codes) - len(weights))
+        if getattr(self, "embedseg_mode", False):
+            # EmbedSeg: the loss consumes raw instance labels (reference:
+            # SpatialEmbLoss, metrics.py:2375)
+            from biapy_tpu.ops.embedseg import spatial_emb_loss
+
+            nd = self.nd
+
+            def emb_loss(out, y):
+                pred = out["pred"] if isinstance(out, dict) else out
+                return spatial_emb_loss(pred, y[..., 0], nd)
+
+            self.loss = emb_loss
+            self.train_metrics = {}
+            return
         mask_distances = {}
         for c in self.channel_codes:
             opts = self.channel_extra_opts.get(c, {})
@@ -165,9 +183,10 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             self.cfg.freeze()
 
     def train(self):
-        self._prepare_instance_data("TRAIN")
-        if not self.cfg.DATA.VAL.FROM_TRAIN:
-            self._prepare_instance_data("VAL")
+        if not getattr(self, "embedseg_mode", False):
+            self._prepare_instance_data("TRAIN")
+            if not self.cfg.DATA.VAL.FROM_TRAIN:
+                self._prepare_instance_data("VAL")
         super().train()
 
     def test(self, image=None, gt=None):
@@ -188,6 +207,10 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         process = str(cfg.PROBLEM.INSTANCE_SEG.INSTANCE_CREATION_PROCESS or "").lower()
         has_flows = any(c in FLOW_CODES for c in self.channel_codes)
         has_rays = "R" in self.channel_codes
+        if getattr(self, "embedseg_mode", False) or process == "embedseg":
+            from biapy_tpu.ops.embedseg import embedseg_cluster
+
+            return embedseg_cluster(pred, self.nd)
         if process in ("flow_tracking", "gradient_tracking") or (not process and has_flows):
             return self._instances_from_flows(pred)
         if process in ("stardist", "nms") or (not process and has_rays):

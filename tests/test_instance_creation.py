@@ -75,3 +75,37 @@ def test_watershed_oracle_2d():
     inst = wf.instance_seg_process(chans)
     stats = matching(lab, inst, thresh=[0.5])[0]
     assert stats["f1"] > 0.9, stats
+
+
+def test_embedseg_oracle_2d():
+    """Perfect EmbedSeg prediction (offsets to centers, tight sigmas) must
+    cluster back to the instances and give near-zero loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from biapy_tpu.ops.embedseg import embedseg_cluster, spatial_emb_loss
+
+    lab = _circles_2d(seed=4, n=3)
+    h, w = lab.shape
+    coords = np.stack(np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij"), axis=-1)
+    offs = np.zeros((h, w, 2), np.float32)
+    for k in np.unique(lab):
+        if k == 0:
+            continue
+        m = lab == k
+        offs[m] = coords[m].mean(axis=0) - coords[m]
+    sig = np.full((h, w, 2), np.log(0.05) / 10.0, np.float32)
+    seed = np.where(lab > 0, 5.0, -5.0).astype(np.float32)
+    pred = np.concatenate([np.arctanh(np.clip(offs, -0.99, 0.99)), sig, seed[..., None]], axis=-1)
+    inst = embedseg_cluster(pred, 2)
+    assert matching(lab, inst, thresh=[0.5])[0]["f1"] == 1.0
+    loss = float(spatial_emb_loss(jnp.asarray(pred), jnp.asarray(lab), 2))
+    assert loss < 0.3
+    g = jax.grad(lambda p: spatial_emb_loss(p, jnp.asarray(lab), 2))(jnp.asarray(pred))
+    assert bool(jnp.isfinite(g).all())
+
+
+def test_embedseg_workflow_dispatch():
+    wf = _workflow(["E_offset", "E_sigma", "E_seediness"])
+    assert wf.embedseg_mode
+    assert wf.output_channels == [5]  # 2+2+1 in 2D
