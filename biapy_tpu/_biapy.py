@@ -96,7 +96,15 @@ class BiaPy:
         self._silent = silent
         self._tee_handles = None
         if not silent and is_main_process():
+            # tee stdout/stderr into the per-run log file (reference: _Tee,
+            # _biapy.py:85,315-325)
             os.makedirs(self.cfg.LOG.LOG_DIR, exist_ok=True)
+            log_path = os.path.join(self.cfg.LOG.LOG_DIR,
+                                    f"{self.cfg.LOG.LOG_FILE_PREFIX}_{run_id}.log")
+            logfile = open(log_path, "a")
+            sys.stdout = _Tee(sys.__stdout__, logfile)
+            sys.stderr = _Tee(sys.__stderr__, logfile)
+            self._tee_handles = logfile
 
         self.workflow = None
 

@@ -269,3 +269,56 @@ def filter_instances_by_properties(labels: np.ndarray, props: Sequence[str],
     for lab in measured["id"][drop]:
         out[out == lab] = 0
     return out
+
+
+def repair_large_blobs(labels: np.ndarray, max_size: int) -> np.ndarray:
+    """Split oversized instances (usually watershed under-segmentation) by
+    re-running a distance-transform watershed inside the blob
+    (reference: repair_large_blobs, post_processing.py:2803)."""
+    if max_size <= 0:
+        return labels
+    out = labels.copy()
+    next_id = int(out.max())
+    objs = ndimage.find_objects(out)
+    for lab, sl in zip(range(1, len(objs) + 1), objs):
+        if sl is None:
+            continue
+        m = out[sl] == lab
+        if m.sum() <= max_size:
+            continue
+        dist = ndimage.distance_transform_edt(m).astype(np.float32)
+        peaks = peak_local_max(dist, min_distance=max(3, int(dist.max() / 2)), threshold_abs=1.0)
+        if len(peaks) < 2:
+            continue
+        seeds = np.zeros(m.shape, np.int32)
+        for i, c in enumerate(peaks):
+            seeds[tuple(c)] = i + 1
+        split = watershed(-dist, seeds, m)
+        region = out[sl]
+        region[m & (split > 1)] = 0  # keep piece 1 under the original id
+        for i in range(2, int(split.max()) + 1):
+            next_id += 1
+            region[split == i] = next_id
+        out[sl] = region
+    return out
+
+
+def detection_watershed(points: np.ndarray, img: np.ndarray,
+                        first_dilation: Sequence[int] = (2, 2),
+                        growth_mask: Optional[np.ndarray] = None) -> np.ndarray:
+    """Grow instances around detected points via watershed over the image
+    intensity (reference: detection watershed w/ donut handling,
+    post_processing.py:2100; donut-class special-casing is a tracked gap)."""
+    nd = img.ndim
+    seeds = np.zeros(img.shape, np.int32)
+    for i, p in enumerate(np.asarray(points, int)):
+        idx = tuple(np.clip(p[d], 0, img.shape[d] - 1) for d in range(nd))
+        seeds[idx] = i + 1
+    if any(d > 0 for d in first_dilation):
+        seeds = ndimage.grey_dilation(
+            seeds, size=tuple(2 * int(d) + 1 for d in (list(first_dilation) + [first_dilation[-1]] * nd)[:nd])
+        )
+    if growth_mask is None:
+        growth_mask = img > _otsu(img.astype(np.float32))
+    topo = -img.astype(np.float32)
+    return watershed(topo, seeds, growth_mask)

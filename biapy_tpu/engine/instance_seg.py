@@ -246,6 +246,10 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         if pp.VORONOI_ON_MASK:
             fg_idx = flat_idx[flat_codes.index("F")] if "F" in flat_codes else flat_idx[0]
             labels = voronoi_on_mask(labels, pred[..., fg_idx] > float(pp.VORONOI_TH or 0.5))
+        if int(pp.REPARE_LARGE_BLOBS_SIZE) > 0:
+            from biapy_tpu.data.post_processing import repair_large_blobs
+
+            labels = repair_large_blobs(labels, int(pp.REPARE_LARGE_BLOBS_SIZE))
         mp = pp.MEASURE_PROPERTIES
         if mp.ENABLE and mp.REMOVE_BY_PROPERTIES.ENABLE:
             from biapy_tpu.data.post_processing import filter_instances_by_properties
