@@ -73,13 +73,24 @@ def filter_samples_by_properties(
         img = s.img
         gt = s.gt
         if img is None:
-            img = read_img_as_ndarray(f.path, is_3d=is_3d, data_path=f.data_path)
-            if s.coords:
-                img = extract_patch(img, s.coords)
-            if f.gt_path:
-                gt = read_img_as_ndarray(f.gt_path, is_3d=is_3d, data_path=f.gt_data_path)
+            from biapy_tpu.data.io import _is_chunked, read_patch_as_ndarray
+
+            if s.coords and _is_chunked(f.path):
+                img = read_patch_as_ndarray(f.path, s.coords, is_3d=is_3d,
+                                            data_path=f.data_path, axes_order=f.input_axes)
+                if f.gt_path:
+                    gt = read_patch_as_ndarray(f.gt_path, s.coords, is_3d=is_3d,
+                                               data_path=f.gt_data_path, axes_order=f.gt_input_axes)
+            else:
+                img = read_img_as_ndarray(f.path, is_3d=is_3d, data_path=f.data_path,
+                                          axes_order=f.input_axes)
                 if s.coords:
-                    gt = extract_patch(gt, s.coords)
+                    img = extract_patch(img, s.coords)
+                if f.gt_path:
+                    gt = read_img_as_ndarray(f.gt_path, is_3d=is_3d, data_path=f.gt_data_path,
+                                             axes_order=f.gt_input_axes)
+                    if s.coords:
+                        gt = extract_patch(gt, s.coords)
         p = _sample_props(img, gt)
         drop = False
         for group_p, group_v, group_s in zip(props, values, signs):
@@ -107,6 +118,10 @@ def build_dataset(
     whole_images: bool = False,
     y_upscaling: Sequence[int] = (),
     convert_to_rgb: bool = False,
+    input_axes: Optional[str] = None,
+    zarr_multiple: bool = False,
+    raw_path_in_file: Optional[str] = None,
+    gt_path_in_file: Optional[str] = None,
 ) -> BiaPyDataset:
     """Scan a directory pair into a BiaPyDataset with patch-grid samples.
 
@@ -114,15 +129,52 @@ def build_dataset(
     per-image test mode); otherwise a full patch grid per image.
     ``y_upscaling``: SR factor — GT coords are scaled accordingly
     (reference: LR->HR crop pairing through the data layer).
+    ``zarr_multiple``: raw + GT live inside one Zarr/H5 per file at
+    ``raw_path_in_file`` / ``gt_path_in_file`` (reference:
+    DATA.*.INPUT_ZARR_MULTIPLE_DATA, samples_from_zarr
+    data_manipulation.py:1850). Chunked files with ``in_memory=False``
+    become LAZY: only metadata is read here, pixels stream patch-by-patch
+    at sample time.
     """
+    from biapy_tpu.data.io import _is_chunked, lazy_image_shape
+
     nd = 3 if is_3d else 2
-    pairs = _scan_pairs(x_path, y_path)
+    if zarr_multiple:
+        xs = list_image_files(x_path)
+        if not xs:
+            raise FileNotFoundError(f"No Zarr/H5 files found in {x_path}")
+        pairs = [(x, x if (y_path is not None or gt_path_in_file) else None) for x in xs]
+    else:
+        pairs = _scan_pairs(x_path, y_path)
     ds = BiaPyDataset()
     for fi, (xp, yp) in enumerate(pairs):
-        img = read_img_as_ndarray(xp, is_3d=is_3d)
+        if not in_memory and _is_chunked(xp):
+            # Lazy path: metadata only; per-patch normalization at load time.
+            dpath = raw_path_in_file if zarr_multiple else None
+            gpath = gt_path_in_file if zarr_multiple else None
+            shape, _ = lazy_image_shape(xp, is_3d=is_3d, data_path=dpath, axes_order=input_axes)
+            gt_shape = None
+            if yp is not None:
+                gt_shape, _ = lazy_image_shape(yp, is_3d=is_3d, data_path=gpath, axes_order=input_axes)
+            f = DatasetFile(path=xp, shape=shape, gt_path=yp, gt_shape=gt_shape,
+                            input_axes=input_axes, gt_input_axes=input_axes,
+                            data_path=dpath, gt_data_path=gpath)
+            ds.dataset_info.append(f)
+            if whole_images:
+                ds.sample_list.append(DataSample(fid=fi, coords=None))
+            else:
+                coords, _ = compute_patch_grid(shape[:nd], crop_shape[:nd], overlap, padding)
+                ds.sample_list.extend(DataSample(fid=fi, coords=pc) for pc in coords)
+            continue
+        dpath = raw_path_in_file if zarr_multiple else None
+        gpath = gt_path_in_file if zarr_multiple else None
+        # axes orders only describe chunked (Zarr/H5) layouts; TIFF/PNG
+        # readers use the channels-last heuristic.
+        ax = input_axes if _is_chunked(xp) else None
+        img = read_img_as_ndarray(xp, is_3d=is_3d, data_path=dpath, axes_order=ax)
         if convert_to_rgb and img.shape[-1] == 1:
             img = np.repeat(img, 3, axis=-1)
-        gt = read_img_as_ndarray(yp, is_3d=is_3d) if yp else None
+        gt = read_img_as_ndarray(yp, is_3d=is_3d, data_path=gpath, axes_order=ax) if yp else None
         if reflect_to_complete_shape:
             img, _ = pad_to_min_shape(img, crop_shape[:nd])
             if gt is not None:
@@ -133,7 +185,9 @@ def build_dataset(
         if norm_spec is not None:
             _, stats = normalize_image(img, norm_spec)
         f = DatasetFile(path=xp, shape=img.shape, gt_path=yp,
-                        gt_shape=gt.shape if gt is not None else None, norm_stats=stats)
+                        gt_shape=gt.shape if gt is not None else None, norm_stats=stats,
+                        input_axes=ax, gt_input_axes=ax,
+                        data_path=dpath, gt_data_path=gpath)
         ds.dataset_info.append(f)
         if whole_images:
             ds.sample_list.append(DataSample(fid=fi, coords=None,
@@ -209,6 +263,10 @@ def load_and_prepare_train_data(cfg, norm_spec: Optional[Dict] = None,
         whole_images=random_crops,
         y_upscaling=y_upscaling,
         convert_to_rgb=bool(cfg.DATA.FORCE_RGB),
+        input_axes=str(cfg.DATA.TRAIN.INPUT_IMG_AXES_ORDER) or None,
+        zarr_multiple=bool(cfg.DATA.TRAIN.INPUT_ZARR_MULTIPLE_DATA),
+        raw_path_in_file=str(cfg.DATA.TRAIN.INPUT_ZARR_MULTIPLE_DATA_RAW_PATH) or None,
+        gt_path_in_file=(str(cfg.DATA.TRAIN.INPUT_ZARR_MULTIPLE_DATA_GT_PATH) or None) if use_gt else None,
     )
     fs = cfg.DATA.TRAIN.FILTER_SAMPLES
     if fs.ENABLE:

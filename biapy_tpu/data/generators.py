@@ -75,11 +75,23 @@ class PairDataset:
         f = self.ds.dataset_info[s.fid]
         img, gt = s.img, s.gt
         if img is None:
-            img = read_img_as_ndarray(f.path, is_3d=self.is_3d, data_path=f.data_path)
+            from biapy_tpu.data.io import _is_chunked, read_patch_as_ndarray
+
+            if s.coords is not None and _is_chunked(f.path):
+                # Lazy Zarr/H5: stream only this patch's region from disk.
+                img = read_patch_as_ndarray(f.path, s.coords, is_3d=self.is_3d,
+                                            data_path=f.data_path, axes_order=f.input_axes)
+                if f.gt_path:
+                    gt = read_patch_as_ndarray(f.gt_path, s.coords, is_3d=self.is_3d,
+                                               data_path=f.gt_data_path, axes_order=f.gt_input_axes)
+                return img, gt
+            img = read_img_as_ndarray(f.path, is_3d=self.is_3d, data_path=f.data_path,
+                                      axes_order=f.input_axes)
             if s.coords is not None:
                 img = extract_patch(img, s.coords)
             if f.gt_path:
-                gt = read_img_as_ndarray(f.gt_path, is_3d=self.is_3d, data_path=f.gt_data_path)
+                gt = read_img_as_ndarray(f.gt_path, is_3d=self.is_3d, data_path=f.gt_data_path,
+                                         axes_order=f.gt_input_axes)
                 if s.coords is not None:
                     gt = extract_patch(gt, s.coords)
         return img, gt

@@ -25,11 +25,17 @@ NPY_EXTS = (".npy",)
 SUPPORTED_EXTS = TIFF_EXTS + H5_EXTS + ZARR_EXTS + PNG_EXTS + NPY_EXTS
 
 
+def _norm_inner_path(data_path: str) -> str:
+    """Nested Zarr/H5 paths accept dot notation (reference:
+    read_chunked_nested_zarr, data_3D_manipulation.py:1423)."""
+    return data_path.replace(".", "/") if "/" not in data_path else data_path
+
+
 def _first_h5_dataset(h5file, data_path: Optional[str] = None):
     import h5py
 
     if data_path:
-        return h5file[data_path]
+        return h5file[_norm_inner_path(data_path)]
     found = []
 
     def visit(name, obj):
@@ -46,7 +52,7 @@ def _first_zarr_array(z: Union[ZarrArray, ZarrGroup], data_path: Optional[str] =
     if isinstance(z, ZarrArray):
         return z
     if data_path:
-        arr = z[data_path]
+        arr = z[_norm_inner_path(data_path)]
         if isinstance(arr, ZarrArray):
             return arr
         raise ValueError(f"{data_path} is a group, not an array")
@@ -100,6 +106,116 @@ def open_lazy(path: str, data_path: Optional[str] = None):
         return _first_zarr_array(open_zarr(path), data_path), None
     # Non-chunked formats: read fully.
     return imread(path, data_path), None
+
+
+def _is_chunked(path: str) -> bool:
+    ext = os.path.splitext(path)[1].lower()
+    return ext in H5_EXTS or ext in ZARR_EXTS or (
+        os.path.isdir(path) and (os.path.exists(os.path.join(path, ".zarray"))
+                                 or os.path.exists(os.path.join(path, ".zgroup"))))
+
+
+def _default_axes_order(disk_shape: Tuple[int, ...], ndim: int) -> str:
+    """Heuristic on-disk axes order for a chunked file (mirrors
+    ``ensure_channels_last``'s channels-first/last guess)."""
+    n = len(disk_shape)
+    spatial = "ZYX" if ndim == 3 else "YX"
+    if n == ndim:
+        return spatial
+    if n == ndim + 1:
+        if disk_shape[0] <= 4 and disk_shape[-1] > 4:
+            return "C" + spatial
+        return spatial + "C"
+    if n == ndim + 2 and disk_shape[0] == 1:
+        return "T" + (_default_axes_order(disk_shape[1:], ndim))
+    raise ValueError(f"Cannot interpret disk shape {disk_shape} as a {ndim}D image")
+
+
+def _fit_axes_order(order: str, disk_ndim: int) -> str:
+    """Adapt a configured axes order (e.g. the 'TZCYX' default) to data with
+    fewer axes by dropping the non-spatial letters (T, then C) — matching the
+    reference's tolerance for DATA.*.INPUT_IMG_AXES_ORDER supersets."""
+    order = order.upper()
+    for drop in ("T", "C"):
+        if len(order) > disk_ndim and drop in order:
+            order = order.replace(drop, "")
+    if len(order) != disk_ndim:
+        raise ValueError(f"axes_order '{order}' does not match data ndim {disk_ndim}")
+    return order
+
+
+def lazy_image_shape(path: str, is_3d: bool = False, data_path: Optional[str] = None,
+                     axes_order: Optional[str] = None) -> Tuple[Tuple[int, ...], np.dtype]:
+    """Channels-last logical shape + dtype of a chunked file WITHOUT loading
+    pixels (reference analog: load_3D_efficient_files shape discovery,
+    data_3D_manipulation.py)."""
+    arr, fh = open_lazy(path, data_path)
+    try:
+        disk_shape = tuple(int(s) for s in arr.shape)
+        dtype = np.dtype(arr.dtype)
+    finally:
+        if fh is not None:
+            fh.close()
+    nd = 3 if is_3d else 2
+    order = (_fit_axes_order(axes_order, len(disk_shape)) if axes_order
+             else _default_axes_order(disk_shape, nd))
+    want = ("ZYXC" if is_3d else "YXC")
+    out = []
+    for a in want:
+        out.append(disk_shape[order.index(a)] if a in order else 1)
+    return tuple(out), dtype
+
+
+def read_patch_lazy(path: str, starts, ends, is_3d: bool = False,
+                    data_path: Optional[str] = None,
+                    axes_order: Optional[str] = None) -> np.ndarray:
+    """Read only a spatial region of a chunked (zarr/h5) file, returned
+    channels-last. ``starts``/``ends`` are (y,x) or (z,y,x) in logical
+    channels-last space and must be in-bounds (callers handle padding).
+
+    Reference analog: extract_patch_from_efficient_file
+    (data_3D_manipulation.py:210)."""
+    arr, fh = open_lazy(path, data_path)
+    try:
+        disk_shape = tuple(int(s) for s in arr.shape)
+        nd = 3 if is_3d else 2
+        order = (_fit_axes_order(axes_order, len(disk_shape)) if axes_order
+                 else _default_axes_order(disk_shape, nd))
+        spatial = "ZYX" if is_3d else "YX"
+        sl = []
+        for a in order:
+            if a in spatial:
+                i = spatial.index(a)
+                sl.append(slice(int(starts[i]), int(ends[i])))
+            else:  # C or T
+                sl.append(slice(None))
+        region = arr[tuple(sl)]
+    finally:
+        if fh is not None:
+            fh.close()
+    return ensure_channels_last(np.asarray(region), nd, axes_order=order)
+
+
+def read_patch_as_ndarray(path: str, coords, is_3d: bool = False,
+                          data_path: Optional[str] = None,
+                          axes_order: Optional[str] = None,
+                          pad_type: str = "reflect") -> np.ndarray:
+    """Lazy patch read honoring out-of-bounds ``PatchCoords`` (negative
+    starts / ends beyond the volume): the in-bounds region is read from disk
+    and the overhang is filled by padding, matching ``extract_patch``."""
+    shape, _ = lazy_image_shape(path, is_3d=is_3d, data_path=data_path, axes_order=axes_order)
+    nd = 3 if is_3d else 2
+    starts, ends, pads = [], [], []
+    for d in range(nd):
+        s, e = int(coords.starts[d]), int(coords.ends[d])
+        pads.append((max(0, -s), max(0, e - shape[d])))
+        starts.append(max(0, s))
+        ends.append(min(shape[d], e))
+    region = read_patch_lazy(path, starts, ends, is_3d=is_3d,
+                             data_path=data_path, axes_order=axes_order)
+    if any(p != (0, 0) for p in pads):
+        region = np.pad(region, pads + [(0, 0)] * (region.ndim - nd), mode=pad_type)
+    return region
 
 
 def imwrite(path: str, data: np.ndarray, data_path: Optional[str] = None) -> None:
@@ -184,10 +300,11 @@ def ensure_channels_last(img: np.ndarray, ndim: int, axes_order: Optional[str] =
         raise ValueError(f"Cannot interpret shape {img.shape} as a 3D volume")
 
 
-def read_img_as_ndarray(path: str, is_3d: bool = False, data_path: Optional[str] = None) -> np.ndarray:
+def read_img_as_ndarray(path: str, is_3d: bool = False, data_path: Optional[str] = None,
+                        axes_order: Optional[str] = None) -> np.ndarray:
     """Read an image and normalize to channels-last (reference:
     data_manipulation.py:3417)."""
-    return ensure_channels_last(imread(path, data_path), 3 if is_3d else 2)
+    return ensure_channels_last(imread(path, data_path), 3 if is_3d else 2, axes_order=axes_order)
 
 
 def list_image_files(directory: str) -> List[str]:

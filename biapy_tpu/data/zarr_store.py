@@ -245,6 +245,43 @@ class ZarrArray:
     def __len__(self) -> int:
         return self.shape[0]
 
+    @property
+    def attrs(self) -> "ZarrAttrs":
+        return ZarrAttrs(self.path)
+
+
+class ZarrAttrs:
+    """User attributes of a zarr array/group, backed by ``.zattrs``."""
+
+    def __init__(self, node_path: str):
+        self._file = os.path.join(node_path, ".zattrs")
+
+    def _read(self) -> Dict:
+        if os.path.exists(self._file):
+            with open(self._file) as f:
+                return json.load(f)
+        return {}
+
+    def __getitem__(self, key: str):
+        return self._read()[key]
+
+    def get(self, key: str, default=None):
+        return self._read().get(key, default)
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._read()
+
+    def __setitem__(self, key: str, value) -> None:
+        d = self._read()
+        d[key] = value
+        tmp = tempfile.NamedTemporaryFile("w", dir=os.path.dirname(self._file), delete=False, suffix=".tmp")
+        json.dump(d, tmp)
+        tmp.close()
+        os.replace(tmp.name, self._file)
+
+    def keys(self):
+        return self._read().keys()
+
 
 class ZarrGroup:
     """A Zarr v2 group: directory with ``.zgroup``, containing arrays/groups."""
@@ -283,7 +320,17 @@ class ZarrGroup:
         raise KeyError(name)
 
     def create_dataset(self, name: str, **kwargs) -> ZarrArray:
+        # Materialize intermediate groups so nested paths stay valid zarr.
+        parts = name.split("/")
+        cur = self.path
+        for p in parts[:-1]:
+            cur = os.path.join(cur, p)
+            ZarrGroup.create(cur)
         return ZarrArray.create(os.path.join(self.path, name.replace("/", os.sep)), **kwargs)
+
+    @property
+    def attrs(self) -> ZarrAttrs:
+        return ZarrAttrs(self.path)
 
 
 def open_zarr(path: str, mode: str = "r") -> Union[ZarrArray, ZarrGroup]:

@@ -196,3 +196,51 @@ def test_crop_merge_bit_exact_vs_reference_2d():
         rm = m.merge_data_with_overlap(rp, img.shape, overlap=ov, padding=pad, verbose=False)
         mm = merge_data_with_overlap(mp, img.shape, overlap=ov, padding=pad)
         assert np.abs(np.asarray(rm, dtype=np.float64) - mm).max() == 0.0
+
+
+# ------------------------------------------------------- lazy Zarr training
+def test_lazy_zarr_multiple_data_training_pipeline(tmp_path):
+    """Train data streamed lazily from a single Zarr holding raw+GT
+    (reference: DATA.*.INPUT_ZARR_MULTIPLE_DATA, samples_from_zarr)."""
+    from biapy_tpu.config.config import Config, update_dependencies
+    from biapy_tpu.data.data_manipulation import load_and_prepare_train_data
+    from biapy_tpu.data.generators import PairDataset
+    from biapy_tpu.data.zarr_store import ZarrGroup
+
+    d = tmp_path / "train_zarr"
+    d.mkdir()
+    vol = np.zeros((12, 64, 64), np.float32)
+    vol[:, 16:48, 16:48] = 1.0
+    lab = (vol > 0.5).astype(np.uint8)
+    g = ZarrGroup.create(str(d / "vol.zarr"))
+    a = g.create_dataset("volumes/raw", shape=vol.shape, chunks=(4, 32, 32), dtype="float32")
+    a[:, :, :] = vol
+    b = g.create_dataset("volumes/labels", shape=lab.shape, chunks=(4, 32, 32), dtype="uint8")
+    b[:, :, :] = lab
+
+    c = Config(str(tmp_path), "lazyjob")
+    cfg = c.get_cfg_defaults()
+    cfg.merge_from_dict({
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "3D"},
+        "DATA": {
+            "PATCH_SIZE": (4, 32, 32, 1),
+            "TRAIN": {"PATH": str(d), "IN_MEMORY": False,
+                      "INPUT_ZARR_MULTIPLE_DATA": True,
+                      "INPUT_ZARR_MULTIPLE_DATA_RAW_PATH": "volumes.raw",
+                      "INPUT_ZARR_MULTIPLE_DATA_GT_PATH": "volumes.labels",
+                      "INPUT_IMG_AXES_ORDER": "ZYX"},
+            "VAL": {"SPLIT_TRAIN": 0.25},
+        },
+    })
+    update_dependencies(cfg, str(tmp_path), "lazyjob")
+    train, val = load_and_prepare_train_data(cfg, norm_spec={"type": "div"})
+    # 12/4 x 64/32 x 64/32 = 12 patches, split 25% val
+    assert len(train) + len(val) == 12
+    assert all(s.img is None for s in train.sample_list), "lazy samples must not hold pixels"
+
+    gen = PairDataset(train, cfg, norm_spec={"type": "div"}, augment=False)
+    rng = np.random.default_rng(0)
+    item = gen.get(0, rng)
+    assert item["x"].shape == (4, 32, 32, 1)
+    assert item["y"].shape == (4, 32, 32, 1)
+    assert set(np.unique(item["y"])).issubset({0.0, 1.0})
