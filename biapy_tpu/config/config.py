@@ -251,7 +251,12 @@ def update_dependencies(cfg: CN, job_dir: str = ".", job_identifier: str = "job"
         tag += "_" + "".join(str(w) for w in cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNEL_WEIGHTS)
     for split in ("TRAIN", "VAL", "TEST"):
         node = cfg.DATA[split]
-        base = node.GT_PATH if split != "TEST" or node.LOAD_GT else node.PATH
+        if node.INPUT_ZARR_MULTIPLE_DATA:
+            # Zarr-multiple mode: channel zarrs live next to the data
+            # (reference: update_dependencies, config.py:2360-2372)
+            base = os.path.join(str(node.PATH), "_")
+        else:
+            base = node.GT_PATH if split != "TEST" or node.LOAD_GT else node.PATH
         node.INSTANCE_CHANNELS_MASK_DIR = os.path.join(os.path.dirname(str(base)), f"y_{tag}")
         node.DETECTION_MASK_DIR = os.path.join(os.path.dirname(str(base)), "y_detection_masks")
         node.SSL_SOURCE_DIR = os.path.join(os.path.dirname(str(node.PATH)), "x_ssl_source")

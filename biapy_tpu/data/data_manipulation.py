@@ -143,7 +143,17 @@ def build_dataset(
         xs = list_image_files(x_path)
         if not xs:
             raise FileNotFoundError(f"No Zarr/H5 files found in {x_path}")
-        pairs = [(x, x if (y_path is not None or gt_path_in_file) else None) for x in xs]
+        if gt_path_in_file:
+            pairs = [(x, x) for x in xs]  # raw + GT nested in the same file
+        elif y_path and os.path.isdir(y_path) and y_path != x_path:
+            # raw nested in the zarr, GT in a separate dir (e.g. compiled
+            # synapse channel zarrs living in INSTANCE_CHANNELS_MASK_DIR)
+            ys = list_image_files(y_path)
+            if len(xs) != len(ys):
+                raise ValueError(f"Image/GT count mismatch: {len(xs)} vs {len(ys)}")
+            pairs = list(zip(xs, ys))
+        else:
+            pairs = [(x, None) for x in xs]
     else:
         pairs = _scan_pairs(x_path, y_path)
     ds = BiaPyDataset()
@@ -151,13 +161,15 @@ def build_dataset(
         if not in_memory and _is_chunked(xp):
             # Lazy path: metadata only; per-patch normalization at load time.
             dpath = raw_path_in_file if zarr_multiple else None
-            gpath = gt_path_in_file if zarr_multiple else None
+            same_file = yp == xp
+            gpath = (gt_path_in_file if zarr_multiple and same_file else None)
+            g_ax = input_axes if same_file else None
             shape, _ = lazy_image_shape(xp, is_3d=is_3d, data_path=dpath, axes_order=input_axes)
             gt_shape = None
             if yp is not None:
-                gt_shape, _ = lazy_image_shape(yp, is_3d=is_3d, data_path=gpath, axes_order=input_axes)
+                gt_shape, _ = lazy_image_shape(yp, is_3d=is_3d, data_path=gpath, axes_order=g_ax)
             f = DatasetFile(path=xp, shape=shape, gt_path=yp, gt_shape=gt_shape,
-                            input_axes=input_axes, gt_input_axes=input_axes,
+                            input_axes=input_axes, gt_input_axes=g_ax,
                             data_path=dpath, gt_data_path=gpath)
             ds.dataset_info.append(f)
             if whole_images:
@@ -167,14 +179,16 @@ def build_dataset(
                 ds.sample_list.extend(DataSample(fid=fi, coords=pc) for pc in coords)
             continue
         dpath = raw_path_in_file if zarr_multiple else None
-        gpath = gt_path_in_file if zarr_multiple else None
+        same_file = yp == xp
+        gpath = gt_path_in_file if zarr_multiple and same_file else None
         # axes orders only describe chunked (Zarr/H5) layouts; TIFF/PNG
         # readers use the channels-last heuristic.
         ax = input_axes if _is_chunked(xp) else None
+        g_ax = ax if same_file else None
         img = read_img_as_ndarray(xp, is_3d=is_3d, data_path=dpath, axes_order=ax)
         if convert_to_rgb and img.shape[-1] == 1:
             img = np.repeat(img, 3, axis=-1)
-        gt = read_img_as_ndarray(yp, is_3d=is_3d, data_path=gpath, axes_order=ax) if yp else None
+        gt = read_img_as_ndarray(yp, is_3d=is_3d, data_path=gpath, axes_order=g_ax) if yp else None
         if reflect_to_complete_shape:
             img, _ = pad_to_min_shape(img, crop_shape[:nd])
             if gt is not None:
@@ -186,7 +200,7 @@ def build_dataset(
             _, stats = normalize_image(img, norm_spec)
         f = DatasetFile(path=xp, shape=img.shape, gt_path=yp,
                         gt_shape=gt.shape if gt is not None else None, norm_stats=stats,
-                        input_axes=ax, gt_input_axes=ax,
+                        input_axes=ax, gt_input_axes=g_ax,
                         data_path=dpath, gt_data_path=gpath)
         ds.dataset_info.append(f)
         if whole_images:
@@ -304,6 +318,8 @@ def load_and_prepare_test_data(cfg, norm_spec: Optional[Dict] = None) -> BiaPyDa
     load_and_prepare_test_data, data_manipulation.py:955)."""
     is_3d = cfg.PROBLEM.NDIM == "3D"
     use_gt = bool(cfg.DATA.TEST.LOAD_GT)
+    if cfg.PROBLEM.TYPE == "INSTANCE_SEG" and str(cfg.PROBLEM.INSTANCE_SEG.TYPE) == "synapses":
+        use_gt = False  # synapse GT are CREMI point annotations, not arrays
     return build_dataset(
         cfg.DATA.TEST.PATH,
         cfg.DATA.TEST.GT_PATH if use_gt else None,
@@ -316,6 +332,10 @@ def load_and_prepare_test_data(cfg, norm_spec: Optional[Dict] = None) -> BiaPyDa
         reflect_to_complete_shape=bool(cfg.DATA.REFLECT_TO_COMPLETE_SHAPE),
         whole_images=True,
         convert_to_rgb=bool(cfg.DATA.FORCE_RGB),
+        input_axes=str(cfg.DATA.TEST.INPUT_IMG_AXES_ORDER) or None,
+        zarr_multiple=bool(cfg.DATA.TEST.INPUT_ZARR_MULTIPLE_DATA),
+        raw_path_in_file=str(cfg.DATA.TEST.INPUT_ZARR_MULTIPLE_DATA_RAW_PATH) or None,
+        gt_path_in_file=(str(cfg.DATA.TEST.INPUT_ZARR_MULTIPLE_DATA_GT_PATH) or None) if use_gt else None,
     )
 
 

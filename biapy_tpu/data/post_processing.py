@@ -162,9 +162,14 @@ def relabel_sequential(labels: np.ndarray) -> np.ndarray:
 
 
 def peak_local_max(img: np.ndarray, min_distance: int = 1, threshold_abs: float = 0.0,
-                   exclude_border: bool = False) -> np.ndarray:
+                   exclude_border: bool = False,
+                   threshold_rel: Optional[float] = None) -> np.ndarray:
     """Local maxima coordinates (reference uses skimage peak_local_max in the
-    detection workflow). Returns (n, ndim) coords sorted by peak value desc."""
+    detection workflow). Returns (n, ndim) coords sorted by peak value desc.
+    ``threshold_rel`` overrides ``threshold_abs`` as a fraction of the image
+    maximum (skimage semantics)."""
+    if threshold_rel is not None:
+        threshold_abs = float(threshold_rel) * float(img.max())
     size = 2 * min_distance + 1
     maxf = ndimage.maximum_filter(img, size=size, mode="constant", cval=-np.inf)
     peaks = (img == maxf) & (img > threshold_abs)
@@ -189,6 +194,38 @@ def peak_local_max(img: np.ndarray, min_distance: int = 1, threshold_abs: float 
                 kept.append(c)
         coords = np.asarray(kept)
     return coords
+
+
+def blob_log(img: np.ndarray, min_sigma: float = 5, max_sigma: float = 10,
+             num_sigma: int = 2, threshold: Optional[float] = 0.1,
+             threshold_rel: Optional[float] = None,
+             exclude_border: bool = False) -> np.ndarray:
+    """Laplacian-of-Gaussian blob detection (reference uses skimage blob_log,
+    e.g. detection point creation and synapse extraction). Returns
+    ``(n, ndim + 1)`` rows ``(coords..., sigma)`` like skimage."""
+    img = img.astype(np.float32)
+    sigmas = np.linspace(min_sigma, max_sigma, max(1, int(num_sigma)))
+    # scale-normalized negative LoG stack: blobs are maxima
+    stack = np.stack([-(s ** 2) * ndimage.gaussian_laplace(img, s) for s in sigmas])
+    if threshold_rel is not None:
+        threshold = float(threshold_rel) * float(stack.max())
+    maxf = ndimage.maximum_filter(stack, size=3, mode="constant", cval=-np.inf)
+    peaks = (stack == maxf) & (stack > (threshold if threshold is not None else 0.0))
+    if exclude_border:
+        b = int(np.ceil(max_sigma))
+        for d in range(1, peaks.ndim):
+            sl = [slice(None)] * peaks.ndim
+            sl[d] = slice(0, b)
+            peaks[tuple(sl)] = False
+            sl[d] = slice(-b, None)
+            peaks[tuple(sl)] = False
+    coords = np.argwhere(peaks)
+    if len(coords) == 0:
+        return np.zeros((0, img.ndim + 1), np.float32)
+    out = np.concatenate([coords[:, 1:].astype(np.float32),
+                          sigmas[coords[:, 0]][:, None].astype(np.float32)], axis=1)
+    vals = stack[tuple(coords.T)]
+    return out[np.argsort(-vals)]
 
 
 def remove_close_points(points: np.ndarray, radius: float,

@@ -317,7 +317,7 @@ class ZarrGroup:
             return ZarrArray(sub, self.mode)
         if os.path.exists(os.path.join(sub, ".zgroup")):
             return ZarrGroup(sub, self.mode)
-        raise KeyError(name)
+        raise KeyError(f"'{name}' not found in zarr store {self.path}")
 
     def create_dataset(self, name: str, **kwargs) -> ZarrArray:
         # Materialize intermediate groups so nested paths stay valid zarr.

@@ -433,10 +433,13 @@ class Base_Workflow(metaclass=ABCMeta):
             if img is None:
                 from biapy_tpu.data.io import read_img_as_ndarray
 
-                img = read_img_as_ndarray(f.path, is_3d=self.is_3d)
+                img = read_img_as_ndarray(f.path, is_3d=self.is_3d,
+                                          data_path=f.data_path, axes_order=f.input_axes)
                 if f.gt_path:
-                    g = read_img_as_ndarray(f.gt_path, is_3d=self.is_3d)
+                    g = read_img_as_ndarray(f.gt_path, is_3d=self.is_3d,
+                                            data_path=f.gt_data_path, axes_order=f.gt_input_axes)
             fname = os.path.basename(f.path) if f.path != "<in_memory>" else f"pred_{i}.tif"
+            self._current_test_file = f.path
             self.process_test_sample(img, g, fname, s)
         self.after_all_images()
         self.print_stats()

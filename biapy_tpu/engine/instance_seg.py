@@ -27,6 +27,7 @@ from biapy_tpu.data.pre_processing import channels_per_code, labels_into_channel
 from biapy_tpu.engine import metrics as M
 from biapy_tpu.engine.base_workflow import Base_Workflow
 from biapy_tpu.utils.matching import aggregate_matching, matching
+from biapy_tpu.utils.matching import detection_metrics as detection_metrics_for_points
 
 BINARY_CODES = ("B", "F", "P", "C", "T", "M", "F_pre", "F_post", "F_cleft")
 REGRESSION_CODES = ("Dc", "Dn", "Z", "V", "H", "Db", "D", "R")
@@ -38,6 +39,11 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         cfg = self.cfg
         inst = cfg.PROBLEM.INSTANCE_SEG
         self.channel_codes: List[str] = list(inst.DATA_CHANNELS)
+        self.synapse_mode = str(inst.TYPE) == "synapses"
+        if self.synapse_mode:
+            from biapy_tpu.data.synapses import select_synapse_method
+
+            self.synapse_method = select_synapse_method(self.channel_codes)
         extra_l = list(inst.DATA_CHANNELS_EXTRA_OPTS)
         self.channel_extra_opts: Dict = extra_l[0] if extra_l else {}
         losses = list(inst.DATA_CHANNELS_LOSSES)
@@ -182,8 +188,51 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         if frozen:
             self.cfg.freeze()
 
+    def _prepare_synapse_data(self, split: str):
+        """Compile + cache synapse channel zarrs from CREMI point annotations
+        (reference: synapse_channel_creation, pre_processing.py:2272). The
+        raw stays nested in the original Zarr (multiple-data mode); GT_PATH is
+        pointed at the compiled channel dir."""
+        from biapy_tpu.data.io import list_image_files
+        from biapy_tpu.data.synapses import synapse_channel_creation
+
+        node = self.cfg.DATA[split]
+        if not bool(node.INPUT_ZARR_MULTIPLE_DATA):
+            raise ValueError("Synapse detection needs 3D Zarr/H5 data with CREMI "
+                             "annotations (DATA.*.INPUT_ZARR_MULTIPLE_DATA)")
+        files = list_image_files(str(node.PATH))
+        out_dir = str(node.INSTANCE_CHANNELS_MASK_DIR)
+        zi = {
+            "raw_data_path": str(node.INPUT_ZARR_MULTIPLE_DATA_RAW_PATH) or "volumes.raw",
+            "id_path": str(node.INPUT_ZARR_MULTIPLE_DATA_ID_PATH),
+            "partners_path": str(node.INPUT_ZARR_MULTIPLE_DATA_PARTNERS_PATH),
+            "locations_path": str(node.INPUT_ZARR_MULTIPLE_DATA_LOCATIONS_PATH),
+            "resolution_path": str(node.INPUT_ZARR_MULTIPLE_DATA_RESOLUTION_PATH),
+        }
+        os.makedirs(out_dir, exist_ok=True)
+        for p in files:
+            base = os.path.splitext(os.path.basename(p))[0] + ".zarr"
+            out_path = os.path.join(out_dir, base)
+            if not os.path.exists(os.path.join(out_path, ".zarray")):
+                if self.verbose:
+                    print(f"Compiling synapse channels for {p} -> {out_path}")
+                synapse_channel_creation(p, out_path, self.channel_codes,
+                                         self.channel_extra_opts, zarr_info=zi,
+                                         verbose=self.verbose)
+        frozen = self.cfg.is_frozen()
+        if frozen:
+            self.cfg.defrost()
+        node.GT_PATH = out_dir
+        node.INPUT_ZARR_MULTIPLE_DATA_GT_PATH = ""
+        if frozen:
+            self.cfg.freeze()
+
     def train(self):
-        if not getattr(self, "embedseg_mode", False):
+        if getattr(self, "synapse_mode", False):
+            self._prepare_synapse_data("TRAIN")
+            if not self.cfg.DATA.VAL.FROM_TRAIN:
+                self._prepare_synapse_data("VAL")
+        elif not getattr(self, "embedseg_mode", False):
             self._prepare_instance_data("TRAIN")
             if not self.cfg.DATA.VAL.FROM_TRAIN:
                 self._prepare_instance_data("VAL")
@@ -262,8 +311,100 @@ class Instance_Segmentation_Workflow(Base_Workflow):
                 labels = filter_instances_by_properties(labels, props, values, signs)
         return relabel_sequential(labels)
 
+    # -- synapses -----------------------------------------------------------
+    def synapse_seg_process(self, pred: np.ndarray, fname: str,
+                            out_dir: Optional[str] = None,
+                            calculate_metrics: bool = True) -> Dict:
+        """Prediction channels -> pre/post/cleft point sets + detection metrics
+        vs CREMI GT points (reference: synapse_seg_process,
+        instance_seg.py:1499)."""
+        from biapy_tpu.data.post_processing import _otsu, remove_close_points
+        from biapy_tpu.data.synapses import (
+            connect_pre_post_points_by_distance,
+            extract_points_in_predictions,
+            extract_synful_synapses,
+            load_synapse_gt_points,
+        )
+
+        cfg = self.cfg
+        syn = cfg.PROBLEM.INSTANCE_SEG.SYNAPSES
+        th_type = str(syn.TH_TYPE).lower()
+        ths = []
+        for c in range(pred.shape[-1]):
+            ths.append(_otsu(pred[..., c]) if th_type == "auto" else float(syn.MIN_TH_TO_BE_PEAK))
+        rel = th_type in ("relative", "relative_by_patch")
+        common = dict(
+            point_creation_func=str(syn.POINT_CREATION_FUNCTION),
+            min_distance=int(syn.PEAK_LOCAL_MAX_MIN_DISTANCE),
+            min_sigma=float(syn.BLOB_LOG_MIN_SIGMA),
+            max_sigma=float(syn.BLOB_LOG_MAX_SIGMA),
+            num_sigma=int(syn.BLOB_LOG_NUM_SIGMA),
+            exclude_border=bool(syn.EXCLUDE_BORDER),
+            relative_th_value=rel,
+            out_dir=out_dir,
+        )
+        points: Dict[str, np.ndarray] = {}
+        if self.synapse_method == "synful":
+            res = extract_synful_synapses(pred, self.channel_codes,
+                                          threshold_abs=0.2, min_distance=1,
+                                          cluster_distance=5.0, out_dir=out_dir)
+            points["pre"], points["post"] = res["pre"], res["post"]
+        elif self.synapse_method == "simpsyn":
+            i_pre = self.channel_codes.index("F_pre")
+            i_post = self.channel_codes.index("F_post")
+            _, points["pre"] = extract_points_in_predictions(
+                pred[..., i_pre], "pre", min_th_to_be_peak=ths[i_pre], **common)
+            _, points["post"] = extract_points_in_predictions(
+                pred[..., i_post], "post", min_th_to_be_peak=ths[i_post], **common)
+            connect_pre_post_points_by_distance(points["pre"], points["post"], out_dir=out_dir)
+        elif self.synapse_method == "cleft":
+            _, points["cleft"] = extract_points_in_predictions(
+                pred[..., 0], "cleft", min_th_to_be_peak=ths[0], **common)
+        else:  # F_post_only
+            _, points["post"] = extract_points_in_predictions(
+                pred[..., 0], "post", min_th_to_be_peak=ths[0], **common)
+
+        # optional removal of too-close points (post-processing)
+        radii = {"pre": float(syn.REMOVE_CLOSE_PRE_POINTS_RADIUS),
+                 "post": float(syn.REMOVE_CLOSE_POST_POINTS_RADIUS)}
+        for k, r in radii.items():
+            if r > 0 and k in points and len(points[k]):
+                points[k] = remove_close_points(points[k], r)
+
+        result = {"points": points, "file": fname}
+        cur_file = getattr(self, "_current_test_file", None)
+        if cur_file is not None and not os.path.exists(cur_file):
+            cur_file = None  # in-memory predict(): no CREMI file to read GT from
+        if calculate_metrics and cfg.DATA.TEST.LOAD_GT and cur_file:
+            node = cfg.DATA.TEST
+            gt = load_synapse_gt_points(
+                cur_file,
+                id_path=str(node.INPUT_ZARR_MULTIPLE_DATA_ID_PATH),
+                partners_path=str(node.INPUT_ZARR_MULTIPLE_DATA_PARTNERS_PATH),
+                locations_path=str(node.INPUT_ZARR_MULTIPLE_DATA_LOCATIONS_PATH),
+                resolution_path=str(node.INPUT_ZARR_MULTIPLE_DATA_RESOLUTION_PATH),
+            )
+            m: Dict[str, float] = {}
+            for k in points:
+                dm = detection_metrics_for_points(
+                    gt[k], points[k], float(cfg.TEST.DET_TOLERANCE), gt["resolution"])
+                for mk, mv in dm.items():
+                    m[f"{mk} ({k} points)"] = mv
+                if self.verbose:
+                    print(f"  {fname} synapse {k}: " +
+                          " ".join(f"{a}={b:.4f}" if isinstance(b, float) else f"{a}={b}"
+                                   for a, b in dm.items()))
+            result["metrics"] = m
+            self.metrics_per_test_file.append(m)
+        return result
+
     def after_merge_patches(self, pred, sample, fname):
         cfg = self.cfg
+        if getattr(self, "synapse_mode", False):
+            out_dir = cfg.PATHS.RESULT_DIR.PER_IMAGE_INSTANCES if self.save_to_disk else None
+            res = self.synapse_seg_process(pred, fname, out_dir=out_dir)
+            self._predictions.append({"role": "synapse_points", **res})
+            return
         instances = self.instance_seg_process(pred)
         self._predictions.append({"role": "instances", "instances": instances, "file": fname})
         if self.save_to_disk:

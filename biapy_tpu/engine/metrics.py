@@ -182,7 +182,7 @@ def instance_segmentation_loss(
         fg_idx = None
         o = 0
         for ch, n in zip(out_channels, channels_per_output):
-            if ch in ("F", "B", "P", "C"):
+            if ch in ("F", "B", "P", "C", "F_pre", "F_post", "F_cleft"):
                 fg_idx = o
                 break
             o += n

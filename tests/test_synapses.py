@@ -1,0 +1,205 @@
+"""Synapse instance mode: CREMI point annotations -> channels -> training ->
+point extraction -> detection metrics (reference: instance_seg.py synapse
+mode, pre_processing.synapse_channel_creation, post_processing.py:437-1217).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from biapy_tpu.data.zarr_store import ZarrGroup
+
+
+def _make_cremi(path, shape=(16, 64, 64), n_syn=6, seed=0, draw=True):
+    """Synthetic CREMI-format zarr: bright blobs at pre sites, dimmer blobs at
+    post sites, annotations/{ids,partners,locations} + resolution attr."""
+    rng = np.random.default_rng(seed)
+    raw = rng.normal(0.1, 0.03, shape).astype(np.float32)
+    zz, yy, xx = np.mgrid[: shape[0], : shape[1], : shape[2]]
+    ids, partners, locations = [], [], []
+    pres, posts = [], []
+    next_id = 1
+    for _ in range(n_syn):
+        pre = np.array([rng.integers(3, shape[0] - 3),
+                        rng.integers(8, shape[1] - 8),
+                        rng.integers(8, shape[2] - 8)])
+        off = rng.integers(-4, 5, 3)
+        off[0] = np.clip(off[0], -2, 2)
+        post = np.clip(pre + off, 3, np.array(shape) - 4)
+        if draw:
+            d2p = ((zz - pre[0]) * 4) ** 2 + (yy - pre[1]) ** 2 + (xx - pre[2]) ** 2
+            raw += np.exp(-d2p / 6.0).astype(np.float32) * 0.9
+            d2q = ((zz - post[0]) * 4) ** 2 + (yy - post[1]) ** 2 + (xx - post[2]) ** 2
+            raw += np.exp(-d2q / 6.0).astype(np.float32) * 0.45
+        pre_id, post_id = next_id, next_id + 1
+        next_id += 2
+        ids += [pre_id, post_id]
+        partners.append([pre_id, post_id])
+        locations += [pre * 8, post * 8]  # world coords at resolution (8,8,8)
+        pres.append(pre)
+        posts.append(post)
+    g = ZarrGroup.create(path)
+    a = g.create_dataset("volumes/raw", shape=shape, chunks=(8, 32, 32), dtype="float32")
+    a[:, :, :] = raw.clip(0, 1.5)
+    a.attrs["resolution"] = [8, 8, 8]
+    iarr = g.create_dataset("annotations/ids", shape=(len(ids),), chunks=(len(ids),), dtype="int64")
+    iarr[:] = np.asarray(ids)
+    parr = g.create_dataset("annotations/partners", shape=(len(partners), 2),
+                            chunks=(len(partners), 2), dtype="int64")
+    parr[:, :] = np.asarray(partners)
+    larr = g.create_dataset("annotations/locations", shape=(len(locations), 3),
+                            chunks=(len(locations), 3), dtype="float64")
+    larr[:, :] = np.asarray(locations, np.float64)
+    return np.asarray(pres), np.asarray(posts)
+
+
+def test_load_synapse_gt_points(tmp_path):
+    from biapy_tpu.data.synapses import load_synapse_gt_points
+
+    pres, posts = _make_cremi(str(tmp_path / "vol.zarr"))
+    gt = load_synapse_gt_points(str(tmp_path / "vol.zarr"),
+                                resolution_path="volumes.raw")
+    assert gt["resolution"] == [8.0, 8.0, 8.0]
+    got_pre = np.asarray(sorted(tuple(p) for p in gt["pre"]))
+    assert np.array_equal(got_pre, np.asarray(sorted(tuple(p) for p in pres)))
+    assert len(gt["post"]) == len(posts)
+    assert len(gt["cleft"]) == len(gt["pre"])
+
+
+def test_synapse_channel_creation_simpsyn(tmp_path):
+    from biapy_tpu.data.synapses import synapse_channel_creation
+    from biapy_tpu.data.zarr_store import ZarrArray
+
+    pres, posts = _make_cremi(str(tmp_path / "vol.zarr"))
+    out = synapse_channel_creation(
+        str(tmp_path / "vol.zarr"), str(tmp_path / "chan.zarr"),
+        ["F_pre", "F_post"], {"F_pre": {"dilation": [1, 3, 3]},
+                              "F_post": {"dilation": [1, 3, 3]}})
+    arr = ZarrArray(out)
+    assert arr.shape == (16, 64, 64, 2)
+    data = np.asarray(arr)
+    for p in pres:
+        assert data[p[0], p[1], p[2], 0] == 1, f"pre site not painted at {p}"
+    for q in posts:
+        assert data[q[0], q[1], q[2], 1] == 1, f"post site not painted at {q}"
+    # dilation stays local
+    assert data[..., 0].mean() < 0.05
+
+
+def test_synapse_channel_creation_synful(tmp_path):
+    from biapy_tpu.data.synapses import synapse_channel_creation
+    from biapy_tpu.data.zarr_store import ZarrArray
+
+    pres, posts = _make_cremi(str(tmp_path / "vol.zarr"), n_syn=3, seed=3)
+    out = synapse_channel_creation(
+        str(tmp_path / "vol.zarr"), str(tmp_path / "chan.zarr"),
+        ["F_post", "Z", "V", "H"], {"H": {"dilation": [2, 6, 6], "norm": False},
+                                    "V": {"norm": False}, "Z": {"norm": False}})
+    data = np.asarray(ZarrArray(out))
+    assert data.shape[-1] == 4
+    # at each post voxel the (Z,V,H) vector points at its pre partner
+    for p, q in zip(pres, posts):
+        vec = data[q[0], q[1], q[2], 1:]
+        assert np.allclose(vec, (p - q).astype(np.float32), atol=1e-5), (vec, p - q)
+
+
+def test_extract_points_and_connect(tmp_path):
+    from biapy_tpu.data.synapses import (
+        connect_pre_post_points_by_distance,
+        extract_points_in_predictions,
+    )
+
+    vol = np.zeros((8, 32, 32), np.float32)
+    pts = [(2, 8, 8), (5, 20, 24), (6, 10, 28)]
+    for p in pts:
+        vol[p] = 1.0
+    from scipy import ndimage
+
+    vol = ndimage.gaussian_filter(vol, 1.0)
+    vol /= vol.max()
+    rows, coords = extract_points_in_predictions(vol, "pre", min_th_to_be_peak=0.5,
+                                                 min_distance=3,
+                                                 out_dir=str(tmp_path))
+    assert sorted(map(tuple, coords)) == sorted(pts)
+    assert os.path.exists(tmp_path / "pred_pre_locations.csv")
+
+    posts = np.asarray(pts) + np.array([0, 2, 1])
+    pairs = connect_pre_post_points_by_distance(coords, posts, out_dir=str(tmp_path))
+    # each post maps to the pre it was offset from
+    order = {tuple(c): i + 1 for i, c in enumerate(coords)}
+    for pre_id, post_id in pairs:
+        if post_id > 0:
+            assert order[tuple(posts[post_id - 1] - np.array([0, 2, 1]))] == pre_id
+
+
+def test_extract_synful_synapses():
+    from biapy_tpu.data.synapses import extract_synful_synapses
+
+    shape = (8, 32, 32)
+    data = np.zeros(shape + (4,), np.float32)
+    posts = [(3, 10, 10), (4, 22, 20)]
+    pres = [(3, 13, 12), (4, 19, 18)]
+    for q, p in zip(posts, pres):
+        data[q][0] = 1.0  # F_post
+        vec = np.asarray(p) - np.asarray(q)
+        data[q][1] = vec[0]   # Z
+        data[q][3] = vec[1]   # H -> axis 1
+        data[q][2] = vec[2]   # V -> axis 2
+    res = extract_synful_synapses(data, ["F_post", "Z", "V", "H"], threshold_abs=0.5)
+    assert len(res["post"]) == 2
+    got = sorted(map(tuple, np.round(res["pre"]).astype(int)))
+    assert got == sorted(map(tuple, pres))
+
+
+@pytest.mark.slow
+def test_synapse_workflow_end_to_end(tmp_path):
+    """Train simpsyn (F_pre+F_post) on a synthetic CREMI volume and check the
+    extracted points recover the annotations (run_checks-style gate)."""
+    root = str(tmp_path)
+    os.makedirs(f"{root}/train")
+    os.makedirs(f"{root}/test")
+    _make_cremi(f"{root}/train/vol.zarr", shape=(16, 96, 96), n_syn=20, seed=1)
+    pres, posts = _make_cremi(f"{root}/test/vol.zarr", shape=(16, 96, 96), n_syn=8, seed=2)
+
+    from biapy_tpu._biapy import BiaPy
+
+    zmd = {"INPUT_ZARR_MULTIPLE_DATA": True,
+           "INPUT_ZARR_MULTIPLE_DATA_RAW_PATH": "volumes.raw",
+           "INPUT_IMG_AXES_ORDER": "ZYX",
+           "INPUT_ZARR_MULTIPLE_DATA_ID_PATH": "annotations.ids",
+           "INPUT_ZARR_MULTIPLE_DATA_PARTNERS_PATH": "annotations.partners",
+           "INPUT_ZARR_MULTIPLE_DATA_LOCATIONS_PATH": "annotations.locations",
+           "INPUT_ZARR_MULTIPLE_DATA_RESOLUTION_PATH": "volumes.raw"}
+    cfg = {
+        "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "3D",
+                    "INSTANCE_SEG": {"TYPE": "synapses",
+                                     "DATA_CHANNELS": ["F_pre", "F_post"],
+                                     "CLASS_REBALANCE_WITHIN_CHANNELS": False,
+                                     "DATA_CHANNELS_EXTRA_OPTS": [{"F_pre": {"dilation": [1, 4, 4]},
+                                                                   "F_post": {"dilation": [1, 4, 4]}}],
+                                     "SYNAPSES": {"TH_TYPE": "manual",
+                                                  "MIN_TH_TO_BE_PEAK": 0.7,
+                                                  "PEAK_LOCAL_MAX_MIN_DISTANCE": 4}}},
+        "DATA": {
+            "PATCH_SIZE": (8, 48, 48, 1),
+            "TRAIN": {"PATH": f"{root}/train", "IN_MEMORY": False, **zmd},
+            "VAL": {"SPLIT_TRAIN": 0.2},
+            "TEST": {"PATH": f"{root}/test", "IN_MEMORY": False, "LOAD_GT": True,
+                     "PADDING": (2, 8, 8), "OVERLAP": (0, 0, 0), **zmd},
+        },
+        "AUGMENTOR": {"ENABLE": False},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16],
+                  "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [1, 1],
+                  "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 3.0e-3, "BATCH_SIZE": 4,
+                  "EPOCHS": 40, "PATIENCE": 50},
+        "TEST": {"ENABLE": True, "DET_TOLERANCE": 40},
+    }
+    job = BiaPy(cfg, result_dir=root + "/results", name="syntest", silent=True)
+    job.run_job()
+    preds = [p for p in job.workflow._predictions if p.get("role") == "synapse_points"]
+    assert preds, "no synapse point predictions recorded"
+    m = preds[0]["metrics"]
+    assert m["f1 (pre points)"] > 0.5, m
+    assert m["f1 (post points)"] > 0.5, m
