@@ -88,6 +88,17 @@ class BiaPy:
         cfg_holder = Config(self.job_dir, self.job_identifier)
         self.cfg = cfg_holder.get_cfg_defaults()
         self.cfg.merge_from_dict(raw)
+        if str(raw.get("MODEL", {}).get("SOURCE", "")).lower() == "bmz":
+            # adapt the config to the BMZ package before validation
+            # (reference: check_bmz_args, models/__init__.py:1119)
+            from biapy_tpu.utils.bmz import check_bmz_args
+
+            overrides = check_bmz_args(str(self.cfg.MODEL.BMZ.SOURCE_MODEL_ID), self.cfg)
+            for sect, vals in overrides.items():
+                # user-provided keys win over package-embedded ones
+                vals = {k: v for k, v in vals.items() if k not in raw.get(sect, {})}
+                if vals:
+                    self.cfg.merge_from_dict({sect: vals})
         update_dependencies(self.cfg, self.job_dir, self.job_identifier)
 
         initialize_distributed()

@@ -159,6 +159,14 @@ class Base_Workflow(metaclass=ABCMeta):
             n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
             print(f"Model: {self.cfg.MODEL.ARCHITECTURE} — {n:,} parameters")
 
+        if str(self.cfg.MODEL.SOURCE).lower() == "bmz":
+            # BMZ import (reference: build_bmz_model, models/__init__.py:943)
+            from biapy_tpu.utils.bmz import load_bmz_model_weights
+
+            params, batch_stats = load_bmz_model_weights(
+                str(self.cfg.MODEL.BMZ.SOURCE_MODEL_ID), params, batch_stats,
+                verbose=self.verbose)
+
         steps_per_epoch = max(1, getattr(self, "_steps_per_epoch", 100))
         tx, self.plateau = build_optimizer(self.cfg, steps_per_epoch)
         self.state = TrainState.create(self.model.apply, params, tx, batch_stats)

@@ -36,6 +36,172 @@ def _sha256(path: str) -> str:
     return h.hexdigest()
 
 
+def _extract_bmz_package(source: str, workdir: Optional[str] = None) -> str:
+    """Resolve a BMZ source (zip path or unpacked dir) to a directory holding
+    rdf.yaml (reference analog: check_bmz_args, models/__init__.py:1119)."""
+    import tempfile
+
+    if os.path.isdir(source):
+        if not os.path.exists(os.path.join(source, "rdf.yaml")):
+            raise FileNotFoundError(f"No rdf.yaml in BMZ directory {source}")
+        return source
+    if zipfile.is_zipfile(source):
+        out = workdir or tempfile.mkdtemp(prefix="bmz_")
+        with zipfile.ZipFile(source) as z:
+            z.extractall(out)
+        if not os.path.exists(os.path.join(out, "rdf.yaml")):
+            raise FileNotFoundError(f"No rdf.yaml inside BMZ zip {source}")
+        return out
+    raise ValueError(
+        f"BMZ source '{source}' is neither a package dir nor a zip. Remote "
+        "zoo IDs need network access, which this environment does not have — "
+        "download the package zip and pass its path.")
+
+
+def read_bmz_rdf(source: str) -> dict:
+    """Load the rdf.yaml of a BMZ package (zip or dir)."""
+    root = _extract_bmz_package(source)
+    with open(os.path.join(root, "rdf.yaml")) as f:
+        rdf = yaml.safe_load(f)
+    rdf["_root"] = root
+    return rdf
+
+
+def check_bmz_args(source: str, cfg) -> dict:
+    """Validate a BMZ package against the current config and return the
+    config overrides it implies (reference: check_bmz_args,
+    models/__init__.py:1119 + compatibility check :1176).
+
+    For biapy_tpu-exported packages the embedded config's MODEL section is
+    returned so the exact architecture is rebuilt; for external packages the
+    user's MODEL section must describe the architecture and only weight
+    loading is attempted."""
+    rdf = read_bmz_rdf(source)
+    if rdf.get("type") != "model":
+        raise ValueError(f"BMZ RDF at {source} is type '{rdf.get('type')}', not 'model'")
+    overrides: dict = {}
+    emb = rdf.get("config", {}).get("biapy_tpu", {}).get("cfg")
+    if emb:
+        if emb.get("PROBLEM", {}).get("TYPE") not in ("", None, cfg.PROBLEM.TYPE):
+            print(f"BMZ package was trained for {emb['PROBLEM']['TYPE']}; "
+                  f"current workflow is {cfg.PROBLEM.TYPE} (weights load anyway)")
+        overrides["MODEL"] = {k: v for k, v in emb.get("MODEL", {}).items() if k != "SOURCE"}
+        overrides["DATA"] = {"PATCH_SIZE": emb.get("DATA", {}).get("PATCH_SIZE",
+                                                                   list(cfg.DATA.PATCH_SIZE))}
+    return overrides
+
+
+def _torch_tensor_to_flax(t_np: np.ndarray, flax_shape: tuple) -> Optional[np.ndarray]:
+    """Convert one torch tensor to a flax layout if shapes can correspond:
+    convs OI(D)HW -> (D)HWIO, linear (O,I) -> (I,O), 1-D params as-is."""
+    if tuple(t_np.shape) == tuple(flax_shape):
+        return t_np
+    if t_np.ndim >= 3:  # conv kernel
+        perm = tuple(range(2, t_np.ndim)) + (1, 0)
+        c = np.transpose(t_np, perm)
+        if tuple(c.shape) == tuple(flax_shape):
+            return c
+    if t_np.ndim == 2:
+        c = t_np.T
+        if tuple(c.shape) == tuple(flax_shape):
+            return c
+    return None
+
+
+def import_torch_state_dict(state_dict: dict, params, batch_stats=None):
+    """Map an ordered torch state dict onto a flax param tree by ordered
+    shape-compatible matching (reference analog: BMZ pytorch_state_dict
+    import, models/__init__.py:943 build_bmz_model).
+
+    Works when the torch module registration order matches the flax module
+    definition order — true for the U-Net family, whose layouts are
+    parameter-count-exact against the reference. Raises if any tensor cannot
+    be placed."""
+    import jax
+
+    bn_stats_keys = ("running_mean", "running_var")
+    torch_items = [(k, np.asarray(v)) for k, v in state_dict.items()
+                   if not k.endswith("num_batches_tracked")]
+    main_items = [(k, v) for k, v in torch_items if not k.endswith(bn_stats_keys)]
+    stat_items = [(k, v) for k, v in torch_items if k.endswith(bn_stats_keys)]
+
+    leaves, treedef = jax.tree.flatten(params)
+    if len(main_items) != len(leaves):
+        raise ValueError(f"BMZ torch state dict has {len(main_items)} tensors but "
+                         f"the model expects {len(leaves)} parameters")
+    # Greedy ordered matching: for each torch tensor (registration order),
+    # take the first unplaced flax leaf with a layout-compatible shape.
+    # jax.tree.flatten orders leaves by sorted key, which need not equal
+    # registration order; shape compatibility restores the correspondence as
+    # long as equal-shape parameters appear in the same relative order.
+    new_leaves: list = [None] * len(leaves)
+    for k, t in main_items:
+        placed = False
+        for i, leaf in enumerate(leaves):
+            if new_leaves[i] is not None:
+                continue
+            conv = _torch_tensor_to_flax(t, leaf.shape)
+            if conv is not None:
+                new_leaves[i] = conv.astype(np.float32)
+                placed = True
+                break
+        if not placed:
+            raise ValueError(f"Cannot map torch tensor '{k}' {t.shape} onto "
+                             "any remaining model parameter")
+    new_params = jax.tree.unflatten(treedef, new_leaves)
+
+    new_stats = batch_stats
+    if batch_stats and stat_items:
+        s_leaves, s_def = jax.tree.flatten(batch_stats)
+        if len(stat_items) == len(s_leaves):
+            conv_stats = []
+            for (k, t), leaf in zip(stat_items, s_leaves):
+                if tuple(t.shape) != tuple(leaf.shape):
+                    raise ValueError(f"BN stat '{k}' {t.shape} != {leaf.shape}")
+                conv_stats.append(t.astype(np.float32))
+            new_stats = jax.tree.unflatten(s_def, conv_stats)
+    return new_params, new_stats
+
+
+def load_bmz_model_weights(source: str, params, batch_stats=None, verbose: bool = True):
+    """Load weights from a BMZ package onto an already-built model
+    (reference: build_bmz_model, models/__init__.py:943). Handles:
+
+    - biapy_tpu exports (msgpack checkpoint attachment): exact param tree.
+    - pytorch_state_dict weights: torch -> flax conversion (U-Net family).
+    """
+    rdf = read_bmz_rdf(source)
+    root = rdf["_root"]
+
+    # our own exports: msgpack checkpoint in attachments
+    for att in rdf.get("attachments", []) or []:
+        src = att.get("source", "")
+        if src.endswith(".ckpt"):
+            from biapy_tpu.utils.misc import load_checkpoint
+
+            ck = load_checkpoint(os.path.join(root, src))
+            if verbose:
+                print(f"BMZ import: biapy_tpu checkpoint {src}")
+            return ck["params"], ck.get("batch_stats") or batch_stats
+
+    weights = rdf.get("weights", {}) or {}
+    if "pytorch_state_dict" in weights:
+        import torch
+
+        w = weights["pytorch_state_dict"]
+        wsrc = w.get("source", w) if isinstance(w, dict) else w
+        sd = torch.load(os.path.join(root, str(wsrc)), map_location="cpu",
+                        weights_only=True)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        sd = {k: v.numpy() for k, v in sd.items()}
+        if verbose:
+            print(f"BMZ import: converting pytorch_state_dict ({len(sd)} tensors)")
+        return import_torch_state_dict(sd, params, batch_stats)
+    raise ValueError(f"BMZ package {source} has no loadable weights "
+                     f"(found: {list(weights.keys())})")
+
+
 def export_model_to_bmz(workflow, output_dir: str, model_name: Optional[str] = None) -> str:
     cfg = workflow.cfg
     workflow._ensure_model_for_test()

@@ -1,0 +1,137 @@
+"""BMZ (BioImage Model Zoo) export/import round-trip and torch weight import
+(reference: export_model_to_bmz _biapy.py:1012, build_bmz_model
+models/__init__.py:943, check_bmz_args :1119).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from biapy_tpu.data.tiff import write_tiff
+
+
+def _tiny_data(root, n=4):
+    os.makedirs(f"{root}/train/x"); os.makedirs(f"{root}/train/y")
+    os.makedirs(f"{root}/test/x"); os.makedirs(f"{root}/test/y")
+    rng = np.random.default_rng(0)
+    for d, k in (("train", n), ("test", 2)):
+        for i in range(k):
+            img = rng.random((64, 64), np.float32)
+            msk = (img > 0.5).astype(np.uint8) * 255
+            write_tiff(f"{root}/{d}/x/{i:02d}.tif", (img * 255).astype(np.uint8))
+            write_tiff(f"{root}/{d}/y/{i:02d}.tif", msk)
+
+
+def _base_cfg(root):
+    return {
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y"},
+                 "VAL": {"SPLIT_TRAIN": 0.5},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y",
+                          "LOAD_GT": True}},
+        "AUGMENTOR": {"ENABLE": False},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [4, 8],
+                  "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [2, 2],
+                  "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "EPOCHS": 1, "BATCH_SIZE": 2},
+        "TEST": {"ENABLE": False},
+    }
+
+
+def test_bmz_export_import_roundtrip(tmp_path):
+    root = str(tmp_path)
+    _tiny_data(root)
+    from biapy_tpu._biapy import BiaPy
+    from biapy_tpu.utils.bmz import export_model_to_bmz, load_bmz_model_weights, read_bmz_rdf
+
+    job = BiaPy(_base_cfg(root), result_dir=root + "/results", name="bmzjob", silent=True)
+    job.train()
+    zpath = export_model_to_bmz(job.workflow, root + "/bmz_out", model_name="mymodel")
+    assert os.path.exists(zpath)
+
+    rdf = read_bmz_rdf(zpath)
+    assert rdf["type"] == "model" and rdf["name"] == "mymodel"
+
+    # weights round-trip exactly onto a freshly-built model
+    import jax
+
+    params0 = job.workflow.state.params
+    cfg2 = _base_cfg(root)
+    cfg2["MODEL"]["SOURCE"] = "bmz"
+    cfg2["MODEL"]["BMZ"] = {"SOURCE_MODEL_ID": zpath}
+    cfg2["TRAIN"]["ENABLE"] = False
+    cfg2["TEST"]["ENABLE"] = True
+    job2 = BiaPy(cfg2, result_dir=root + "/results", name="bmzjob2", silent=True)
+    job2._build_workflow()
+    job2.workflow.prepare_model()
+    for a, b in zip(jax.tree.leaves(params0), jax.tree.leaves(job2.workflow.state.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b)), "BMZ round-trip changed weights"
+
+    # the imported model reproduces the packaged test tensor
+    import zipfile
+
+    with zipfile.ZipFile(zpath) as z:
+        with z.open("test_input.npy") as f:
+            tin = np.load(f)
+        with z.open("test_output.npy") as f:
+            tout = np.load(f)
+    out2 = np.asarray(job2.workflow.predict_patches(tin))
+    assert np.allclose(out2, tout, atol=1e-5), "imported model disagrees with packaged test tensor"
+
+
+def test_bmz_import_adapts_config(tmp_path):
+    """MODEL section comes from the package when the user leaves it empty."""
+    root = str(tmp_path)
+    _tiny_data(root)
+    from biapy_tpu._biapy import BiaPy
+    from biapy_tpu.utils.bmz import export_model_to_bmz
+
+    job = BiaPy(_base_cfg(root), result_dir=root + "/results", name="bmzsrc", silent=True)
+    job.train()
+    zpath = export_model_to_bmz(job.workflow, root + "/bmz_out", model_name="m2")
+
+    cfg = _base_cfg(root)
+    cfg["MODEL"] = {"SOURCE": "bmz", "BMZ": {"SOURCE_MODEL_ID": zpath}}
+    cfg["TRAIN"]["ENABLE"] = False
+    job2 = BiaPy(cfg, result_dir=root + "/results", name="bmzdst", silent=True)
+    assert list(job2.cfg.MODEL.FEATURE_MAPS) == [4, 8]
+    assert job2.cfg.MODEL.ARCHITECTURE == "unet"
+
+
+def test_torch_state_dict_import():
+    """Ordered shape-matched torch->flax conversion places every tensor."""
+    import jax
+    import jax.numpy as jnp
+
+    from biapy_tpu.models import build_model
+    from biapy_tpu.config.config import Config
+    from biapy_tpu.utils.bmz import import_torch_state_dict
+
+    c = Config(".", "t")
+    cfg = c.get_cfg_defaults()
+    cfg.merge_from_dict({"MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [4, 8],
+                                   "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [2, 2],
+                                   "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+                         "DATA": {"PATCH_SIZE": (32, 32, 1)}})
+    model, _ = build_model(cfg, [1], ["sem"], ["ce_sigmoid"])
+    variables = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 32, 32, 1)), train=False)
+    params = variables["params"]
+
+    # fabricate a torch-style state dict from the flax tree itself
+    # (conv kernels HWIO -> OIHW, so the importer has to transpose back)
+    leaves = jax.tree.leaves(params)
+    sd = {}
+    for i, leaf in enumerate(leaves):
+        a = np.asarray(leaf)
+        if a.ndim >= 3:
+            a = np.transpose(a, (a.ndim - 1, a.ndim - 2) + tuple(range(a.ndim - 2)))
+        elif a.ndim == 2:
+            a = a.T
+        sd[f"layer{i}.weight"] = a
+
+    new_params, _ = import_torch_state_dict({k: np.asarray(v) for k, v in sd.items()}, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(new_params)):
+        assert a.shape == b.shape
