@@ -90,3 +90,90 @@ def stardist_nms_2d(
         labels[m & (labels == 0)] = next_id
         accepted_masks.append(m)
     return labels
+
+
+# ------------------------------------------------------------------ 3D
+def _rasterize_polyhedron(center: np.ndarray, dists: np.ndarray,
+                          ray_dirs: np.ndarray, shape: Tuple[int, int, int],
+                          pad: int = 2):
+    """Voxelize the convex hull of the polyhedron vertices
+    (reference: _rasterize_3d_convex, polygon_nms.py:172). Returns
+    (local bool mask, bbox starts) or None for degenerate candidates."""
+    from scipy.spatial import Delaunay, QhullError
+
+    verts = center[None, :] + dists[:, None] * ray_dirs  # (R, 3) in (z,y,x)
+    lo = np.maximum(0, np.floor(verts.min(0)).astype(int) - pad)
+    hi = np.minimum(shape, np.ceil(verts.max(0)).astype(int) + pad + 1)
+    if np.any(hi <= lo):
+        return None
+    try:
+        tri = Delaunay(verts)
+    except QhullError:
+        return None
+    gz, gy, gx = np.mgrid[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
+    pts = np.stack([gz.ravel(), gy.ravel(), gx.ravel()], axis=1)
+    inside = tri.find_simplex(pts) >= 0
+    return inside.reshape(tuple(hi - lo)), lo
+
+
+def _bbox_iou_masks(ma, la, mb, lb) -> float:
+    """IoU of two bbox-local boolean masks given their bbox starts."""
+    ha = np.asarray(ma.shape) + la
+    hb = np.asarray(mb.shape) + lb
+    lo = np.maximum(la, lb)
+    hi = np.minimum(ha, hb)
+    if np.any(hi <= lo):
+        return 0.0
+    sa = tuple(slice(int(a), int(b)) for a, b in zip(lo - la, hi - la))
+    sb = tuple(slice(int(a), int(b)) for a, b in zip(lo - lb, hi - lb))
+    inter = int((ma[sa] & mb[sb]).sum())
+    if inter == 0:
+        return 0.0
+    return inter / (int(ma.sum()) + int(mb.sum()) - inter)
+
+
+def stardist_nms_3d(
+    prob: np.ndarray,
+    rays: np.ndarray,
+    prob_threshold: float = 0.5,
+    iou_threshold: float = 0.3,
+    max_candidates: int = 2000,
+    grid_step: int = 2,
+) -> np.ndarray:
+    """StarDist3D: probability + per-voxel ray distances -> instance labels
+    via greedy polyhedron IoU-NMS (reference:
+    stardist_instances_from_prediction, polygon_nms.py:398; rasterization
+    :172). ``prob``: (Z,Y,X); ``rays``: (Z,Y,X,nrays). Ray directions come
+    from the same Fibonacci sphere used by the channel compiler
+    (pre_processing.generate_rays), so reconstruction matches training."""
+    from biapy_tpu.data.pre_processing import generate_rays
+
+    shape = prob.shape
+    ray_dirs = generate_rays(rays.shape[-1], 3).astype(np.float64)
+    g = max(1, int(grid_step))
+    cand = np.argwhere(prob[::g, ::g, ::g] > prob_threshold) * g
+    if len(cand) == 0:
+        return np.zeros(shape, np.int32)
+    scores = prob[tuple(cand.T)]
+    order = np.argsort(-scores)[:max_candidates]
+    cand = cand[order]
+
+    labels = np.zeros(shape, np.int32)
+    accepted: List[Tuple[np.ndarray, np.ndarray]] = []  # (local mask, bbox lo)
+    next_id = 0
+    for c in cand:
+        d = np.maximum(rays[tuple(c)].astype(np.float64), 1.0)
+        r = _rasterize_polyhedron(c.astype(np.float64), d, ray_dirs, shape)
+        if r is None:
+            continue
+        m, lo = r
+        if int(m.sum()) < 8:
+            continue
+        if any(_bbox_iou_masks(m, lo, am, alo) > iou_threshold for am, alo in accepted):
+            continue
+        next_id += 1
+        sl = tuple(slice(int(a), int(a) + s) for a, s in zip(lo, m.shape))
+        region = labels[sl]
+        region[m & (region == 0)] = next_id
+        accepted.append((m, lo))
+    return labels

@@ -139,28 +139,56 @@ def cellpose_flows(labels: np.ndarray, n_iter: Optional[int] = None) -> np.ndarr
     return (g * fg[..., None]).astype(np.float32)
 
 
+def generate_rays(nrays: int, nd: int = 2) -> np.ndarray:
+    """Unit ray directions, (nrays, nd) in (y,x) / (z,y,x) axis order
+    (reference: generate_rays, pre_processing.py:1859 — 2D circle, 3D
+    Fibonacci sphere). Shared by the channel compiler and the NMS so training
+    targets and polyhedron reconstruction agree."""
+    if nd == 2:
+        a = np.linspace(0, 2 * np.pi, nrays, endpoint=False)
+        return np.stack([np.sin(a), np.cos(a)], axis=1).astype(np.float32)  # (dy, dx)
+    i = np.arange(nrays, dtype=np.float64)
+    phi = (1 + np.sqrt(5.0)) / 2.0
+    z = 1 - 2 * (i + 0.5) / nrays
+    r = np.sqrt(np.maximum(0.0, 1 - z * z))
+    theta = 2 * np.pi * i / phi
+    dirs = np.stack([z, r * np.sin(theta), r * np.cos(theta)], axis=1)  # (dz, dy, dx)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True) + 1e-12
+    return dirs.astype(np.float32)
+
+
 def radial_distances(labels: np.ndarray, nrays: int = 32) -> np.ndarray:
-    """StarDist radial ray distances (2D; reference: radial_distances
-    numba kernels, pre_processing.py:1903). For each foreground pixel, the
-    distance along each of ``nrays`` directions to the instance boundary."""
-    assert labels.ndim == 2, "radial ray channels are 2D (StarDist2D)"
-    h, w = labels.shape
-    out = np.zeros((h, w, nrays), np.float32)
-    angles = np.linspace(0, 2 * np.pi, nrays, endpoint=False)
-    dys, dxs = np.sin(angles), np.cos(angles)
-    ys, xs = np.nonzero(labels)
-    for yi, xi in zip(ys, xs):
-        lab = labels[yi, xi]
-        for k in range(nrays):
-            dy, dx = dys[k], dxs[k]
-            t = 1.0
-            while True:
-                y, x = yi + dy * t, xi + dx * t
-                iy, ix = int(round(y)), int(round(x))
-                if iy < 0 or iy >= h or ix < 0 or ix >= w or labels[iy, ix] != lab:
-                    break
-                t += 1.0
-            out[yi, xi, k] = t
+    """StarDist radial ray distances, 2D polygons or 3D polyhedra
+    (reference: _radial_distances_2d/_3d numba kernels,
+    pre_processing.py:1904,1971). For each foreground voxel, the distance
+    along each ray direction to the instance boundary. Vectorized ray
+    marching: all foreground voxels advance one unit step per iteration until
+    they leave their instance."""
+    nd = labels.ndim
+    rays = generate_rays(nrays, nd)
+    shape = np.asarray(labels.shape)
+    coords = np.argwhere(labels > 0)  # (n, nd)
+    out = np.zeros(labels.shape + (nrays,), np.float32)
+    if len(coords) == 0:
+        return out
+    labs = labels[tuple(coords.T)]
+    max_steps = int(np.ceil(np.linalg.norm(shape))) + 1
+    for k in range(nrays):
+        d = rays[k]
+        t = np.ones(len(coords), np.float32)
+        active = np.ones(len(coords), bool)
+        for _ in range(max_steps):
+            pos = np.round(coords[active] + d * t[active, None]).astype(np.int64)
+            inside = np.all((pos >= 0) & (pos < shape), axis=1)
+            same = np.zeros(len(pos), bool)
+            if inside.any():
+                same[inside] = labels[tuple(pos[inside].T)] == labs[active][inside]
+            idx = np.nonzero(active)[0]
+            t[idx[same]] += 1.0
+            active[idx[~same]] = False
+            if not active.any():
+                break
+        out[tuple(coords.T) + (k,)] = t
     return out
 
 

@@ -150,8 +150,14 @@ class RayChannels(ChannelGroup):
         return idx_round
 
     def supports(self, t: AxisTransform) -> bool:
-        if t.ndim == 3 and (t.perm[0] != 0 or t.flips[0]):
-            return False  # rays live in-plane; z must stay put
+        if t.ndim == 3:
+            # 3D rays are a Fibonacci sphere (pre_processing.generate_rays):
+            # no orientation maps the ray set onto itself, so only the
+            # identity keeps the representation consistent (the reference
+            # likewise degrades the orientation set for non-equivariant
+            # representations, tta.py:701).
+            ident = all(p == i for i, p in enumerate(t.perm)) and not any(t.flips)
+            return ident
         return self._permutation(t) is not None
 
     def remap(self, pred: np.ndarray, t: AxisTransform) -> None:

@@ -109,3 +109,96 @@ def test_embedseg_workflow_dispatch():
     wf = _workflow(["E_offset", "E_sigma", "E_seediness"])
     assert wf.embedseg_mode
     assert wf.output_channels == [5]  # 2+2+1 in 2D
+
+
+# ---------------------------------------------------------- StarDist 3D
+def test_radial_distances_2d_matches_bruteforce():
+    """Vectorized ray marching == the straightforward per-pixel loop."""
+    from biapy_tpu.data.pre_processing import generate_rays, radial_distances
+
+    rng = np.random.default_rng(0)
+    lab = np.zeros((24, 24), np.int32)
+    lab[4:12, 4:14] = 1
+    lab[14:22, 10:20] = 2
+    nrays = 8
+    out = radial_distances(lab, nrays)
+    rays = generate_rays(nrays, 2)
+    for _ in range(20):
+        y, x = rng.integers(0, 24, 2)
+        if lab[y, x] == 0:
+            assert np.all(out[y, x] == 0)
+            continue
+        for k in range(nrays):
+            t = 1.0
+            while True:
+                iy, ix = int(round(y + rays[k, 0] * t)), int(round(x + rays[k, 1] * t))
+                if iy < 0 or iy >= 24 or ix < 0 or ix >= 24 or lab[iy, ix] != lab[y, x]:
+                    break
+                t += 1.0
+            assert out[y, x, k] == t, (y, x, k)
+
+
+def test_stardist_3d_oracle():
+    """Perfect 3D ray/prob maps (from labels_into_channels' own kernels) must
+    reconstruct the instances through the polyhedra NMS."""
+    from biapy_tpu.data.pre_processing import radial_distances
+    from biapy_tpu.data.polygon_nms import stardist_nms_3d
+    from biapy_tpu.utils.matching import matching
+    from scipy import ndimage
+
+    lab = np.zeros((24, 48, 48), np.int32)
+    zz, yy, xx = np.mgrid[:24, :48, :48]
+    for i, (cz, cy, cx, r) in enumerate([(8, 12, 12, 8), (14, 32, 30, 9), (10, 14, 36, 7)]):
+        lab[((zz - cz) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2) < r * r] = i + 1
+
+    nrays = 64
+    rays = radial_distances(lab, nrays)
+    # probability peaks at the instance centers (EDT-normalized per instance)
+    dist = ndimage.distance_transform_edt(lab > 0).astype(np.float32)
+    prob = np.zeros_like(dist)
+    for lb in (1, 2, 3):
+        m = lab == lb
+        prob[m] = dist[m] / dist[m].max()
+
+    pred = stardist_nms_3d(prob, rays, prob_threshold=0.8, iou_threshold=0.3, grid_step=2)
+    stats = matching(lab, pred, thresh=[0.5])
+    assert stats[0]["f1"] == 1.0, stats
+
+
+# ------------------------------------------------- Cellpose test rescale
+def test_cellpose_test_rescale_hooks(tmp_path):
+    import os
+
+    """DIAMETER>0 rescales the input in-plane by DIAM_MEAN/diameter and the
+    merged prediction is resized back to native (reference:
+    workflow_utils/cellpose.py)."""
+    from biapy_tpu._biapy import BiaPy
+    from biapy_tpu.data.tiff import write_tiff
+
+    os.makedirs(tmp_path / "x")
+    write_tiff(str(tmp_path / "x" / "a.tif"), np.zeros((64, 64), np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "2D",
+                    "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "Gv", "Gh"],
+                                     "CELLPOSE": {"DIAMETER": 60.0, "DIAM_MEAN": 30.0}}},
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TEST": {"PATH": str(tmp_path / "x"), "LOAD_GT": False}},
+        "TRAIN": {"ENABLE": False},
+        "TEST": {"ENABLE": True},
+    }
+    job = BiaPy(cfg, result_dir=str(tmp_path), name="cp", silent=True)
+    job._build_workflow()
+    wf = job.workflow
+    img = np.zeros((64, 64, 1), np.float32)
+    out, _ = wf.before_test_sample(img, None, "a.tif")
+    assert out.shape == (32, 32, 1), out.shape     # factor 30/60 = 0.5
+    pred = np.zeros((32, 32, 3), np.float32)
+    back = wf.post_merge_transform(pred, "a.tif")
+    assert back.shape == (64, 64, 3), back.shape
+
+    # omnipose is diameter-agnostic: no rescale
+    cfg["PROBLEM"]["INSTANCE_SEG"]["INSTANCE_CREATION_PROCESS"] = "omnipose"
+    job2 = BiaPy(cfg, result_dir=str(tmp_path), name="cp2", silent=True)
+    job2._build_workflow()
+    out2, _ = job2.workflow.before_test_sample(img, None, "a.tif")
+    assert out2.shape == (64, 64, 1)
