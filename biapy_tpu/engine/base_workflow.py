@@ -363,6 +363,16 @@ class Base_Workflow(metaclass=ABCMeta):
                                         ndim=self.nd, mode=mode)
         return run_batches(patches)
 
+    def before_test_sample(self, img: np.ndarray, gt: Optional[np.ndarray], fname: str):
+        """Workflow hook run before inference on one image (e.g. the Cellpose
+        test-time diameter rescale, reference: workflow_utils/cellpose.py)."""
+        return img, gt
+
+    def post_merge_transform(self, pred: np.ndarray, fname: str) -> np.ndarray:
+        """Workflow hook run on the merged prediction before metrics and
+        instance creation (e.g. resizing Cellpose flows back to native)."""
+        return pred
+
     def process_test_sample(self, img: np.ndarray, gt: Optional[np.ndarray], fname: str, sample=None):
         """Sliding-window inference on one image (reference:
         process_test_sample, base_workflow.py:1840)."""
@@ -370,6 +380,7 @@ class Base_Workflow(metaclass=ABCMeta):
         ov = tuple(cfg.DATA.TEST.OVERLAP)
         pad = tuple(cfg.DATA.TEST.PADDING)
         crop_shape = tuple(cfg.DATA.PATCH_SIZE)
+        img, gt = self.before_test_sample(img, gt, fname)
         img_n, stats = normalize_image(img, self.norm_spec)
 
         if cfg.TEST.FULL_IMG and not self.is_3d:
@@ -381,6 +392,7 @@ class Base_Workflow(metaclass=ABCMeta):
             pred = self.predict_patches(full[None], batch_size=1)[0]
             up = self.y_upscaling
             pred = pred[tuple(slice(0, img.shape[d] * up[d]) for d in range(self.nd))]
+            pred = self.post_merge_transform(pred, fname)
             merged = self.apply_roi_mask(pred, fname)
             m = self.metric_calculation(merged, gt) if gt is not None else {}
             if m:
@@ -405,6 +417,7 @@ class Base_Workflow(metaclass=ABCMeta):
         merged = merge_data_with_overlap(
             preds, (1,) + out_spatial + (out_ch,), overlap=ov_scaled, padding=pad_scaled
         )[0]
+        merged = self.post_merge_transform(merged, fname)
         merged = self.apply_roi_mask(merged, fname)
         res = {"pred": merged}
         m = self.metric_calculation(merged, gt) if gt is not None else {}

@@ -171,13 +171,33 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             os.makedirs(out_dir, exist_ok=True)
             if self.verbose:
                 print(f"Creating {self.channel_codes} channel masks for {split} in {out_dir}")
+            compute_diam = (split == "TRAIN"
+                            and any(c in self.channel_codes for c in ("Gv", "Gh", "Gz")))
+            diams: List[float] = []
             for p in gts:
                 lab = read_img_as_ndarray(p, is_3d=self.is_3d)
+                if compute_diam:
+                    d = self._estimate_diameter(lab[..., 0].astype(np.int64))
+                    if d:
+                        diams.append(d)
                 chans = labels_into_channels(lab, self.channel_codes, self.channel_extra_opts)
                 # .npy keeps arbitrary channel counts unambiguous (a 2D
                 # many-channel TIFF is indistinguishable from a z-stack)
                 base = os.path.splitext(os.path.basename(p))[0]
                 np.save(os.path.join(out_dir, base + ".npy"), chans.astype(np.float32))
+            if compute_diam and diams:
+                # cache the training median diameter next to the channels
+                # (reference: cellpose diameter stats cache, pre_processing.py:67)
+                import json
+
+                with open(os.path.join(out_dir, "cellpose_diam.json"), "w") as f:
+                    json.dump({"median_diameter": float(np.median(diams))}, f)
+        diam_file = os.path.join(out_dir, "cellpose_diam.json")
+        if split == "TRAIN" and os.path.exists(diam_file):
+            import json
+
+            with open(diam_file) as f:
+                self.cellpose_diameter = float(json.load(f)["median_diameter"])
         frozen = self.cfg.is_frozen()
         if frozen:
             self.cfg.defrost()
@@ -415,9 +435,16 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         # matching stats vs raw instance GT
         gt_dir = getattr(self, "_instance_gt_dirs", {}).get("TEST")
         if gt_dir and cfg.TEST.MATCHING_STATS:
-            from biapy_tpu.data.io import read_img_as_ndarray
+            from biapy_tpu.data.io import list_image_files, read_img_as_ndarray
 
             gt_path = os.path.join(gt_dir, fname)
+            if not os.path.exists(gt_path) and os.path.isdir(gt_dir):
+                # GT may use a different extension than the input image
+                stem = fname.split(".")[0]
+                cands = [p for p in list_image_files(gt_dir)
+                         if os.path.basename(p).split(".")[0] == stem]
+                if cands:
+                    gt_path = cands[0]
             if os.path.exists(gt_path):
                 gt_lab = read_img_as_ndarray(gt_path, is_3d=self.is_3d)[..., 0].astype(np.int32)
                 stats = matching(gt_lab, instances, thresh=list(cfg.TEST.MATCHING_STATS_THS))
@@ -460,6 +487,84 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             off += n
         return None
 
+    # -- Cellpose test-time diameter rescale ---------------------------------
+    # (reference: CellposeTestPhaseMixin, workflow_utils/cellpose.py — rescale
+    # the input by DIAM_MEAN/diameter before the network, resize the flows
+    # back to native after the merge, derive niter from the diameter.)
+    def _cellpose_rescale_active(self) -> bool:
+        c = self.cfg.PROBLEM.INSTANCE_SEG
+        extra = self.channel_extra_opts.get("Gv", {})
+        return (any(ch in self.channel_codes for ch in ("Gv", "Gh", "Gz"))
+                and str(extra.get("gradient_type", "cellpose")) != "omnipose"
+                and str(c.INSTANCE_CREATION_PROCESS).lower() != "omnipose"
+                and not self.cfg.TEST.BY_CHUNKS.ENABLE)
+
+    def _estimate_diameter(self, labels: np.ndarray) -> Optional[float]:
+        """Median equivalent diameter over instances (the reference caches
+        these stats during channel creation, pre_processing.py:67-385)."""
+        ids, counts = np.unique(labels[labels > 0], return_counts=True)
+        if len(ids) == 0:
+            return None
+        if labels.ndim == 3:
+            diams = 2 * (counts * 3 / (4 * np.pi)) ** (1 / 3)
+        else:
+            diams = 2 * np.sqrt(counts / np.pi)
+        return float(np.median(diams))
+
+    def before_test_sample(self, img, gt, fname):
+        self._cellpose_factor = None
+        if not self._cellpose_rescale_active():
+            return img, gt
+        cp = self.cfg.PROBLEM.INSTANCE_SEG.CELLPOSE
+        diam = float(cp.DIAMETER)
+        if diam <= 0 and bool(cp.TEST_DOUBLE_INFERENCE):
+            diam = self._first_pass_diameter(img) or 0.0
+        if diam <= 0:
+            diam = float(getattr(self, "cellpose_diameter", 0.0) or 0.0)
+        if diam <= 0:
+            return img, gt
+        factor = min(4.0, max(0.25, float(cp.DIAM_MEAN) / diam))
+        self._cellpose_diam = diam
+        if abs(factor - 1.0) <= 1e-3:
+            return img, gt
+        from scipy import ndimage
+
+        # in-plane rescale only (z untouched), like Cellpose resample=True
+        zoomf = [1.0] * (self.nd - 2) + [factor, factor] + [1.0]
+        self._cellpose_factor = factor
+        self._cellpose_orig_shape = img.shape
+        img = ndimage.zoom(img, zoomf, order=1)
+        if self.verbose:
+            print(f"[Cellpose test rescale] {fname}: diameter={diam:.2f}px, "
+                  f"factor={factor:.4f}, shape {self._cellpose_orig_shape} -> {img.shape}")
+        return img, gt
+
+    def _first_pass_diameter(self, img: np.ndarray) -> Optional[float]:
+        """Cheap first inference on ONE central patch: run the model, create
+        instances at native scale, measure their median diameter
+        (reference: _estimate_cellpose_diameter_first_pass,
+        workflow_utils/cellpose.py:55)."""
+        from biapy_tpu.data.norm import normalize_image
+        from biapy_tpu.data.patching import pad_to_min_shape
+
+        ps = tuple(self.cfg.DATA.PATCH_SIZE)[: self.nd]
+        img_n, _ = normalize_image(img, self.norm_spec)
+        img_n, _ = pad_to_min_shape(img_n, ps)
+        starts = [(img_n.shape[d] - ps[d]) // 2 for d in range(self.nd)]
+        patch = img_n[tuple(slice(s, s + p) for s, p in zip(starts, ps))]
+        pred = np.asarray(self.predict_patches(patch[None]))[0]
+        lab = self._instances_from_flows(pred)
+        return self._estimate_diameter(lab)
+
+    def post_merge_transform(self, pred: np.ndarray, fname: str) -> np.ndarray:
+        if getattr(self, "_cellpose_factor", None) is None:
+            return pred
+        from scipy import ndimage
+
+        tgt = self._cellpose_orig_shape[: self.nd]
+        zoomf = [t / s for t, s in zip(tgt, pred.shape[: self.nd])] + [1.0]
+        return ndimage.zoom(pred, zoomf, order=1)
+
     def _instances_from_flows(self, pred: np.ndarray) -> np.ndarray:
         """Cellpose/Omnipose flow tracking (reference: gradient_tracking.py)."""
         from biapy_tpu.ops.flows import flows_to_instances
@@ -480,17 +585,25 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         else:
             fg = np.linalg.norm(flows, axis=-1) > 0.3
         suppressed = str(self.cfg.PROBLEM.INSTANCE_SEG.INSTANCE_CREATION_PROCESS).lower() == "omnipose"
-        return flows_to_instances(flows, fg, suppressed=suppressed)
+        cp = self.cfg.PROBLEM.INSTANCE_SEG.CELLPOSE
+        n_iter = int(cp.N_STEPS) if int(cp.N_STEPS) > 0 else 200
+        diam = getattr(self, "_cellpose_diam", 0.0)
+        if diam and float(cp.DIAM_MEAN) > 0:
+            # Cellpose: niter = (diameter / diam_mean) * 200 (reference:
+            # workflow_utils/cellpose.py niter derivation)
+            n_iter = max(1, int(round(diam / float(cp.DIAM_MEAN) * 200)))
+        return flows_to_instances(flows, fg, n_iter=n_iter, suppressed=suppressed)
 
     def _instances_from_rays(self, pred: np.ndarray) -> np.ndarray:
-        """StarDist ray NMS (reference: polygon_nms.py:395); 2D."""
-        from biapy_tpu.data.polygon_nms import stardist_nms_2d
+        """StarDist ray NMS — 2D polygons / 3D polyhedra (reference:
+        polygon_nms.py:395)."""
+        from biapy_tpu.data.polygon_nms import stardist_nms_2d, stardist_nms_3d
 
-        if self.nd != 2:
-            raise NotImplementedError("StarDist NMS is 2D in this round (3D polyhedra pending)")
         rays_sl = self._channel_slice("R")
         prob_sl = self._channel_slice("P") or self._channel_slice("F")
         prob = pred[..., prob_sl][..., 0] if prob_sl is not None else np.ones(pred.shape[:-1], np.float32)
+        if self.nd == 3:
+            return stardist_nms_3d(prob, pred[..., rays_sl])
         return stardist_nms_2d(prob, pred[..., rays_sl])
 
     def after_by_chunks_prediction(self, ci, raw_path: str, base: str) -> None:
