@@ -21,8 +21,13 @@ H5_EXTS = (".h5", ".hdf5", ".hdf")
 ZARR_EXTS = (".zarr", ".n5")
 PNG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
 NPY_EXTS = (".npy",)
+NIFTI_EXTS = (".nii", ".nii.gz")
 
-SUPPORTED_EXTS = TIFF_EXTS + H5_EXTS + ZARR_EXTS + PNG_EXTS + NPY_EXTS
+SUPPORTED_EXTS = TIFF_EXTS + H5_EXTS + ZARR_EXTS + PNG_EXTS + NPY_EXTS + NIFTI_EXTS
+
+
+def _is_nifti(path: str) -> bool:
+    return path.endswith(".nii") or path.endswith(".nii.gz")
 
 
 def _norm_inner_path(data_path: str) -> str:
@@ -70,6 +75,10 @@ def _first_zarr_array(z: Union[ZarrArray, ZarrGroup], data_path: Optional[str] =
 
 def imread(path: str, data_path: Optional[str] = None) -> np.ndarray:
     """Read an image file into an ndarray (no axis normalization applied)."""
+    if _is_nifti(path):
+        from biapy_tpu.data.nifti import read_nifti
+
+        return read_nifti(path)
     ext = os.path.splitext(path)[1].lower()
     if ext in TIFF_EXTS:
         return read_tiff(path)
@@ -221,6 +230,11 @@ def read_patch_as_ndarray(path: str, coords, is_3d: bool = False,
 def imwrite(path: str, data: np.ndarray, data_path: Optional[str] = None) -> None:
     """Write an ndarray to ``path``, dispatching on extension."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if _is_nifti(path):
+        from biapy_tpu.data.nifti import write_nifti
+
+        write_nifti(path, data)
+        return
     ext = os.path.splitext(path)[1].lower()
     if ext in TIFF_EXTS:
         write_tiff(path, data)
@@ -313,7 +327,7 @@ def list_image_files(directory: str) -> List[str]:
     for name in sorted(os.listdir(directory)):
         p = os.path.join(directory, name)
         ext = os.path.splitext(name)[1].lower()
-        if ext in SUPPORTED_EXTS:
+        if ext in SUPPORTED_EXTS or _is_nifti(name.lower()):
             out.append(p)
         elif os.path.isdir(p) and (
             os.path.exists(os.path.join(p, ".zarray")) or os.path.exists(os.path.join(p, ".zgroup"))

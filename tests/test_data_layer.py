@@ -244,3 +244,17 @@ def test_lazy_zarr_multiple_data_training_pipeline(tmp_path):
     assert item["x"].shape == (4, 32, 32, 1)
     assert item["y"].shape == (4, 32, 32, 1)
     assert set(np.unique(item["y"])).issubset({0.0, 1.0})
+
+
+# ----------------------------------------------------------------- NIfTI
+@pytest.mark.parametrize("ext", [".nii", ".nii.gz"])
+@pytest.mark.parametrize("shape,dtype", [((7, 24, 20), np.float32),
+                                         ((16, 16), np.uint16),
+                                         ((5, 12, 10, 2), np.int16)])
+def test_nifti_roundtrip(tmp_path, ext, shape, dtype):
+    arr = (RNG.random(shape) * 100).astype(dtype)
+    p = str(tmp_path / ("vol" + ext))
+    imwrite(p, arr)
+    back = imread(p)
+    assert back.shape == arr.shape
+    assert np.array_equal(back, arr)
