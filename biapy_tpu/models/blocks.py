@@ -29,6 +29,65 @@ Dtype = Any
 KERNEL_INIT = nn.initializers.xavier_uniform()
 
 
+class Conv(nn.Module):
+    """Drop-in nn.Conv replacement that routes 3x3x3 / stride-1 / SAME 3D
+    convolutions through the Pallas MXU kernel (biapy_tpu/ops/pallas/conv3d:
+    ~2x XLA at the channel widths U-Net hot levels use) and everything else
+    through lax.conv_general_dilated. Parameter names and shapes match
+    nn.Conv ("kernel": kernel_size + (Cin, Cout), "bias": (Cout,)), and the
+    class name keeps flax auto-naming ("Conv_0", ...) identical, so
+    checkpoints are interchangeable with plain nn.Conv models."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Optional[Sequence[int]] = None
+    padding: Union[str, Sequence[Tuple[int, int]]] = "SAME"
+    use_bias: bool = True
+    feature_group_count: int = 1
+    kernel_dilation: Optional[Sequence[int]] = None
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ks = tuple(self.kernel_size)
+        nd = len(ks)
+        in_f = x.shape[-1] // self.feature_group_count
+        kernel = self.param("kernel", self.kernel_init, ks + (in_f, self.features))
+        strides = tuple(self.strides) if self.strides is not None else (1,) * nd
+        if isinstance(strides, int):
+            strides = (strides,) * nd
+        dil = tuple(self.kernel_dilation) if self.kernel_dilation is not None else (1,) * nd
+
+        fast = (
+            ks == (3, 3, 3)
+            and strides == (1, 1, 1)
+            and dil == (1, 1, 1)
+            and self.feature_group_count == 1
+            and self.padding == "SAME"
+            and x.ndim == 5
+        )
+        if fast:
+            from biapy_tpu.ops.pallas.conv3d import conv3d, supported
+
+            fast = supported(x.shape, kernel.shape, x.dtype.itemsize)
+        if fast:
+            from biapy_tpu.ops.pallas.conv3d import conv3d
+
+            y = conv3d(x, kernel.astype(x.dtype))
+        else:
+            sp = "DHW"[3 - nd:]
+            dn = ("N" + sp + "C", sp + "IO", "N" + sp + "C")
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), strides, self.padding,
+                rhs_dilation=dil, feature_group_count=self.feature_group_count,
+                dimension_numbers=dn)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 def get_activation(name: Optional[str]) -> Callable:
     """Map a BiaPy activation name to a jax function (reference:
     models/blocks.py get_activation)."""
@@ -68,6 +127,11 @@ class Norm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # Keep activations in the input dtype: flax norms promote bf16
+        # activations to fp32 (params/stats are fp32), which would silently
+        # run everything downstream at half MXU rate on TPU. Params and
+        # batch stats stay fp32 (param_dtype default); only the compute /
+        # output dtype follows x.
         if self.kind == "none":
             return x
         if self.kind in ("bn", "sync_bn"):
@@ -75,18 +139,19 @@ class Norm(nn.Module):
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
+                dtype=x.dtype,
                 axis_name=self.axis_name if self.kind == "sync_bn" else None,
             )(x)
         if self.kind == "gn":
             groups = min(8, x.shape[-1])
             while x.shape[-1] % groups != 0:
                 groups -= 1
-            return nn.GroupNorm(num_groups=groups, epsilon=1e-5)(x)
+            return nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=x.dtype)(x)
         if self.kind == "in":
             # InstanceNorm == GroupNorm with one group per channel.
-            return nn.GroupNorm(num_groups=x.shape[-1], epsilon=1e-5)(x)
+            return nn.GroupNorm(num_groups=x.shape[-1], epsilon=1e-5, dtype=x.dtype)(x)
         if self.kind == "ln":
-            return nn.LayerNorm(epsilon=1e-6)(x)
+            return nn.LayerNorm(epsilon=1e-6, dtype=x.dtype)(x)
         raise ValueError(f"Unknown normalization: {self.kind}")
 
 
@@ -143,7 +208,7 @@ class ConvBlock(nn.Module):
         k = _expand(self.k_size, ndim)
         for i in range(self.nconvs):
             strides = _expand(self.strides if i == 0 else 1, ndim)
-            conv = nn.Conv(
+            conv = Conv(
                 self.features, kernel_size=k, strides=strides, padding="SAME",
                 use_bias=self.use_bias, kernel_init=KERNEL_INIT,
             )
@@ -238,7 +303,7 @@ class ResConvBlock(nn.Module):
         if self.extra_conv:
             shortcut = main_in
         else:
-            shortcut = nn.Conv(
+            shortcut = Conv(
                 self.features, kernel_size=_expand(self.skip_k_size, ndim), padding="SAME",
                 use_bias=True, kernel_init=KERNEL_INIT,
             )(main_in)
@@ -261,14 +326,14 @@ class AttentionGate(nn.Module):
     def __call__(self, x_skip, g, train: bool = False):
         ndim = x_skip.ndim - 2
         one = (1,) * ndim
-        wg = nn.Conv(self.features, kernel_size=one, kernel_init=KERNEL_INIT)(g)
+        wg = Conv(self.features, kernel_size=one, kernel_init=KERNEL_INIT)(g)
         wg = Norm(self.norm)(wg, train)
         # The skip branch is intentionally un-normalized, matching the
         # reference's effective behaviour (its w_x norm is never registered,
         # blocks.py:1065-1072).
-        wx = nn.Conv(self.features, kernel_size=one, kernel_init=KERNEL_INIT)(x_skip)
+        wx = Conv(self.features, kernel_size=one, kernel_init=KERNEL_INIT)(x_skip)
         psi = nn.relu(wg + wx)
-        psi = nn.Conv(1, kernel_size=one, kernel_init=KERNEL_INIT)(psi)
+        psi = Conv(1, kernel_size=one, kernel_init=KERNEL_INIT)(psi)
         psi = Norm(self.norm)(psi, train)
         psi = nn.sigmoid(psi)
         return x_skip * psi
@@ -309,7 +374,7 @@ class UpLayer(nn.Module):
             )(x)
         else:
             x = upsample_linear(x, self.scale)
-            x = nn.Conv(self.features, kernel_size=(1,) * len(self.scale), kernel_init=KERNEL_INIT)(x)
+            x = Conv(self.features, kernel_size=(1,) * len(self.scale), kernel_init=KERNEL_INIT)(x)
         x = Norm(self.norm)(x, train)
         return get_activation(self.act)(x)
 
@@ -407,7 +472,7 @@ class ConvNeXtBlockV1(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         ndim = x.ndim - 2
-        h = nn.Conv(
+        h = Conv(
             self.features, kernel_size=_expand(self.k_size, ndim), padding="SAME",
             feature_group_count=self.features, kernel_init=KERNEL_INIT,
         )(x)
@@ -430,7 +495,7 @@ class ConvNeXtBlockV2(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         ndim = x.ndim - 2
-        h = nn.Conv(
+        h = Conv(
             self.features, kernel_size=_expand(self.k_size, ndim), padding="SAME",
             feature_group_count=self.features, kernel_init=KERNEL_INIT,
         )(x)
@@ -453,9 +518,9 @@ class ProjectionHead(nn.Module):
         ndim = x.ndim - 2
         one = (1,) * ndim
         in_ch = x.shape[-1]
-        h = nn.Conv(in_ch, kernel_size=one, kernel_init=KERNEL_INIT)(x)
+        h = Conv(in_ch, kernel_size=one, kernel_init=KERNEL_INIT)(x)
         h = nn.relu(h)
-        h = nn.Conv(self.proj_dim, kernel_size=one, kernel_init=KERNEL_INIT)(h)
+        h = Conv(self.proj_dim, kernel_size=one, kernel_init=KERNEL_INIT)(h)
         norm = jnp.linalg.norm(h, axis=-1, keepdims=True)
         return h / jnp.maximum(norm, 1e-8)
 

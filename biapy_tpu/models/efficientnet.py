@@ -15,6 +15,8 @@ from typing import Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from biapy_tpu.models.blocks import Conv
+
 from biapy_tpu.models.blocks import KERNEL_INIT, DropPath
 
 # (width_mult, depth_mult, dropout)
@@ -66,20 +68,20 @@ class MBConv(nn.Module):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-3)(t)
 
         if self.expand != 1:
-            h = nn.Conv(mid, kernel_size=(1, 1), use_bias=False, kernel_init=KERNEL_INIT)(h)
+            h = Conv(mid, kernel_size=(1, 1), use_bias=False, kernel_init=KERNEL_INIT)(h)
             h = nn.silu(bn(h))
-        h = nn.Conv(mid, kernel_size=(self.kernel, self.kernel), strides=(self.stride, self.stride),
+        h = Conv(mid, kernel_size=(self.kernel, self.kernel), strides=(self.stride, self.stride),
                     padding="SAME", feature_group_count=mid, use_bias=False,
                     kernel_init=KERNEL_INIT)(h)
         h = nn.silu(bn(h))
         # SE with ratio 0.25 of the INPUT channels
         se_ch = max(1, in_ch // 4)
         s = jnp.mean(h, axis=(1, 2), keepdims=True)
-        s = nn.Conv(se_ch, kernel_size=(1, 1), kernel_init=KERNEL_INIT)(s)
+        s = Conv(se_ch, kernel_size=(1, 1), kernel_init=KERNEL_INIT)(s)
         s = nn.silu(s)
-        s = nn.Conv(mid, kernel_size=(1, 1), kernel_init=KERNEL_INIT)(s)
+        s = Conv(mid, kernel_size=(1, 1), kernel_init=KERNEL_INIT)(s)
         h = h * nn.sigmoid(s)
-        h = nn.Conv(self.out_ch, kernel_size=(1, 1), use_bias=False, kernel_init=KERNEL_INIT)(h)
+        h = Conv(self.out_ch, kernel_size=(1, 1), use_bias=False, kernel_init=KERNEL_INIT)(h)
         h = bn(h)
         if self.stride == 1 and in_ch == self.out_ch:
             h = x + DropPath(self.sd_prob)(h, train)
@@ -97,7 +99,7 @@ class EfficientNet(nn.Module):
         def bn(t):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-3)(t)
 
-        h = nn.Conv(_round_channels(32, wm), kernel_size=(3, 3), strides=(2, 2), padding="SAME",
+        h = Conv(_round_channels(32, wm), kernel_size=(3, 3), strides=(2, 2), padding="SAME",
                     use_bias=False, kernel_init=KERNEL_INIT)(x)
         h = nn.silu(bn(h))
         total_blocks = sum(int(math.ceil(l * dm)) for _, _, l, _, _ in _STAGES)
@@ -109,7 +111,7 @@ class EfficientNet(nn.Module):
                 sd = 0.2 * bi / max(total_blocks - 1, 1)
                 h = MBConv(out_ch, expand, stride if li == 0 else 1, kernel, sd)(h, train)
                 bi += 1
-        h = nn.Conv(_round_channels(1280, wm), kernel_size=(1, 1), use_bias=False,
+        h = Conv(_round_channels(1280, wm), kernel_size=(1, 1), use_bias=False,
                     kernel_init=KERNEL_INIT)(h)
         h = nn.silu(bn(h))
         h = jnp.mean(h, axis=(1, 2))

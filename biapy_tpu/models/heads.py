@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from biapy_tpu.models.blocks import Conv
+
 from biapy_tpu.models.blocks import KERNEL_INIT, Norm, aniso_kernel
 
 
@@ -29,7 +31,7 @@ class ASPP(nn.Module):
         ndim = x.ndim - 2
         outs = []
         for r in self.rates:
-            h = nn.Conv(
+            h = Conv(
                 self.out_dims, kernel_size=(3,) * ndim, padding="SAME",
                 kernel_dilation=(r,) * ndim, kernel_init=KERNEL_INIT,
             )(x)
@@ -37,7 +39,7 @@ class ASPP(nn.Module):
             h = Norm(self.norm)(h, train)
             outs.append(h)
         h = jnp.concatenate(outs, axis=-1)
-        return nn.Conv(self.out_dims, kernel_size=(1,) * ndim, kernel_init=KERNEL_INIT)(h)
+        return Conv(self.out_dims, kernel_size=(1,) * ndim, kernel_init=KERNEL_INIT)(h)
 
 
 class ResUNetPlusPlusAttention(nn.Module):
@@ -56,13 +58,13 @@ class ResUNetPlusPlusAttention(nn.Module):
 
         e = Norm(self.norm)(x_enc, train)
         e = nn.relu(e)
-        e = nn.Conv(self.output_dim, kernel_size=(3,) * ndim, padding="SAME", kernel_init=KERNEL_INIT)(e)
+        e = Conv(self.output_dim, kernel_size=(3,) * ndim, padding="SAME", kernel_init=KERNEL_INIT)(e)
         e = max_pool(e, self.pool)
         d = Norm(self.norm)(x_dec, train)
         d = nn.relu(d)
-        d = nn.Conv(self.output_dim, kernel_size=(3,) * ndim, padding="SAME", kernel_init=KERNEL_INIT)(d)
+        d = Conv(self.output_dim, kernel_size=(3,) * ndim, padding="SAME", kernel_init=KERNEL_INIT)(d)
         a = e + d
         a = Norm(self.norm)(a, train)
         a = nn.relu(a)
-        a = nn.Conv(1, kernel_size=(1,) * ndim, kernel_init=KERNEL_INIT)(a)
+        a = Conv(1, kernel_size=(1,) * ndim, kernel_init=KERNEL_INIT)(a)
         return a * x_dec

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from biapy_tpu.models.blocks import Conv
+
 from biapy_tpu.models.blocks import KERNEL_INIT, Norm, ProjectionHead, upsample_linear
 
 
@@ -35,15 +37,15 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         nd = x.ndim - 2
-        h = nn.Conv(self.features, kernel_size=(3,) * nd, padding="SAME", use_bias=False,
+        h = Conv(self.features, kernel_size=(3,) * nd, padding="SAME", use_bias=False,
                     kernel_init=KERNEL_INIT)(x)
         h = Norm(self.norm)(h, train)
         h = nn.relu(h)
-        h = nn.Conv(self.features, kernel_size=(3,) * nd, padding="SAME", use_bias=False,
+        h = Conv(self.features, kernel_size=(3,) * nd, padding="SAME", use_bias=False,
                     kernel_init=KERNEL_INIT)(h)
         h = Norm(self.norm)(h, train)
         if x.shape[-1] != self.features:
-            x = nn.Conv(self.features, kernel_size=(1,) * nd, use_bias=False,
+            x = Conv(self.features, kernel_size=(1,) * nd, use_bias=False,
                         kernel_init=KERNEL_INIT)(x)
             x = Norm(self.norm)(x, train)
         return nn.relu(h + x)
@@ -57,15 +59,15 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         nd = x.ndim - 2
         out_f = self.features * 4
-        h = nn.Conv(self.features, kernel_size=(1,) * nd, use_bias=False, kernel_init=KERNEL_INIT)(x)
+        h = Conv(self.features, kernel_size=(1,) * nd, use_bias=False, kernel_init=KERNEL_INIT)(x)
         h = nn.relu(Norm(self.norm)(h, train))
-        h = nn.Conv(self.features, kernel_size=(3,) * nd, padding="SAME", use_bias=False,
+        h = Conv(self.features, kernel_size=(3,) * nd, padding="SAME", use_bias=False,
                     kernel_init=KERNEL_INIT)(h)
         h = nn.relu(Norm(self.norm)(h, train))
-        h = nn.Conv(out_f, kernel_size=(1,) * nd, use_bias=False, kernel_init=KERNEL_INIT)(h)
+        h = Conv(out_f, kernel_size=(1,) * nd, use_bias=False, kernel_init=KERNEL_INIT)(h)
         h = Norm(self.norm)(h, train)
         if x.shape[-1] != out_f:
-            x = nn.Conv(out_f, kernel_size=(1,) * nd, use_bias=False, kernel_init=KERNEL_INIT)(x)
+            x = Conv(out_f, kernel_size=(1,) * nd, use_bias=False, kernel_init=KERNEL_INIT)(x)
             x = Norm(self.norm)(x, train)
         return nn.relu(h + x)
 
@@ -94,14 +96,14 @@ class HRModule(nn.Module):
             for j in range(n):
                 h = ys[j]
                 if j > i:  # lower res -> upsample + 1-conv
-                    h = nn.Conv(self.channels[i], kernel_size=(1,) * nd, use_bias=False,
+                    h = Conv(self.channels[i], kernel_size=(1,) * nd, use_bias=False,
                                 kernel_init=KERNEL_INIT)(h)
                     h = Norm(self.norm)(h, train)
                     h = _resize_to(h, ys[i].shape[1:-1])
                 elif j < i:  # higher res -> strided 3-convs down
                     for step in range(i - j):
                         last = step == i - j - 1
-                        h = nn.Conv(self.channels[i] if last else self.channels[j],
+                        h = Conv(self.channels[i] if last else self.channels[j],
                                     kernel_size=(3,) * nd, strides=(2,) * nd, padding="SAME",
                                     use_bias=False, kernel_init=KERNEL_INIT)(h)
                         h = Norm(self.norm)(h, train)
@@ -132,10 +134,10 @@ class HRNet(nn.Module):
         full_spatial = x.shape[1:-1]
 
         # stem: two stride-2 convs -> 1/4 resolution
-        h = nn.Conv(64, kernel_size=(3,) * nd, strides=(2,) * nd, padding="SAME",
+        h = Conv(64, kernel_size=(3,) * nd, strides=(2,) * nd, padding="SAME",
                     use_bias=False, kernel_init=KERNEL_INIT)(x)
         h = nn.relu(Norm(norm)(h, train))
-        h = nn.Conv(64, kernel_size=(3,) * nd, strides=(2,) * nd, padding="SAME",
+        h = Conv(64, kernel_size=(3,) * nd, strides=(2,) * nd, padding="SAME",
                     use_bias=False, kernel_init=KERNEL_INIT)(h)
         h = nn.relu(Norm(norm)(h, train))
         for _ in range(2):
@@ -150,12 +152,12 @@ class HRNet(nn.Module):
                 if i < len(branches):
                     b = branches[i]
                     if b.shape[-1] != ch:
-                        b = nn.Conv(ch, kernel_size=(3,) * nd, padding="SAME", use_bias=False,
+                        b = Conv(ch, kernel_size=(3,) * nd, padding="SAME", use_bias=False,
                                     kernel_init=KERNEL_INIT)(b)
                         b = nn.relu(Norm(norm)(b, train))
                     new_branches.append(b)
                 else:
-                    b = nn.Conv(ch, kernel_size=(3,) * nd, strides=(2,) * nd, padding="SAME",
+                    b = Conv(ch, kernel_size=(3,) * nd, strides=(2,) * nd, padding="SAME",
                                 use_bias=False, kernel_init=KERNEL_INIT)(branches[-1])
                     b = nn.relu(Norm(norm)(b, train))
                     new_branches.append(b)
@@ -167,7 +169,7 @@ class HRNet(nn.Module):
         target = branches[0].shape[1:-1]
         ups = [branches[0]] + [_resize_to(b, target) for b in branches[1:]]
         feat = jnp.concatenate(ups, axis=-1)
-        feat = nn.Conv(feat.shape[-1], kernel_size=(1,) * nd, use_bias=False,
+        feat = Conv(feat.shape[-1], kernel_size=(1,) * nd, use_bias=False,
                        kernel_init=KERNEL_INIT)(feat)
         feat = nn.relu(Norm(norm)(feat, train))
 
@@ -175,7 +177,7 @@ class HRNet(nn.Module):
         one = (1,) * nd
         preds, class_outs = [], []
         for i, out_ch in enumerate(self.output_channels):
-            head = nn.Conv(out_ch, kernel_size=one, kernel_init=KERNEL_INIT)(feat)
+            head = Conv(out_ch, kernel_size=one, kernel_init=KERNEL_INIT)(feat)
             head = _resize_to(head, full_spatial)  # undo the stem stride
             (class_outs if "class" in self.output_channel_info[i] else preds).append(head)
         out["pred"] = jnp.concatenate(preds, axis=-1)

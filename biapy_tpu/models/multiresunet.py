@@ -14,6 +14,8 @@ from typing import Dict, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from biapy_tpu.models.blocks import Conv
+
 from biapy_tpu.models.blocks import KERNEL_INIT, ProjectionHead, max_pool
 
 
@@ -25,7 +27,7 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         ndim = x.ndim - 2
-        x = nn.Conv(self.features, kernel_size=(self.k,) * ndim, padding="SAME",
+        x = Conv(self.features, kernel_size=(self.k,) * ndim, padding="SAME",
                     kernel_init=KERNEL_INIT)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         return nn.relu(x) if self.act else x
@@ -118,16 +120,16 @@ class MultiResUNet(nn.Module):
         one = (1,) * self.ndim
         out: Dict = {}
         if self.contrast:
-            f = nn.Conv(h.shape[-1], kernel_size=(3,) * self.ndim, padding="SAME",
+            f = Conv(h.shape[-1], kernel_size=(3,) * self.ndim, padding="SAME",
                         kernel_init=KERNEL_INIT)(h)
             f = nn.Dropout(0.10, deterministic=not train)(f)
-            out["pred"] = nn.Conv(self.output_channels[0], kernel_size=one, use_bias=False,
+            out["pred"] = Conv(self.output_channels[0], kernel_size=one, use_bias=False,
                                   kernel_init=KERNEL_INIT)(f)
             out["embed"] = ProjectionHead(self.contrast_proj_dim)(h, train)
         else:
             preds, class_outs = [], []
             for i, out_ch in enumerate(self.output_channels):
-                head = nn.Conv(out_ch, kernel_size=one, kernel_init=KERNEL_INIT)(h)
+                head = Conv(out_ch, kernel_size=one, kernel_init=KERNEL_INIT)(h)
                 (class_outs if "class" in self.output_channel_info[i] else preds).append(head)
             out["pred"] = jnp.concatenate(preds, axis=-1)
             if class_outs:

@@ -12,6 +12,8 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from biapy_tpu.models.blocks import Conv
+
 from biapy_tpu.models.blocks import KERNEL_INIT
 from biapy_tpu.models.sr_models import pixel_shuffle
 
@@ -31,23 +33,23 @@ class NAFBlock(nn.Module):
         c = x.shape[-1]
         dw = c * self.dw_expand
         h = nn.LayerNorm(epsilon=1e-6)(x)
-        h = nn.Conv(dw, kernel_size=(1, 1), kernel_init=KERNEL_INIT)(h)
-        h = nn.Conv(dw, kernel_size=(3, 3), padding="SAME", feature_group_count=dw,
+        h = Conv(dw, kernel_size=(1, 1), kernel_init=KERNEL_INIT)(h)
+        h = Conv(dw, kernel_size=(3, 3), padding="SAME", feature_group_count=dw,
                     kernel_init=KERNEL_INIT)(h)
         h = simple_gate(h)
         # simplified channel attention
         s = jnp.mean(h, axis=(1, 2), keepdims=True)
-        s = nn.Conv(dw // 2, kernel_size=(1, 1), kernel_init=KERNEL_INIT)(s)
+        s = Conv(dw // 2, kernel_size=(1, 1), kernel_init=KERNEL_INIT)(s)
         h = h * s
-        h = nn.Conv(c, kernel_size=(1, 1), kernel_init=KERNEL_INIT)(h)
+        h = Conv(c, kernel_size=(1, 1), kernel_init=KERNEL_INIT)(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         beta = self.param("beta", nn.initializers.zeros, (c,))
         x = x + h * beta
         h = nn.LayerNorm(epsilon=1e-6)(x)
-        h = nn.Conv(self.ffn_expand * c, kernel_size=(1, 1), kernel_init=KERNEL_INIT)(h)
+        h = Conv(self.ffn_expand * c, kernel_size=(1, 1), kernel_init=KERNEL_INIT)(h)
         h = simple_gate(h)
-        h = nn.Conv(c, kernel_size=(1, 1), kernel_init=KERNEL_INIT)(h)
+        h = Conv(c, kernel_size=(1, 1), kernel_init=KERNEL_INIT)(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         gamma = self.param("gamma", nn.initializers.zeros, (c,))
@@ -69,29 +71,29 @@ class NAFNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         out_ch = self.out_channels or self.img_channels
-        h = nn.Conv(self.width, kernel_size=(3, 3), padding="SAME", kernel_init=KERNEL_INIT)(x)
+        h = Conv(self.width, kernel_size=(3, 3), padding="SAME", kernel_init=KERNEL_INIT)(x)
         skips = []
         chan = self.width
         for num in self.enc_blk_nums:
             for _ in range(num):
                 h = NAFBlock(self.dw_expand, self.ffn_expand, self.dropout)(h, train)
             skips.append(h)
-            h = nn.Conv(2 * chan, kernel_size=(2, 2), strides=(2, 2), kernel_init=KERNEL_INIT)(h)
+            h = Conv(2 * chan, kernel_size=(2, 2), strides=(2, 2), kernel_init=KERNEL_INIT)(h)
             chan *= 2
         for _ in range(self.middle_blk_num):
             h = NAFBlock(self.dw_expand, self.ffn_expand, self.dropout)(h, train)
         for num, skip in zip(self.dec_blk_nums, reversed(skips)):
-            h = nn.Conv(chan * 2, kernel_size=(1, 1), use_bias=False, kernel_init=KERNEL_INIT)(h)
+            h = Conv(chan * 2, kernel_size=(1, 1), use_bias=False, kernel_init=KERNEL_INIT)(h)
             h = pixel_shuffle(h, 2)
             chan //= 2
             h = h + skip
             for _ in range(num):
                 h = NAFBlock(self.dw_expand, self.ffn_expand, self.dropout)(h, train)
-        h = nn.Conv(out_ch, kernel_size=(3, 3), padding="SAME", kernel_init=KERNEL_INIT)(h)
+        h = Conv(out_ch, kernel_size=(3, 3), padding="SAME", kernel_init=KERNEL_INIT)(h)
         if out_ch == x.shape[-1]:
             h = h + x
         else:
-            h = h + nn.Conv(out_ch, kernel_size=(1, 1), use_bias=False, kernel_init=KERNEL_INIT)(x)
+            h = h + Conv(out_ch, kernel_size=(1, 1), use_bias=False, kernel_init=KERNEL_INIT)(x)
         return h
 
 
@@ -105,9 +107,9 @@ class PatchGANDiscriminator(nn.Module):
         f = self.base_filters
         h = x
         for i, (filters, norm) in enumerate([(f, False), (f * 2, True), (f * 4, True), (f * 8, True)]):
-            h = nn.Conv(filters, kernel_size=(4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+            h = Conv(filters, kernel_size=(4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
                         kernel_init=KERNEL_INIT)(h)
             if norm:
                 h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(h)
             h = nn.leaky_relu(h, negative_slope=0.2)
-        return nn.Conv(1, kernel_size=(4, 4), padding="SAME", kernel_init=KERNEL_INIT)(h)
+        return Conv(1, kernel_size=(4, 4), padding="SAME", kernel_init=KERNEL_INIT)(h)

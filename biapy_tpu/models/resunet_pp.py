@@ -15,6 +15,8 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from biapy_tpu.models.blocks import Conv
+
 from biapy_tpu.models.blocks import (
     KERNEL_INIT,
     ConvBlock,
@@ -132,18 +134,18 @@ class ResUNetPlusPlus(nn.Module):
         one = (1,) * self.ndim
         out = {}
         if self.contrast:
-            h = nn.Conv(dec_fm[0], kernel_size=aniso_kernel(3, self.ndim, True), padding="SAME",
+            h = Conv(dec_fm[0], kernel_size=aniso_kernel(3, self.ndim, True), padding="SAME",
                         kernel_init=KERNEL_INIT)(feats[0])
             h = Norm(self.normalization)(h, train)
             h = nn.Dropout(0.10, deterministic=not train)(h)
-            out["pred"] = nn.Conv(self.output_channels[0], kernel_size=one, use_bias=False,
+            out["pred"] = Conv(self.output_channels[0], kernel_size=one, use_bias=False,
                                   kernel_init=KERNEL_INIT)(h)
             out["embed"] = ProjectionHead(self.contrast_proj_dim)(feats[0], train)
         else:
             preds, class_outs = [], []
             for i, out_ch in enumerate(self.output_channels):
                 feat = feats[i] if num_decoders > 1 else feats[0]
-                head = nn.Conv(out_ch, kernel_size=one, kernel_init=KERNEL_INIT)(feat)
+                head = Conv(out_ch, kernel_size=one, kernel_init=KERNEL_INIT)(feat)
                 (class_outs if "class" in self.output_channel_info[i] else preds).append(head)
             out["pred"] = jnp.concatenate(preds, axis=-1)
             if class_outs:

@@ -9,6 +9,8 @@ applied by the engine at inference.
 from __future__ import annotations
 
 from flax import linen as nn
+
+from biapy_tpu.models.blocks import Conv
 import jax.numpy as jnp
 
 from biapy_tpu.models.blocks import KERNEL_INIT, get_activation, max_pool
@@ -28,21 +30,21 @@ class SimpleCNN(nn.Module):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(h)
 
         # Block 1 (32 filters)
-        h = nn.Conv(32, kernel_size=(3,) * nd, padding="SAME", kernel_init=KERNEL_INIT)(x)
+        h = Conv(32, kernel_size=(3,) * nd, padding="SAME", kernel_init=KERNEL_INIT)(x)
         h = act(bn(h))
-        h = nn.Conv(32, kernel_size=(3,) * nd, padding="SAME", kernel_init=KERNEL_INIT)(h)
+        h = Conv(32, kernel_size=(3,) * nd, padding="SAME", kernel_init=KERNEL_INIT)(h)
         h = act(bn(h))
-        h = nn.Conv(32, kernel_size=(5,) * nd, padding="SAME", kernel_init=KERNEL_INIT)(h)
+        h = Conv(32, kernel_size=(5,) * nd, padding="SAME", kernel_init=KERNEL_INIT)(h)
         h = max_pool(h, (2,) * nd)
         h = act(h)
         h = bn(h)
         h = nn.Dropout(0.4, deterministic=not train)(h)
         # Block 2 (64 filters)
-        h = nn.Conv(64, kernel_size=(3,) * nd, padding="SAME", kernel_init=KERNEL_INIT)(h)
+        h = Conv(64, kernel_size=(3,) * nd, padding="SAME", kernel_init=KERNEL_INIT)(h)
         h = act(bn(h))
-        h = nn.Conv(64, kernel_size=(3,) * nd, padding="SAME", kernel_init=KERNEL_INIT)(h)
+        h = Conv(64, kernel_size=(3,) * nd, padding="SAME", kernel_init=KERNEL_INIT)(h)
         h = act(bn(h))
-        h = nn.Conv(64, kernel_size=(5,) * nd, padding="SAME", kernel_init=KERNEL_INIT)(h)
+        h = Conv(64, kernel_size=(5,) * nd, padding="SAME", kernel_init=KERNEL_INIT)(h)
         h = max_pool(h, (2,) * nd)
         h = act(h)
         h = bn(h)

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from biapy_tpu.models.blocks import Conv
+
 from biapy_tpu.models.blocks import KERNEL_INIT
 
 
@@ -52,7 +54,7 @@ class _SRUpsampling(nn.Module):
         steps = 2 if self.factor == 4 else 1
         f = 2 if self.factor == 4 else self.factor
         for _ in range(steps):
-            x = nn.Conv(self.num_filters * (f**nd), kernel_size=(3,) * nd, padding="SAME",
+            x = Conv(self.num_filters * (f**nd), kernel_size=(3,) * nd, padding="SAME",
                         kernel_init=KERNEL_INIT)(x)
             x = pixel_shuffle(x, f)
         return x
@@ -72,17 +74,17 @@ class EDSR(nn.Module):
     def __call__(self, x, train: bool = False):
         nd = self.ndim
         k = (3,) * nd
-        h0 = nn.Conv(self.num_filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(x)
+        h0 = Conv(self.num_filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(x)
         h = h0
         for _ in range(self.num_res_blocks):
-            r = nn.Conv(self.num_filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
+            r = Conv(self.num_filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
             r = nn.relu(r)
-            r = nn.Conv(self.num_filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(r)
+            r = Conv(self.num_filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(r)
             h = h + r
-        h = nn.Conv(self.num_filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
+        h = Conv(self.num_filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
         h = h + h0
         h = _SRUpsampling(self.num_filters, self.scale)(h)
-        return nn.Conv(self.out_channels or self.num_channels, kernel_size=k, padding="SAME",
+        return Conv(self.out_channels or self.num_channels, kernel_size=k, padding="SAME",
                        kernel_init=KERNEL_INIT)(h)
 
 
@@ -96,10 +98,10 @@ class _ChannelAttention(nn.Module):
     def __call__(self, x):
         nd = x.ndim - 2
         s = jnp.mean(x, axis=tuple(range(1, 1 + nd)), keepdims=True)
-        s = nn.Conv(self.num_features // self.reduction, kernel_size=(1,) * nd,
+        s = Conv(self.num_features // self.reduction, kernel_size=(1,) * nd,
                     kernel_init=KERNEL_INIT)(s)
         s = nn.relu(s)
-        s = nn.Conv(self.num_features, kernel_size=(1,) * nd, kernel_init=KERNEL_INIT)(s)
+        s = Conv(self.num_features, kernel_size=(1,) * nd, kernel_init=KERNEL_INIT)(s)
         return x * nn.sigmoid(s)
 
 
@@ -121,25 +123,25 @@ class RCAN(nn.Module):
     def __call__(self, x, train: bool = False):
         nd = self.ndim
         k = (3,) * nd
-        h0 = nn.Conv(self.filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(x)
+        h0 = Conv(self.filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(x)
         h = h0
         for _ in range(self.num_rg):
             g_in = h
             for _ in range(self.num_rcab):
-                r = nn.Conv(self.filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
+                r = Conv(self.filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
                 r = nn.relu(r)
-                r = nn.Conv(self.filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(r)
+                r = Conv(self.filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(r)
                 r = _ChannelAttention(self.filters, self.reduction)(r)
                 h = h + r
-            h = nn.Conv(self.filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
+            h = Conv(self.filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
             h = h + g_in
-        h = nn.Conv(self.filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
+        h = Conv(self.filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
         h = h + h0
         if self.upscaling_layer and self.scale > 1:
-            h = nn.Conv(self.filters * (self.scale**nd), kernel_size=k, padding="SAME",
+            h = Conv(self.filters * (self.scale**nd), kernel_size=k, padding="SAME",
                         kernel_init=KERNEL_INIT)(h)
             h = pixel_shuffle(h, self.scale)
-        return nn.Conv(self.out_channels or self.num_channels, kernel_size=k, padding="SAME",
+        return Conv(self.out_channels or self.num_channels, kernel_size=k, padding="SAME",
                        kernel_init=KERNEL_INIT)(h)
 
 
@@ -161,16 +163,16 @@ class WDSR(nn.Module):
         out_c = self.out_channels or self.num_channels
         num_outputs = (self.scale**nd) * out_c
         res_scale = 1.0 / math.sqrt(self.num_res_blocks)
-        h = nn.Conv(self.num_filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(x)
+        h = Conv(self.num_filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(x)
         for _ in range(self.num_res_blocks):
-            r = nn.Conv(self.num_filters * self.res_block_expansion, kernel_size=k,
+            r = Conv(self.num_filters * self.res_block_expansion, kernel_size=k,
                         padding="SAME", kernel_init=KERNEL_INIT)(h)
             r = nn.relu(r)
-            r = nn.Conv(self.num_filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(r)
+            r = Conv(self.num_filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(r)
             h = h + r * res_scale
-        h = nn.Conv(num_outputs, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
+        h = Conv(num_outputs, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
         body = pixel_shuffle(h, self.scale)
-        skip = nn.Conv(num_outputs, kernel_size=(5,) * nd, padding="SAME", kernel_init=KERNEL_INIT)(x)
+        skip = Conv(num_outputs, kernel_size=(5,) * nd, padding="SAME", kernel_init=KERNEL_INIT)(x)
         skip = pixel_shuffle(skip, self.scale)
         return body + skip
 
@@ -188,9 +190,9 @@ class _FCAB(nn.Module):
     def __call__(self, x):
         nd = x.ndim - 2
         k = (3,) * nd
-        h = nn.Conv(self.filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(x)
+        h = Conv(self.filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(x)
         h = nn.gelu(h)
-        h = nn.Conv(self.filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
+        h = Conv(self.filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
         h = nn.gelu(h)
         # Fourier-domain attention: magnitude spectrum, gamma-compressed,
         # pooled to a channel descriptor.
@@ -198,9 +200,9 @@ class _FCAB(nn.Module):
         f = jnp.power(f + 1e-8, 0.8)
         f = _fftshift(f, nd)
         s = jnp.mean(f, axis=tuple(range(1, 1 + nd)), keepdims=True)
-        s = nn.Conv(max(4, self.filters // 16), kernel_size=(1,) * nd, kernel_init=KERNEL_INIT)(s)
+        s = Conv(max(4, self.filters // 16), kernel_size=(1,) * nd, kernel_init=KERNEL_INIT)(s)
         s = nn.relu(s)
-        s = nn.Conv(self.filters, kernel_size=(1,) * nd, kernel_init=KERNEL_INIT)(s)
+        s = Conv(self.filters, kernel_size=(1,) * nd, kernel_init=KERNEL_INIT)(s)
         s = nn.sigmoid(s)
         return x + h * s
 
@@ -220,15 +222,15 @@ class DFCAN(nn.Module):
     def __call__(self, x, train: bool = False):
         nd = self.ndim
         k = (3,) * nd
-        h = nn.Conv(64, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(x)
+        h = Conv(64, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(x)
         h = nn.gelu(h)
         for _ in range(self.n_resgroup):
             g = h
             for _ in range(self.n_rcab):
                 g = _FCAB(64)(g)
             h = h + g
-        h = nn.Conv(64 * (self.scale**nd), kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
+        h = Conv(64 * (self.scale**nd), kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
         h = nn.gelu(h)
         h = pixel_shuffle(h, self.scale)
-        return nn.Conv(self.out_channels or self.num_channels, kernel_size=k, padding="SAME",
+        return Conv(self.out_channels or self.num_channels, kernel_size=k, padding="SAME",
                        kernel_init=KERNEL_INIT)(h)

@@ -14,6 +14,8 @@ from typing import Dict, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from biapy_tpu.models.blocks import Conv
+
 from biapy_tpu.models.blocks import KERNEL_INIT, Norm, upsample_nearest
 
 VARIANTS = {
@@ -37,15 +39,15 @@ class BasicResBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         nd = x.ndim - 2
         stride = tuple(self.stride) if self.stride else (1,) * nd
-        y = nn.Conv(self.features, kernel_size=tuple(self.k), strides=stride, padding="SAME",
+        y = Conv(self.features, kernel_size=tuple(self.k), strides=stride, padding="SAME",
                     kernel_init=KERNEL_INIT)(x)
         y = nn.GroupNorm(num_groups=self.features, epsilon=1e-5)(y)
         y = nn.leaky_relu(y, negative_slope=0.01)
-        y = nn.Conv(self.features, kernel_size=tuple(self.k), padding="SAME",
+        y = Conv(self.features, kernel_size=tuple(self.k), padding="SAME",
                     kernel_init=KERNEL_INIT)(y)
         y = nn.GroupNorm(num_groups=self.features, epsilon=1e-5)(y)
         if self.use_1x1conv:
-            x = nn.Conv(self.features, kernel_size=(1,) * nd, strides=stride,
+            x = Conv(self.features, kernel_size=(1,) * nd, strides=stride,
                         kernel_init=KERNEL_INIT)(x)
         return nn.leaky_relu(y + x, negative_slope=0.01)
 
@@ -93,7 +95,7 @@ class STUNet(nn.Module):
             skip = skips[num_pool - 1 - u]
             new_shape = (h.shape[0],) + skip.shape[1:-1] + (h.shape[-1],)
             h = jax.image.resize(h, new_shape, method="nearest")
-            h = nn.Conv(target_dim, kernel_size=(1,) * nd, use_bias=False,
+            h = Conv(target_dim, kernel_size=(1,) * nd, use_bias=False,
                         kernel_init=KERNEL_INIT)(h)
             h = jnp.concatenate([h, skip], axis=-1)
             h = BasicResBlock(target_dim, k, use_1x1conv=True)(h, train)
@@ -103,7 +105,7 @@ class STUNet(nn.Module):
         one = (1,) * nd
         preds, class_outs = [], []
         for i, out_ch in enumerate(self.output_channels):
-            head = nn.Conv(out_ch, kernel_size=one, kernel_init=KERNEL_INIT)(h)
+            head = Conv(out_ch, kernel_size=one, kernel_init=KERNEL_INIT)(h)
             (class_outs if "class" in self.output_channel_info[i] else preds).append(head)
         out: Dict = {"pred": jnp.concatenate(preds, axis=-1)}
         if class_outs:

@@ -23,6 +23,8 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from biapy_tpu.models.blocks import Conv
+
 from biapy_tpu.models.blocks import (
     KERNEL_INIT,
     ConvBlock,
@@ -166,18 +168,18 @@ class UNetFamily(nn.Module):
         one = (1,) * self.ndim
         out = {}
         if self.contrast:
-            h = nn.Conv(dec_fm[0], kernel_size=aniso_kernel(3, self.ndim, True), padding="SAME",
+            h = Conv(dec_fm[0], kernel_size=aniso_kernel(3, self.ndim, True), padding="SAME",
                         kernel_init=KERNEL_INIT)(feats[0])
             h = Norm(self.normalization)(h, train)
             h = nn.Dropout(0.10, deterministic=not train)(h)
-            out["pred"] = nn.Conv(self.output_channels[0], kernel_size=one, use_bias=False,
+            out["pred"] = Conv(self.output_channels[0], kernel_size=one, use_bias=False,
                                   kernel_init=KERNEL_INIT)(h)
             out["embed"] = ProjectionHead(self.contrast_proj_dim)(feats[0], train)
         else:
             preds, class_outs = [], []
             for i, out_ch in enumerate(self.output_channels):
                 feat = feats[i] if num_decoders > 1 else feats[0]
-                head = nn.Conv(out_ch, kernel_size=one, kernel_init=KERNEL_INIT)(feat)
+                head = Conv(out_ch, kernel_size=one, kernel_init=KERNEL_INIT)(feat)
                 if "class" in self.output_channel_info[i]:
                     class_outs.append(head)
                 else:

@@ -13,6 +13,8 @@ from typing import Dict, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from biapy_tpu.models.blocks import Conv
+
 from biapy_tpu.models.blocks import KERNEL_INIT, ConvBlock, get_activation
 from biapy_tpu.models.vit import ViT
 
@@ -87,7 +89,7 @@ class UNETR(nn.Module):
         one = (1,) * nd
         preds, class_outs = [], []
         for i, out_ch in enumerate(self.output_channels):
-            head = nn.Conv(out_ch, kernel_size=one, kernel_init=KERNEL_INIT)(h)
+            head = Conv(out_ch, kernel_size=one, kernel_init=KERNEL_INIT)(h)
             (class_outs if "class" in self.output_channel_info[i] else preds).append(head)
         out: Dict = {"pred": jnp.concatenate(preds, axis=-1)}
         if class_outs:

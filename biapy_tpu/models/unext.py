@@ -15,6 +15,8 @@ from typing import Dict, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from biapy_tpu.models.blocks import Conv
+
 from biapy_tpu.models.blocks import (
     KERNEL_INIT,
     ConvBlock,
@@ -76,7 +78,7 @@ class UNeXt(nn.Module):
             if self.ndim == 3
             else (self.stem_k_size, self.stem_k_size)
         )
-        x = nn.Conv(fm[0], kernel_size=stem, strides=stem, kernel_init=KERNEL_INIT)(x)
+        x = Conv(fm[0], kernel_size=stem, strides=stem, kernel_init=KERNEL_INIT)(x)
         x = nn.LayerNorm(epsilon=1e-6)(x)
 
         skips = []
@@ -92,7 +94,7 @@ class UNeXt(nn.Module):
                 if self.ndim == 3
                 else (self.yx_down[i], self.yx_down[i])
             )
-            x = nn.Conv(fm[i + 1], kernel_size=pool, strides=pool, kernel_init=KERNEL_INIT)(x)
+            x = Conv(fm[i + 1], kernel_size=pool, strides=pool, kernel_init=KERNEL_INIT)(x)
 
         k = aniso_kernel(7, self.ndim, iso[-1])
         for _ in range(self.cn_layers[-1]):
@@ -134,17 +136,17 @@ class UNeXt(nn.Module):
         one = (1,) * self.ndim
         out: Dict = {}
         if self.contrast:
-            f = nn.Conv(dec_fm[0], kernel_size=aniso_kernel(3, self.ndim, True), padding="SAME",
+            f = Conv(dec_fm[0], kernel_size=aniso_kernel(3, self.ndim, True), padding="SAME",
                         kernel_init=KERNEL_INIT)(feats[0])
             f = nn.Dropout(0.10, deterministic=not train)(f)
-            out["pred"] = nn.Conv(self.output_channels[0], kernel_size=one, use_bias=False,
+            out["pred"] = Conv(self.output_channels[0], kernel_size=one, use_bias=False,
                                   kernel_init=KERNEL_INIT)(f)
             out["embed"] = ProjectionHead(self.contrast_proj_dim)(feats[0], train)
         else:
             preds, class_outs = [], []
             for i, out_ch in enumerate(self.output_channels):
                 feat = feats[i] if num_decoders > 1 else feats[0]
-                head = nn.Conv(out_ch, kernel_size=one, kernel_init=KERNEL_INIT)(feat)
+                head = Conv(out_ch, kernel_size=one, kernel_init=KERNEL_INIT)(feat)
                 (class_outs if "class" in self.output_channel_info[i] else preds).append(head)
             out["pred"] = jnp.concatenate(preds, axis=-1)
             if class_outs:

@@ -55,6 +55,15 @@ def sliding_window_inference(
     out_channels) activated predictions. Returns (spatial..., out_channels).
     """
     nd = len(patch)
+    orig_spatial = volume.shape[:nd]
+    # reflect-pad axes shorter than the effective patch core so any volume
+    # can be processed (the crop is undone on return) — the device analog of
+    # DATA.REFLECT_TO_COMPLETE_SHAPE (pad_to_shape, data_manipulation.py:3126)
+    min_sz = tuple(patch[d] - 2 * padding[d] for d in range(nd))
+    deficits = [max(0, min_sz[d] - orig_spatial[d]) for d in range(nd)]
+    if any(deficits):
+        pw = [(d // 2, d - d // 2) for d in deficits] + [(0, 0)]
+        volume = jnp.pad(volume, pw, mode=pad_mode)
     spatial = volume.shape[:nd]
     starts_np, ov_px = _grid_starts(spatial, patch, overlap, padding)
     n = len(starts_np)
@@ -112,7 +121,11 @@ def sliding_window_inference(
         (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), starts)
         return acc / (wacc + 1e-18)
 
-    return run(variables, vol_p)
+    out = run(variables, vol_p)
+    if any(deficits):
+        sl = tuple(slice(d // 2, d // 2 + s) for d, s in zip(deficits, orig_spatial))
+        out = out[sl]
+    return out
 
 
 def make_sliding_window_fn(

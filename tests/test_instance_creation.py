@@ -202,3 +202,24 @@ def test_cellpose_test_rescale_hooks(tmp_path):
     job2._build_workflow()
     out2, _ = job2.workflow.before_test_sample(img, None, "a.tif")
     assert out2.shape == (64, 64, 1)
+
+
+def test_pallas_conv3d_fallback_and_geometry():
+    """CPU: the Pallas fast path must decline (Mosaic needs TPU) and the XLA
+    fallback must be exact; geometry helpers stay consistent."""
+    import jax, jax.numpy as jnp
+    from biapy_tpu.ops.pallas.conv3d import conv3d, _conv3d_xla, _geom, pack_weights, supported
+
+    assert not supported((1, 8, 32, 32, 32), (3, 3, 3, 32, 32))  # cpu backend
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (1, 6, 16, 16, 8), jnp.float32)
+    w = jax.random.normal(k, (3, 3, 3, 8, 4), jnp.float32) * 0.1
+    assert jnp.allclose(conv3d(x, w), _conv3d_xla(x, w), atol=1e-5)
+    # gradients flow through the custom vjp
+    g = jax.grad(lambda w: conv3d(x, w).sum())(w)
+    g_ref = jax.grad(lambda w: _conv3d_xla(x, w).sum())(w)
+    assert jnp.allclose(g, g_ref, atol=1e-4)
+    q, wq, nq = _geom(128, 32, 32)
+    assert q == 4 and wq == 32 and nq * q >= 130
+    wp = pack_weights(jnp.asarray(w, jnp.float32).repeat(4, 3).repeat(8, 4), q=4)
+    assert wp.shape == (9, 2 * 4 * 32, 4 * 32)
