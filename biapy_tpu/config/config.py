@@ -280,7 +280,9 @@ def update_dependencies(cfg: CN, job_dir: str = ".", job_identifier: str = "job"
     R.DET_ASSOC_POINTS = os.path.join(res, "point_associations")
     R.INST_ASSOC_POINTS = os.path.join(res, "instance_associations")
     P = cfg.PATHS
-    P.BMZ_EXPORT_PATH = os.path.join(res, "BMZ_files")
+    if not P.BMZ_EXPORT_PATH or os.path.basename(str(P.BMZ_EXPORT_PATH)) == "BMZ_files":
+        # derive unless the user pinned a custom export dir
+        P.BMZ_EXPORT_PATH = os.path.join(res, "BMZ_files")
     P.PROFILER = os.path.join(res, "profiler")
     P.CHARTS = os.path.join(res, "charts")
     P.DA_SAMPLES = os.path.join(res, "aug")

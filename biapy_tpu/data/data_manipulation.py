@@ -300,6 +300,10 @@ def load_and_prepare_train_data(cfg, norm_spec: Optional[Dict] = None,
             whole_images=random_crops,
             y_upscaling=y_upscaling,
             convert_to_rgb=bool(cfg.DATA.FORCE_RGB),
+            input_axes=str(cfg.DATA.VAL.INPUT_IMG_AXES_ORDER) or None,
+            zarr_multiple=bool(cfg.DATA.VAL.INPUT_ZARR_MULTIPLE_DATA),
+            raw_path_in_file=str(cfg.DATA.VAL.INPUT_ZARR_MULTIPLE_DATA_RAW_PATH) or None,
+            gt_path_in_file=(str(cfg.DATA.VAL.INPUT_ZARR_MULTIPLE_DATA_GT_PATH) or None) if use_gt else None,
         )
     else:
         train, val = split_train_val(

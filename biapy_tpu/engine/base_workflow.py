@@ -222,7 +222,11 @@ class Base_Workflow(metaclass=ABCMeta):
                   f"global batch: {gbs} over {ndev} devices")
 
         self.prepare_model()
-        train_step = make_train_step(self.loss, self.train_metrics, mesh=self.mesh)
+        from biapy_tpu.engine.train_engine import resolve_mixed_precision
+
+        train_step = make_train_step(
+            self.loss, self.train_metrics, mesh=self.mesh,
+            mixed_precision=resolve_mixed_precision(cfg.TRAIN.MIXED_PRECISION))
         eval_step = make_eval_step(self.loss, self.train_metrics, mesh=self.mesh)
 
         early = EarlyStopping(patience=int(cfg.TRAIN.PATIENCE)) if cfg.TRAIN.PATIENCE >= 0 else None

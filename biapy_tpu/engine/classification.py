@@ -112,7 +112,11 @@ class Classification_Workflow(Base_Workflow):
         val_loader = BatchLoader(val_data, gbs, shuffle=False, seed=cfg.SYSTEM.SEED)
         self._steps_per_epoch = len(train_loader)
         self.prepare_model()
-        train_step = make_train_step(self.loss, self.train_metrics, mesh=self.mesh)
+        from biapy_tpu.engine.train_engine import resolve_mixed_precision
+
+        train_step = make_train_step(
+            self.loss, self.train_metrics, mesh=self.mesh,
+            mixed_precision=resolve_mixed_precision(cfg.TRAIN.MIXED_PRECISION))
         eval_step = make_eval_step(self.loss, self.train_metrics, mesh=self.mesh)
         early = EarlyStopping(patience=int(cfg.TRAIN.PATIENCE)) if cfg.TRAIN.PATIENCE >= 0 else None
         jsonlog = JsonLogger(os.path.join(cfg.LOG.LOG_DIR, f"{self.job_identifier}_train.jsonl"))

@@ -61,11 +61,31 @@ def _forward(state: TrainState, x, train: bool, rng=None):
     return out, state.batch_stats
 
 
+def resolve_mixed_precision(setting) -> bool:
+    """TRAIN.MIXED_PRECISION: True/False or 'auto' (bf16 compute on TPU,
+    f32 elsewhere). A TPU-first extension over the reference (which trains
+    fp32-only): params, optimizer state and gradients stay f32; the forward
+    and backward matmuls run in bf16 on the MXU."""
+    if isinstance(setting, str):
+        s = setting.lower()
+        if s == "auto":
+            return jax.default_backend() not in ("cpu",)
+        return s in ("1", "true", "yes")
+    return bool(setting)
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree.map(
+        lambda p: p.astype(dtype) if hasattr(p, "dtype") and p.dtype == jnp.float32 else p,
+        tree)
+
+
 def make_train_step(
     loss_fn: Callable,
     metric_fns: Optional[Dict[str, Callable]] = None,
     mesh=None,
     donate: bool = True,
+    mixed_precision: bool = False,
 ):
     """Build the jitted train step.
 
@@ -73,7 +93,8 @@ def make_train_step(
     ``fn(outputs, targets) -> scalar``. When ``mesh`` is given, the state is
     replicated and the batch sharded along the data axis; the mean loss and
     grads are globally correct because XLA reduces over the full sharded
-    batch.
+    batch. With ``mixed_precision`` the forward/backward run in bf16 (master
+    params, grads and update math stay f32 — classic AMP).
     """
     metric_fns = metric_fns or {}
 
@@ -82,8 +103,17 @@ def make_train_step(
         rng = jax.random.fold_in(rng, state.step)
 
         def compute_loss(params):
-            st = state.replace(params=params)
-            outputs, new_bs = _forward(st, x, train=True, rng=rng)
+            if mixed_precision:
+                st = state.replace(params=_cast_tree(params, jnp.bfloat16))
+                outputs, new_bs = _forward(st, x.astype(jnp.bfloat16), train=True, rng=rng)
+                # losses/metrics accumulate in f32
+                outputs = jax.tree.map(
+                    lambda o: o.astype(jnp.float32)
+                    if hasattr(o, "dtype") and o.dtype == jnp.bfloat16 else o,
+                    outputs)
+            else:
+                st = state.replace(params=params)
+                outputs, new_bs = _forward(st, x, train=True, rng=rng)
             return loss_fn(outputs, y), (outputs, new_bs)
 
         (loss, (outputs, new_bs)), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
