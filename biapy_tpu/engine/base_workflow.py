@@ -238,11 +238,28 @@ class Base_Workflow(metaclass=ABCMeta):
 
         if self.verbose:
             print("#####################\n#  TRAIN THE MODEL  #\n#####################")
+        # Real tracing — an improvement over the reference, whose profiler
+        # hooks are dead comments (SURVEY.md §5.1; reference config.py:1789):
+        # capture an xplane trace of a few steady-state steps of epoch 0.
+        profile_steps = int(getattr(cfg.LOG, "PROFILE_STEPS", 0) or 0)
+        prof_state = {"on": False, "done": profile_steps <= 0, "seen": 0}
+
         for epoch in range(self.start_epoch, int(cfg.TRAIN.EPOCHS)):
             t0 = time.time()
             train_loader.set_epoch(epoch)
             logger = MetricLogger(verbose=self.verbose)
             for batch in logger.log_every(train_loader, 10, header=f"Epoch: [{epoch}]"):
+                if not prof_state["done"]:
+                    prof_state["seen"] += 1
+                    if prof_state["seen"] == 3 and not prof_state["on"]:
+                        os.makedirs(cfg.PATHS.PROFILER, exist_ok=True)
+                        jax.profiler.start_trace(cfg.PATHS.PROFILER)
+                        prof_state["on"] = True
+                    elif prof_state["on"] and prof_state["seen"] >= 3 + profile_steps:
+                        jax.profiler.stop_trace()
+                        prof_state.update(on=False, done=True)
+                        if self.verbose:
+                            print(f"Profiler trace written to {cfg.PATHS.PROFILER}")
                 sb = shard_batch(batch, self.mesh)
                 self.state, mtr = train_step(self.state, sb, key)
                 logger.update(**{k: float(v) for k, v in mtr.items()},
