@@ -159,6 +159,25 @@ class Base_Workflow(metaclass=ABCMeta):
             n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
             print(f"Model: {self.cfg.MODEL.ARCHITECTURE} — {n:,} parameters")
 
+        wsrc = str(self.cfg.MODEL.VIT_PRETRAINED_WEIGHTS)
+        if wsrc and "sam3_vit" in (str(self.cfg.MODEL.VIT_MODEL).lower(),
+                                   str(self.cfg.MODEL.UNETR_VIT_MODEL).lower()):
+            # SAM3 pretrained encoder weights from a local file (reference:
+            # MODEL.VIT_PRETRAINED_WEIGHTS, config.py:1418)
+            from biapy_tpu.models.sam3_vit import load_sam3_weights
+
+            sub = "sam3_encoder" if "sam3_encoder" in params else None
+            tgt = params[sub] if sub else params
+            loaded = load_sam3_weights(wsrc, tgt,
+                                       patch_size=int(self.model_build_kwargs.get("patch_size", 14)))
+            if sub:
+                params = dict(params)
+                params[sub] = loaded
+            else:
+                params = loaded
+            if self.verbose:
+                print(f"Loaded SAM3 encoder weights from {wsrc}")
+
         if str(self.cfg.MODEL.SOURCE).lower() == "bmz":
             # BMZ import (reference: build_bmz_model, models/__init__.py:943)
             from biapy_tpu.utils.bmz import load_bmz_model_weights

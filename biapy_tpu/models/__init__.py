@@ -136,12 +136,14 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
     if arch == "unetr":
         from biapy_tpu.models.unetr import UNETR
 
-        kwargs = _vit_kwargs(cfg, ndim)
+        kwargs = _vit_kwargs(cfg, ndim, model_key="UNETR_VIT_MODEL")
         kwargs.pop("drop_rate", None)
         kwargs["output_channels"] = tuple(output_channels)
         kwargs["decoder_activation"] = str(cfg.MODEL.ACTIVATION).lower()
         kwargs["vit_hidden_multiple"] = int(cfg.MODEL.UNETR_VIT_HIDD_MULT)
         kwargs["decoder_filters"] = int(cfg.MODEL.UNETR_VIT_NUM_FILTERS)
+        if str(cfg.MODEL.UNETR_VIT_MODEL).lower() == "sam3_vit":
+            kwargs["backbone"] = "sam3_vit"
         return UNETR(**kwargs), {"class": "UNETR", **kwargs}
 
     if arch == "simple_cnn":
@@ -200,8 +202,19 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
     raise ValueError(f"Unknown MODEL.ARCHITECTURE: {cfg.MODEL.ARCHITECTURE}")
 
 
-def _vit_kwargs(cfg, ndim: int) -> Dict:
-    return dict(
+# ViT presets selectable via MODEL.VIT_MODEL / MODEL.UNETR_VIT_MODEL
+# (reference: config.py:1388,1412 — "custom" uses the MODEL.VIT_* knobs).
+_VIT_PRESETS = {
+    "vit_base_patch16": dict(patch_size=16, embed_dim=768, depth=12, num_heads=12, mlp_ratio=4.0),
+    "vit_large_patch16": dict(patch_size=16, embed_dim=1024, depth=24, num_heads=16, mlp_ratio=4.0),
+    "vit_huge_patch14": dict(patch_size=14, embed_dim=1280, depth=32, num_heads=16, mlp_ratio=4.0),
+    # SAM 3 image encoder geometry (models/sam3_vit.py SAM3_VIT_PARAMS)
+    "sam3_vit": dict(patch_size=14, embed_dim=1024, depth=32, num_heads=16, mlp_ratio=4.625),
+}
+
+
+def _vit_kwargs(cfg, ndim: int, model_key: str = "VIT_MODEL") -> Dict:
+    kw = dict(
         ndim=ndim,
         patch_size=int(cfg.MODEL.VIT_TOKEN_SIZE),
         embed_dim=int(cfg.MODEL.VIT_EMBED_DIM),
@@ -212,3 +225,11 @@ def _vit_kwargs(cfg, ndim: int) -> Dict:
         img_size=int(cfg.DATA.PATCH_SIZE[0]),
         drop_rate=float(cfg.MODEL.DROPOUT_VALUES[0]) if cfg.MODEL.DROPOUT_VALUES else 0.0,
     )
+    preset_name = str(getattr(cfg.MODEL, model_key, "custom")).lower()
+    if preset_name in _VIT_PRESETS:
+        kw.update(_VIT_PRESETS[preset_name])
+        if preset_name == "sam3_vit" and model_key == "UNETR_VIT_MODEL":
+            # UNETR's decoder needs power-of-two tokens: SAM3's patch embed
+            # is resized 14 -> 16 at load time (reference: config.py:1393)
+            kw["patch_size"] = 16
+    return kw

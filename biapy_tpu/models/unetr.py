@@ -34,6 +34,7 @@ class UNETR(nn.Module):
     decoder_filters: int = 16
     vit_hidden_multiple: int = -1  # -1 => depth // 4
     norm: str = "none"
+    backbone: str = "custom"  # "custom" | "sam3_vit"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -42,15 +43,28 @@ class UNETR(nn.Module):
         mult = self.vit_hidden_multiple if self.vit_hidden_multiple > 0 else max(1, self.depth // 4)
         taps = [mult * i for i in range(1, 4) if mult * i < self.depth]
 
-        vit = ViT(
-            ndim=nd, img_size=self.img_size, patch_size=self.patch_size,
-            in_channels=self.in_channels, embed_dim=self.embed_dim, depth=self.depth,
-            num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-        )
-        feats, saved = vit(x, train=train, features=True, save_layers=taps)
+        if self.backbone == "sam3_vit":
+            # SAM 3 image encoder backbone (reference: MODEL.UNETR_VIT_MODEL
+            # = "sam3_vit", config.py:1388 — 16x16 tokens so the decoder's
+            # power-of-two upsampling works; 2D only).
+            from biapy_tpu.models.sam3_vit import SAM3ViTEncoder
+
+            assert nd == 2, "sam3_vit backbone is 2D only (pretrained weights are 2D)"
+            vit = SAM3ViTEncoder(img_size=self.img_size, patch_size=self.patch_size,
+                                 in_channels=self.in_channels, name="sam3_encoder")
+            feats, saved = vit(x, train=train, features=True, save_layers=taps)
+            has_cls = 0
+        else:
+            vit = ViT(
+                ndim=nd, img_size=self.img_size, patch_size=self.patch_size,
+                in_channels=self.in_channels, embed_dim=self.embed_dim, depth=self.depth,
+                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            )
+            feats, saved = vit(x, train=train, features=True, save_layers=taps)
+            has_cls = 1
 
         def to_grid(tokens):
-            t = tokens[:, 1:]  # drop cls
+            t = tokens[:, has_cls:]  # drop cls when present
             shape = (t.shape[0],) + (g,) * nd + (t.shape[-1],)
             return t.reshape(shape)
 

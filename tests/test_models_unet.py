@@ -171,3 +171,52 @@ def test_zoo_small_models():
     m = PatchGANDiscriminator(base_filters=8)
     v = m.init(RNGS, x, train=False)
     assert m.apply(v, x, train=False).shape[0] == 1
+
+
+def test_sam3_vit_encoder_forward():
+    """SAM3 encoder builds and runs (tiny grid), windowed + global blocks
+    both exercised; UNETR integrates it as a backbone."""
+    import jax
+    import jax.numpy as jnp
+    from biapy_tpu.models.sam3_vit import SAM3ViTEncoder, axial_rope_tables
+
+    cos, sin = axial_rope_tables(64, 4, 4)
+    assert cos.shape == (16, 32) and abs(float(cos[0, 0]) - 1.0) < 1e-6
+
+    # shrink the geometry for test speed by monkeypatching params
+    import biapy_tpu.models.sam3_vit as sv
+
+    orig = dict(sv.SAM3_VIT_PARAMS)
+    sv.SAM3_VIT_PARAMS.update(depth=3, embed_dim=64, num_heads=4,
+                              window_size=2, global_attn_indexes=(1,))
+    try:
+        enc = SAM3ViTEncoder(img_size=56, patch_size=14, in_channels=1,
+                             save_layers=(1, 2))
+        v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 56, 56, 1)))
+        out, saved = enc.apply(v, jnp.zeros((2, 56, 56, 1)), features=True,
+                               save_layers=(1, 2))
+        assert out.shape == (2, 16, 64)
+        assert len(saved) == 2 and saved[0].shape == (2, 16, 64)
+    finally:
+        sv.SAM3_VIT_PARAMS.update(orig)
+
+
+def test_unetr_sam3_backbone_builds():
+    import jax, jax.numpy as jnp
+    import biapy_tpu.models.sam3_vit as sv
+    from biapy_tpu.models.unetr import UNETR
+
+    orig = dict(sv.SAM3_VIT_PARAMS)
+    sv.SAM3_VIT_PARAMS.update(depth=4, embed_dim=64, num_heads=4,
+                              window_size=2, global_attn_indexes=(1,))
+    try:
+        m = UNETR(ndim=2, img_size=64, patch_size=16, in_channels=1,
+                  embed_dim=64, depth=4, num_heads=4, output_channels=(1,),
+                  backbone="sam3_vit", vit_hidden_multiple=1, decoder_filters=4)
+        v = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                   jnp.zeros((1, 64, 64, 1)), train=False)
+        y = m.apply(v, jnp.zeros((1, 64, 64, 1)), train=False)
+        y = y["pred"] if isinstance(y, dict) else y
+        assert y.shape == (1, 64, 64, 1)
+    finally:
+        sv.SAM3_VIT_PARAMS.update(orig)
