@@ -562,7 +562,8 @@ class Base_Workflow(metaclass=ABCMeta):
         runs the tile watershed + merge here)."""
 
     def print_stats(self):
-        """Aggregate per-image metrics (reference: print_stats, :2307)."""
+        """Aggregate per-image metrics + final CSV (reference: print_stats
+        :2307 and the metrics_per_test_file CSV, base_workflow.py:1534)."""
         if not self.metrics_per_test_file or not is_main_process():
             return
         keys = self.metrics_per_test_file[0].keys()
@@ -570,4 +571,17 @@ class Base_Workflow(metaclass=ABCMeta):
         for k, v in agg.items():
             print(f"Test {k} (per image): {v:.6f}")
         self.stats = agg
+        if self.save_to_disk:
+            import csv
+
+            out = os.path.join(str(self.cfg.PATHS.RESULT_DIR.PATH),
+                               f"{self.job_identifier}_per_image_metrics.csv")
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            with open(out, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=["image"] + list(keys))
+                w.writeheader()
+                files = [p.get("file", f"{i}") for i, p in enumerate(self._predictions)
+                         if p.get("role") in ("raw",)]
+                for i, m in enumerate(self.metrics_per_test_file):
+                    w.writerow({"image": files[i] if i < len(files) else i, **m})
         return agg

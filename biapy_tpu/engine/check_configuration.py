@@ -50,6 +50,19 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
 
     # -- model --------------------------------------------------------------
     arch = str(cfg.MODEL.ARCHITECTURE).lower()
+    src = str(cfg.MODEL.SOURCE).lower()
+    req(src in ("biapy", "bmz", "torchvision"),
+        f"MODEL.SOURCE must be one of ['biapy','bmz','torchvision'], got {cfg.MODEL.SOURCE}")
+    if src == "torchvision":
+        raise ValueError(
+            "MODEL.SOURCE='torchvision' needs the torchvision package, which is "
+            "not available in this TPU environment (no torchvision, no network "
+            "egress). Use MODEL.SOURCE='biapy' — the zoo covers the same "
+            "families (efficientnet/simple_cnn for classification) — or import "
+            "a BMZ package via MODEL.SOURCE='bmz'.")
+    if src == "bmz":
+        req(str(cfg.MODEL.BMZ.SOURCE_MODEL_ID) != "",
+            "MODEL.BMZ.SOURCE_MODEL_ID must point at a BMZ package (zip/dir) when MODEL.SOURCE='bmz'")
     if cfg.MODEL.SOURCE == "biapy":
         req(arch in ALL_MODELS, f"MODEL.ARCHITECTURE '{cfg.MODEL.ARCHITECTURE}' not recognised")
         if arch in UNET_LIKE and arch != "stunet":
