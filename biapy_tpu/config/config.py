@@ -49,6 +49,8 @@ def _coerce(new: Any, old: Any, path: str) -> Any:
     if isinstance(old, bool) and not isinstance(new, bool):
         if new in (0, 1):
             return bool(new)
+        if isinstance(new, str) and path.endswith("STUNET.PRETRAINED"):
+            return new  # bool-or-local-path (no-egress pretrained loading)
         raise ValueError(f"Config key {path}: expected bool, got {new!r}")
     if isinstance(old, float) and isinstance(new, int):
         new = float(new)

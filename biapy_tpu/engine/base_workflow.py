@@ -18,7 +18,7 @@ import math
 import os
 import time
 from abc import ABCMeta, abstractmethod
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -158,6 +158,30 @@ class Base_Workflow(metaclass=ABCMeta):
         if self.verbose:
             n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
             print(f"Model: {self.cfg.MODEL.ARCHITECTURE} — {n:,} parameters")
+
+        stu_pre = self.cfg.MODEL.STUNET.PRETRAINED
+        if stu_pre and str(self.cfg.MODEL.ARCHITECTURE).lower() == "stunet" \
+                and not self.cfg.MODEL.LOAD_CHECKPOINT:
+            # reference downloads the released torch weights
+            # (models/__init__.py:242); no egress here, so only a local file
+            # converted via the ordered torch->flax importer is accepted.
+            if not isinstance(stu_pre, str) or not os.path.exists(str(stu_pre)):
+                raise ValueError(
+                    "MODEL.STUNET.PRETRAINED: no network access in this "
+                    "environment — download the STUNet checkpoint for variant "
+                    f"'{self.cfg.MODEL.STUNET.VARIANT}' elsewhere and set this "
+                    "key to the local .pth/.pt file path.")
+            import torch
+
+            from biapy_tpu.utils.bmz import import_torch_state_dict
+
+            sd = torch.load(str(stu_pre), map_location="cpu", weights_only=True)
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+            sd = {k: v.numpy() for k, v in sd.items()}
+            params, batch_stats = import_torch_state_dict(sd, params, batch_stats)
+            if self.verbose:
+                print(f"Loaded STUNet pretrained weights from {stu_pre}")
 
         wsrc = str(self.cfg.MODEL.VIT_PRETRAINED_WEIGHTS)
         if wsrc and "sam3_vit" in (str(self.cfg.MODEL.VIT_MODEL).lower(),
@@ -367,6 +391,66 @@ class Base_Workflow(metaclass=ABCMeta):
 
         return make_predict_fn(lambda v, x, train=False: apply_with_acts(v, x), mesh=self.mesh)
 
+    def predict_block_on_device(self, block_n: np.ndarray,
+                                batch_size: Optional[int] = None,
+                                overlap: Optional[Sequence[float]] = None,
+                                padding: Optional[Sequence[int]] = None) -> Optional[np.ndarray]:
+        """Whole-block sliding-window inference as ONE jitted program: the
+        block lives in HBM, a lax.scan walks the patch grid, the model runs
+        on the MXU (bf16 when TEST.REDUCE_MEMORY) and spline-blended patches
+        scatter-add into the output — host transfers are one block in, one
+        result out (vs the reference's per-patch GPU round-trips). Returns
+        None when the device path doesn't apply (TTA on) so callers fall
+        back to the host crop/merge path."""
+        if self.cfg.TEST.AUGMENTATION:
+            return None  # representation-aware TTA runs on the host path
+        # workflows with exotic forward logic (e.g. SSL/MAE masking) keep
+        # their overridden per-batch predict; instance seg's per-channel
+        # activations are handled below via _act_channels
+        if type(self)._predict_fn is not Base_Workflow._predict_fn and \
+                not hasattr(self, "_act_channels"):
+            return None
+        self._ensure_model_for_test()
+        import jax.numpy as jnp
+
+        from biapy_tpu.ops.stitch import sliding_window_inference
+
+        cfg = self.cfg
+        acts = self.activations
+        # instance seg applies activations per channel (_act_channels);
+        # other workflows per head (output_channels)
+        chans = getattr(self, "_act_channels", None) or self.output_channels
+        reduce_mem = bool(cfg.TEST.REDUCE_MEMORY)
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        if reduce_mem:
+            variables = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, variables)
+
+        model = self.model
+
+        def apply_fn(v, x):
+            if reduce_mem:
+                x = x.astype(jnp.bfloat16)
+            out = model.apply(v, x, train=False)
+            if isinstance(out, dict):
+                out = out["pred"]
+            return apply_activations(out.astype(jnp.float32), acts, chans, training=False)
+
+        ndev = len(self.mesh.devices.flatten())
+        bs = batch_size or max(int(cfg.TRAIN.BATCH_SIZE), ndev)
+        patch = tuple(cfg.DATA.PATCH_SIZE)[: self.nd]
+        ov = tuple(overlap) if overlap is not None else tuple(cfg.DATA.TEST.OVERLAP)
+        pad = tuple(padding) if padding is not None else tuple(cfg.DATA.TEST.PADDING)
+        out = sliding_window_inference(
+            apply_fn, variables, jnp.asarray(block_n),
+            patch, ov, pad,
+            out_channels=sum(chans), batch_size=bs,
+            out_dtype=jnp.bfloat16 if reduce_mem else jnp.float32,
+        )
+        return np.asarray(jax.device_get(out)).astype(np.float32)
+
     def predict_patches(self, patches: np.ndarray, batch_size: Optional[int] = None) -> np.ndarray:
         """Run the jitted forward over all patches in sharded batches."""
         self._ensure_model_for_test()
@@ -445,18 +529,24 @@ class Base_Workflow(metaclass=ABCMeta):
                 save_tif(merged[None], cfg.PATHS.RESULT_DIR.FULL_IMAGE, [fname], verbose=False)
             return {"pred": merged}
 
-        patches, _ = crop_data_with_overlap(img_n[None], crop_shape, overlap=ov, padding=pad)
-        preds = self.predict_patches(patches)
-        out_ch = preds.shape[-1]
         up = self.y_upscaling
-        out_spatial = tuple(img.shape[d] * up[d] for d in range(self.nd))
-        if any(u != 1 for u in up):
-            ov_scaled, pad_scaled = ov, tuple(p * u for p, u in zip(pad, up))
-        else:
-            ov_scaled, pad_scaled = ov, pad
-        merged = merge_data_with_overlap(
-            preds, (1,) + out_spatial + (out_ch,), overlap=ov_scaled, padding=pad_scaled
-        )[0]
+        merged = None
+        if all(u == 1 for u in up):
+            # fast path: the whole image stitches in one jitted program on
+            # the device (ops/stitch.py); TTA/SR fall back to host crop/merge
+            merged = self.predict_block_on_device(img_n, overlap=ov, padding=pad)
+        if merged is None:
+            patches, _ = crop_data_with_overlap(img_n[None], crop_shape, overlap=ov, padding=pad)
+            preds = self.predict_patches(patches)
+            out_ch = preds.shape[-1]
+            out_spatial = tuple(img.shape[d] * up[d] for d in range(self.nd))
+            if any(u != 1 for u in up):
+                ov_scaled, pad_scaled = ov, tuple(p * u for p, u in zip(pad, up))
+            else:
+                ov_scaled, pad_scaled = ov, pad
+            merged = merge_data_with_overlap(
+                preds, (1,) + out_spatial + (out_ch,), overlap=ov_scaled, padding=pad_scaled
+            )[0]
         merged = self.post_merge_transform(merged, fname)
         merged = self.apply_roi_mask(merged, fname)
         res = {"pred": merged}

@@ -153,8 +153,14 @@ class ChunkedInference:
         return out_path
 
     def _predict_block(self, block: np.ndarray) -> np.ndarray:
-        """Sliding-window inference over one (halo-extended) tile; host path
-        via the workflow's jitted patch forward + spline merge."""
+        """Sliding-window inference over one (halo-extended) tile. Prefers
+        the single-program on-device stitch (block -> HBM once, lax.scan over
+        the patch grid, spline scatter-add; biapy_tpu/ops/stitch.py); falls
+        back to the host crop/merge path when TTA is enabled."""
+        dev = self.wf.predict_block_on_device(block, overlap=self.overlap,
+                                              padding=self.padding)
+        if dev is not None:
+            return dev
         from biapy_tpu.data.patching import crop_data_with_overlap, merge_data_with_overlap
 
         pad = tuple(min(self.padding[d], max(0, (self.patch[d] - block.shape[d]) // 2))
