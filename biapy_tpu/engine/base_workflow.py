@@ -394,7 +394,8 @@ class Base_Workflow(metaclass=ABCMeta):
     def predict_block_on_device(self, block_n: np.ndarray,
                                 batch_size: Optional[int] = None,
                                 overlap: Optional[Sequence[float]] = None,
-                                padding: Optional[Sequence[int]] = None) -> Optional[np.ndarray]:
+                                padding: Optional[Sequence[int]] = None,
+                                device=None, sync: bool = True) -> Optional[np.ndarray]:
         """Whole-block sliding-window inference as ONE jitted program: the
         block lives in HBM, a lax.scan walks the patch grid, the model runs
         on the MXU (bf16 when TEST.REDUCE_MEMORY) and spline-blended patches
@@ -443,12 +444,34 @@ class Base_Workflow(metaclass=ABCMeta):
         patch = tuple(cfg.DATA.PATCH_SIZE)[: self.nd]
         ov = tuple(overlap) if overlap is not None else tuple(cfg.DATA.TEST.OVERLAP)
         pad = tuple(padding) if padding is not None else tuple(cfg.DATA.TEST.PADDING)
-        out = sliding_window_inference(
-            apply_fn, variables, jnp.asarray(block_n),
-            patch, ov, pad,
-            out_channels=sum(chans), batch_size=bs,
-            out_dtype=jnp.bfloat16 if reduce_mem else jnp.float32,
-        )
+        # cache the jitted stitch per geometry — a fresh trace per block would
+        # recompile (~30s on the tunnel) for every tile/image
+        key = (tuple(block_n.shape), ov, pad, bs, reduce_mem)
+        cache = getattr(self, "_stitch_cache", None)
+        if cache is None:
+            cache = self._stitch_cache = {}
+        runner = cache.get(key)
+        if runner is None:
+            out_dt = jnp.bfloat16 if reduce_mem else jnp.float32
+            runner = jax.jit(lambda v, vol: sliding_window_inference(
+                apply_fn, v, vol, patch, ov, pad,
+                out_channels=sum(chans), batch_size=bs, out_dtype=out_dt))
+            cache[key] = runner
+        if device is not None:
+            # tile parallelism across local chips: computation follows the
+            # committed placement of its inputs
+            vcache = getattr(self, "_var_device_cache", None)
+            if vcache is None:
+                vcache = self._var_device_cache = {}
+            vd = vcache.get((id(self.state), device))
+            if vd is None:
+                vd = jax.device_put(variables, device)
+                vcache[(id(self.state), device)] = vd
+            out = runner(vd, jax.device_put(jnp.asarray(block_n), device))
+        else:
+            out = runner(variables, jnp.asarray(block_n))
+        if not sync:
+            return out
         return np.asarray(jax.device_get(out)).astype(np.float32)
 
     def predict_patches(self, patches: np.ndarray, batch_size: Optional[int] = None) -> np.ndarray:

@@ -130,6 +130,25 @@ class ChunkedInference:
             print(f"[by-chunks] volume {spatial} -> {len(tiles)} tiles "
                   f"({self.tile_size}), {len(mine)} owned by rank {self.rank}")
 
+        # Tiles round-robin across local chips with async dispatch: while
+        # chip k computes tile i, the host reads tile i+1 from Zarr and chip
+        # k+1 computes it — compute, H2D/D2H and disk IO all overlap. The
+        # host path (TTA) degrades to synchronous single-device.
+        import jax as _jax
+
+        devices = _jax.local_devices()
+        inflight: List[tuple] = []
+
+        def drain(entry):
+            t, pred = entry
+            pred = np.asarray(pred).astype(np.float32)
+            core_sl_local = tuple(
+                slice(t.core_start[d] - t.halo_start[d],
+                      t.core_end[d] - t.halo_start[d]) for d in range(self.nd)
+            )
+            core_sl_out = tuple(slice(t.core_start[d], t.core_end[d]) for d in range(self.nd))
+            out[core_sl_out + (slice(None),)] = pred[core_sl_local]
+
         for ti, t in enumerate(mine):
             region = tuple(slice(t.halo_start[d], t.halo_end[d]) for d in range(self.nd))
             block = np.asarray(vol[region]).astype(np.float32)
@@ -138,15 +157,19 @@ class ChunkedInference:
             from biapy_tpu.data.norm import normalize_image
 
             block_n, _ = normalize_image(block, self.wf.norm_spec)
-            pred = self._predict_block(block_n)
-            core_sl_local = tuple(
-                slice(t.core_start[d] - t.halo_start[d],
-                      t.core_end[d] - t.halo_start[d]) for d in range(self.nd)
-            )
-            core_sl_out = tuple(slice(t.core_start[d], t.core_end[d]) for d in range(self.nd))
-            out[core_sl_out + (slice(None),)] = pred[core_sl_local]
+            dev_pred = self.wf.predict_block_on_device(
+                block_n, overlap=self.overlap, padding=self.padding,
+                device=devices[ti % len(devices)], sync=False)
+            if dev_pred is None:
+                drain((t, self._predict_block(block_n)))
+            else:
+                inflight.append((t, dev_pred))
+                if len(inflight) >= len(devices):
+                    drain(inflight.pop(0))
             if verbose:
-                print(f"[by-chunks] rank {self.rank}: tile {ti + 1}/{len(mine)} done")
+                print(f"[by-chunks] rank {self.rank}: tile {ti + 1}/{len(mine)} dispatched")
+        for entry in inflight:
+            drain(entry)
         if handle is not None:
             handle.close()
         barrier("chunked_raw_pred")
