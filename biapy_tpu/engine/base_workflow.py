@@ -457,6 +457,8 @@ class Base_Workflow(metaclass=ABCMeta):
                 apply_fn, v, vol, patch, ov, pad,
                 out_channels=sum(chans), batch_size=bs, out_dtype=out_dt))
             cache[key] = runner
+        block_j = jnp.asarray(block_n.astype(np.float32), jnp.bfloat16) if reduce_mem \
+            else jnp.asarray(block_n)  # bf16 halves H2D + HBM for the volume
         if device is not None:
             # tile parallelism across local chips: computation follows the
             # committed placement of its inputs
@@ -467,9 +469,9 @@ class Base_Workflow(metaclass=ABCMeta):
             if vd is None:
                 vd = jax.device_put(variables, device)
                 vcache[(id(self.state), device)] = vd
-            out = runner(vd, jax.device_put(jnp.asarray(block_n), device))
+            out = runner(vd, jax.device_put(block_j, device))
         else:
-            out = runner(variables, jnp.asarray(block_n))
+            out = runner(variables, block_j)
         if not sync:
             return out
         return np.asarray(jax.device_get(out)).astype(np.float32)
