@@ -163,3 +163,88 @@ def test_by_chunks_end_to_end(tmp_path):
     merged = np.asarray(ZarrArray(preds[0]["path"]))
     stats = matching(lab_big, merged, thresh=[0.3])[0]
     assert stats["f1"] > 0.5, stats
+
+
+def test_instance_merge_two_ranks_simulated(tmp_path):
+    """The 5-pass merge with world=2: two ChunkedInference instances run in
+    threads with thread-backed collectives (honest simulation of two hosts
+    exchanging edges/offsets over DCN) and must reproduce the single-rank
+    result."""
+    import threading
+
+    import biapy_tpu.engine.chunked as ch
+    from biapy_tpu.data.pre_processing import labels_into_channels
+    from biapy_tpu.engine.instance_seg import Instance_Segmentation_Workflow
+    from biapy_tpu.config.config import get_cfg_defaults
+
+    labels = _spheres()
+    chans = labels_into_channels(labels, ["F", "C"])
+    out_dir = str(tmp_path / "chunks")
+    os.makedirs(out_dir)
+    raw = ZarrArray.create(os.path.join(out_dir, "raw_pred.zarr"),
+                           shape=chans.shape, chunks=(32, 48, 48, 2), dtype="f4",
+                           compressor={"id": "zlib", "level": 1})
+    raw[:, :, :, :] = chans
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_dict({
+        "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "3D",
+                    "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"]}},
+        "DATA": {"PATCH_SIZE": (32, 48, 48, 1)},
+    })
+    inst_wf = Instance_Segmentation_Workflow.__new__(Instance_Segmentation_Workflow)
+    inst_wf.cfg = cfg
+    inst_wf.nd = 3
+    inst_wf.define_activations_and_channels()
+
+    world = 2
+    sync = threading.Barrier(world)
+    gather_box = {}
+    lock = threading.Lock()
+    gen = [0]
+
+    def fake_barrier(name="b"):
+        sync.wait(timeout=60)
+
+    def fake_gather(obj, _rank=None, _slot=[0]):
+        # two-phase: deposit under (generation, rank), wait, read both
+        rank = int(threading.current_thread().name[-1])
+        with lock:
+            g = gen[0]
+            gather_box[(g, rank)] = obj
+        sync.wait(timeout=60)
+        out = [gather_box[(g, r)] for r in range(world)]
+        sync.wait(timeout=60)
+        with lock:
+            if (g, 0) in gather_box:
+                for r in range(world):
+                    gather_box.pop((g, r), None)
+                gen[0] += 1
+        return out
+
+    orig_barrier, orig_gather = ch.barrier, ch.all_gather_objects
+    ch.barrier, ch.all_gather_objects = fake_barrier, fake_gather
+    results = {}
+    try:
+        def run(rank):
+            wf = _OracleWorkflow(labels)
+            ci = ChunkedInference(wf, (32, 48, 48), (0, 0, 0), (4, 8, 8), (1, 1, 1),
+                                  2, out_dir, rank=rank, world=world)
+            results[rank] = ci.create_and_merge_instances(
+                os.path.join(out_dir, "raw_pred.zarr"), inst_wf.instance_seg_process,
+                merge_iou_th=0.2, verbose=False)
+
+        threads = [threading.Thread(target=run, args=(r,), name=f"rank{r}") for r in range(world)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+            assert not t.is_alive(), "rank thread hung"
+    finally:
+        ch.barrier, ch.all_gather_objects = orig_barrier, orig_gather
+
+    merged = np.asarray(ZarrArray(results[0]))
+    stats = matching(labels, merged, thresh=[0.5])[0]
+    assert stats["f1"] > 0.9, stats
+    n_pred = len(np.unique(merged)) - 1
+    assert abs(n_pred - int(labels.max())) <= 1, (n_pred, int(labels.max()))
