@@ -246,6 +246,12 @@ def update_dependencies(cfg: CN, job_dir: str = ".", job_identifier: str = "job"
                 if len(v) == 2:
                     node[key] = type(v)((0,)) + type(v)(v) if isinstance(v, tuple) else [0] + list(v)
 
+    # All-zero dropout lists broadcast to the U-Net depth (reference:
+    # check_configuration.py:2628 adjusts DROPOUT_VALUES to FEATURE_MAPS).
+    fm, dv = cfg.MODEL.FEATURE_MAPS, cfg.MODEL.DROPOUT_VALUES
+    if len(dv) != len(fm) and all(float(x) == 0 for x in dv):
+        cfg.MODEL.DROPOUT_VALUES = [0.0] * len(fm)
+
     # Instance channel dirs sit next to the GT dirs, tagged by the channel code.
     chans = cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNELS
     tag = "".join(chans) if isinstance(chans, (list, tuple)) else str(chans)

@@ -225,8 +225,16 @@ def convert_old_model_cfg_to_current_version(old_cfg: dict, verbose: bool = Fals
         note("PROBLEM.DETECTION.CENTRAL_POINT_DILATION: scalar -> per-axis list")
     sr = _get(cfg, "PROBLEM", "SUPER_RESOLUTION")
     if isinstance(sr, dict) and "UPSCALING" in sr and not isinstance(sr["UPSCALING"], (list, tuple)):
-        sr["UPSCALING"] = tuple([sr["UPSCALING"]] * ndim)
-        note("PROBLEM.SUPER_RESOLUTION.UPSCALING: scalar -> per-axis tuple")
+        v = sr["UPSCALING"]
+        if isinstance(v, str) and v.strip().startswith("("):
+            # YAML-quoted tuple form used by the reference templates: "(2,2)"
+            import ast
+
+            sr["UPSCALING"] = tuple(ast.literal_eval(v))
+            note("PROBLEM.SUPER_RESOLUTION.UPSCALING: string tuple -> tuple")
+        else:
+            sr["UPSCALING"] = tuple([v] * ndim)
+            note("PROBLEM.SUPER_RESOLUTION.UPSCALING: scalar -> per-axis tuple")
 
     inst = _get(cfg, "PROBLEM", "INSTANCE_SEG")
     if isinstance(inst, dict):
@@ -295,6 +303,16 @@ def convert_old_model_cfg_to_current_version(old_cfg: dict, verbose: bool = Fals
         note("DATA.TRAIN.MINIMUM_FOREGROUND_PER -> FILTER_SAMPLES")
     norm = _get(cfg, "DATA", "NORMALIZATION")
     if isinstance(norm, dict):
+        if norm.get("TYPE") == "custom":
+            # legacy 'custom' = zero-mean-unit-var with user mean/std
+            # (reference: check_configuration.py:3951)
+            norm["TYPE"] = "zero_mean_unit_variance"
+            zm = norm.setdefault("ZERO_MEAN_UNIT_VAR", {})
+            if "CUSTOM_MEAN" in norm:
+                zm["MEAN_VAL"] = [norm.pop("CUSTOM_MEAN")]
+            if "CUSTOM_STD" in norm:
+                zm["STD_VAL"] = [norm.pop("CUSTOM_STD")]
+            note("DATA.NORMALIZATION.TYPE 'custom' -> 'zero_mean_unit_variance'")
         if "PERC_CLIP" in norm and not isinstance(norm["PERC_CLIP"], dict):
             val = norm.pop("PERC_CLIP")
             pc = norm.setdefault("PERC_CLIP", {})

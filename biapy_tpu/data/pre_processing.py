@@ -246,6 +246,10 @@ def labels_into_channels(
             outs.append(m.astype(np.float32)[..., None])
         elif code == "B":
             outs.append((~fg).astype(np.float32)[..., None])
+        elif code == "M":
+            # legacy BCM mask channel: foreground without erosion tweaks
+            # (reference: config.py:383 — binary like 'F', used by Voronoi)
+            outs.append(fg.astype(np.float32)[..., None])
         elif code == "C":
             outs.append(_contours(labels, int(opts.get("thickness", 1))).astype(np.float32)[..., None])
         elif code == "P":

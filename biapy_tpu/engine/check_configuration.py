@@ -24,7 +24,7 @@ ALL_MODELS = UNET_LIKE + ["multiresunet", "hrnet", "hrnet18", "hrnet32", "hrnet4
                           "efficientnet_b3", "efficientnet_b4", "efficientnet_b5",
                           "efficientnet_b6", "efficientnet_b7"]
 
-INSTANCE_CHANNEL_CODES = ["F", "B", "P", "C", "H", "V", "Z", "Gh", "Gv", "Gz",
+INSTANCE_CHANNEL_CODES = ["F", "B", "M", "P", "C", "H", "V", "Z", "Gh", "Gv", "Gz",
                           "Db", "Dc", "Dn", "D", "R", "T", "A", "E"]
 
 
@@ -66,8 +66,12 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
     if cfg.MODEL.SOURCE == "biapy":
         req(arch in ALL_MODELS, f"MODEL.ARCHITECTURE '{cfg.MODEL.ARCHITECTURE}' not recognised")
         if arch in UNET_LIKE and arch != "stunet":
-            req(len(cfg.MODEL.FEATURE_MAPS) == len(cfg.MODEL.DROPOUT_VALUES),
-                "MODEL.FEATURE_MAPS and MODEL.DROPOUT_VALUES must have the same length")
+            # all-zero dropout lists broadcast to the feature-map depth
+            # (reference: check_configuration.py:2628)
+            req(len(cfg.MODEL.FEATURE_MAPS) == len(cfg.MODEL.DROPOUT_VALUES)
+                or all(float(x) == 0 for x in cfg.MODEL.DROPOUT_VALUES),
+                "MODEL.FEATURE_MAPS and MODEL.DROPOUT_VALUES must have the same length "
+                "(unless dropout is all zeros)")
             req(len(cfg.MODEL.FEATURE_MAPS) <= len(cfg.MODEL.Z_DOWN) + 1,
                 "MODEL.Z_DOWN needs one value per downsampling level")
         if cfg.PROBLEM.TYPE == "CLASSIFICATION":
@@ -107,17 +111,137 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
         for o in node.OVERLAP:
             req(0 <= o < 1, f"DATA.{split}.OVERLAP values must be in [0,1)")
 
+    # -- more model/train cross-checks ---------------------------------------
+    if cfg.MODEL.SOURCE == "biapy":
+        if arch in ("vit", "mae", "unetr"):
+            preset = str(cfg.MODEL.UNETR_VIT_MODEL if arch == "unetr" else cfg.MODEL.VIT_MODEL).lower()
+            if preset == "custom":
+                req(int(cfg.MODEL.VIT_EMBED_DIM) % int(cfg.MODEL.VIT_NUM_HEADS) == 0,
+                    "MODEL.VIT_EMBED_DIM must be divisible by MODEL.VIT_NUM_HEADS")
+            if preset == "sam3_vit":
+                req(not is_3d, "sam3_vit backbones are 2D only (pretrained weights are 2D)")
+                tok = 16 if arch == "unetr" else 14
+                req(int(ps[0]) % tok == 0,
+                    f"DATA.PATCH_SIZE must be a multiple of {tok} with the sam3_vit backbone "
+                    f"(reference: check_configuration.py:3050), got {ps[0]}")
+        if arch in ("edsr", "rcan", "wdsr", "dfcan", "nafnet"):
+            req(not is_3d, f"{arch} is a 2D architecture (reference parity)")
+        if "hrnet" in arch:
+            v = arch.replace("hrnet", "") or str(cfg.MODEL.HRNET.VARIANT).lstrip("wW")
+            req(str(v) in ("18", "32", "48", "64") or v == "",
+                f"HRNet variant must be one of 18/32/48/64, got '{v}'")
+        if arch == "stunet":
+            req(str(cfg.MODEL.STUNET.VARIANT).lower() in ("small", "base", "large", "huge"),
+                f"MODEL.STUNET.VARIANT must be small/base/large/huge, got {cfg.MODEL.STUNET.VARIANT}")
+        norm = str(cfg.MODEL.NORMALIZATION).lower()
+        req(norm in ("", "none", "bn", "sync_bn", "in", "gn", "ln"),
+            f"MODEL.NORMALIZATION must be one of none/bn/sync_bn/in/gn/ln, got {norm}")
+
+    if cfg.TRAIN.ENABLE:
+        req(all(float(lr) > 0 for lr in cfg.TRAIN.LR), "TRAIN.LR values must be > 0")
+        sch = cfg.TRAIN.LR_SCHEDULER.NAME
+        if sch == "warmupcosine":
+            req(int(cfg.TRAIN.LR_SCHEDULER.WARMUP_COSINE_DECAY_EPOCHS) < int(cfg.TRAIN.EPOCHS),
+                "LR_SCHEDULER.WARMUP_COSINE_DECAY_EPOCHS must be < TRAIN.EPOCHS")
+        mp = cfg.TRAIN.MIXED_PRECISION
+        req(isinstance(mp, bool) or str(mp).lower() in ("auto", "true", "false", "0", "1"),
+            f"TRAIN.MIXED_PRECISION must be bool or 'auto', got {mp!r}")
+        vs = float(cfg.DATA.VAL.SPLIT_TRAIN)
+        if cfg.DATA.VAL.FROM_TRAIN and not cfg.DATA.VAL.CROSS_VAL:
+            req(0.0 <= vs < 1.0, f"DATA.VAL.SPLIT_TRAIN must be in [0,1), got {vs}")
+        if cfg.DATA.VAL.CROSS_VAL:
+            req(1 <= int(cfg.DATA.VAL.CROSS_VAL_FOLD) <= int(cfg.DATA.VAL.CROSS_VAL_NFOLD),
+                "DATA.VAL.CROSS_VAL_FOLD must be in [1, CROSS_VAL_NFOLD]")
+
+    # -- augmentor ------------------------------------------------------------
+    if cfg.AUGMENTOR.ENABLE:
+        for k in cfg.AUGMENTOR.keys():
+            if k.endswith("_PROB"):
+                v = float(cfg.AUGMENTOR[k])
+                req(0.0 <= v <= 1.0, f"AUGMENTOR.{k} must be in [0,1], got {v}")
+
+    # -- test -----------------------------------------------------------------
+    if cfg.TEST.ENABLE:
+        if cfg.TEST.BY_CHUNKS.ENABLE:
+            req(is_3d, "TEST.BY_CHUNKS requires PROBLEM.NDIM == '3D' (reference parity)")
+            for ph in cfg.TEST.BY_CHUNKS.PHASES:
+                req(str(ph) in ("prediction", "instance_creation", "instance_merging"),
+                    f"Unknown TEST.BY_CHUNKS.PHASES entry: {ph} "
+                    "(valid: prediction/instance_creation/instance_merging)")
+        if cfg.TEST.MATCHING_STATS:
+            for t in cfg.TEST.MATCHING_STATS_THS:
+                req(0.0 < float(t) < 1.0, f"TEST.MATCHING_STATS_THS values must be in (0,1), got {t}")
+        req(str(cfg.TEST.AUGMENTATION_MODE).lower() in ("", "mean", "min", "max"),
+            f"TEST.AUGMENTATION_MODE must be mean/min/max, got {cfg.TEST.AUGMENTATION_MODE}")
+        pp = cfg.TEST.POST_PROCESSING
+        if pp.VORONOI_ON_MASK:
+            req(cfg.PROBLEM.TYPE == "INSTANCE_SEG",
+                "TEST.POST_PROCESSING.VORONOI_ON_MASK only applies to INSTANCE_SEG")
+        if pp.MEASURE_PROPERTIES.ENABLE and pp.MEASURE_PROPERTIES.REMOVE_BY_PROPERTIES.ENABLE:
+            rp = pp.MEASURE_PROPERTIES.REMOVE_BY_PROPERTIES
+            req(len(rp.PROPS) == len(rp.VALUES) == len(rp.SIGNS),
+                "REMOVE_BY_PROPERTIES PROPS/VALUES/SIGNS must have equal lengths")
+
     # -- per-workflow -------------------------------------------------------
-    if cfg.PROBLEM.TYPE == "INSTANCE_SEG" and cfg.PROBLEM.INSTANCE_SEG.TYPE == "regular":
+    if cfg.PROBLEM.TYPE == "INSTANCE_SEG":
+        itype = str(cfg.PROBLEM.INSTANCE_SEG.TYPE)
+        req(itype in ("regular", "synapses"),
+            f"PROBLEM.INSTANCE_SEG.TYPE must be 'regular' or 'synapses', got {itype}")
         chans = cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNELS
         req(isinstance(chans, (list, tuple)) and len(chans) > 0,
             "PROBLEM.INSTANCE_SEG.DATA_CHANNELS must be a non-empty list")
-        for c in chans:
-            req(c in INSTANCE_CHANNEL_CODES,
-                f"Unknown instance channel code '{c}' (valid: {INSTANCE_CHANNEL_CODES})")
+        if itype == "regular":
+            for c in chans:
+                req(c in INSTANCE_CHANNEL_CODES or str(c).startswith("E"),
+                    f"Unknown instance channel code '{c}' (valid: {INSTANCE_CHANNEL_CODES})")
+            losses = list(cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNELS_LOSSES)
+            if losses:
+                req(len(losses) == len(chans),
+                    "PROBLEM.INSTANCE_SEG.DATA_CHANNELS_LOSSES must match DATA_CHANNELS length")
+            proc = str(cfg.PROBLEM.INSTANCE_SEG.INSTANCE_CREATION_PROCESS).lower()
+            req(proc in ("", "watershed", "flow_tracking", "gradient_tracking", "omnipose",
+                         "stardist", "nms", "embedseg"),
+                f"Unknown INSTANCE_CREATION_PROCESS: {proc}")
+            if proc in ("flow_tracking", "gradient_tracking", "omnipose"):
+                req(any(c in ("Gv", "Gh", "Gz") for c in chans),
+                    f"{proc} needs flow channels (Gv/Gh/Gz) in DATA_CHANNELS, got {list(chans)}")
+            if proc in ("stardist", "nms"):
+                req("R" in chans, f"StarDist NMS needs the 'R' ray channel, got {list(chans)}")
+            ws = cfg.PROBLEM.INSTANCE_SEG.WATERSHED
+            for sel in list(ws.SEED_CHANNELS) + list(ws.GROWTH_MASK_CHANNELS):
+                req(str(sel) in [str(c) for c in chans] or sel in ("", None),
+                    f"Watershed channel '{sel}' is not among DATA_CHANNELS {list(chans)}")
+        else:  # synapses
+            from biapy_tpu.data.synapses import select_synapse_method
+
+            try:
+                select_synapse_method(list(chans))
+            except ValueError as e:
+                req(False, str(e))
+            req(is_3d, "Synapse detection is 3D only (CREMI Zarr/H5 volumes)")
+            req(str(cfg.PROBLEM.INSTANCE_SEG.SYNAPSES.POINT_CREATION_FUNCTION)
+                in ("peak_local_max", "blob_log"),
+                "SYNAPSES.POINT_CREATION_FUNCTION must be peak_local_max or blob_log")
+            req(str(cfg.PROBLEM.INSTANCE_SEG.SYNAPSES.TH_TYPE)
+                in ("auto", "manual", "relative", "relative_by_patch"),
+                f"Unknown SYNAPSES.TH_TYPE: {cfg.PROBLEM.INSTANCE_SEG.SYNAPSES.TH_TYPE}")
+    if cfg.PROBLEM.TYPE == "DETECTION":
+        req(all(int(d) >= 0 for d in cfg.PROBLEM.DETECTION.CENTRAL_POINT_DILATION),
+            "PROBLEM.DETECTION.CENTRAL_POINT_DILATION values must be >= 0")
+        req(float(cfg.TEST.DET_TOLERANCE) > 0, "TEST.DET_TOLERANCE must be > 0")
+    if cfg.PROBLEM.TYPE == "DENOISING":
+        n2v = cfg.PROBLEM.DENOISING
+        if not n2v.LOAD_GT_DATA:  # Noise2Void
+            req(0.0 < float(n2v.N2V_PERC_PIX) <= 100.0,
+                f"PROBLEM.DENOISING.N2V_PERC_PIX must be in (0,100], got {n2v.N2V_PERC_PIX}")
+            req(str(n2v.N2V_MANIPULATOR) in (
+                "uniform_withCP", "uniform_withoutCP", "normal_withoutCP", "normal_additive",
+                "normal_fitted", "identity", "mean", "median"),
+                f"Unknown N2V manipulator: {n2v.N2V_MANIPULATOR}")
     if cfg.PROBLEM.TYPE == "SUPER_RESOLUTION":
         ups = cfg.PROBLEM.SUPER_RESOLUTION.UPSCALING
         req(len(ups) == nd, f"PROBLEM.SUPER_RESOLUTION.UPSCALING must have {nd} values")
+        req(all(int(u) >= 1 for u in ups), "UPSCALING factors must be >= 1")
     if cfg.PROBLEM.TYPE == "CLASSIFICATION":
         req(cfg.DATA.N_CLASSES >= 2, "DATA.N_CLASSES must be >= 2 for classification")
     if cfg.PROBLEM.TYPE == "SELF_SUPERVISED":
@@ -126,6 +250,11 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
         if cfg.PROBLEM.SELF_SUPERVISED.PRETEXT_TASK == "masking":
             req(str(cfg.MODEL.ARCHITECTURE).lower() == "mae",
                 "SSL masking pretext requires MODEL.ARCHITECTURE == 'mae'")
+    if cfg.PROBLEM.TYPE == "IMAGE_TO_IMAGE":
+        i2i = cfg.PROBLEM.IMAGE_TO_IMAGE
+        if getattr(i2i, "SEPARATED_DECODERS_PER_HEAD", False):
+            req(len(getattr(i2i, "CHANNELS_PER_HEAD_INFO", [])) >= 1,
+                "SEPARATED_DECODERS_PER_HEAD requires CHANNELS_PER_HEAD_INFO")
 
     if errors:
         raise ValueError("Invalid configuration:\n  - " + "\n  - ".join(errors))

@@ -67,9 +67,16 @@ def test_merge_from_list():
 
 @pytest.mark.parametrize("template", TEMPLATES, ids=lambda t: t.split("templates/")[1])
 def test_all_reference_templates_merge(template):
+    """Every shipped reference template must merge AND pass full validation
+    (the product gate a user's YAML goes through)."""
+    from biapy_tpu.config.config import update_dependencies
+    from biapy_tpu.engine.check_configuration import check_configuration
+
     cfg = get_cfg_defaults("/tmp/job", "run1")
     raw = yaml.safe_load(open(template)) or {}
     cfg.merge_from_dict(convert_old_model_cfg_to_current_version(raw))
+    update_dependencies(cfg, "/tmp/job", "run1")
+    check_configuration(cfg, "run1")
 
 
 def test_migration_da_prob_fanout():
