@@ -14,6 +14,7 @@ takes samples [rank::nprocs] of the epoch permutation.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
@@ -160,6 +161,7 @@ class BatchLoader:
         drop_last: bool = False,
         pad_to_batch: bool = True,
         prefetch: int = 2,
+        num_workers: int = -1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -170,6 +172,12 @@ class BatchLoader:
         self.drop_last = drop_last
         self.pad_to_batch = pad_to_batch
         self.prefetch = prefetch
+        # sample-loading thread pool (the reference's DataLoader worker
+        # budget, misc.py:1148 — capped at 8 there too)
+        if num_workers < 0:
+            num_workers = min(8, max(1, (os.cpu_count() or 2) // 2))
+        self.num_workers = num_workers
+        self._pool = None
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -190,11 +198,20 @@ class BatchLoader:
             rng.shuffle(idx)
         return idx[self.rank :: self.world]
 
+    def _get_one(self, i: int):
+        rng = np.random.default_rng((self.seed, self.epoch, int(i)))
+        return self.dataset.get(int(i), rng)
+
     def _make_batch(self, indices: List[int]) -> Dict[str, np.ndarray]:
-        samples = []
-        for i in indices:
-            rng = np.random.default_rng((self.seed, self.epoch, int(i)))
-            samples.append(self.dataset.get(int(i), rng))
+        if self.num_workers > 1 and len(indices) > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(max_workers=self.num_workers,
+                                                thread_name_prefix="loader")
+            samples = list(self._pool.map(self._get_one, indices))
+        else:
+            samples = [self._get_one(i) for i in indices]
         batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
         if self.pad_to_batch and len(indices) < self.batch_size:
             pad = self.batch_size - len(indices)

@@ -255,7 +255,8 @@ class Base_Workflow(metaclass=ABCMeta):
         gbs = max(bs, ndev) if bs % ndev else bs  # batch must tile the mesh
         if gbs % ndev:
             gbs = int(math.ceil(gbs / ndev) * ndev)
-        train_loader = BatchLoader(train_data, gbs, shuffle=cfg.AUGMENTOR.SHUFFLE_TRAIN_DATA_EACH_EPOCH,
+        train_loader = BatchLoader(train_data, gbs, num_workers=int(cfg.SYSTEM.NUM_WORKERS),
+                                   shuffle=cfg.AUGMENTOR.SHUFFLE_TRAIN_DATA_EACH_EPOCH,
                                    seed=cfg.SYSTEM.SEED)
         val_loader = BatchLoader(val_data, gbs, shuffle=False, seed=cfg.SYSTEM.SEED)
         self._steps_per_epoch = len(train_loader)
