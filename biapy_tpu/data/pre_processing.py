@@ -272,17 +272,36 @@ def labels_into_channels(
             outs.append(hover[..., axis : axis + 1])
         elif code in ("Gh", "Gv", "Gz"):
             if flows is None:
-                flows = cellpose_flows(labels)
+                gtype = next((str(extra.get(g, {}).get("gradient_type", ""))
+                              for g in ("Gv", "Gh", "Gz")
+                              if extra.get(g, {}).get("gradient_type")), "cellpose")
+                if gtype == "omnipose":
+                    # Omnipose flows: smoothed gradient of the eikonal
+                    # distance (reference: pre_processing.py:840)
+                    from biapy_tpu.ops.omnipose import omnipose_flows
+
+                    flows = omnipose_flows(labels)[1]
+                else:
+                    flows = cellpose_flows(labels)
             axis = {"Gz": 0, "Gv": nd - 2, "Gh": nd - 1}[code]
             outs.append(flows[..., axis : axis + 1])
         elif code == "Db":
-            d = ndimage.distance_transform_edt(fg).astype(np.float32)
-            if bool(opts.get("norm", True)):
-                for lab, m in _per_instance(labels):
-                    mx = d[m].max()
-                    if mx > 0:
-                        d[m] = d[m] / mx
-            outs.append((d * fg)[..., None])
+            if str(opts.get("val_type", "norm")) == "omnipose":
+                # Omnipose distance field, background -dist_bg (reference:
+                # pre_processing.py:1347)
+                from biapy_tpu.ops.omnipose import smooth_distance
+
+                d = smooth_distance(labels)
+                d[d <= 0] = -float(opts.get("dist_bg", 5.0))
+                outs.append(d[..., None])
+            else:
+                d = ndimage.distance_transform_edt(fg).astype(np.float32)
+                if bool(opts.get("norm", True)):
+                    for lab, m in _per_instance(labels):
+                        mx = d[m].max()
+                        if mx > 0:
+                            d[m] = d[m] / mx
+                outs.append((d * fg)[..., None])
         elif code == "Dc":
             dc = np.zeros(labels.shape, np.float32)
             coords = np.indices(labels.shape).astype(np.float32)

@@ -109,7 +109,10 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         for c in self.channel_codes:
             opts = self.channel_extra_opts.get(c, {})
             if c in ("Db", "Dc", "Dn", "H", "V", "Z") or c in FLOW_CODES:
-                mask_distances[c] = bool(opts.get("mask_values", True))
+                # Omnipose's Db carries a negative background value the model
+                # must learn — never mask it to the foreground
+                default_mask = not (c == "Db" and str(opts.get("val_type", "")) == "omnipose")
+                mask_distances[c] = bool(opts.get("mask_values", default_mask))
         self.loss = M.instance_segmentation_loss(
             out_channels=self.channel_codes,
             losses_to_use=self.channel_losses,
@@ -585,6 +588,21 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         else:
             fg = np.linalg.norm(flows, axis=-1) > 0.3
         suppressed = str(self.cfg.PROBLEM.INSTANCE_SEG.INSTANCE_CREATION_PROCESS).lower() == "omnipose"
+        db_sl = self._channel_slice("Db")
+        db_opts = self.channel_extra_opts.get("Db", {})
+        if suppressed and db_sl is not None and str(db_opts.get("val_type", "")) == "omnipose":
+            # full Omnipose reconstruction: hysteresis fg from the distance
+            # field, div-rescaled suppressed Euler, DBSCAN clustering
+            # (reference: compute_masks_omnipose, omnipose_core.py:501)
+            from biapy_tpu.ops.omnipose import compute_masks_omnipose
+
+            om = self.cfg.PROBLEM.INSTANCE_SEG.OMNIPOSE
+            return compute_masks_omnipose(
+                flows, pred[..., db_sl][..., 0],
+                mask_threshold=float(om.MASK_THRESHOLD),
+                flow_threshold=float(om.FLOW_THRESHOLD),
+                niter=int(om.NITER) if int(om.NITER) > 0 else None,
+            )
         cp = self.cfg.PROBLEM.INSTANCE_SEG.CELLPOSE
         n_iter = int(cp.N_STEPS) if int(cp.N_STEPS) > 0 else 200
         diam = getattr(self, "_cellpose_diam", 0.0)

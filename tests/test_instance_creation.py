@@ -223,3 +223,49 @@ def test_pallas_conv3d_fallback_and_geometry():
     assert q == 4 and wq == 32 and nq * q >= 130
     wp = pack_weights(jnp.asarray(w, jnp.float32).repeat(4, 3).repeat(8, 4), q=4)
     assert wp.shape == (9, 2 * 4 * 32, 4 * 32)
+
+
+# -------------------------------------------------------------- Omnipose
+def test_omnipose_distance_and_flows_oracle():
+    """Eikonal distance peaks at cell centers, flows point inward, and the
+    full compute_masks reconstruction recovers the instances."""
+    from biapy_tpu.ops.omnipose import compute_masks_omnipose, omnipose_flows, smooth_distance
+
+    lab = np.zeros((96, 96), np.int32)
+    yy, xx = np.mgrid[:96, :96]
+    centers = [(24, 24, 14), (60, 60, 16), (30, 70, 11)]
+    for i, (cy, cx, r) in enumerate(centers):
+        lab[((yy - cy) ** 2 + (xx - cx) ** 2) < r * r] = i + 1
+
+    T = smooth_distance(lab)
+    assert T[lab == 0].max() == 0
+    for cy, cx, r in centers:
+        assert T[cy, cx] > T[cy + r - 2, cx], "distance must peak at the center"
+
+    T2, mu = omnipose_flows(lab)
+    # flows at the cell edge point towards the center
+    cy, cx, r = centers[0]
+    v = mu[cy, cx + r - 2]
+    assert v[1] < 0, f"edge flow should point inward (x comp {v}ize)"
+
+    dist = T.copy()
+    dist[lab == 0] = -5.0
+    pred = compute_masks_omnipose(mu, dist, mask_threshold=0.0, flow_threshold=0.0)
+    from biapy_tpu.utils.matching import matching
+
+    stats = matching(lab, pred, thresh=[0.5])[0]
+    assert stats["f1"] == 1.0, stats
+
+
+def test_omnipose_channels_in_compiler():
+    from biapy_tpu.data.pre_processing import labels_into_channels
+
+    lab = np.zeros((48, 48), np.int32)
+    lab[10:25, 10:25] = 1
+    lab[30:44, 28:44] = 2
+    extra = {"Db": {"val_type": "omnipose", "dist_bg": 5.0},
+             "Gv": {"gradient_type": "omnipose"}}
+    out = labels_into_channels(lab[..., None], ["Db", "Gv", "Gh"], extra)
+    assert out.shape == (48, 48, 3)
+    assert np.allclose(out[..., 0][lab == 0], -5.0)
+    assert out[..., 0][lab > 0].min() > 0
