@@ -70,13 +70,13 @@ def pack_weights(w: jnp.ndarray, q: int) -> jnp.ndarray:
     if q == 1:
         # plain: K = 3*C window (dx, ci), N = CO
         return w.reshape(9, 3 * c, co)
-    wp = jnp.zeros((9, 2 * q * c, q * co), w.dtype)
-    for xs in range(q):
-        for dx in range(3):
-            dxp = xs + dx
-            wp = wp.at[:, dxp * c:(dxp + 1) * c, xs * co:(xs + 1) * co].set(
-                w.reshape(9, 3, c, co)[:, dx])
-    return wp
+    # per output-column xs, the 3-tap block sits at K rows [xs*c, (xs+3)*c):
+    # build by zero-padding + one concat (fusable — a scatter chain here
+    # would serialize in front of every kernel launch)
+    w9 = w.reshape(9, 3 * c, co)
+    cols = [jnp.pad(w9, ((0, 0), (xs * c, (2 * q - 3 - xs) * c), (0, 0)))
+            for xs in range(q)]
+    return jnp.concatenate(cols, axis=2)
 
 
 def _row_chunk(h: int, m_per_row: int, k: int, itemsize: int) -> int:
