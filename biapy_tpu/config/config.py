@@ -252,6 +252,15 @@ def update_dependencies(cfg: CN, job_dir: str = ".", job_identifier: str = "job"
     if len(dv) != len(fm) and all(float(x) == 0 for x in dv):
         cfg.MODEL.DROPOUT_VALUES = [0.0] * len(fm)
 
+    # All-zero Z_DOWN/YX_DOWN (the "auto" default) become one 2 per
+    # downsampling level (reference: check_configuration.py:2688-2695;
+    # multiresunet's fixed 4-level encoder gets (2, 2, 2, 2)).
+    n_down = 4 if cfg.MODEL.ARCHITECTURE.lower() == "multiresunet" else max(1, len(fm) - 1)
+    for key in ("Z_DOWN", "YX_DOWN"):
+        v = cfg.MODEL[key]
+        if all(int(x) == 0 for x in v):
+            cfg.MODEL[key] = [2] * n_down
+
     # Instance channel dirs sit next to the GT dirs, tagged by the channel code.
     chans = cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNELS
     tag = "".join(chans) if isinstance(chans, (list, tuple)) else str(chans)

@@ -30,10 +30,11 @@ KERNEL_INIT = nn.initializers.xavier_uniform()
 
 
 class Conv(nn.Module):
-    """Drop-in nn.Conv replacement that routes 3x3x3 / stride-1 / SAME 3D
-    convolutions through the Pallas MXU kernel (biapy_tpu/ops/pallas/conv3d:
-    ~2x XLA at the channel widths U-Net hot levels use) and everything else
-    through lax.conv_general_dilated. Parameter names and shapes match
+    """Drop-in nn.Conv replacement that routes 3D convolutions through the
+    fastest exact TPU strategy (biapy_tpu/ops/conv3d.py: z-decomposed 2D
+    convs ~1.7x XLA's native conv3d at U-Net channel widths; Pallas MXU
+    kernel opt-in) and everything else through lax.conv_general_dilated.
+    Parameter names and shapes match
     nn.Conv ("kernel": kernel_size + (Cin, Cout), "bias": (Cout,)), and the
     class name keeps flax auto-naming ("Conv_0", ...) identical, so
     checkpoints are interchangeable with plain nn.Conv models."""
@@ -59,29 +60,72 @@ class Conv(nn.Module):
             strides = (strides,) * nd
         dil = tuple(self.kernel_dilation) if self.kernel_dilation is not None else (1,) * nd
 
-        fast = (
-            ks == (3, 3, 3)
-            and strides == (1, 1, 1)
-            and dil == (1, 1, 1)
-            and self.feature_group_count == 1
-            and self.padding == "SAME"
-            and x.ndim == 5
-        )
-        if fast:
-            from biapy_tpu.ops.pallas.conv3d import conv3d, supported
+        y = None
+        if x.ndim == 5:
+            from biapy_tpu.ops.conv3d import conv3d_dispatch
 
-            fast = supported(x.shape, kernel.shape, x.dtype.itemsize)
-        if fast:
-            from biapy_tpu.ops.pallas.conv3d import conv3d
-
-            y = conv3d(x, kernel.astype(x.dtype))
-        else:
+            # fastest exact strategy for the shape (z-decomposed 2D convs /
+            # Pallas MXU kernel / None -> XLA); see ops/conv3d.py
+            y = conv3d_dispatch(x, kernel.astype(x.dtype), strides,
+                                self.padding, dil, self.feature_group_count)
+        if y is None:
             sp = "DHW"[3 - nd:]
             dn = ("N" + sp + "C", sp + "IO", "N" + sp + "C")
             y = jax.lax.conv_general_dilated(
                 x, kernel.astype(x.dtype), strides, self.padding,
                 rhs_dilation=dil, feature_group_count=self.feature_group_count,
                 dimension_numbers=dn)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class ConvTranspose(nn.Module):
+    """Drop-in nn.ConvTranspose replacement. When kernel_size == strides
+    (every upsampling site in the zoo) the transposed conv is computed as a
+    per-voxel matmul + depth-to-space interleave instead of XLA's transposed
+    convolution: each output voxel receives exactly one kernel tap, so
+    y[b, s*d+i, ..., co] = sum_c x[b, d, ..., c] * W[flip(i), ..., c, co] —
+    bit-exact vs nn.ConvTranspose (verified). On TPU the dot has a full
+    contraction (C) and full lanes (prod(scale)*Cout), avoiding the conv3d
+    emitter's internal relayout (3.2x-padded {2,4,3,1,0} temps, see
+    ops/conv3d.py). Parameter names/shapes and the flax auto-name
+    ("ConvTranspose_0", ...) match nn.ConvTranspose, so checkpoints are
+    interchangeable."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Optional[Sequence[int]] = None
+    padding: Union[str, Sequence[Tuple[int, int]]] = "SAME"
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ks = tuple(self.kernel_size)
+        nd = len(ks)
+        strides = tuple(self.strides) if self.strides is not None else (1,) * nd
+        kernel = self.param("kernel", self.kernel_init, ks + (x.shape[-1], self.features))
+        if ks == strides and self.padding == "SAME":
+            cin, co = x.shape[-1], self.features
+            k = jnp.flip(kernel, axis=tuple(range(nd))).astype(x.dtype)
+            wmat = k.reshape((-1, cin, co)).transpose(1, 0, 2).reshape(cin, -1)
+            y = x @ wmat
+            b = x.shape[0]
+            sp = x.shape[1:1 + nd]
+            y = y.reshape((b,) + tuple(sp) + ks + (co,))
+            if nd == 3:
+                y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+            else:
+                y = y.transpose(0, 1, 3, 2, 4, 5)
+            y = y.reshape((b,) + tuple(s * k_ for s, k_ in zip(sp, ks)) + (co,))
+        else:
+            sp_ax = "DHW"[3 - nd:]
+            dn = ("N" + sp_ax + "C", sp_ax + "IO", "N" + sp_ax + "C")
+            y = jax.lax.conv_transpose(x, kernel.astype(x.dtype), strides,
+                                       self.padding, dimension_numbers=dn)
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
             y = y + bias.astype(y.dtype)
@@ -368,7 +412,7 @@ class UpLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.up_mode == "convtranspose":
-            x = nn.ConvTranspose(
+            x = ConvTranspose(
                 self.features, kernel_size=self.scale, strides=self.scale,
                 kernel_init=KERNEL_INIT,
             )(x)
@@ -405,7 +449,7 @@ class UpBlock(nn.Module):
             # ResUpBlock (reference: blocks.py:1462): channel-preserving
             # upsample with no norm/act, refinement in the ResConvBlock.
             if self.up_mode == "convtranspose":
-                up = nn.ConvTranspose(
+                up = ConvTranspose(
                     x.shape[-1], kernel_size=self.scale, strides=self.scale,
                     kernel_init=KERNEL_INIT,
                 )(x)

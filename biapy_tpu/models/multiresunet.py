@@ -14,7 +14,7 @@ from typing import Dict, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from biapy_tpu.models.blocks import Conv
+from biapy_tpu.models.blocks import Conv, ConvTranspose
 
 from biapy_tpu.models.blocks import KERNEL_INIT, ProjectionHead, max_pool
 
@@ -96,7 +96,7 @@ class MultiResUNet(nn.Module):
             return (zd[i], 2, 2) if self.ndim == 3 else (2, 2)
 
         if self.upsampling_factor and self.upsampling_position == "pre":
-            x = nn.ConvTranspose(x.shape[-1], kernel_size=self.upsampling_factor,
+            x = ConvTranspose(x.shape[-1], kernel_size=self.upsampling_factor,
                                  strides=self.upsampling_factor, kernel_init=KERNEL_INIT)(x)
 
         skips = []
@@ -108,13 +108,13 @@ class MultiResUNet(nn.Module):
         h = MultiResBlock(base * 16, self.alpha)(h, train)
 
         for i in range(3, -1, -1):
-            up = nn.ConvTranspose(base * 2**i, kernel_size=pool_of(i), strides=pool_of(i),
+            up = ConvTranspose(base * 2**i, kernel_size=pool_of(i), strides=pool_of(i),
                                   kernel_init=KERNEL_INIT)(h)
             h = jnp.concatenate([up, skips[i]], axis=-1)
             h = MultiResBlock(base * 2**i, self.alpha)(h, train)
 
         if self.upsampling_factor and self.upsampling_position == "post":
-            h = nn.ConvTranspose(h.shape[-1], kernel_size=self.upsampling_factor,
+            h = ConvTranspose(h.shape[-1], kernel_size=self.upsampling_factor,
                                  strides=self.upsampling_factor, kernel_init=KERNEL_INIT)(h)
 
         one = (1,) * self.ndim

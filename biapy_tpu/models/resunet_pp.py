@@ -15,7 +15,7 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from biapy_tpu.models.blocks import Conv
+from biapy_tpu.models.blocks import Conv, ConvTranspose
 
 from biapy_tpu.models.blocks import (
     KERNEL_INIT,
@@ -77,7 +77,7 @@ class ResUNetPlusPlus(nn.Module):
             )
 
         if self.upsampling_factor and self.upsampling_position == "pre":
-            x = nn.ConvTranspose(x.shape[-1], kernel_size=self.upsampling_factor,
+            x = ConvTranspose(x.shape[-1], kernel_size=self.upsampling_factor,
                                  strides=self.upsampling_factor, kernel_init=KERNEL_INIT)(x)
         if self.larger_io:
             k_in = aniso_kernel(self.k_size + 2, self.ndim, iso[0])
@@ -128,7 +128,7 @@ class ResUNetPlusPlus(nn.Module):
 
         if self.upsampling_factor and self.upsampling_position == "post":
             for j in range(num_decoders):
-                feats[j] = nn.ConvTranspose(dec_fm[0], kernel_size=self.upsampling_factor,
+                feats[j] = ConvTranspose(dec_fm[0], kernel_size=self.upsampling_factor,
                                             strides=self.upsampling_factor, kernel_init=KERNEL_INIT)(feats[j])
 
         one = (1,) * self.ndim

@@ -23,7 +23,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from biapy_tpu.models.blocks import Conv
+from biapy_tpu.models.blocks import Conv, ConvTranspose
 
 from biapy_tpu.models.blocks import (
     KERNEL_INIT,
@@ -92,7 +92,7 @@ class UNetFamily(nn.Module):
 
         # Super-resolution pre-upsampling (reference: unet.py pre_upsampling).
         if self.upsampling_factor and self.upsampling_position == "pre":
-            x = nn.ConvTranspose(
+            x = ConvTranspose(
                 x.shape[-1], kernel_size=self.upsampling_factor,
                 strides=self.upsampling_factor, kernel_init=KERNEL_INIT,
             )(x)
@@ -160,7 +160,7 @@ class UNetFamily(nn.Module):
         # the reference only ever combines SR with a single decoder).
         if self.upsampling_factor and self.upsampling_position == "post":
             for j in range(num_decoders):
-                feats[j] = nn.ConvTranspose(
+                feats[j] = ConvTranspose(
                     dec_fm[0], kernel_size=self.upsampling_factor,
                     strides=self.upsampling_factor, kernel_init=KERNEL_INIT,
                 )(feats[j])

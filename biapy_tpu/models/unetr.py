@@ -13,7 +13,7 @@ from typing import Dict, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from biapy_tpu.models.blocks import Conv
+from biapy_tpu.models.blocks import Conv, ConvTranspose
 
 from biapy_tpu.models.blocks import KERNEL_INIT, ConvBlock, get_activation
 from biapy_tpu.models.vit import ViT
@@ -83,7 +83,7 @@ class UNETR(nn.Module):
             ups = n_levels - 1 - i
             h = s
             for u in range(ups):
-                h = nn.ConvTranspose(f * 2 ** (n_levels - 2 - i - u), kernel_size=two,
+                h = ConvTranspose(f * 2 ** (n_levels - 2 - i - u), kernel_size=two,
                                      strides=two, kernel_init=KERNEL_INIT)(h)
                 h = ConvBlock(h.shape[-1], 3, act=act, norm=self.norm)(h, train)
             pyr.append(h)
@@ -92,11 +92,11 @@ class UNETR(nn.Module):
 
         h = bottom
         for i in range(len(pyr) - 1, -1, -1):
-            h = nn.ConvTranspose(pyr[i].shape[-1], kernel_size=two, strides=two,
+            h = ConvTranspose(pyr[i].shape[-1], kernel_size=two, strides=two,
                                  kernel_init=KERNEL_INIT)(h)
             h = jnp.concatenate([h, pyr[i]], axis=-1)
             h = ConvBlock(pyr[i].shape[-1], 3, act=act, norm=self.norm, nconvs=2)(h, train)
-        h = nn.ConvTranspose(f, kernel_size=two, strides=two, kernel_init=KERNEL_INIT)(h)
+        h = ConvTranspose(f, kernel_size=two, strides=two, kernel_init=KERNEL_INIT)(h)
         h = jnp.concatenate([h, stem], axis=-1)
         h = ConvBlock(f, 3, act=act, norm=self.norm, nconvs=2)(h, train)
 

@@ -15,7 +15,7 @@ from typing import Dict, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from biapy_tpu.models.blocks import Conv
+from biapy_tpu.models.blocks import Conv, ConvTranspose
 
 from biapy_tpu.models.blocks import (
     KERNEL_INIT,
@@ -68,7 +68,7 @@ class UNeXt(nn.Module):
             return self.stochastic_depth_prob * bi / max(total_blocks - 1.0, 1.0)
 
         if self.upsampling_factor and self.upsampling_position == "pre":
-            x = nn.ConvTranspose(x.shape[-1], kernel_size=self.upsampling_factor,
+            x = ConvTranspose(x.shape[-1], kernel_size=self.upsampling_factor,
                                  strides=self.upsampling_factor, kernel_init=KERNEL_INIT)(x)
 
         # Patchify stem.
@@ -116,7 +116,7 @@ class UNeXt(nn.Module):
                     else (self.yx_down[i], self.yx_down[i])
                 )
                 h = nn.LayerNorm(epsilon=1e-6)(h)
-                h = nn.ConvTranspose(dec_fm[i], kernel_size=pool, strides=pool,
+                h = ConvTranspose(dec_fm[i], kernel_size=pool, strides=pool,
                                      kernel_init=KERNEL_INIT)(h)
                 h = jnp.concatenate([h, skips[i]], axis=-1)
                 h = ConvBlock(dec_fm[i], 1)(h, train)
@@ -124,13 +124,13 @@ class UNeXt(nn.Module):
                     h = self._block(dec_fm[i], sd(max(dec_block_id - 1 - li, 0)), k)(h, train)
                 dec_block_id -= self.cn_layers[i]
             # Inverted stem.
-            h = nn.ConvTranspose(dec_fm[0], kernel_size=stem, strides=stem, kernel_init=KERNEL_INIT)(h)
+            h = ConvTranspose(dec_fm[0], kernel_size=stem, strides=stem, kernel_init=KERNEL_INIT)(h)
             h = nn.LayerNorm(epsilon=1e-6)(h)
             feats.append(h)
 
         if self.upsampling_factor and self.upsampling_position == "post":
             for j in range(num_decoders):
-                feats[j] = nn.ConvTranspose(dec_fm[0], kernel_size=self.upsampling_factor,
+                feats[j] = ConvTranspose(dec_fm[0], kernel_size=self.upsampling_factor,
                                             strides=self.upsampling_factor, kernel_init=KERNEL_INIT)(feats[j])
 
         one = (1,) * self.ndim

@@ -1,0 +1,125 @@
+"""3D convolution strategy dispatch for TPU.
+
+XLA's native 3D convolution on TPU underperforms at U-Net channel widths
+(measured on v5e, bf16, 3x3x3 SAME stride-1): 13 TFLOP/s at C=32, 21 at
+C=64, ~24 at C=128 — while the SAME convolution decomposed over the z taps
+into three batched 2D convolutions (z folded into the batch axis) reaches
+22/24/28-42 TFLOP/s on the same shapes, because XLA's 2D conv emitter tiles
+the MXU far better. The decomposition is exact (same dot products, same
+f32 accumulation inside each conv; the three partial sums add in f32).
+
+Strategies, picked per shape at trace time (all static):
+
+- ``cat2d``  — concatenate the three z-shifted planes into channels and run
+  ONE 2D conv with a (3, 3, 3*Cin, Cout) kernel. Best when Cin is tiny
+  (e.g. the 1-channel stem: 7.7ms vs 17.8ms XLA at 128^3 b5) since it
+  triples the contraction depth.
+- ``as2d``   — three 2D convs on z-shifted views, summed. Best at Cin >= 8.
+- ``pallas`` — the hand-written MXU kernel (ops/pallas/conv3d.py), opt-in
+  via BIAPY_TPU_PALLAS_CONV (wins at C=64: 34 TFLOP/s, but each custom call
+  pays graph-boundary overhead on some platforms).
+- ``xla``    — lax.conv_general_dilated fallback (always used off-TPU so CPU
+  tests keep bit-identical reference numerics, and for strided/dilated/
+  grouped convs).
+
+Reference analog: the reference's conv hot path is torch/cudnn
+(biapy/models/blocks.py ConvBlock:25); this module is the TPU-first
+replacement for that library dispatch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+_SPATIAL = {2: "HW", 3: "DHW"}
+
+
+def conv_nd_xla(x, w, strides, padding, dil=None, groups=1):
+    nd = x.ndim - 2
+    sp = _SPATIAL[nd]
+    dn = ("N" + sp + "C", sp + "IO", "N" + sp + "C")
+    return jax.lax.conv_general_dilated(
+        x, w, strides, padding, rhs_dilation=dil,
+        feature_group_count=groups, dimension_numbers=dn)
+
+
+def _conv2d(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def conv3d_as2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """(kz, ky, kx) SAME stride-1 conv as kz z-shifted batched 2D convs."""
+    b, d, h, wd, c = x.shape
+    kz, co = w.shape[0], w.shape[-1]
+    hz = kz // 2
+    xp = jnp.pad(x, ((0, 0), (hz, hz), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for dz in range(kz):
+        x2 = xp[:, dz:dz + d].reshape(b * d, h, wd, c)
+        o = _conv2d(x2, w[dz])
+        out = o if out is None else out + o
+    return out.reshape(b, d, h, wd, co)
+
+
+def conv3d_cat2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """(kz, ky, kx) SAME stride-1 conv as ONE 2D conv over z-concatenated
+    channels — best for tiny Cin (triples+ the contraction depth)."""
+    b, d, h, wd, c = x.shape
+    kz, co = w.shape[0], w.shape[-1]
+    hz = kz // 2
+    xp = jnp.pad(x, ((0, 0), (hz, hz), (0, 0), (0, 0), (0, 0)))
+    xc = jnp.concatenate([xp[:, dz:dz + d] for dz in range(kz)], axis=-1)
+    wk = jnp.concatenate([w[dz] for dz in range(kz)], axis=2)  # (ky, kx, kz*Cin, Cout)
+    o = _conv2d(xc.reshape(b * d, h, wd, kz * c), wk)
+    return o.reshape(b, d, h, wd, co)
+
+
+def conv3d_z1_as2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """(1, ky, kx) stride-1 SAME 3D conv == a batched 2D conv over z."""
+    b, d, h, wd, c = x.shape
+    co = w.shape[-1]
+    o = _conv2d(x.reshape(b * d, h, wd, c), w[0])
+    return o.reshape(b, d, h, wd, co)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def conv3d_dispatch(x, w, strides, padding, dil, groups):
+    """Pick the fastest exact strategy for a 3D conv; None = caller falls
+    back to XLA. Decomposition only engages on TPU so CPU tests keep the
+    native-conv numerics bit-for-bit."""
+    if os.environ.get("BIAPY_TPU_CONV3D", "") == "xla":
+        return None
+    if strides != (1, 1, 1) or groups != 1 or padding != "SAME":
+        return None
+    if dil is not None and tuple(dil) != (1, 1, 1):
+        return None
+    if not _on_tpu():
+        return None
+    ks = tuple(w.shape[:3])
+    if ks[0] > 1 and ks[0] % 2 == 1:
+        if ks == (3, 3, 3):
+            from biapy_tpu.ops.pallas.conv3d import supported
+
+            if supported(x.shape, w.shape, x.dtype.itemsize):
+                from biapy_tpu.ops.pallas.conv3d import conv3d as pallas_conv3d
+
+                return pallas_conv3d(x, w)
+        if x.shape[-1] < 8:
+            return conv3d_cat2d(x, w)
+        return conv3d_as2d(x, w)
+    if ks[0] == 1 and ks[1] == ks[2]:
+        # covers (1, k, k) anisotropic convs and (1, 1, 1) projection
+        # shortcuts — keeping these in the same z-folded 2D space as the
+        # decomposed 3x3x3 convs avoids layout flips around residual adds
+        return conv3d_z1_as2d(x, w)
+    return None
