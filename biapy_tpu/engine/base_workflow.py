@@ -396,7 +396,8 @@ class Base_Workflow(metaclass=ABCMeta):
                                 batch_size: Optional[int] = None,
                                 overlap: Optional[Sequence[float]] = None,
                                 padding: Optional[Sequence[int]] = None,
-                                device=None, sync: bool = True) -> Optional[np.ndarray]:
+                                device=None, sync: bool = True,
+                                out_splits=None) -> Optional[np.ndarray]:
         """Whole-block sliding-window inference as ONE jitted program: the
         block lives in HBM, a lax.scan walks the patch grid, the model runs
         on the MXU (bf16 when TEST.REDUCE_MEMORY) and spline-blended patches
@@ -447,7 +448,8 @@ class Base_Workflow(metaclass=ABCMeta):
         pad = tuple(padding) if padding is not None else tuple(cfg.DATA.TEST.PADDING)
         # cache the jitted stitch per geometry — a fresh trace per block would
         # recompile (~30s on the tunnel) for every tile/image
-        key = (tuple(block_n.shape), ov, pad, bs, reduce_mem)
+        splits = tuple(tuple(s) for s in out_splits) if out_splits is not None else None
+        key = (tuple(block_n.shape), ov, pad, bs, reduce_mem, splits)
         cache = getattr(self, "_stitch_cache", None)
         if cache is None:
             cache = self._stitch_cache = {}
@@ -456,7 +458,8 @@ class Base_Workflow(metaclass=ABCMeta):
             out_dt = jnp.bfloat16 if reduce_mem else jnp.float32
             runner = jax.jit(lambda v, vol: sliding_window_inference(
                 apply_fn, v, vol, patch, ov, pad,
-                out_channels=sum(chans), batch_size=bs, out_dtype=out_dt))
+                out_channels=sum(chans), batch_size=bs, out_dtype=out_dt,
+                out_splits=splits))
             cache[key] = runner
         block_j = jnp.asarray(block_n.astype(np.float32), jnp.bfloat16) if reduce_mem \
             else jnp.asarray(block_n)  # bf16 halves H2D + HBM for the volume
@@ -475,6 +478,9 @@ class Base_Workflow(metaclass=ABCMeta):
             out = runner(variables, block_j)
         if not sync:
             return out
+        if splits is not None:
+            return np.concatenate([np.asarray(jax.device_get(c)).astype(np.float32)
+                                   for c in out], axis=0)
         return np.asarray(jax.device_get(out)).astype(np.float32)
 
     def predict_patches(self, patches: np.ndarray, batch_size: Optional[int] = None) -> np.ndarray:

@@ -48,11 +48,19 @@ def sliding_window_inference(
     out_dtype=jnp.float32,
     compute_dtype=None,
     pad_mode: str = "reflect",
+    out_splits: Optional[Sequence[Tuple[int, int]]] = None,
 ):
     """Stitched prediction for one channels-last volume (spatial..., C).
 
     ``apply_fn(variables, x)`` maps a (B, *patch, C) batch to (B, *patch,
     out_channels) activated predictions. Returns (spatial..., out_channels).
+
+    ``out_splits``: optional static list of (z0, z1) bounds in output space;
+    the program then returns a TUPLE of out[z0:z1] chunks as separate device
+    buffers. Callers draining over a bandwidth-capped transport pull the
+    chunks from concurrent threads — and because the split happens INSIDE
+    this program, no follow-up device slice gets queued behind later slabs'
+    compute (a post-hoc slice would serialize D2H after the whole queue).
     """
     nd = len(patch)
     orig_spatial = volume.shape[:nd]
@@ -119,13 +127,15 @@ def sliding_window_inference(
             return (acc, wacc), None
 
         (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), starts)
-        return acc / (wacc + 1e-18)
+        out = acc / (wacc + 1e-18)
+        if any(deficits):
+            sl = tuple(slice(d // 2, d // 2 + s) for d, s in zip(deficits, orig_spatial))
+            out = out[sl]
+        if out_splits is not None:
+            return tuple(out[z0:z1] for z0, z1 in out_splits)
+        return out
 
-    out = run(variables, vol_p)
-    if any(deficits):
-        sl = tuple(slice(d // 2, d // 2 + s) for d, s in zip(deficits, orig_spatial))
-        out = out[sl]
-    return out
+    return run(variables, vol_p)
 
 
 def make_sliding_window_fn(

