@@ -109,14 +109,129 @@ def _torch_tensor_to_flax(t_np: np.ndarray, flax_shape: tuple) -> Optional[np.nd
 
 
 def import_torch_state_dict(state_dict: dict, params, batch_stats=None):
-    """Map an ordered torch state dict onto a flax param tree by ordered
-    shape-compatible matching (reference analog: BMZ pytorch_state_dict
-    import, models/__init__.py:943 build_bmz_model).
+    """Map a torch state dict onto a flax param tree (reference analog: BMZ
+    pytorch_state_dict import, models/__init__.py:943 build_bmz_model).
 
-    Works when the torch module registration order matches the flax module
-    definition order — true for the U-Net family, whose layouts are
-    parameter-count-exact against the reference. Raises if any tensor cannot
-    be placed."""
+    Two strategies, tried in order:
+
+    1. **Module-structured matching**: group torch tensors by module prefix
+       (``enc.0.conv.weight`` -> module ``enc.0.conv``) and flax leaves by
+       parent path; match whole modules in registration order against flax
+       modules in flatten order, requiring every tensor to land on its
+       role-equivalent name (``weight``(ndim>=2)->``kernel``,
+       ``weight``(1-D)->``scale``, ``bias``->``bias``) with a layout-
+       compatible shape. This is immune to the scale/bias swap an ordered
+       matcher suffers (torch emits gamma before beta; sorted flax order is
+       bias before scale — identical shapes) and carries BN running stats to
+       exactly the matched module.
+    2. **Ordered shape matching** (fallback for exotic naming): for each
+       torch tensor in registration order, the first unplaced flax leaf with
+       a layout-compatible shape.
+    """
+    try:
+        return _import_torch_module_matched(state_dict, params, batch_stats)
+    except ValueError:
+        return _import_torch_ordered(state_dict, params, batch_stats)
+
+
+def _leaf_key(k) -> str:
+    return str(getattr(k, "key", getattr(k, "idx", k)))
+
+
+def _import_torch_module_matched(state_dict: dict, params, batch_stats=None):
+    """Whole-module name/shape matching; raises ValueError when the state
+    dict does not decompose into role-mappable modules."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    leaves = [leaf for _, leaf in flat]
+    fmods: dict = {}
+    forder: list = []
+    for i, (path, leaf) in enumerate(flat):
+        keys = [_leaf_key(k) for k in path]
+        mod, name = "/".join(keys[:-1]), keys[-1]
+        if mod not in fmods:
+            fmods[mod] = {}
+            forder.append(mod)
+        fmods[mod][name] = i
+
+    tmods: dict = {}
+    torder: list = []
+    for k, v in state_dict.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        mod, _, name = k.rpartition(".")
+        if mod not in tmods:
+            tmods[mod] = {}
+            torder.append(mod)
+        tmods[mod][name] = np.asarray(v)
+
+    def flax_role(name: str, t: np.ndarray) -> Optional[str]:
+        if name == "weight":
+            return "kernel" if t.ndim >= 2 else "scale"
+        if name in ("bias", "scale", "kernel"):
+            return name
+        return None
+
+    used = [False] * len(forder)
+    new_leaves: list = [None] * len(leaves)
+    mod_map: dict = {}  # torch module -> flax module path
+    for tm in torder:
+        tensors = {n: t for n, t in tmods[tm].items()
+                   if n not in ("running_mean", "running_var")}
+        wanted = {}
+        for n, t in tensors.items():
+            role = flax_role(n, t)
+            if role is None:
+                raise ValueError(f"unmappable torch tensor name '{tm}.{n}'")
+            wanted[role] = t
+        placed = False
+        for j, fm in enumerate(forder):
+            if used[j] or set(fmods[fm]) != set(wanted):
+                continue
+            conv = {r: _torch_tensor_to_flax(t, leaves[fmods[fm][r]].shape)
+                    for r, t in wanted.items()}
+            if any(c is None for c in conv.values()):
+                continue
+            for r, c in conv.items():
+                new_leaves[fmods[fm][r]] = c.astype(np.float32)
+            used[j] = True
+            mod_map[tm] = fm
+            placed = True
+            break
+        if not placed and wanted:
+            raise ValueError(f"no flax module matches torch module '{tm}' "
+                             f"{[(n, t.shape) for n, t in tensors.items()]}")
+    if any(l is None for l in new_leaves):
+        raise ValueError("torch state dict leaves some model parameters unset")
+    new_params = jax.tree.unflatten(jax.tree.structure(params), new_leaves)
+
+    new_stats = batch_stats
+    if batch_stats:
+        s_flat = jax.tree_util.tree_flatten_with_path(batch_stats)[0]
+        s_index = {}
+        for i, (path, leaf) in enumerate(s_flat):
+            keys = [_leaf_key(k) for k in path]
+            s_index["/".join(keys[:-1]) + ":" + keys[-1]] = i
+        s_leaves = [leaf for _, leaf in s_flat]
+        for tm, fm in mod_map.items():
+            for tname, fname in (("running_mean", "mean"), ("running_var", "var")):
+                if tname in tmods[tm]:
+                    i = s_index.get(fm + ":" + fname)
+                    if i is None:
+                        raise ValueError(f"no batch stat '{fm}:{fname}' for '{tm}.{tname}'")
+                    t = tmods[tm][tname]
+                    if tuple(t.shape) != tuple(s_leaves[i].shape):
+                        raise ValueError(f"BN stat '{tm}.{tname}' {t.shape} != "
+                                         f"{s_leaves[i].shape}")
+                    s_leaves[i] = t.astype(np.float32)
+        new_stats = jax.tree.unflatten(jax.tree.structure(batch_stats), s_leaves)
+    return new_params, new_stats
+
+
+def _import_torch_ordered(state_dict: dict, params, batch_stats=None):
+    """Ordered shape-compatible matching: works when the torch registration
+    order matches the flax flatten order for equal-shape groups."""
     import jax
 
     bn_stats_keys = ("running_mean", "running_var")

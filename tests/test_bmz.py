@@ -135,3 +135,48 @@ def test_torch_state_dict_import():
     new_params, _ = import_torch_state_dict({k: np.asarray(v) for k, v in sd.items()}, params)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(new_params)):
         assert a.shape == b.shape
+
+
+def test_torch_state_dict_import_bn_true_registration_order():
+    """Module-structured matching must survive real torch ordering: per
+    module, gamma (weight) is registered BEFORE beta (bias) while flax's
+    sorted flatten yields bias before scale — identical (C,) shapes, so an
+    order-based matcher silently swaps them. Values are index-tagged so a
+    swap is detected exactly."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from biapy_tpu.utils.bmz import import_torch_state_dict
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(4, (3, 3), name="conv0")(x)
+            x = nn.BatchNorm(use_running_average=not train, name="bn0")(x)
+            x = nn.Conv(2, (1, 1), name="conv1")(x)
+            return x
+
+    net = Net()
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 1)))
+    params, stats = variables["params"], variables["batch_stats"]
+
+    sd = {
+        "conv0.weight": np.full((4, 1, 3, 3), 1.0, np.float32),  # OIHW
+        "conv0.bias": np.full((4,), 2.0, np.float32),
+        "bn0.weight": np.full((4,), 3.0, np.float32),            # gamma
+        "bn0.bias": np.full((4,), 4.0, np.float32),              # beta
+        "bn0.running_mean": np.full((4,), 5.0, np.float32),
+        "bn0.running_var": np.full((4,), 6.0, np.float32),
+        "bn0.num_batches_tracked": np.asarray(7),
+        "conv1.weight": np.full((2, 4, 1, 1), 8.0, np.float32),
+        "conv1.bias": np.full((2,), 9.0, np.float32),
+    }
+    new_params, new_stats = import_torch_state_dict(sd, params, stats)
+    assert float(np.unique(new_params["conv0"]["kernel"])) == 1.0
+    assert new_params["conv0"]["kernel"].shape == params["conv0"]["kernel"].shape
+    assert float(np.unique(new_params["bn0"]["scale"])) == 3.0  # gamma -> scale
+    assert float(np.unique(new_params["bn0"]["bias"])) == 4.0   # beta -> bias
+    assert float(np.unique(new_stats["bn0"]["mean"])) == 5.0
+    assert float(np.unique(new_stats["bn0"]["var"])) == 6.0
+    assert float(np.unique(new_params["conv1"]["kernel"])) == 8.0
