@@ -134,6 +134,8 @@ class PairDataset:
                 if gt_b is not None and gt_b.dtype.kind != "f":
                     gt_b = normalize_mask(gt_b, self.n_classes)
                 img, gt = self.aug.maybe_cutmix(img, gt, img_b, gt_b, rng)
+            if getattr(self, "_grid_overlay", False):
+                img = _draw_grid(img)
             img, gt = self.aug(img, gt, rng)
         if self.target_fn is not None:
             x, y = self.target_fn(img, gt, rng)
@@ -245,6 +247,44 @@ class BatchLoader:
                 break
             yield item
         t.join()
+
+
+def _draw_grid(img: np.ndarray, spacing: Optional[int] = None) -> np.ndarray:
+    """Overlay bright grid lines so geometric augmentations (elastic, shear,
+    rotation) are visible in saved samples (reference: draw_grid option of
+    get_transformed_samples, generators/__init__.py:404-412)."""
+    img = img.copy()
+    v = float(img.max()) if img.size else 1.0
+    sp = spacing or max(8, img.shape[-2] // 5)
+    # lines along the last two spatial axes (works for 2D and 3D stacks)
+    img[..., ::sp, :, :] = v
+    img[..., :, ::sp, :] = v
+    return img
+
+
+def save_aug_samples(dataset: PairDataset, out_dir: str, n: int = 10,
+                     draw_grid: bool = True, seed: int = 0):
+    """Save ``n`` augmented training samples (with their un-augmented
+    originals) for visual inspection (reference: AUGMENTOR.AUG_SAMPLES,
+    generators/__init__.py:404-412)."""
+    import os
+
+    from biapy_tpu.data.io import save_tif
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n = min(n, len(dataset))
+    try:
+        if draw_grid:
+            dataset._grid_overlay = True
+        for i in range(n):
+            idx = int(rng.integers(0, len(dataset)))
+            out = dataset.get(idx, rng)
+            save_tif(out["x"][None], out_dir, [f"aug_{i}_x.tif"], verbose=False)
+            if "y" in out:
+                save_tif(out["y"][None], out_dir, [f"aug_{i}_y.tif"], verbose=False)
+    finally:
+        dataset._grid_overlay = False
 
 
 def check_generator_consistence(loader: BatchLoader, out_dir: str, n: int = 3):

@@ -261,6 +261,20 @@ class Base_Workflow(metaclass=ABCMeta):
         val_loader = BatchLoader(val_data, gbs, shuffle=False, seed=cfg.SYSTEM.SEED)
         self._steps_per_epoch = len(train_loader)
 
+        # runtime self-checks (reference: DATA.CHECK_GENERATORS dumps
+        # generator output, generators/__init__.py:884; AUGMENTOR.AUG_SAMPLES
+        # saves augmented examples, :404-412) — rank 0 only
+        if is_main_process():
+            from biapy_tpu.data.generators import (check_generator_consistence,
+                                                   save_aug_samples)
+
+            if cfg.DATA.CHECK_GENERATORS and cfg.PATHS.GEN_CHECKS:
+                check_generator_consistence(train_loader, cfg.PATHS.GEN_CHECKS)
+            if cfg.AUGMENTOR.ENABLE and cfg.AUGMENTOR.AUG_SAMPLES and cfg.PATHS.DA_SAMPLES:
+                save_aug_samples(train_data, cfg.PATHS.DA_SAMPLES,
+                                 n=int(cfg.AUGMENTOR.AUG_NUM_SAMPLES),
+                                 draw_grid=bool(cfg.AUGMENTOR.DRAW_GRID))
+
         if self.verbose:
             print(f"Train samples: {len(train_data)}, val samples: {len(val_data)}, "
                   f"global batch: {gbs} over {ndev} devices")

@@ -73,6 +73,10 @@ def test_semantic_seg_end_to_end(tmp_path):
     ck = load_checkpoint(ckpts[0])
     assert "cfg" in ck and "params" in ck and ck["epoch"] >= 0
 
+    # AUGMENTOR.AUG_SAMPLES (default on) dumped augmented examples
+    aug = glob.glob(root + "/results/e2etest/results/e2etest/aug/aug_*_x.tif")
+    assert aug, "AUG_SAMPLES should save augmented sample images"
+
     # in-memory predict API writes nothing and returns predictions
     from biapy_tpu.data.io import read_img_as_ndarray
 

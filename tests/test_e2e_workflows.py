@@ -192,3 +192,38 @@ def test_gan_denoising_2d(tmp_path):
     job = _run(cfg, root, "gan2d")
     # training ran and exposed the generator state
     assert job.workflow.state is not None
+
+
+@pytest.mark.slow
+def test_ssl_mae_masking_2d(tmp_path):
+    """SSL 'masking' pretext end-to-end: a tiny MAE (ViT encoder + decoder)
+    trains on its own masked-patch reconstruction loss and inference returns
+    reconstructed images (reference: Test self-supervised MAE path,
+    self_supervised.py + models/mae.py)."""
+    rng = np.random.default_rng(21)
+    root = str(tmp_path)
+    for d, n in [("train", 8), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        for i in range(n):
+            img = _noisy_circles((64, 64), noise=0.02, rng=rng)
+            write_tiff(f"{root}/{d}/x/{i}.tif", (img * 200).clip(0, 255).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "SELF_SUPERVISED", "NDIM": "2D",
+                    "SELF_SUPERVISED": {"PRETEXT_TASK": "masking"}},
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "IN_MEMORY": True, "LOAD_GT": False}},
+        "MODEL": {"ARCHITECTURE": "mae", "VIT_TOKEN_SIZE": 8, "VIT_EMBED_DIM": 32,
+                  "VIT_NUM_LAYERS": 2, "VIT_NUM_HEADS": 4, "VIT_MLP_RATIO": 2.0,
+                  "MAE_DEC_HIDDEN_SIZE": 32, "MAE_DEC_NUM_LAYERS": 1,
+                  "MAE_DEC_NUM_HEADS": 4, "MAE_MASK_RATIO": 0.5, "MAE_MASK_TYPE": "random"},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3, "BATCH_SIZE": 8,
+                  "EPOCHS": 3},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "mae2d")
+    preds = job.workflow._predictions
+    assert len(preds) == 2
+    for p in preds:
+        assert np.isfinite(p["pred"]).all()
