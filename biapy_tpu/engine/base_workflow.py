@@ -550,6 +550,31 @@ class Base_Workflow(metaclass=ABCMeta):
         ov = tuple(cfg.DATA.TEST.OVERLAP)
         pad = tuple(cfg.DATA.TEST.PADDING)
         crop_shape = tuple(cfg.DATA.PATCH_SIZE)
+
+        if cfg.TEST.REUSE_PREDICTIONS:
+            # Skip the model entirely: reload this image's saved prediction
+            # and re-run only metrics + workflow post-processing (reference:
+            # TEST.REUSE_PREDICTIONS, config.py:1861, base_workflow.py:1850) —
+            # the recovery path for tweaking post-proc without re-predicting.
+            from biapy_tpu.data.io import read_img_as_ndarray
+
+            prev = os.path.join(cfg.PATHS.RESULT_DIR.PER_IMAGE, fname)
+            if not os.path.exists(prev):
+                prev = os.path.join(cfg.PATHS.RESULT_DIR.FULL_IMAGE, fname)
+            if not os.path.exists(prev):
+                raise FileNotFoundError(
+                    f"TEST.REUSE_PREDICTIONS: no saved prediction for '{fname}' under "
+                    f"{cfg.PATHS.RESULT_DIR.PER_IMAGE} — run a prediction pass first")
+            merged = read_img_as_ndarray(prev, is_3d=self.is_3d).astype(np.float32)
+            m = self.metric_calculation(merged, gt) if gt is not None else {}
+            if m:
+                self.metrics_per_test_file.append(m)
+                if self.verbose:
+                    print(f"  {fname} (reused): " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+            self.after_merge_patches(merged, sample, fname)
+            self._predictions.append({"role": "raw", "pred": merged, "file": fname, "metrics": m})
+            return {"pred": merged}
+
         img, gt = self.before_test_sample(img, gt, fname)
         img_n, stats = normalize_image(img, self.norm_spec)
 

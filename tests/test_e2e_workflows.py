@@ -227,3 +227,44 @@ def test_ssl_mae_masking_2d(tmp_path):
     assert len(preds) == 2
     for p in preds:
         assert np.isfinite(p["pred"]).all()
+
+
+@pytest.mark.slow
+def test_reuse_predictions(tmp_path):
+    """TEST.REUSE_PREDICTIONS reloads saved per-image predictions instead of
+    running the model (reference: config.py:1861, base_workflow.py:1850)."""
+    rng = np.random.default_rng(33)
+    root = str(tmp_path)
+    for d, n in [("train", 6), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x"); os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            img = _noisy_circles((64, 64), noise=0.05, rng=rng)
+            write_tiff(f"{root}/{d}/x/{i}.tif", (img * 200).clip(0, 255).astype(np.uint8))
+            write_tiff(f"{root}/{d}/y/{i}.tif", ((img > 0.3) * 255).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y"},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y",
+                          "LOAD_GT": True}},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16],
+                  "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [2, 2],
+                  "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "EPOCHS": 2, "BATCH_SIZE": 4},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "reuse")
+    first = {p["file"]: p["pred"] for p in job.workflow._predictions}
+
+    cfg2 = dict(cfg)
+    cfg2["TRAIN"] = {"ENABLE": False}
+    cfg2["TEST"] = {"ENABLE": True, "REUSE_PREDICTIONS": True}
+    from biapy_tpu._biapy import BiaPy
+    job2 = BiaPy(cfg2, result_dir=os.path.join(root, "results"), name="reuse", silent=True)
+    job2.run_job()
+    second = {p["file"]: p["pred"] for p in job2.workflow._predictions}
+    assert set(second) == set(first)
+    for k in first:
+        np.testing.assert_allclose(second[k], first[k], atol=1e-5)
+    assert job2.workflow.metrics_per_test_file, "reuse pass must still compute metrics"
