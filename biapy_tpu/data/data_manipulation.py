@@ -122,6 +122,8 @@ def build_dataset(
     zarr_multiple: bool = False,
     raw_path_in_file: Optional[str] = None,
     gt_path_in_file: Optional[str] = None,
+    preprocess_cfg=None,
+    gt_is_mask: bool = True,
 ) -> BiaPyDataset:
     """Scan a directory pair into a BiaPyDataset with patch-grid samples.
 
@@ -159,6 +161,11 @@ def build_dataset(
     ds = BiaPyDataset()
     for fi, (xp, yp) in enumerate(pairs):
         if not in_memory and _is_chunked(xp):
+            if preprocess_cfg is not None and preprocess_cfg.RESIZE.ENABLE:
+                raise ValueError(
+                    "DATA.PREPROCESS.RESIZE cannot be combined with lazy Zarr/H5 "
+                    "streaming (patches are read straight from disk); load the data "
+                    "in memory or resize it offline")
             # Lazy path: metadata only; per-patch normalization at load time.
             dpath = raw_path_in_file if zarr_multiple else None
             same_file = yp == xp
@@ -189,6 +196,15 @@ def build_dataset(
         if convert_to_rgb and img.shape[-1] == 1:
             img = np.repeat(img, 3, axis=-1)
         gt = read_img_as_ndarray(yp, is_3d=is_3d, data_path=gpath, axes_order=g_ax) if yp else None
+        if preprocess_cfg is not None:
+            # before grid/stats: resize changes geometry (reference:
+            # preprocess_data at load, pre_processing.py:3872)
+            from biapy_tpu.data.pre_processing import preprocess_image
+
+            img = preprocess_image(preprocess_cfg, img, is_2d=not is_3d)
+            if gt is not None:
+                gt = preprocess_image(preprocess_cfg, gt, is_mask=gt_is_mask,
+                                      only_resize=True, is_2d=not is_3d)
         if reflect_to_complete_shape:
             img, _ = pad_to_min_shape(img, crop_shape[:nd])
             if gt is not None:
@@ -255,7 +271,8 @@ def split_train_val(
 
 
 def load_and_prepare_train_data(cfg, norm_spec: Optional[Dict] = None,
-                                y_upscaling: Sequence[int] = ()) -> Tuple[BiaPyDataset, BiaPyDataset]:
+                                y_upscaling: Sequence[int] = (),
+                                gt_is_mask: bool = True) -> Tuple[BiaPyDataset, BiaPyDataset]:
     """Top-level train+val preparation from config (reference:
     load_and_prepare_train_data, data_manipulation.py:83)."""
     is_3d = cfg.PROBLEM.NDIM == "3D"
@@ -263,6 +280,7 @@ def load_and_prepare_train_data(cfg, norm_spec: Optional[Dict] = None,
     crop_shape = tuple(cfg.DATA.PATCH_SIZE)
     random_crops = bool(cfg.DATA.TRAIN.EXTRACT_RANDOM_PATCH)
     use_gt = _needs_gt(cfg)
+    pre = cfg.DATA.PREPROCESS
 
     train = build_dataset(
         cfg.DATA.TRAIN.PATH,
@@ -281,6 +299,8 @@ def load_and_prepare_train_data(cfg, norm_spec: Optional[Dict] = None,
         zarr_multiple=bool(cfg.DATA.TRAIN.INPUT_ZARR_MULTIPLE_DATA),
         raw_path_in_file=str(cfg.DATA.TRAIN.INPUT_ZARR_MULTIPLE_DATA_RAW_PATH) or None,
         gt_path_in_file=(str(cfg.DATA.TRAIN.INPUT_ZARR_MULTIPLE_DATA_GT_PATH) or None) if use_gt else None,
+        preprocess_cfg=pre if pre.TRAIN else None,
+        gt_is_mask=gt_is_mask,
     )
     fs = cfg.DATA.TRAIN.FILTER_SAMPLES
     if fs.ENABLE:
@@ -304,6 +324,8 @@ def load_and_prepare_train_data(cfg, norm_spec: Optional[Dict] = None,
             zarr_multiple=bool(cfg.DATA.VAL.INPUT_ZARR_MULTIPLE_DATA),
             raw_path_in_file=str(cfg.DATA.VAL.INPUT_ZARR_MULTIPLE_DATA_RAW_PATH) or None,
             gt_path_in_file=(str(cfg.DATA.VAL.INPUT_ZARR_MULTIPLE_DATA_GT_PATH) or None) if use_gt else None,
+            preprocess_cfg=pre if pre.VAL else None,
+            gt_is_mask=gt_is_mask,
         )
     else:
         train, val = split_train_val(
@@ -317,7 +339,8 @@ def load_and_prepare_train_data(cfg, norm_spec: Optional[Dict] = None,
     return train, val
 
 
-def load_and_prepare_test_data(cfg, norm_spec: Optional[Dict] = None) -> BiaPyDataset:
+def load_and_prepare_test_data(cfg, norm_spec: Optional[Dict] = None,
+                               gt_is_mask: bool = True) -> BiaPyDataset:
     """Per-image test dataset: one whole-image sample per file (reference:
     load_and_prepare_test_data, data_manipulation.py:955)."""
     is_3d = cfg.PROBLEM.NDIM == "3D"
@@ -340,6 +363,8 @@ def load_and_prepare_test_data(cfg, norm_spec: Optional[Dict] = None) -> BiaPyDa
         zarr_multiple=bool(cfg.DATA.TEST.INPUT_ZARR_MULTIPLE_DATA),
         raw_path_in_file=str(cfg.DATA.TEST.INPUT_ZARR_MULTIPLE_DATA_RAW_PATH) or None,
         gt_path_in_file=(str(cfg.DATA.TEST.INPUT_ZARR_MULTIPLE_DATA_GT_PATH) or None) if use_gt else None,
+        preprocess_cfg=cfg.DATA.PREPROCESS if cfg.DATA.PREPROCESS.TEST else None,
+        gt_is_mask=gt_is_mask,
     )
 
 

@@ -75,6 +75,10 @@ class PairDataset:
         s = self.ds.sample_list[idx]
         f = self.ds.dataset_info[s.fid]
         img, gt = s.img, s.gt
+        # DATA.PREPROCESS for samples materialized here (in-memory samples
+        # were preprocessed at dataset build, before the patch grid)
+        pre = self.cfg.DATA.PREPROCESS
+        pre = pre if (pre.TRAIN if self.aug is not None else pre.VAL) else None
         if img is None:
             from biapy_tpu.data.io import _is_chunked, read_patch_as_ndarray
 
@@ -85,16 +89,28 @@ class PairDataset:
                 if f.gt_path:
                     gt = read_patch_as_ndarray(f.gt_path, s.coords, is_3d=self.is_3d,
                                                data_path=f.gt_data_path, axes_order=f.gt_input_axes)
+                if pre is not None:  # per-patch ops (resize rejected at build)
+                    from biapy_tpu.data.pre_processing import preprocess_image
+
+                    img = preprocess_image(pre, img, is_2d=not self.is_3d)
                 return img, gt
             img = read_img_as_ndarray(f.path, is_3d=self.is_3d, data_path=f.data_path,
                                       axes_order=f.input_axes)
+            gt_full = None
+            if f.gt_path:
+                gt_full = read_img_as_ndarray(f.gt_path, is_3d=self.is_3d, data_path=f.gt_data_path,
+                                              axes_order=f.gt_input_axes)
+            if pre is not None:
+                from biapy_tpu.data.pre_processing import preprocess_image
+
+                img = preprocess_image(pre, img, is_2d=not self.is_3d)
+                if gt_full is not None:
+                    gt_full = preprocess_image(pre, gt_full, is_mask=not self.gt_as_image,
+                                               only_resize=True, is_2d=not self.is_3d)
             if s.coords is not None:
                 img = extract_patch(img, s.coords)
-            if f.gt_path:
-                gt = read_img_as_ndarray(f.gt_path, is_3d=self.is_3d, data_path=f.gt_data_path,
-                                         axes_order=f.gt_input_axes)
-                if s.coords is not None:
-                    gt = extract_patch(gt, s.coords)
+            if gt_full is not None:
+                gt = extract_patch(gt_full, s.coords) if s.coords is not None else gt_full
         return img, gt
 
     def _random_crop(self, img, gt, rng):

@@ -235,7 +235,8 @@ class Base_Workflow(metaclass=ABCMeta):
         cfg = self.cfg
         if self.verbose:
             print("###########################\n#  PREPARE TRAINING DATA  #\n###########################")
-        train_ds, val_ds = load_and_prepare_train_data(cfg, self.norm_spec, self.y_upscaling)
+        train_ds, val_ds = load_and_prepare_train_data(cfg, self.norm_spec, self.y_upscaling,
+                                                       gt_is_mask=not self.gt_as_image)
         n_classes = int(cfg.DATA.N_CLASSES)
         target_fn = self.prepare_targets_fn()
         train_data = PairDataset(train_ds, cfg, self.norm_spec, augment=True,
@@ -645,7 +646,7 @@ class Base_Workflow(metaclass=ABCMeta):
         if image is not None:
             ds = prepare_in_memory_test_data(image, gt, self.is_3d)
         else:
-            ds = load_and_prepare_test_data(cfg, self.norm_spec)
+            ds = load_and_prepare_test_data(cfg, self.norm_spec, gt_is_mask=not self.gt_as_image)
         if self.verbose:
             print("###############\n#  INFERENCE  #\n###############")
             print(f"Processing {len(ds.sample_list)} test images")
@@ -660,6 +661,14 @@ class Base_Workflow(metaclass=ABCMeta):
                 if f.gt_path:
                     g = read_img_as_ndarray(f.gt_path, is_3d=self.is_3d,
                                             data_path=f.gt_data_path, axes_order=f.gt_input_axes)
+                if cfg.DATA.PREPROCESS.TEST:
+                    from biapy_tpu.data.pre_processing import preprocess_image
+
+                    img = preprocess_image(cfg.DATA.PREPROCESS, img, is_2d=not self.is_3d)
+                    if g is not None:
+                        g = preprocess_image(cfg.DATA.PREPROCESS, g,
+                                             is_mask=not self.gt_as_image,
+                                             only_resize=True, is_2d=not self.is_3d)
             fname = os.path.basename(f.path) if f.path != "<in_memory>" else f"pred_{i}.tif"
             self._current_test_file = f.path
             self.process_test_sample(img, g, fname, s)
