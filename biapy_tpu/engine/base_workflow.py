@@ -214,16 +214,38 @@ class Base_Workflow(metaclass=ABCMeta):
         tx, self.plateau = build_optimizer(self.cfg, steps_per_epoch)
         self.state = TrainState.create(self.model.apply, params, tx, batch_stats)
 
-        # checkpoint loading (finetune / resume)
+        # checkpoint loading (finetune / resume); MODEL.ITEMS_TO_LOAD_FROM_
+        # CHECKPOINT selects what to restore and SKIP_UNMATCHED_LAYERS turns
+        # shape mismatches from errors into skips (reference:
+        # load_model_checkpoint, misc.py:516-660)
         if self.cfg.MODEL.LOAD_CHECKPOINT:
             path = get_checkpoint_path(self.cfg, self.job_identifier)
             if path and os.path.exists(path):
                 ck = load_checkpoint(path)
-                self.state = self.state.replace(
-                    params=apply_checkpoint_params(self.state.params, ck["params"]),
-                    batch_stats=ck.get("batch_stats") or batch_stats,
-                )
-                if self.cfg.MODEL.LOAD_CHECKPOINT_EPOCH == "last_on_train":
+                items = list(self.cfg.MODEL.ITEMS_TO_LOAD_FROM_CHECKPOINT or ["weights"])
+                skip = bool(self.cfg.MODEL.SKIP_UNMATCHED_LAYERS)
+                if "weights" in items:
+                    self.state = self.state.replace(
+                        params=apply_checkpoint_params(self.state.params, ck["params"],
+                                                       skip_unmatched=skip),
+                        batch_stats=ck.get("batch_stats") or batch_stats,
+                    )
+                if "optimizer" in items or "opts" in items:
+                    saved = ck.get("opt_state")
+                    if saved:
+                        from flax import serialization as _ser
+
+                        try:
+                            self.state = self.state.replace(
+                                opt_state=_ser.from_state_dict(self.state.opt_state, saved))
+                            if self.verbose:
+                                print("Optimizer state loaded from checkpoint")
+                        except Exception as e:
+                            if self.verbose:
+                                print(f"Optimizer state in checkpoint incompatible, "
+                                      f"reinitialized ({e})")
+                if ("epoch" in items
+                        or self.cfg.MODEL.LOAD_CHECKPOINT_EPOCH == "last_on_train"):
                     self.start_epoch = int(ck.get("epoch", 0))
                 if self.verbose:
                     print(f"Loaded checkpoint {path} (epoch {self.start_epoch})")
@@ -341,8 +363,15 @@ class Base_Workflow(metaclass=ABCMeta):
                 if self.plateau is not None:
                     new_lr = self.plateau.step(val_loss)
                     self.state = self.state.replace(opt_state=set_learning_rate(self.state.opt_state, new_lr))
-                if val_loss < best_val:
-                    best_val = val_loss
+                # TRAIN.CHECKPOINT_MONITOR picks the best-checkpoint metric
+                # (reference: config.py:1787); '*loss' minimizes, else maximizes
+                monitor = str(cfg.TRAIN.CHECKPOINT_MONITOR or "val_loss")
+                if not monitor.startswith("val_"):
+                    monitor = "val_" + monitor
+                mon_val = val_metrics.get(monitor, val_loss)
+                score = mon_val if "loss" in monitor else -mon_val
+                if score < best_val:
+                    best_val = score
                     save_model(self.cfg, cfg.PATHS.CHECKPOINT, self.job_identifier,
                                self.state.params, epoch, self.state.batch_stats,
                                model_build_kwargs=self.model_build_kwargs, metric="best")
@@ -354,6 +383,7 @@ class Base_Workflow(metaclass=ABCMeta):
             if (freq > 0 and (epoch + 1) % freq == 0) or epoch == cfg.TRAIN.EPOCHS - 1:
                 save_model(self.cfg, cfg.PATHS.CHECKPOINT, self.job_identifier,
                            self.state.params, epoch, self.state.batch_stats,
+                           opt_state=self.state.opt_state,  # resume restores it
                            model_build_kwargs=self.model_build_kwargs)
             record["time"] = time.time() - t0
             jsonlog.write(record)

@@ -116,6 +116,25 @@ def build_optimizer(cfg, steps_per_epoch: int, head: int = 0):
     clip = float(cfg.TRAIN.GRADIENT_CLIP_NORM or 0.0)
     if clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+
+    # MODEL.FREEZE_LAYERS_MATCHING: regex-frozen parameter groups get a
+    # zero-update transform so neither gradients nor weight decay touch them
+    # (reference: layer freezing post-load, base_workflow.py:966-978)
+    patterns = list(cfg.MODEL.FREEZE_LAYERS_MATCHING or [])
+    if patterns:
+        import re as _re
+
+        import jax as _jax
+
+        regs = [_re.compile(p) for p in patterns]
+
+        def labels(params):
+            def lab(path, _):
+                p = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+                return "frozen" if any(r.search(p) for r in regs) else "train"
+            return _jax.tree_util.tree_map_with_path(lab, params)
+
+        tx = optax.multi_transform({"train": tx, "frozen": optax.set_to_zero()}, labels)
     return tx, plateau
 
 
@@ -125,6 +144,17 @@ def _find_inject_states(opt_state):
     itself is a NamedTuple, so check for .hyperparams before iterating)."""
     if hasattr(opt_state, "hyperparams") and "learning_rate" in opt_state.hyperparams:
         yield opt_state
+        return
+    if hasattr(opt_state, "inner_states"):  # optax.multi_transform (freeze)
+        for s in dict(opt_state.inner_states).values():
+            yield from _find_inject_states(s)
+        return
+    if isinstance(opt_state, dict):
+        for s in opt_state.values():
+            yield from _find_inject_states(s)
+        return
+    if hasattr(opt_state, "inner_state"):  # optax MaskedState
+        yield from _find_inject_states(opt_state.inner_state)
         return
     if isinstance(opt_state, tuple):
         for s in opt_state:
@@ -141,6 +171,12 @@ def set_learning_rate(opt_state, new_lr: float):
             hp = dict(s.hyperparams)
             hp["learning_rate"] = jnp.asarray(new_lr, dtype=jnp.asarray(hp["learning_rate"]).dtype)
             return s._replace(hyperparams=hp)
+        if hasattr(s, "inner_states"):  # optax.multi_transform (freeze)
+            return s._replace(inner_states={k: rebuild(v) for k, v in dict(s.inner_states).items()})
+        if hasattr(s, "inner_state") and hasattr(s, "_replace"):  # MaskedState
+            return s._replace(inner_state=rebuild(s.inner_state))
+        if isinstance(s, dict):
+            return {k: rebuild(v) for k, v in s.items()}
         if isinstance(s, tuple) and not hasattr(s, "_fields"):
             return tuple(rebuild(x) for x in s)
         return s

@@ -84,6 +84,30 @@ def save_model(
     with os.fdopen(fd, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)
+
+    # MODEL.OUT_CHECKPOINT_FORMAT='safetensors' additionally writes a flat
+    # weights-only .safetensors for interchange (reference: save_model,
+    # misc.py:406 — there it REPLACES the .pth; here the .ckpt still carries
+    # the config/epoch so resume keeps working)
+    if str(getattr(cfg.MODEL, "OUT_CHECKPOINT_FORMAT", "pth")) == "safetensors":
+        try:
+            from safetensors.numpy import save_file as _st_save
+
+            flat = {}
+
+            def _flatten(prefix, t):
+                if isinstance(t, dict):
+                    for k, v in t.items():
+                        _flatten(f"{prefix}{k}." if prefix else f"{k}.", v) \
+                            if isinstance(v, dict) else flat.__setitem__(
+                                prefix + k, np.ascontiguousarray(np.asarray(v)))
+                else:
+                    flat[prefix.rstrip(".")] = np.ascontiguousarray(np.asarray(t))
+
+            _flatten("", jax.tree.map(np.asarray, params))
+            _st_save(flat, os.path.join(checkpoint_dir, tag + ".safetensors"))
+        except Exception as e:
+            print(f"safetensors export skipped: {e}")
     return path
 
 
@@ -132,6 +156,11 @@ def apply_checkpoint_params(target_params, loaded_params, skip_unmatched: bool =
                 if isinstance(sub, dict) and k in sub:
                     out[k] = merge(path + (k,), v, sub[k])
                 else:
+                    if not skip_unmatched:
+                        raise ValueError(
+                            f"Checkpoint missing parameter {'/'.join(path + (k,))} "
+                            "(set MODEL.SKIP_UNMATCHED_LAYERS to finetune across "
+                            "architecture changes)")
                     skipped.append("/".join(path + (k,)))
                     out[k] = v
             return out

@@ -1,0 +1,134 @@
+"""Checkpoint options: freeze-by-regex, items-to-load, monitor, safetensors
+(reference: misc.py:328-660, config.py:1553-1560,1787)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from biapy_tpu.data.tiff import write_tiff
+
+
+def _data(root, n=6):
+    rng = np.random.default_rng(5)
+    os.makedirs(f"{root}/x"); os.makedirs(f"{root}/y")
+    for i in range(n):
+        img = rng.random((48, 48), np.float32)
+        write_tiff(f"{root}/x/{i}.tif", (img * 255).astype(np.uint8))
+        write_tiff(f"{root}/y/{i}.tif", ((img > 0.5) * 255).astype(np.uint8))
+
+
+def _cfg(root, **train_extra):
+    return {
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (48, 48, 1),
+                 "TRAIN": {"PATH": f"{root}/x", "GT_PATH": f"{root}/y"},
+                 "VAL": {"SPLIT_TRAIN": 0.34},
+                 "TEST": {"PATH": f"{root}/x", "LOAD_GT": False}},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [4, 8],
+                  "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [2, 2],
+                  "YX_DOWN": [2, 2], "CONV_LAYERS": [1, 1]},
+        "TRAIN": {"ENABLE": True, "EPOCHS": 2, "BATCH_SIZE": 2, **train_extra},
+        "TEST": {"ENABLE": False},
+    }
+
+
+def test_freeze_layers_matching(tmp_path):
+    """MODEL.FREEZE_LAYERS_MATCHING regexes pin matched params exactly."""
+    import jax
+
+    from biapy_tpu._biapy import BiaPy
+
+    root = str(tmp_path); _data(root)
+    cfg = _cfg(root)
+    cfg["MODEL"]["FREEZE_LAYERS_MATCHING"] = ["^ConvBlock_0/"]
+    job = BiaPy(cfg, result_dir=f"{root}/res", name="fz", silent=True)
+    job._build_workflow()
+    wf = job.workflow
+    wf.prepare_model()
+    before = jax.tree.map(np.array, wf.state.params)
+    wf.train()
+    after = wf.state.params
+    frozen = moved = 0
+    flat_b = jax.tree_util.tree_flatten_with_path(before)[0]
+    flat_a = jax.tree.leaves(after)
+    for (path, b), a in zip(flat_b, flat_a):
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        if p.startswith("ConvBlock_0/"):
+            np.testing.assert_array_equal(np.asarray(a), b), p
+            frozen += 1
+        elif not np.array_equal(np.asarray(a), b):
+            moved += 1
+    assert frozen > 0 and moved > 0
+
+
+def test_checkpoint_monitor_metric(tmp_path):
+    """TRAIN.CHECKPOINT_MONITOR='iou' maximizes val_iou for 'best'."""
+    from biapy_tpu._biapy import BiaPy
+
+    root = str(tmp_path); _data(root)
+    cfg = _cfg(root, CHECKPOINT_MONITOR="iou")
+    job = BiaPy(cfg, result_dir=f"{root}/res", name="mon", silent=True)
+    job.run_job()
+    assert glob.glob(f"{root}/res/mon/checkpoints/*best.ckpt")
+
+
+def test_resume_restores_optimizer_and_epoch(tmp_path):
+    """'optimizer'+'epoch' in ITEMS_TO_LOAD_FROM_CHECKPOINT resume training
+    state from the last periodic checkpoint."""
+    from biapy_tpu._biapy import BiaPy
+
+    root = str(tmp_path); _data(root)
+    cfg = _cfg(root)
+    job = BiaPy(cfg, result_dir=f"{root}/res", name="rs", silent=True)
+    job.run_job()
+
+    cfg2 = _cfg(root)
+    cfg2["TRAIN"]["EPOCHS"] = 3
+    cfg2["MODEL"]["LOAD_CHECKPOINT"] = True
+    cfg2["MODEL"]["LOAD_CHECKPOINT_EPOCH"] = "last_on_train"
+    cfg2["MODEL"]["ITEMS_TO_LOAD_FROM_CHECKPOINT"] = ["weights", "optimizer", "epoch"]
+    job2 = BiaPy(cfg2, result_dir=f"{root}/res", name="rs", silent=True)
+    job2._build_workflow()
+    job2.workflow.train()
+    assert job2.workflow.start_epoch == 1  # resumed past epoch 0
+
+
+def test_safetensors_out_format(tmp_path):
+    from biapy_tpu._biapy import BiaPy
+
+    root = str(tmp_path); _data(root)
+    cfg = _cfg(root)
+    cfg["MODEL"]["OUT_CHECKPOINT_FORMAT"] = "safetensors"
+    job = BiaPy(cfg, result_dir=f"{root}/res", name="st", silent=True)
+    job.run_job()
+    st = glob.glob(f"{root}/res/st/checkpoints/*.safetensors")
+    assert st
+    from safetensors.numpy import load_file
+
+    flat = load_file(st[0])
+    assert flat and all(isinstance(v, np.ndarray) for v in flat.values())
+
+
+def test_strict_load_raises_on_mismatch(tmp_path):
+    """Default (SKIP_UNMATCHED_LAYERS=False) load is strict, like torch
+    load_state_dict(strict=True)."""
+    from biapy_tpu._biapy import BiaPy
+
+    root = str(tmp_path); _data(root)
+    job = BiaPy(_cfg(root), result_dir=f"{root}/res", name="sk", silent=True)
+    job.run_job()
+
+    cfg2 = _cfg(root)
+    cfg2["MODEL"]["FEATURE_MAPS"] = [6, 12]  # different widths
+    cfg2["MODEL"]["LOAD_CHECKPOINT"] = True
+    job2 = BiaPy(cfg2, result_dir=f"{root}/res", name="sk", silent=True)
+    job2._build_workflow()
+    with pytest.raises(ValueError):
+        job2.workflow.prepare_model()
+
+    cfg2["MODEL"]["SKIP_UNMATCHED_LAYERS"] = True
+    job3 = BiaPy(cfg2, result_dir=f"{root}/res", name="sk", silent=True)
+    job3._build_workflow()
+    job3.workflow.prepare_model()  # lenient: loads what matches
