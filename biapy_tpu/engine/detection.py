@@ -131,13 +131,45 @@ class Detection_Workflow(Base_Workflow):
     # -- test -----------------------------------------------------------------
     def _extract_points(self, heatmap: np.ndarray) -> np.ndarray:
         cfg = self.cfg
-        th = float(cfg.TEST.DET_MIN_TH_TO_BE_PEAK)
-        coords = peak_local_max(
-            heatmap[..., 0],
-            min_distance=int(cfg.TEST.DET_PEAK_LOCAL_MAX_MIN_DISTANCE),
-            threshold_abs=th,
-            exclude_border=bool(cfg.TEST.DET_EXCLUDE_BORDER),
-        )
+        # TEST.DET_TH_TYPE='auto' derives the peak threshold per image by Otsu
+        # (reference: detection.py:366); 'manual' uses DET_MIN_TH_TO_BE_PEAK
+        if str(cfg.TEST.DET_TH_TYPE) == "auto":
+            from biapy_tpu.data.post_processing import _otsu
+
+            th = float(_otsu(heatmap[..., 0]))
+        else:
+            th = float(cfg.TEST.DET_MIN_TH_TO_BE_PEAK)
+        fn = str(cfg.TEST.DET_POINT_CREATION_FUNCTION)
+        if fn == "blob_log":
+            from biapy_tpu.data.post_processing import blob_log
+
+            blobs = blob_log(
+                heatmap[..., 0],
+                min_sigma=float(cfg.TEST.DET_BLOB_LOG_MIN_SIGMA),
+                max_sigma=float(cfg.TEST.DET_BLOB_LOG_MAX_SIGMA),
+                num_sigma=int(cfg.TEST.DET_BLOB_LOG_NUM_SIGMA),
+                threshold=th * 0.1,  # scale-normalized LoG runs ~10x below raw peaks
+                exclude_border=bool(cfg.TEST.DET_EXCLUDE_BORDER),
+            )
+            coords = np.round(blobs[:, : self.nd]).astype(np.int64)
+        else:
+            coords = peak_local_max(
+                heatmap[..., 0],
+                min_distance=int(cfg.TEST.DET_PEAK_LOCAL_MAX_MIN_DISTANCE),
+                threshold_abs=th,
+                exclude_border=bool(cfg.TEST.DET_EXCLUDE_BORDER),
+            )
+        # drop points within a fixed margin of the image border (reference:
+        # TEST.DET_IGNORE_POINTS_OUTSIDE_BOX, detection.py:699)
+        box = list(cfg.TEST.DET_IGNORE_POINTS_OUTSIDE_BOX or [])
+        if box and len(coords):
+            keep = np.ones(len(coords), bool)
+            for d in range(min(self.nd, len(box))):
+                m = int(box[d])
+                if m > 0:
+                    keep &= (coords[:, d] >= m) & \
+                            (coords[:, d] <= max(heatmap.shape[d] - m, 0))
+            coords = coords[keep]
         pp = cfg.TEST.POST_PROCESSING
         if pp.REMOVE_CLOSE_POINTS and len(coords):
             coords = remove_close_points(

@@ -282,7 +282,13 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         if getattr(self, "embedseg_mode", False) or process == "embedseg":
             from biapy_tpu.ops.embedseg import embedseg_cluster
 
-            return embedseg_cluster(pred, self.nd)
+            es = cfg.PROBLEM.INSTANCE_SEG.EMBEDSEG
+            return embedseg_cluster(
+                pred, self.nd,
+                seed_threshold=float(es.SEED_THRESH),
+                fg_threshold=float(es.FG_THRESH),
+                min_size=max(int(es.MIN_MASK_SUM), 16),
+                min_unclustered_sum=int(es.MIN_UNCLUSTERED_SUM))
         if process in ("flow_tracking", "gradient_tracking") or (not process and has_flows):
             return self._instances_from_flows(pred)
         if process in ("stardist", "nms") or (not process and has_rays):

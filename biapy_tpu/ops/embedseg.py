@@ -120,6 +120,8 @@ def embedseg_cluster(
     seed_threshold: float = 0.5,
     min_size: int = 16,
     max_instances: int = 256,
+    fg_threshold: float = 0.5,
+    min_unclustered_sum: int = 0,
 ) -> np.ndarray:
     """Seed-driven clustering at inference (reference: embedseg.py:21):
     repeatedly take the highest unclaimed seediness pixel, gather the pixels
@@ -137,14 +139,16 @@ def embedseg_cluster(
     next_id = 0
     for _ in range(max_instances):
         cand = np.argwhere(unclaimed & (labels == 0))
-        if len(cand) == 0:
+        if len(cand) == 0 or len(cand) < min_unclustered_sum:
+            # PROBLEM.INSTANCE_SEG.EMBEDSEG.MIN_UNCLUSTERED_SUM: stop once
+            # too few seed pixels remain unexplained
             break
         vals = seed[tuple(cand.T)]
         c = cand[int(np.argmax(vals))]
         center = emb[tuple(c)]
         s = sigmas[tuple(c)]
         dist2 = np.sum((emb - center) ** 2 / np.maximum(2 * s**2, 1e-8), axis=-1)
-        member = (np.exp(-dist2) > 0.5) & (labels == 0)
+        member = (np.exp(-dist2) > fg_threshold) & (labels == 0)
         if member.sum() < min_size:
             unclaimed[tuple(c)] = False
             continue

@@ -106,3 +106,48 @@ def test_detection_2d_csv_gt(tmp_path):
     job.run_job()
     stats = job.workflow.stats
     assert stats["det_f1"] > 0.5, stats
+
+
+def test_detection_point_extraction_options(tmp_path):
+    """DET_POINT_CREATION_FUNCTION=blob_log, DET_TH_TYPE=auto and
+    DET_IGNORE_POINTS_OUTSIDE_BOX (reference detection.py:366,699)."""
+    from biapy_tpu.config.config import Config
+    from biapy_tpu.engine.detection import Detection_Workflow
+
+    heat = np.zeros((64, 64, 1), np.float32)
+    pts = [(8, 8), (32, 32), (50, 20)]
+    yy, xx = np.mgrid[:64, :64]
+    for y, x in pts:
+        heat[..., 0] += np.exp(-((yy - y) ** 2 + (xx - x) ** 2) / (2 * 3.0 ** 2))
+
+    def build(**test_over):
+        c = Config(".", "t")
+        cfg = c.get_cfg_defaults()
+        cfg.merge_from_dict({
+            "PROBLEM": {"TYPE": "DETECTION", "NDIM": "2D"},
+            "DATA": {"PATCH_SIZE": (32, 32, 1),
+                     "TRAIN": {"PATH": str(tmp_path), "GT_PATH": str(tmp_path)},
+                     "TEST": {"PATH": str(tmp_path)}},
+            "TEST": test_over})
+        return Detection_Workflow(cfg, "t", verbose=False)
+
+    wf = build(DET_MIN_TH_TO_BE_PEAK=0.5)
+    base = wf._extract_points(heat)
+    assert len(base) == 3
+
+    wf = build(DET_TH_TYPE="auto")  # Otsu picks a sane threshold itself
+    auto = wf._extract_points(heat)
+    assert len(auto) == 3
+
+    wf = build(DET_POINT_CREATION_FUNCTION="blob_log", DET_BLOB_LOG_MIN_SIGMA=2,
+               DET_BLOB_LOG_MAX_SIGMA=4, DET_BLOB_LOG_NUM_SIGMA=3,
+               DET_MIN_TH_TO_BE_PEAK=0.5)
+    blobs = wf._extract_points(heat)
+    assert len(blobs) == 3
+    got = {tuple(c) for c in np.asarray(blobs)}
+    for y, x in pts:
+        assert any(abs(gy - y) <= 2 and abs(gx - x) <= 2 for gy, gx in got)
+
+    wf = build(DET_MIN_TH_TO_BE_PEAK=0.5, DET_IGNORE_POINTS_OUTSIDE_BOX=[10, 10])
+    inner = wf._extract_points(heat)
+    assert len(inner) == 2  # (8,8) is inside the 10-px border margin
