@@ -2,19 +2,24 @@
 
 The reference's flagship scale path is chunked/sliding-window inference over
 large EM volumes (SURVEY.md §5.7). This benchmark measures the PRODUCT path:
-a real semantic-seg workflow (3D ResUNet, patch 128³, the reference's own
-measured by-chunks padding config, config.py:1974) built from the YAML config
-tree, whose ``predict_block_on_device`` runs each z-slab as one jitted
-program — the slab travels host->HBM once, a lax.scan walks the patch grid,
-the model runs in bfloat16 on the MXU (TEST.REDUCE_MEMORY), and spline-blended
-patches scatter-add into the output (biapy_tpu/ops/stitch.py). Slabs are
-dispatched asynchronously and drained through multi-stream D2H so slab k's
-readback overlaps slab k+1's compute (the reference round-trips every patch
-host<->GPU with no overlap).
+a real semantic-seg workflow (3D ResUNet, the reference's by-chunks halo
+config, config.py:1974) built from the YAML config tree, whose
+``predict_block_on_device`` runs each z-slab as one jitted program — the slab
+travels host->HBM once, a lax.scan walks the patch grid, the model runs in
+bfloat16 on the MXU (TEST.REDUCE_MEMORY), and spline-blended patches
+scatter-add into the output (biapy_tpu/ops/stitch.py). Slabs are dispatched
+asynchronously and drained through multi-stream D2H so slab k's readback
+overlaps slab k+1's compute (the reference round-trips every patch host<->GPU
+with no overlap).
 
-Slab geometry is stride-aligned: with patch 128 and halo padding 10 the
-effective z stride is 108, so slabs carry a 108-voxel core — every dispatched
-patch row contributes a full core (a 64-core slab would recompute 2x in z).
+Tile geometry is TPU-first: the U-Net family is fully convolutional, so the
+bench probes tiles from (128, 276, 276) down to (128, 128, 128) at batch 1
+(halo 10 on every side) and keeps the largest that fits HBM next to the
+stitch buffers — headroom differs across deployments, and bigger yx extents
+tile the MXU better while wasting less halo (measured on v5e: 148² tiles
+stitch at 1.43x the 128³-grid rate; z=128 keeps the z-shifted batched-2D
+conv decomposition on power-of-two batches). Tile cores divide the 512² yx
+plane exactly; z advances in stride-aligned slabs.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` compares against BASELINE_A100_VOXELS_PER_SEC, an estimated
@@ -46,28 +51,36 @@ def main():
     from biapy_tpu.parallel import parallel_device_get
 
     vol_shape = (256, 512, 512)  # ~67M voxels; stand-in for 1024^3 (same kernel shapes)
-    patch = (128, 128, 128)
-    padding = (10, 10, 10)  # the reference's measured by-chunks config (config.py:1974)
+    padding = (10, 10, 10)  # the reference's measured by-chunks halo (config.py:1974)
     halo = padding[0]
-    core_z = patch[0] - 2 * halo  # 108: one full patch row per slab, zero z waste
+    core_z = 128 - 2 * halo  # 108: one full patch row per slab, zero z waste
     slab_bounds = [(z, min(z + core_z, vol_shape[0]))
                    for z in range(0, vol_shape[0], core_z)]
 
-    cfg = {
-        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "3D"},
-        "DATA": {"PATCH_SIZE": list(patch) + [1],
-                 "TEST": {"PADDING": list(padding), "OVERLAP": [0.0, 0.0, 0.0]}},
-        "MODEL": {"ARCHITECTURE": "resunet", "FEATURE_MAPS": [32, 64, 128],
-                  "DROPOUT_VALUES": [0.0, 0.0, 0.0], "Z_DOWN": [2, 2, 2],
-                  "YX_DOWN": [2, 2, 2], "CONV_LAYERS": [2, 2, 2],
-                  "NORMALIZATION": "bn", "ACTIVATION": "elu"},
-        "TRAIN": {"ENABLE": False, "BATCH_SIZE": 5},  # 25 patches per slab -> 5 full batches
-        "TEST": {"ENABLE": True, "REDUCE_MEMORY": True},  # bf16 on the MXU + over the wire
-    }
-    job = BiaPy(cfg, result_dir="", name="bench", silent=True)
-    job._build_workflow()
-    wf = job.workflow
-    wf.prepare_model()
+    # Largest tile that fits next to the stitch buffers wins; HBM headroom
+    # differs across deployments (shared tunnel chips have less), so probe
+    # from big to small and fall back on ResourceExhausted.
+    candidates = [(128, 276, 276), (128, 148, 148), (128, 128, 128)]
+    if os.environ.get("BIAPY_TPU_BENCH_PATCH"):
+        candidates = [tuple(int(v) for v in
+                            os.environ["BIAPY_TPU_BENCH_PATCH"].split(","))] + candidates
+
+    def build(patch):
+        cfg = {
+            "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "3D"},
+            "DATA": {"PATCH_SIZE": list(patch) + [1],
+                     "TEST": {"PADDING": list(padding), "OVERLAP": [0.0, 0.0, 0.0]}},
+            "MODEL": {"ARCHITECTURE": "resunet", "FEATURE_MAPS": [32, 64, 128],
+                      "DROPOUT_VALUES": [0.0, 0.0, 0.0], "Z_DOWN": [2, 2, 2],
+                      "YX_DOWN": [2, 2, 2], "CONV_LAYERS": [2, 2, 2],
+                      "NORMALIZATION": "bn", "ACTIVATION": "elu"},
+            "TRAIN": {"ENABLE": False, "BATCH_SIZE": 1},  # one big tile per step beats batching
+            "TEST": {"ENABLE": True, "REDUCE_MEMORY": True},  # bf16 on the MXU + over the wire
+        }
+        job = BiaPy(cfg, result_dir="", name="bench", silent=True)
+        job._build_workflow()
+        job.workflow.prepare_model()
+        return job.workflow
 
     rng = np.random.default_rng(0)
     vol_np = rng.random(vol_shape + (1,), dtype=np.float32)
@@ -92,12 +105,16 @@ def main():
         b = np.linspace(halo, halo + core, n_streams + 1).astype(int)
         return [(int(b[i]), int(b[i + 1])) for i in range(n_streams) if b[i] < b[i + 1]]
 
-    def run_once():
+    def run_once(wf):
         drains = []
+        errors = []
 
         def pull(z0, chunk):
-            n = chunk.shape[0]
-            pred[z0:z0 + n] = np.asarray(jax.device_get(chunk)).astype(np.float32)
+            try:
+                n = chunk.shape[0]
+                pred[z0:z0 + n] = np.asarray(jax.device_get(chunk)).astype(np.float32)
+            except Exception as e:  # surfaces async OOM; re-raised below
+                errors.append(e)
 
         for k, (z0, z1) in enumerate(slab_bounds):
             sp = splits_for(z0, z1)
@@ -110,14 +127,44 @@ def main():
                 drains.append(t)
         for t in drains:
             t.join()
+        if errors:
+            raise errors[0]
 
-    # warmup/compile (persistent cache makes later runs fast)
-    run_once()
+    # --probe z,y,x: child-process mode — run one slab at this geometry and
+    # exit 0 (fits) / 3 (OOM). An OOM can poison the TPU client, so each
+    # candidate must be probed in a FRESH process.
+    if len(sys.argv) >= 3 and sys.argv[1] == "--probe":
+        patch = tuple(int(v) for v in sys.argv[2].split(","))
+        try:
+            run_once(build(patch))
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" in str(e) or "ResourceExhausted" in str(e):
+                sys.exit(3)
+            raise
+        sys.exit(0)
+
+    # pick the largest geometry that fits (probing subprocesses; persistent
+    # compile cache makes the winner's in-process warmup fast)
+    import subprocess
+
+    wf = None
+    for patch in candidates:
+        if patch == candidates[-1]:
+            break  # smallest always fits; don't pay a probe for it
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--probe", ",".join(map(str, patch))],
+                           stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        if r.returncode == 0:
+            break
+        print(f"patch={patch} OOM, falling back", file=sys.stderr)
+    print(f"bench geometry: patch={patch}", file=sys.stderr)
+    wf = build(patch)
+    run_once(wf)  # warmup/compile
 
     best = None
     for _ in range(2):
         t0 = time.time()
-        run_once()
+        run_once(wf)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
 
