@@ -113,8 +113,65 @@ class PairDataset:
                 gt = extract_patch(gt_full, s.coords) if s.coords is not None else gt_full
         return img, gt
 
-    def _random_crop(self, img, gt, rng):
+    def _prob_map_cdf(self, idx: int, gt: np.ndarray):
+        """Foreground-weighted sampling distribution for random crops
+        (reference: calculate_volume_prob_map, pre_processing.py:3524 —
+        DATA.TRAIN.PROBABILITY_MAP with W_FOREGROUND/W_BACKGROUND)."""
+        cache = getattr(self, "_pm_cache", None)
+        if cache is None:
+            cache = self._pm_cache = {}
+        ent = cache.get(idx)
+        if ent is None:
+            from scipy import ndimage
+
+            tr = self.cfg.DATA.TRAIN
+            fg = (gt > 0).any(axis=-1)
+            # drop border-touching objects (reference uses clear_border):
+            # per-slice in 3D, matching the reference's loop over z
+            def _clear(m2):
+                lab, n = ndimage.label(m2)
+                if n:
+                    edge = np.unique(np.concatenate([
+                        lab[0], lab[-1], lab[:, 0], lab[:, -1]]))
+                    m2 = m2 & ~np.isin(lab, edge[edge > 0])
+                return m2
+            if fg.ndim == 3:
+                fg = np.stack([_clear(fg[z]) for z in range(fg.shape[0])])
+            else:
+                fg = _clear(fg)
+            n_fg, n_bg = int(fg.sum()), int((~fg).sum())
+            # W_FOREGROUND is the TOTAL mass of the foreground region
+            # (reference divides by the pixel counts, pre_processing.py:3584)
+            w = np.where(fg, float(tr.W_FOREGROUND) / max(n_fg, 1) * (n_fg > 0),
+                         float(tr.W_BACKGROUND) / max(n_bg, 1) * (n_bg > 0))
+            tot = w.sum()
+            if tot <= 0:
+                w = np.full(fg.shape, 1.0 / fg.size)
+                tot = 1.0
+            cdf = np.cumsum(w.ravel() / tot)
+            ent = cache[idx] = (cdf, fg.shape)
+        return ent
+
+    def _random_crop(self, img, gt, rng, idx=None):
         ps = self.crop_shape[: self.nd]
+        if (self.cfg.DATA.TRAIN.PROBABILITY_MAP and gt is not None
+                and self.aug is not None):
+            # sample the crop center from the foreground-weighted map, then
+            # clamp the window inside the image
+            cdf, shape = self._prob_map_cdf(-1 if idx is None else int(idx), gt)
+            flat = int(np.searchsorted(cdf, float(rng.random())))
+            center = np.unravel_index(min(flat, int(np.prod(shape)) - 1), shape)
+            starts = [int(np.clip(center[d] - ps[d] // 2, 0,
+                                  max(0, img.shape[d] - ps[d])))
+                      for d in range(self.nd)]
+            sl = tuple(slice(st, st + ps[d]) for d, st in enumerate(starts))
+            imgc = img[sl]
+            gtc = None
+            if gt is not None:
+                gsl = tuple(slice(st * u, (st + ps[d]) * u)
+                            for d, (st, u) in enumerate(zip(starts, self.y_upscaling)))
+                gtc = gt[gsl]
+            return imgc, gtc
         starts = [int(rng.integers(0, max(1, img.shape[d] - ps[d] + 1))) for d in range(self.nd)]
         sl = tuple(slice(st, st + ps[d]) for d, st in enumerate(starts))
         imgc = img[sl]
@@ -129,7 +186,7 @@ class PairDataset:
     def get(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         img, gt = self._load(idx)
         if self.random_crop:
-            img, gt = self._random_crop(img, gt, rng)
+            img, gt = self._random_crop(img, gt, rng, idx)
         f = self.ds.dataset_info[self.ds.sample_list[idx].fid]
         img, _ = normalize_image(img, self.norm_spec, stats=f.norm_stats)
         if gt is not None:
@@ -144,7 +201,7 @@ class PairDataset:
                 j = int(rng.integers(0, len(self)))
                 img_b, gt_b = self._load(j)
                 if self.random_crop:
-                    img_b, gt_b = self._random_crop(img_b, gt_b, rng)
+                    img_b, gt_b = self._random_crop(img_b, gt_b, rng, j)
                 img_b, _ = normalize_image(img_b, self.norm_spec,
                                            stats=self.ds.dataset_info[self.ds.sample_list[j].fid].norm_stats)
                 if gt_b is not None and gt_b.dtype.kind != "f":

@@ -675,6 +675,13 @@ class Base_Workflow(metaclass=ABCMeta):
             return
         if image is not None:
             ds = prepare_in_memory_test_data(image, gt, self.is_3d)
+        elif cfg.DATA.TEST.USE_VAL_AS_TEST:
+            # the held-out validation split (or cross-val fold) is the test
+            # set (reference: DATA.TEST.USE_VAL_AS_TEST, base_workflow.py:1283)
+            _, ds = load_and_prepare_train_data(cfg, self.norm_spec, self.y_upscaling,
+                                                gt_is_mask=not self.gt_as_image)
+            if self.verbose:
+                print(f"Using the validation split as test set ({len(ds.sample_list)} samples)")
         else:
             ds = load_and_prepare_test_data(cfg, self.norm_spec, gt_is_mask=not self.gt_as_image)
         if self.verbose:
@@ -699,7 +706,16 @@ class Base_Workflow(metaclass=ABCMeta):
                         g = preprocess_image(cfg.DATA.PREPROCESS, g,
                                              is_mask=not self.gt_as_image,
                                              only_resize=True, is_2d=not self.is_3d)
+                if s.coords is not None:  # patch sample (e.g. USE_VAL_AS_TEST)
+                    from biapy_tpu.data.patching import extract_patch
+
+                    img = extract_patch(img, s.coords)
+                    if g is not None:
+                        g = extract_patch(g, s.coords)
             fname = os.path.basename(f.path) if f.path != "<in_memory>" else f"pred_{i}.tif"
+            if s.coords is not None:
+                stem, ext = os.path.splitext(fname)
+                fname = f"{stem}_sample{i}{ext or '.tif'}"
             self._current_test_file = f.path
             self.process_test_sample(img, g, fname, s)
         self.after_all_images()

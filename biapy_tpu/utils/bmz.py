@@ -350,9 +350,15 @@ def export_model_to_bmz(workflow, output_dir: str, model_name: Optional[str] = N
     staging[os.path.basename(ckpt)] = ckpt
 
     # -- documentation + cover ------------------------------------------------
-    doc = (f"# {name}\n\nTrained with biapy_tpu {biapy_tpu.__version__} "
-           f"({cfg.PROBLEM.TYPE}, {cfg.PROBLEM.NDIM}).\n\n"
-           f"Architecture: {cfg.MODEL.ARCHITECTURE}.\n")
+    exp = cfg.MODEL.BMZ.EXPORT
+    doc_src = str(exp.DOCUMENTATION or "")
+    if doc_src and os.path.exists(doc_src):
+        # user-provided markdown (reference: MODEL.BMZ.EXPORT.DOCUMENTATION)
+        doc = open(doc_src).read()
+    else:
+        doc = (f"# {name}\n\nTrained with biapy_tpu {biapy_tpu.__version__} "
+               f"({cfg.PROBLEM.TYPE}, {cfg.PROBLEM.NDIM}).\n\n"
+               f"Architecture: {cfg.MODEL.ARCHITECTURE}.\n")
     stage("README.md", lambda p: open(p, "w").write(doc))
     cover = (test_out[0, ..., 0] if test_out.ndim == 4 else test_out[0, test_out.shape[1] // 2, ..., 0])
     cover8 = ((cover - cover.min()) / max(cover.max() - cover.min(), 1e-8) * 255).astype(np.uint8)
@@ -370,9 +376,22 @@ def export_model_to_bmz(workflow, output_dir: str, model_name: Optional[str] = N
         "format_version": "0.5.0",
         "type": "model",
         "name": name,
-        "description": cfg.MODEL.BMZ.EXPORT.DESCRIPTION or f"biapy_tpu {cfg.PROBLEM.TYPE} model",
-        "authors": [{"name": "biapy_tpu"}],
-        "license": "CC-BY-4.0",
+        "description": exp.DESCRIPTION or f"biapy_tpu {cfg.PROBLEM.TYPE} model",
+        # user-supplied RDF metadata (reference: MODEL.BMZ.EXPORT.*,
+        # export_model_to_bmz _biapy.py:1012)
+        "authors": ([dict(a) if isinstance(a, dict) else {"name": str(a)}
+                     for a in exp.AUTHORS] or [{"name": "biapy_tpu"}]),
+        "license": str(exp.LICENSE or "CC-BY-4.0"),
+        "tags": [str(t) for t in (exp.TAGS or [])] or [
+            str(cfg.PROBLEM.TYPE).lower().replace("_", "-"),
+            str(cfg.PROBLEM.NDIM).lower(), str(cfg.MODEL.ARCHITECTURE)],
+        "cite": [dict(c) if isinstance(c, dict) else {"text": str(c)}
+                 for c in (exp.CITE or [])],
+        "version": str(exp.MODEL_VERSION or "0.1.0"),
+        "training_data": (
+            {"id": exp.DATASET_INFO[0]["id"]}
+            if exp.DATASET_INFO and isinstance(exp.DATASET_INFO[0], dict)
+            and exp.DATASET_INFO[0].get("id") else None),
         "documentation": "README.md",
         "covers": ["cover.tif"],
         "inputs": [{"id": "input0", "axes": axes_in,
@@ -386,6 +405,7 @@ def export_model_to_bmz(workflow, output_dir: str, model_name: Optional[str] = N
                                  "workflow": cfg.PROBLEM.TYPE,
                                  "cfg": yaml.safe_load(cfg.dump())}},
     }
+    rdf = {k: v for k, v in rdf.items() if v is not None}
     stage("rdf.yaml", lambda p: open(p, "w").write(yaml.safe_dump(rdf, sort_keys=False)))
 
     # -- zip -------------------------------------------------------------------

@@ -258,3 +258,48 @@ def test_nifti_roundtrip(tmp_path, ext, shape, dtype):
     back = imread(p)
     assert back.shape == arr.shape
     assert np.array_equal(back, arr)
+
+
+def test_probability_map_weighted_random_crop(tmp_path):
+    """DATA.TRAIN.PROBABILITY_MAP biases random crops toward foreground
+    (reference: calculate_volume_prob_map, pre_processing.py:3524)."""
+    import os
+
+    from biapy_tpu.config.config import Config
+    from biapy_tpu.data.data_manipulation import load_and_prepare_train_data
+    from biapy_tpu.data.generators import PairDataset
+    from biapy_tpu.data.io import save_tif
+
+    rng = np.random.default_rng(6)
+    root = str(tmp_path)
+    os.makedirs(f"{root}/x"); os.makedirs(f"{root}/y")
+    img = (rng.random((128, 128, 1)) * 255).astype(np.uint8)
+    msk = np.zeros((128, 128, 1), np.uint8)
+    msk[100:120, 100:120] = 1  # tiny fg blob in one corner
+    for i in range(2):
+        save_tif(img[None], f"{root}/x", [f"{i}.tif"], verbose=False)
+        save_tif(msk[None], f"{root}/y", [f"{i}.tif"], verbose=False)
+
+    def crops(prob_map):
+        c = Config(".", "t")
+        cfg = c.get_cfg_defaults()
+        cfg.merge_from_dict({
+            "DATA": {"PATCH_SIZE": (32, 32, 1),
+                     "TRAIN": {"PATH": f"{root}/x", "GT_PATH": f"{root}/y",
+                               "EXTRACT_RANDOM_PATCH": True,
+                               "PROBABILITY_MAP": prob_map},
+                     "VAL": {"SPLIT_TRAIN": 0.5}},
+            "AUGMENTOR": {"ENABLE": False}})
+        train, _ = load_and_prepare_train_data(cfg)
+        pd = PairDataset(train, cfg, {"type": "div"}, augment=True, random_crop=True)
+        r = np.random.default_rng(0)
+        hits = 0
+        for k in range(40):
+            out = pd.get(0, r)
+            hits += int(out["y"].max() > 0)
+        return hits
+
+    weighted = crops(True)
+    uniform = crops(False)
+    assert weighted >= 30, f"weighted crops should almost always contain fg ({weighted}/40)"
+    assert uniform < 25, f"uniform crops should mostly miss the tiny blob ({uniform}/40)"

@@ -268,3 +268,34 @@ def test_reuse_predictions(tmp_path):
     for k in first:
         np.testing.assert_allclose(second[k], first[k], atol=1e-5)
     assert job2.workflow.metrics_per_test_file, "reuse pass must still compute metrics"
+
+
+@pytest.mark.slow
+def test_use_val_as_test(tmp_path):
+    """DATA.TEST.USE_VAL_AS_TEST runs inference on the held-out validation
+    split (reference: base_workflow.py:1283)."""
+    rng = np.random.default_rng(44)
+    root = str(tmp_path)
+    os.makedirs(f"{root}/x"); os.makedirs(f"{root}/y")
+    for i in range(6):
+        img = _noisy_circles((64, 64), noise=0.05, rng=rng)
+        write_tiff(f"{root}/x/{i}.tif", (img * 200).clip(0, 255).astype(np.uint8))
+        write_tiff(f"{root}/y/{i}.tif", ((img > 0.3) * 255).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TRAIN": {"PATH": f"{root}/x", "GT_PATH": f"{root}/y"},
+                 "VAL": {"SPLIT_TRAIN": 0.3},
+                 "TEST": {"USE_VAL_AS_TEST": True, "LOAD_GT": True}},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16],
+                  "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [2, 2],
+                  "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "EPOCHS": 2, "BATCH_SIZE": 4},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "valtest")
+    preds = job.workflow._predictions
+    assert len(preds) > 0
+    assert job.workflow.metrics_per_test_file, "val-as-test must score against val GT"
+    files = {p["file"] for p in preds}
+    assert len(files) == len(preds), "per-sample filenames must be unique"
