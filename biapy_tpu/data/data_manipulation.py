@@ -37,6 +37,32 @@ def _scan_pairs(x_path: str, y_path: Optional[str]) -> List[Tuple[str, Optional[
     return list(zip(xs, ys))
 
 
+def scan_multiple_raw_one_target(x_root: str, y_root: Optional[str]) -> List[Tuple[str, Optional[str]]]:
+    """Folder-of-folders layout: each subfolder of ``x_root`` holds several
+    acquisitions of the same scene, paired with the SINGLE target image in
+    the same-named subfolder of ``y_root`` (reference:
+    PROBLEM.IMAGE_TO_IMAGE.MULTIPLE_RAW_ONE_TARGET_LOADER,
+    data_manipulation.py:306 — the LightMyCells layout)."""
+    subs = sorted(d for d in os.listdir(x_root)
+                  if os.path.isdir(os.path.join(x_root, d)))
+    if not subs:
+        raise FileNotFoundError(
+            f"MULTIPLE_RAW_ONE_TARGET_LOADER expects subfolders under {x_root}")
+    pairs: List[Tuple[str, Optional[str]]] = []
+    for d in subs:
+        raws = list_image_files(os.path.join(x_root, d))
+        tgt = None
+        if y_root is not None:
+            tgts = list_image_files(os.path.join(y_root, d))
+            if len(tgts) != 1:
+                raise ValueError(
+                    f"Expected exactly one target in {os.path.join(y_root, d)}, "
+                    f"found {len(tgts)}")
+            tgt = tgts[0]
+        pairs.extend((r, tgt) for r in raws)
+    return pairs
+
+
 def _sample_props(img: np.ndarray, gt: Optional[np.ndarray]) -> Dict[str, float]:
     props = {
         "mean": float(img.mean()),
@@ -124,6 +150,7 @@ def build_dataset(
     gt_path_in_file: Optional[str] = None,
     preprocess_cfg=None,
     gt_is_mask: bool = True,
+    multiple_raw_one_target: bool = False,
 ) -> BiaPyDataset:
     """Scan a directory pair into a BiaPyDataset with patch-grid samples.
 
@@ -156,6 +183,8 @@ def build_dataset(
             pairs = list(zip(xs, ys))
         else:
             pairs = [(x, None) for x in xs]
+    elif multiple_raw_one_target:
+        pairs = scan_multiple_raw_one_target(x_path, y_path)
     else:
         pairs = _scan_pairs(x_path, y_path)
     ds = BiaPyDataset()
@@ -281,6 +310,8 @@ def load_and_prepare_train_data(cfg, norm_spec: Optional[Dict] = None,
     random_crops = bool(cfg.DATA.TRAIN.EXTRACT_RANDOM_PATCH)
     use_gt = _needs_gt(cfg)
     pre = cfg.DATA.PREPROCESS
+    mrot = (cfg.PROBLEM.TYPE == "IMAGE_TO_IMAGE"
+            and bool(cfg.PROBLEM.IMAGE_TO_IMAGE.MULTIPLE_RAW_ONE_TARGET_LOADER))
 
     train = build_dataset(
         cfg.DATA.TRAIN.PATH,
@@ -301,6 +332,7 @@ def load_and_prepare_train_data(cfg, norm_spec: Optional[Dict] = None,
         gt_path_in_file=(str(cfg.DATA.TRAIN.INPUT_ZARR_MULTIPLE_DATA_GT_PATH) or None) if use_gt else None,
         preprocess_cfg=pre if pre.TRAIN else None,
         gt_is_mask=gt_is_mask,
+        multiple_raw_one_target=mrot,
     )
     fs = cfg.DATA.TRAIN.FILTER_SAMPLES
     if fs.ENABLE:
@@ -326,6 +358,7 @@ def load_and_prepare_train_data(cfg, norm_spec: Optional[Dict] = None,
             gt_path_in_file=(str(cfg.DATA.VAL.INPUT_ZARR_MULTIPLE_DATA_GT_PATH) or None) if use_gt else None,
             preprocess_cfg=pre if pre.VAL else None,
             gt_is_mask=gt_is_mask,
+            multiple_raw_one_target=mrot,
         )
     else:
         train, val = split_train_val(
@@ -365,6 +398,8 @@ def load_and_prepare_test_data(cfg, norm_spec: Optional[Dict] = None,
         gt_path_in_file=(str(cfg.DATA.TEST.INPUT_ZARR_MULTIPLE_DATA_GT_PATH) or None) if use_gt else None,
         preprocess_cfg=cfg.DATA.PREPROCESS if cfg.DATA.PREPROCESS.TEST else None,
         gt_is_mask=gt_is_mask,
+        multiple_raw_one_target=(cfg.PROBLEM.TYPE == "IMAGE_TO_IMAGE"
+                                 and bool(cfg.PROBLEM.IMAGE_TO_IMAGE.MULTIPLE_RAW_ONE_TARGET_LOADER)),
     )
 
 

@@ -305,10 +305,45 @@ class Base_Workflow(metaclass=ABCMeta):
         self.prepare_model()
         from biapy_tpu.engine.train_engine import resolve_mixed_precision
 
+        # pixel-contrastive memory bank: class queues live ON DEVICE and are
+        # fed to every step as replicated batch entries; the step returns a
+        # compact per-class enqueue payload and a jitted rotating-pointer
+        # update folds it in (reference: MemoryBank + train_engine.py:130-146)
+        contrast_on = bool(cfg.LOSS.CONTRAST.ENABLE)
+        extra_keys: tuple = ()
+        aux_fn = None
+        queue_upd = None
+        pixel_q = segment_q = None
+        if contrast_on:
+            ncc = max(int(cfg.DATA.N_CLASSES), 2)
+            qdim = int(cfg.LOSS.CONTRAST.PROJ_DIM)
+            msize = int(cfg.LOSS.CONTRAST.MEMORY_SIZE)
+            k_upd = max(1, int(cfg.LOSS.CONTRAST.PIXEL_UPD_FREQ))
+            qrng = np.random.default_rng(cfg.SYSTEM.SEED)
+
+            def _qinit(shape):
+                a = qrng.normal(size=shape).astype(np.float32)
+                return jnp.asarray(a / np.maximum(
+                    np.linalg.norm(a, axis=-1, keepdims=True), 1e-8))
+
+            pixel_q = _qinit((ncc, msize, qdim))
+            segment_q = _qinit((ncc, max(msize // 10, 1), qdim))
+            queue_upd = jax.jit(M.update_contrast_queues, donate_argnums=(0, 1))
+
+            def aux_fn(outputs, y, rng):
+                if isinstance(outputs, dict) and "embed" in outputs:
+                    return M.contrast_enqueue_samples(outputs["embed"], y, self.nd,
+                                                      ncc, k_upd, rng)
+                return {}
+
+            extra_keys = ("pixel_queue", "segment_queue")
+
         train_step = make_train_step(
             self.loss, self.train_metrics, mesh=self.mesh,
-            mixed_precision=resolve_mixed_precision(cfg.TRAIN.MIXED_PRECISION))
-        eval_step = make_eval_step(self.loss, self.train_metrics, mesh=self.mesh)
+            mixed_precision=resolve_mixed_precision(cfg.TRAIN.MIXED_PRECISION),
+            extra_batch_rep_keys=extra_keys, aux_out_fn=aux_fn)
+        eval_step = make_eval_step(self.loss, self.train_metrics, mesh=self.mesh,
+                                   extra_batch_rep_keys=extra_keys)
 
         early = EarlyStopping(patience=int(cfg.TRAIN.PATIENCE)) if cfg.TRAIN.PATIENCE >= 0 else None
         jsonlog = JsonLogger(os.path.join(cfg.LOG.LOG_DIR, f"{self.job_identifier}_train.jsonl"))
@@ -342,7 +377,15 @@ class Base_Workflow(metaclass=ABCMeta):
                         if self.verbose:
                             print(f"Profiler trace written to {cfg.PATHS.PROFILER}")
                 sb = shard_batch(batch, self.mesh)
+                if contrast_on:
+                    sb["pixel_queue"], sb["segment_queue"] = pixel_q, segment_q
                 self.state, mtr = train_step(self.state, sb, key)
+                aux = {k: mtr.pop(k) for k in list(mtr) if k.startswith("_aux_")}
+                if contrast_on and aux:
+                    # state.step stays a device scalar — a python int here
+                    # would bake a new constant and retrace every call
+                    pixel_q, segment_q = queue_upd(pixel_q, segment_q, aux,
+                                                   self.state.step)
                 logger.update(**{k: float(v) for k, v in mtr.items()},
                               lr=get_learning_rate(self.state.opt_state) or 0.0)
             if not np.isfinite(logger.meters["loss"].global_avg):
@@ -354,7 +397,10 @@ class Base_Workflow(metaclass=ABCMeta):
             if len(val_data) > 0:
                 vals: Dict[str, List[float]] = {}
                 for batch in val_loader:
-                    mtr = eval_step(self.state, shard_batch(batch, self.mesh))
+                    vb = shard_batch(batch, self.mesh)
+                    if contrast_on:
+                        vb["pixel_queue"], vb["segment_queue"] = pixel_q, segment_q
+                    mtr = eval_step(self.state, vb)
                     for k, v in mtr.items():
                         vals.setdefault(k, []).append(float(v))
                 val_metrics = {("val_" + k): float(np.mean(v)) for k, v in vals.items()}

@@ -126,6 +126,15 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
                     f"(reference: check_configuration.py:3050), got {ps[0]}")
         if arch in ("edsr", "rcan", "wdsr", "dfcan", "nafnet"):
             req(not is_3d, f"{arch} is a 2D architecture (reference parity)")
+        if arch == "nafnet":
+            d_arch = str(cfg.MODEL.NAFNET.ARCHITECTURE_D).lower()
+            req(d_arch in ("", "patchgan"),
+                f"MODEL.NAFNET.ARCHITECTURE_D must be '' or 'patchgan' "
+                f"(the reference builds only PatchGAN discriminators), got '{d_arch}'")
+            req(float(cfg.LOSS.CYCLEGAN.ALPHA_PERCEPTUAL) == 0.0,
+                "LOSS.CYCLEGAN.ALPHA_PERCEPTUAL needs pretrained VGG features; "
+                "this environment has no network egress to download them — "
+                "set it to 0 (the reference default)")
         if "hrnet" in arch:
             v = arch.replace("hrnet", "") or str(cfg.MODEL.HRNET.VARIANT).lstrip("wW")
             req(str(v) in ("18", "32", "48", "64") or v == "",

@@ -360,3 +360,169 @@ def jaccard_index_numpy(y_true: np.ndarray, y_pred: np.ndarray) -> float:
     fn = np.count_nonzero((y_pred <= 0.5) & (y_true > 0.5))
     denom = tp + fp + fn
     return 1.0 if denom == 0 else tp / denom
+
+
+# ---------------------------------------------------------------------------
+# Pixel-contrastive learning (reference: ContrastCELoss metrics.py:958,
+# PixelContrastLoss :1078, memory-bank updates train_engine.py:130-146).
+# JAX-idiomatic: fixed-shape anchor sampling (top-k over random priorities
+# instead of variable-class python loops), queues live on device.
+# ---------------------------------------------------------------------------
+
+
+def _labels_to_ids(y, nd: int, spatial_e):
+    """Collapse a channels-last target into integer class ids and
+    nearest-downsample to the embedding resolution (reference interpolate +
+    channel-merge tricks, metrics.py:1393, memory_bank.py:130)."""
+    import jax.numpy as jnp
+
+    if y.shape[-1] == 1:
+        ids = (y[..., 0] > 0.5).astype(jnp.int32)
+    else:
+        ids = jnp.argmax(y, axis=-1).astype(jnp.int32)
+    sp = ids.shape[1 : 1 + nd]
+    sl = (slice(None),) + tuple(
+        slice(None, None, max(1, sp[d] // max(1, spatial_e[d]))) for d in range(nd))
+    ids = ids[sl]
+    sl2 = (slice(None),) + tuple(slice(0, spatial_e[d]) for d in range(nd))
+    return ids[sl2]
+
+
+def pixel_contrast_loss(embed, labels_ids, predict_ids, queue, rng,
+                        n_classes: int = 2, temperature: float = 0.07,
+                        base_temperature: float = 0.07, max_anchors: int = 64):
+    """InfoNCE over hard-mined per-class anchors against the class queues.
+
+    ``embed``: (B, *Se, D) projection-head output; ``labels_ids``/
+    ``predict_ids``: (B, *Se) int class maps at embed resolution; ``queue``:
+    (n_classes, Q, D) normalized memory — positives are same-class entries,
+    negatives the rest (reference: _hard_anchor_sampling + _contrastive,
+    metrics.py:1124-1322).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    D = embed.shape[-1]
+    feats = embed.reshape(-1, D)
+    feats = feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-8)
+    lab = labels_ids.reshape(-1)
+    prd = predict_ids.reshape(-1)
+    n_view = max(1, max_anchors // n_classes)
+
+    u = jax.random.uniform(rng, lab.shape)
+
+    def sample_class(c):
+        is_c = lab == c
+        hard = is_c & (prd != c)
+        # hard anchors first, then easy, never non-class (reference keeps a
+        # half/half split when both are plentiful)
+        pri = u + 2.0 * is_c.astype(jnp.float32) + 0.5 * hard.astype(jnp.float32)
+        _, idx = jax.lax.top_k(pri, n_view)
+        return feats[idx], is_c[idx]
+
+    anchors, valid = jax.vmap(sample_class)(jnp.arange(n_classes))
+    anchor_feat = anchors.reshape(n_classes * n_view, D)
+    anchor_lab = jnp.repeat(jnp.arange(n_classes), n_view)
+    anchor_valid = valid.reshape(-1).astype(jnp.float32)
+
+    Q = queue.shape[1]
+    contrast_feat = queue.reshape(n_classes * Q, D)
+    contrast_lab = jnp.repeat(jnp.arange(n_classes), Q)
+
+    logits = anchor_feat @ contrast_feat.T / temperature
+    logits = logits - jax.lax.stop_gradient(jnp.max(logits, axis=1, keepdims=True))
+    pos_mask = (anchor_lab[:, None] == contrast_lab[None, :]).astype(jnp.float32)
+    neg_sum = jnp.sum(jnp.exp(logits) * (1 - pos_mask), axis=1, keepdims=True)
+    log_prob = logits - jnp.log(jnp.exp(logits) + neg_sum)
+    mean_log_prob_pos = jnp.sum(pos_mask * log_prob, axis=1) / jnp.maximum(
+        jnp.sum(pos_mask, axis=1), 1.0)
+    per_anchor = -(temperature / base_temperature) * mean_log_prob_pos
+    denom = jnp.maximum(jnp.sum(anchor_valid), 1.0)
+    return jnp.sum(per_anchor * anchor_valid) / denom
+
+
+def make_contrast_ce_loss(main_loss, nd: int, n_classes: int = 2,
+                          weight: float = 1.0, temperature: float = 0.07,
+                          max_anchors: int = 64):
+    """Wrap a segmentation loss with the pixel-contrast term (reference:
+    ContrastCELoss, metrics.py:958). The returned loss expects dict model
+    outputs {'pred', 'embed'} and batch-supplied queues under
+    ``outputs['pixel_queue']`` / ``outputs['segment_queue']``."""
+    import jax.numpy as jnp
+
+    def loss_fn(outputs, y, rng):
+        pred = outputs["pred"] if isinstance(outputs, dict) else outputs
+        base = main_loss(pred, y)
+        if not isinstance(outputs, dict) or "embed" not in outputs \
+                or "pixel_queue" not in outputs:
+            return base
+        embed = outputs["embed"]
+        spatial_e = embed.shape[1:-1]
+        lab_ids = _labels_to_ids(y, nd, spatial_e)
+        if pred.shape[-1] == 1:
+            pred_ids = (pred[..., 0] > 0).astype(jnp.int32)  # logits: >0 == sigmoid>.5
+        else:
+            pred_ids = jnp.argmax(pred, axis=-1).astype(jnp.int32)
+        pred_ids = _labels_to_ids(pred_ids[..., None].astype(jnp.float32) if pred_ids.ndim == lab_ids.ndim
+                                  else pred_ids, nd, spatial_e) if pred_ids.shape[1:] != spatial_e else pred_ids
+        queue = jnp.concatenate([outputs["segment_queue"], outputs["pixel_queue"]], axis=1)
+        lc = pixel_contrast_loss(embed, lab_ids, pred_ids, queue, rng,
+                                 n_classes=n_classes, temperature=temperature,
+                                 max_anchors=max_anchors)
+        return base + weight * lc
+
+    loss_fn.needs_rng = True
+    return loss_fn
+
+
+def contrast_enqueue_samples(embed, y, nd: int, n_classes: int, k: int, rng):
+    """Compact per-class enqueue payload computed on device: K random pixel
+    embeddings + the mean (segment) embedding per class present in the batch
+    (reference: MemoryBank.dequeue_and_enqueue, memory_bank.py:111)."""
+    import jax
+    import jax.numpy as jnp
+
+    D = embed.shape[-1]
+    feats = embed.reshape(-1, D)
+    feats = feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-8)
+    lab = _labels_to_ids(y, nd, embed.shape[1:-1]).reshape(-1)
+    u = jax.random.uniform(rng, lab.shape)
+
+    def per_class(c):
+        is_c = lab == c
+        pri = u + is_c.astype(jnp.float32)
+        _, idx = jax.lax.top_k(pri, k)
+        pix = feats[idx]
+        w = is_c.astype(jnp.float32)
+        seg = jnp.sum(feats * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+        seg = seg / jnp.maximum(jnp.linalg.norm(seg), 1e-8)
+        return pix, seg, jnp.sum(w) > 0, is_c[idx]
+
+    pix, seg, valid, pix_valid = jax.vmap(per_class)(jnp.arange(n_classes))
+    return {"_aux_pix": pix, "_aux_seg": seg, "_aux_valid": valid,
+            "_aux_pix_valid": pix_valid}
+
+
+def update_contrast_queues(pixel_q, segment_q, aux, step):
+    """Jittable rotating-pointer enqueue: class c's slot at ``step`` keeps its
+    old rows when the class was absent from the batch."""
+    import jax.numpy as jnp
+
+    pix, seg, valid, pix_valid = (aux["_aux_pix"], aux["_aux_seg"],
+                                  aux["_aux_valid"], aux["_aux_pix_valid"])
+    k = pix.shape[1]
+    Mp = pixel_q.shape[1]
+    pos = (step * k) % jnp.maximum(Mp - k + 1, 1)
+    rows = jnp.arange(k) + pos
+    keep = (valid[:, None] & pix_valid).astype(pixel_q.dtype)[..., None]
+    old = jnp.take_along_axis(
+        pixel_q, jnp.broadcast_to(rows[None, :, None], (pixel_q.shape[0], k, 1)), axis=1)
+    new_rows = pix * keep + old * (1 - keep)
+    pixel_q = pixel_q.at[:, rows].set(new_rows.astype(pixel_q.dtype))
+    Ms = segment_q.shape[1]
+    spos = step % Ms
+    segkeep = valid.astype(segment_q.dtype)[:, None]
+    old_seg = segment_q[:, spos]
+    segment_q = segment_q.at[:, spos].set(
+        (seg * segkeep + old_seg * (1 - segkeep)).astype(segment_q.dtype))
+    return pixel_q, segment_q

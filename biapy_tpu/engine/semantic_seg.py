@@ -49,6 +49,12 @@ class Semantic_Segmentation_Workflow(Base_Workflow):
                                 class_rebalance=rebalance, class_weights=cweights, ignore_index=ignore)
         else:
             raise ValueError(f"Unsupported LOSS.TYPE for semantic seg: {cfg.LOSS.TYPE}")
+        if cfg.LOSS.CONTRAST.ENABLE:
+            # pixel-contrastive co-training (reference: ContrastCELoss,
+            # metrics.py:958 + memory bank, train_engine.py:130) — the model
+            # must expose an 'embed' projection head (HRNet does)
+            self.loss = M.make_contrast_ce_loss(self.loss, nd=self.nd,
+                                                n_classes=n_classes)
         self.train_metrics = {
             "iou": partial(M.jaccard_index, num_classes=n_classes),
         }

@@ -11,7 +11,7 @@ XLA and executed per batch; the DDP gradient all-reduce is implicit in the
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -86,6 +86,8 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     mixed_precision: bool = False,
+    extra_batch_rep_keys: Sequence[str] = (),
+    aux_out_fn: Optional[Callable] = None,
 ):
     """Build the jitted train step.
 
@@ -95,12 +97,25 @@ def make_train_step(
     grads are globally correct because XLA reduces over the full sharded
     batch. With ``mixed_precision`` the forward/backward run in bf16 (master
     params, grads and update math stay f32 — classic AMP).
+
+    A loss with ``needs_rng = True`` is called ``loss_fn(outputs, y, rng)``
+    (e.g. contrastive anchor sampling). ``extra_batch_rep_keys`` names batch
+    entries replicated across the mesh instead of batch-sharded (e.g. the
+    contrastive memory queues). ``aux_out_fn(outputs, y, rng) -> dict`` adds
+    device-side auxiliary outputs to the metrics dict (keys should start
+    with '_aux_' so the host loop can separate them from scalars).
     """
     metric_fns = metric_fns or {}
+
+    def call_loss(outputs, y, rng):
+        if getattr(loss_fn, "needs_rng", False):
+            return loss_fn(outputs, y, rng)
+        return loss_fn(outputs, y)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         x, y = batch["x"], batch["y"]
         rng = jax.random.fold_in(rng, state.step)
+        extras = {k: batch[k] for k in extra_batch_rep_keys if k in batch}
 
         def compute_loss(params):
             if mixed_precision:
@@ -114,7 +129,9 @@ def make_train_step(
             else:
                 st = state.replace(params=params)
                 outputs, new_bs = _forward(st, x, train=True, rng=rng)
-            return loss_fn(outputs, y), (outputs, new_bs)
+            if extras and isinstance(outputs, dict):
+                outputs = {**outputs, **extras}
+            return call_loss(outputs, y, rng), (outputs, new_bs)
 
         (loss, (outputs, new_bs)), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
@@ -132,26 +149,37 @@ def make_train_step(
         metrics = {"loss": loss}
         for name, fn in metric_fns.items():
             metrics[name] = fn(outputs, y)
+        if aux_out_fn is not None:
+            metrics.update(aux_out_fn(outputs, y, rng))
         return new_state, metrics
 
     if mesh is not None:
         bs = batch_sharding(mesh)
         rep = replicated(mesh)
+        batch_sh = {"x": bs, "y": bs, **{k: rep for k in extra_batch_rep_keys}}
         return jax.jit(
             step,
-            in_shardings=(rep, {"x": bs, "y": bs}, rep),
+            in_shardings=(rep, batch_sh, rep),
             out_shardings=(rep, rep),
             donate_argnums=(0,) if donate else (),
         )
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(loss_fn: Callable, metric_fns: Optional[Dict[str, Callable]] = None, mesh=None):
+def make_eval_step(loss_fn: Callable, metric_fns: Optional[Dict[str, Callable]] = None, mesh=None,
+                   extra_batch_rep_keys: Sequence[str] = ()):
     metric_fns = metric_fns or {}
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         outputs, _ = _forward(state, batch["x"], train=False)
-        metrics = {"loss": loss_fn(outputs, batch["y"])}
+        extras = {k: batch[k] for k in extra_batch_rep_keys if k in batch}
+        if extras and isinstance(outputs, dict):
+            outputs = {**outputs, **extras}
+        if getattr(loss_fn, "needs_rng", False):
+            loss = loss_fn(outputs, batch["y"], jax.random.PRNGKey(0))
+        else:
+            loss = loss_fn(outputs, batch["y"])
+        metrics = {"loss": loss}
         for name, fn in metric_fns.items():
             metrics[name] = fn(outputs, batch["y"])
         return metrics
@@ -159,7 +187,8 @@ def make_eval_step(loss_fn: Callable, metric_fns: Optional[Dict[str, Callable]] 
     if mesh is not None:
         bs = batch_sharding(mesh)
         rep = replicated(mesh)
-        return jax.jit(step, in_shardings=(rep, {"x": bs, "y": bs}), out_shardings=rep)
+        batch_sh = {"x": bs, "y": bs, **{k: rep for k in extra_batch_rep_keys}}
+        return jax.jit(step, in_shardings=(rep, batch_sh), out_shardings=rep)
     return jax.jit(step)
 
 

@@ -112,6 +112,10 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
                "wdsr": sr_models.WDSR, "dfcan": sr_models.DFCAN}[arch]
         if arch == "rcan":
             kwargs["filters"] = int(cfg.MODEL.RCAN_CONV_FILTERS)
+            kwargs["num_rg"] = int(cfg.MODEL.RCAN_RG_BLOCK_NUM)
+            kwargs["num_rcab"] = int(cfg.MODEL.RCAN_RCAB_BLOCK_NUM)
+            kwargs["reduction"] = int(cfg.MODEL.RCAN_REDUCTION_RATIO)
+            kwargs["upscaling_layer"] = bool(cfg.MODEL.RCAN_UPSCALING_LAYER)
         return cls(**kwargs), {"class": cls.__name__, **kwargs}
 
     if arch == "vit":

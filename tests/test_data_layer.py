@@ -303,3 +303,39 @@ def test_probability_map_weighted_random_crop(tmp_path):
     uniform = crops(False)
     assert weighted >= 30, f"weighted crops should almost always contain fg ({weighted}/40)"
     assert uniform < 25, f"uniform crops should mostly miss the tiny blob ({uniform}/40)"
+
+
+def test_multiple_raw_one_target_loader(tmp_path):
+    """PROBLEM.IMAGE_TO_IMAGE.MULTIPLE_RAW_ONE_TARGET_LOADER: every raw in a
+    scene subfolder pairs with the scene's single target (reference:
+    data_manipulation.py:306, the LightMyCells layout)."""
+    import os
+
+    from biapy_tpu.config.config import Config
+    from biapy_tpu.data.data_manipulation import load_and_prepare_train_data
+    from biapy_tpu.data.io import save_tif
+
+    rng = np.random.default_rng(8)
+    root = str(tmp_path)
+    for scene in ("s1", "s2"):
+        os.makedirs(f"{root}/x/{scene}"); os.makedirs(f"{root}/y/{scene}")
+        for i in range(3):
+            save_tif((rng.random((32, 32, 1)) * 255).astype(np.uint8)[None],
+                     f"{root}/x/{scene}", [f"raw{i}.tif"], verbose=False)
+        save_tif((rng.random((32, 32, 1)) * 255).astype(np.uint8)[None],
+                 f"{root}/y/{scene}", ["target.tif"], verbose=False)
+
+    c = Config(".", "t")
+    cfg = c.get_cfg_defaults()
+    cfg.merge_from_dict({
+        "PROBLEM": {"TYPE": "IMAGE_TO_IMAGE", "NDIM": "2D",
+                    "IMAGE_TO_IMAGE": {"MULTIPLE_RAW_ONE_TARGET_LOADER": True}},
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TRAIN": {"PATH": f"{root}/x", "GT_PATH": f"{root}/y"},
+                 "VAL": {"SPLIT_TRAIN": 0.34}}})
+    train, val = load_and_prepare_train_data(cfg, gt_is_mask=False)
+    n = len(train.sample_list) + len(val.sample_list)
+    assert n == 6  # 2 scenes x 3 raws, each paired with its scene target
+    gts = {train.dataset_info[s.fid].gt_path for s in train.sample_list}
+    for g in gts:
+        assert g is not None and g.endswith("target.tif")

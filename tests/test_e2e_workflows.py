@@ -299,3 +299,35 @@ def test_use_val_as_test(tmp_path):
     assert job.workflow.metrics_per_test_file, "val-as-test must score against val GT"
     files = {p["file"] for p in preds}
     assert len(files) == len(preds), "per-sample filenames must be unique"
+
+
+@pytest.mark.slow
+def test_contrastive_semantic_seg_hrnet(tmp_path):
+    """LOSS.CONTRAST pixel-contrastive co-training: HRNet embed head,
+    device-resident class queues, InfoNCE over hard-mined anchors
+    (reference: ContrastCELoss metrics.py:958, memory bank
+    train_engine.py:130)."""
+    rng = np.random.default_rng(55)
+    root = str(tmp_path)
+    for d, n in [("train", 8), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x"); os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            img = _noisy_circles((64, 64), noise=0.05, rng=rng)
+            write_tiff(f"{root}/{d}/x/{i}.tif", (img * 200).clip(0, 255).astype(np.uint8))
+            write_tiff(f"{root}/{d}/y/{i}.tif", ((img > 0.3) * 255).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (64, 64, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y"},
+                 "VAL": {"SPLIT_TRAIN": 0.25},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y",
+                          "LOAD_GT": True}},
+        "MODEL": {"ARCHITECTURE": "hrnet18"},
+        "LOSS": {"CONTRAST": {"ENABLE": True, "MEMORY_SIZE": 128, "PROJ_DIM": 32,
+                              "PIXEL_UPD_FREQ": 4}},
+        "TRAIN": {"ENABLE": True, "EPOCHS": 2, "BATCH_SIZE": 4},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "contrast")
+    assert np.isfinite(job.workflow.stats["iou"])
+    assert len(job.workflow._predictions) == 2
