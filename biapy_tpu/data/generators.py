@@ -237,6 +237,7 @@ class BatchLoader:
         pad_to_batch: bool = True,
         prefetch: int = 2,
         num_workers: int = -1,
+        replicate: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -252,6 +253,7 @@ class BatchLoader:
         if num_workers < 0:
             num_workers = min(8, max(1, (os.cpu_count() or 2) // 2))
         self.num_workers = num_workers
+        self.replicate = max(1, int(replicate))
         self._pool = None
         self.epoch = 0
 
@@ -259,7 +261,7 @@ class BatchLoader:
         self.epoch = epoch
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) * self.replicate
         per_rank = (n + self.world - 1) // self.world
         if self.drop_last:
             return per_rank // self.batch_size
@@ -268,16 +270,24 @@ class BatchLoader:
     def _index_order(self) -> np.ndarray:
         n = len(self.dataset)
         idx = np.arange(n)
+        if self.replicate > 1:
+            # DATA.TRAIN.REPLICATE / extra_data_factor: each epoch walks the
+            # dataset N times (useful for tiny datasets with heavy
+            # augmentation; reference generators/__init__.py:301)
+            idx = np.tile(idx, self.replicate)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
         return idx[self.rank :: self.world]
 
-    def _get_one(self, i: int):
-        rng = np.random.default_rng((self.seed, self.epoch, int(i)))
+    def _get_one(self, pos_and_idx):
+        pos, i = pos_and_idx
+        # rng keyed on the EPOCH POSITION, not the dataset index, so
+        # REPLICATE'd walks of the same sample draw different augmentations
+        rng = np.random.default_rng((self.seed, self.epoch, int(pos)))
         return self.dataset.get(int(i), rng)
 
-    def _make_batch(self, indices: List[int]) -> Dict[str, np.ndarray]:
+    def _make_batch(self, indices: List) -> Dict[str, np.ndarray]:
         if self.num_workers > 1 and len(indices) > 1:
             if self._pool is None:
                 from concurrent.futures import ThreadPoolExecutor
@@ -294,7 +304,7 @@ class BatchLoader:
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        order = self._index_order()
+        order = list(enumerate(self._index_order()))  # (epoch position, idx)
         chunks = [order[i : i + self.batch_size] for i in range(0, len(order), self.batch_size)]
         if self.drop_last:
             chunks = [c for c in chunks if len(c) == self.batch_size]

@@ -280,7 +280,8 @@ class Base_Workflow(metaclass=ABCMeta):
             gbs = int(math.ceil(gbs / ndev) * ndev)
         train_loader = BatchLoader(train_data, gbs, num_workers=int(cfg.SYSTEM.NUM_WORKERS),
                                    shuffle=cfg.AUGMENTOR.SHUFFLE_TRAIN_DATA_EACH_EPOCH,
-                                   seed=cfg.SYSTEM.SEED)
+                                   seed=cfg.SYSTEM.SEED,
+                                   replicate=max(1, int(cfg.DATA.TRAIN.REPLICATE or 0)))
         val_loader = BatchLoader(val_data, gbs, shuffle=False, seed=cfg.SYSTEM.SEED)
         self._steps_per_epoch = len(train_loader)
 
@@ -705,7 +706,9 @@ class Base_Workflow(metaclass=ABCMeta):
                 print(f"  {fname}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
         self.after_merge_patches(merged, sample, fname)
         self._predictions.append({"role": "raw", "pred": merged, "file": fname, "metrics": m})
-        if self.save_to_disk:
+        if self.save_to_disk and cfg.TEST.SAVE_MODEL_RAW_OUTPUT:
+            # raw (pre-post-processing) output next to the final artifacts
+            # (reference: TEST.SAVE_MODEL_RAW_OUTPUT, base_workflow.py:2113)
             from biapy_tpu.data.io import save_tif
 
             save_tif(merged[None], cfg.PATHS.RESULT_DIR.PER_IMAGE, [fname], verbose=False)
@@ -816,6 +819,16 @@ class Base_Workflow(metaclass=ABCMeta):
                 raw_path = ci.predict_volume(
                     f, z_range=(int(bc.Z_START), int(bc.Z_END)), verbose=self.verbose
                 )
+                if bc.SAVE_OUT_TIF and is_main_process():
+                    # whole-volume TIF of the raw prediction (reference:
+                    # TEST.BY_CHUNKS.SAVE_OUT_TIF, base_workflow.py:2581)
+                    from biapy_tpu.data.io import open_lazy, save_tif
+
+                    vol, handle = open_lazy(raw_path)
+                    save_tif(np.asarray(vol[:])[None], cfg.PATHS.RESULT_DIR.PER_IMAGE,
+                             [base + ".tif"], verbose=False)
+                    if hasattr(handle, "close"):
+                        handle.close()
             self.after_by_chunks_prediction(ci, raw_path, base)
         self.after_all_images()
 

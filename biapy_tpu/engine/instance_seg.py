@@ -462,10 +462,34 @@ class Instance_Segmentation_Workflow(Base_Workflow):
                     for s in stats:
                         print(f"  {fname} matching@{s['thresh']}: f1={s['f1']:.4f} "
                               f"(tp={s['tp']} fp={s['fp']} fn={s['fn']})")
+                # RGB match-status overlays: green TP / red FN / blue FP
+                # (reference: TEST.MATCHING_STATS_THS_COLORED_IMG,
+                # instance_seg.py:1166-1196)
+                cths = [t for t in cfg.TEST.MATCHING_STATS_THS_COLORED_IMG
+                        if t in list(cfg.TEST.MATCHING_STATS_THS)]
+                if cths and self.save_to_disk:
+                    from biapy_tpu.data.io import save_tif
+
+                    for s in matching(gt_lab, instances, thresh=cths, report_matches=True):
+                        pairs = s.get("matched_pairs", [])
+                        m_gt = {t for t, _ in pairs}
+                        m_pr = {p for _, p in pairs}
+                        colored = np.zeros(instances.shape + (3,), np.uint8)
+                        gt_ids = np.unique(gt_lab)
+                        for g in gt_ids[gt_ids > 0]:
+                            colored[gt_lab == g] = (0, 255, 0) if int(g) in m_gt else (255, 0, 0)
+                        pr_ids = np.unique(instances)
+                        for p in pr_ids[pr_ids > 0]:
+                            if int(p) not in m_pr:
+                                colored[instances == p] = (0, 0, 255)
+                        stem = os.path.splitext(fname)[0]
+                        save_tif(colored[None], cfg.PATHS.RESULT_DIR.INST_ASSOC_POINTS,
+                                 [f"{stem}_th_{s['thresh']}.tif"], verbose=False)
 
     def after_all_images(self):
         if getattr(self, "all_matching_stats", None):
-            agg = aggregate_matching(self.all_matching_stats)
+            agg = aggregate_matching(self.all_matching_stats,
+                                     by_image=bool(self.cfg.TEST.MATCHING_STATS_BY_IMAGE))
             self.matching_stats = agg
             if self.verbose:
                 for s in agg:

@@ -89,12 +89,27 @@ def matching(
     return results
 
 
-def aggregate_matching(per_image: List[List[Dict]]) -> List[Dict]:
-    """Micro-aggregate matching stats over a dataset (reference:
-    wrapper_matching_dataset_lazy:601)."""
+def aggregate_matching(per_image: List[List[Dict]], by_image: bool = False) -> List[Dict]:
+    """Aggregate matching stats over a dataset (reference:
+    wrapper_matching_dataset_lazy:601). ``by_image=False`` micro-aggregates
+    the tp/fp/fn counts; ``by_image=True`` macro-averages each per-image
+    score (reference: TEST.MATCHING_STATS_BY_IMAGE)."""
     if not per_image:
         return []
     n_th = len(per_image[0])
+    if by_image:
+        out = []
+        score_keys = ("precision", "recall", "f1", "mean_matched_score",
+                      "panoptic_quality")
+        for t in range(n_th):
+            entry = {"thresh": per_image[0][t]["thresh"],
+                     "tp": sum(r[t]["tp"] for r in per_image),
+                     "fp": sum(r[t]["fp"] for r in per_image),
+                     "fn": sum(r[t]["fn"] for r in per_image)}
+            for k in score_keys:
+                entry[k] = float(np.mean([r[t][k] for r in per_image]))
+            out.append(entry)
+        return out
     out = []
     for t in range(n_th):
         tp = sum(r[t]["tp"] for r in per_image)

@@ -339,3 +339,42 @@ def test_multiple_raw_one_target_loader(tmp_path):
     gts = {train.dataset_info[s.fid].gt_path for s in train.sample_list}
     for g in gts:
         assert g is not None and g.endswith("target.tif")
+
+
+def test_replicate_extra_data_factor(tmp_path):
+    """DATA.TRAIN.REPLICATE walks the dataset N times per epoch with fresh
+    augmentation draws per replica (reference extra_data_factor,
+    generators/__init__.py:301)."""
+    import os
+
+    from biapy_tpu.config.config import Config
+    from biapy_tpu.data.data_manipulation import load_and_prepare_train_data
+    from biapy_tpu.data.generators import BatchLoader, PairDataset
+    from biapy_tpu.data.io import save_tif
+
+    rng = np.random.default_rng(9)
+    root = str(tmp_path)
+    os.makedirs(f"{root}/x"); os.makedirs(f"{root}/y")
+    for i in range(4):
+        save_tif((rng.random((64, 64, 1)) * 255).astype(np.uint8)[None], f"{root}/x",
+                 [f"{i}.tif"], verbose=False)
+        save_tif((rng.random((64, 64, 1)) > 0.5).astype(np.uint8)[None], f"{root}/y",
+                 [f"{i}.tif"], verbose=False)
+    c = Config(".", "t")
+    cfg = c.get_cfg_defaults()
+    cfg.merge_from_dict({
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TRAIN": {"PATH": f"{root}/x", "GT_PATH": f"{root}/y",
+                           "EXTRACT_RANDOM_PATCH": True},
+                 "VAL": {"SPLIT_TRAIN": 0.25}},
+        "AUGMENTOR": {"ENABLE": False}})
+    train, _ = load_and_prepare_train_data(cfg)
+    pd = PairDataset(train, cfg, {"type": "div"}, augment=True, random_crop=True)
+    base = BatchLoader(pd, 1, shuffle=False, prefetch=0)
+    rep = BatchLoader(pd, 1, shuffle=False, prefetch=0, replicate=3)
+    assert len(rep) == 3 * len(base)
+    batches = [b["x"] for b in rep]
+    assert len(batches) == 3 * len(base)
+    # replicas of the same sample must differ (fresh random crop per replica)
+    n = len(base)
+    assert not np.array_equal(batches[0], batches[n])

@@ -56,6 +56,7 @@ def test_instance_seg_2d(tmp_path):
                   "YX_DOWN": [2, 2, 2], "CONV_LAYERS": [2, 2, 2]},
         "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 8, "EPOCHS": 15},
         "TEST": {"ENABLE": True, "MATCHING_STATS_THS": [0.3, 0.5],
+                 "MATCHING_STATS_THS_COLORED_IMG": [0.3],
                  "POST_PROCESSING": {"MEASURE_PROPERTIES": {
                      "ENABLE": True,
                      "REMOVE_BY_PROPERTIES": {"ENABLE": True, "PROPS": [["size"]],
@@ -68,6 +69,9 @@ def test_instance_seg_2d(tmp_path):
     assert f1_03 > 0.5, f"matching f1@0.3 too low: {agg}"
     # channel masks were cached
     assert os.path.isdir(f"{root}/train/y_FC_11")
+    # colored TP/FN/FP overlays at the requested threshold
+    import glob
+    assert glob.glob(root + "/results/inst2d/results/inst2d/instance_associations/*_th_0.3.tif")
 
 
 @pytest.mark.slow
