@@ -182,6 +182,25 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
                 req(0.0 < float(t) < 1.0, f"TEST.MATCHING_STATS_THS values must be in (0,1), got {t}")
         req(str(cfg.TEST.AUGMENTATION_MODE).lower() in ("", "mean", "min", "max"),
             f"TEST.AUGMENTATION_MODE must be mean/min/max, got {cfg.TEST.AUGMENTATION_MODE}")
+        # TRAIN/TEST.METRICS name validation (reference:
+        # check_configuration.py:1248-1292)
+        if cfg.PROBLEM.TYPE in ("SUPER_RESOLUTION", "IMAGE_TO_IMAGE",
+                                "SELF_SUPERVISED", "DENOISING"):
+            for m in list(cfg.TRAIN.METRICS):
+                req(str(m).lower() in ("psnr", "mae", "mse", "ssim"),
+                    f"TRAIN.METRICS options are psnr/mae/mse/ssim for "
+                    f"{cfg.PROBLEM.TYPE}, got '{m}'")
+            for m in list(cfg.TEST.METRICS):
+                req(str(m).lower() not in ("fid", "is", "lpips"),
+                    f"TEST.METRICS '{m}' needs pretrained Inception/LPIPS nets; "
+                    "no network egress in this environment")
+                req(str(m).lower() in ("psnr", "mae", "mse", "ssim"),
+                    f"TEST.METRICS options are psnr/mae/mse/ssim for "
+                    f"{cfg.PROBLEM.TYPE}, got '{m}'")
+        elif cfg.PROBLEM.TYPE in ("SEMANTIC_SEG", "INSTANCE_SEG", "DETECTION"):
+            for m in list(cfg.TRAIN.METRICS) + list(cfg.TEST.METRICS):
+                req(str(m).lower() == "iou",
+                    f"TRAIN/TEST.METRICS must be 'iou' for {cfg.PROBLEM.TYPE}, got '{m}'")
         pp = cfg.TEST.POST_PROCESSING
         if pp.VORONOI_ON_MASK:
             req(cfg.PROBLEM.TYPE == "INSTANCE_SEG",

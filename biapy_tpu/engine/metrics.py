@@ -526,3 +526,58 @@ def update_contrast_queues(pixel_q, segment_q, aux, step):
     segment_q = segment_q.at[:, spos].set(
         (seg * segkeep + old_seg * (1 - segkeep)).astype(segment_q.dtype))
     return pixel_q, segment_q
+
+
+# ---------------------------------------------------------------------------
+# TRAIN/TEST.METRICS selection for the restoration workflows (SR, I2I, SSL,
+# denoising). Reference: per-name torchmetrics construction in
+# super_resolution.py:130-200 / multiple_metrics metrics.py:249.
+# ---------------------------------------------------------------------------
+
+RESTORATION_METRIC_NAMES = ("psnr", "mae", "mse", "ssim")
+
+
+def build_restoration_train_metrics(cfg_names, unwrap=None):
+    """Jit-side metric dict from TRAIN.METRICS names (default: all four)."""
+    unwrap = unwrap or (lambda o: o["pred"] if isinstance(o, dict) else o)
+    names = [str(n).lower() for n in (cfg_names or [])] or list(RESTORATION_METRIC_NAMES)
+    fns = {}
+    for n in names:
+        if n == "psnr":
+            fns["psnr"] = lambda out, y: psnr_metric(unwrap(out), y)
+        elif n == "mae":
+            fns["mae"] = lambda out, y: mae_metric(unwrap(out), y)
+        elif n == "mse":
+            fns["mse"] = lambda out, y: mse_metric(unwrap(out), y)
+        elif n == "ssim":
+            fns["ssim"] = lambda out, y: ssim_metric(unwrap(out), y)
+    return fns
+
+
+def restoration_test_metrics(pred: np.ndarray, gt_norm: np.ndarray, cfg_names) -> dict:
+    """Host-side per-image metrics from TEST.METRICS names. ``gt_norm`` must
+    already be value-normalized like the prediction."""
+    names = [str(n).lower() for n in (cfg_names or [])] or list(RESTORATION_METRIC_NAMES)
+    out = {}
+    diff = pred.astype(np.float64) - gt_norm.astype(np.float64)
+    rng_ = max(float(gt_norm.max() - gt_norm.min()), 1e-6)
+    for n in names:
+        if n == "mse":
+            out["mse"] = float((diff ** 2).mean())
+        elif n == "mae":
+            out["mae"] = float(np.abs(diff).mean())
+        elif n == "psnr":
+            mse = float((diff ** 2).mean())
+            out["psnr"] = float(20 * np.log10(rng_) - 10 * np.log10(max(mse, 1e-12)))
+        elif n == "ssim":
+            import jax.numpy as jnp
+
+            nd = pred.ndim - 1
+            out["ssim"] = float(ssim_metric(jnp.asarray(pred, jnp.float32)[None],
+                                            jnp.asarray(gt_norm, jnp.float32)[None],
+                                            data_range=rng_))
+        elif n in ("fid", "is", "lpips"):
+            raise ValueError(
+                f"TEST.METRICS '{n}' needs pretrained Inception/LPIPS networks; "
+                "this environment has no network egress to download them")
+    return out

@@ -95,7 +95,4 @@ class Self_supervised_Workflow(Base_Workflow):
         from biapy_tpu.data.norm import normalize_image
 
         g, _ = normalize_image(gt.astype("float32"), self.norm_spec)
-        rng_ = max(float(g.max() - g.min()), 1e-6)
-        mse = float(((pred - g) ** 2).mean())
-        psnr = 20 * __import__("numpy").log10(rng_) - 10 * __import__("numpy").log10(max(mse, 1e-12))
-        return {"psnr": float(psnr), "mse": mse}
+        return M.restoration_test_metrics(pred, g, self.cfg.TEST.METRICS)

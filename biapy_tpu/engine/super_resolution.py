@@ -45,7 +45,7 @@ class Super_resolution_Workflow(Base_Workflow):
             self.loss = lambda out, y: M.w_mse_ssim_loss(unwrap(out), y, w[0], w[1])
         else:
             raise ValueError(f"Unsupported LOSS.TYPE for super-resolution: {ltype}")
-        self.train_metrics = {"psnr": lambda out, y: M.psnr_metric(unwrap(out), y)}
+        self.train_metrics = M.build_restoration_train_metrics(self.cfg.TRAIN.METRICS, unwrap)
 
     def metric_calculation(self, pred, gt):
         if gt is None:
@@ -53,7 +53,6 @@ class Super_resolution_Workflow(Base_Workflow):
         from biapy_tpu.data.norm import normalize_image
 
         g, _ = normalize_image(gt.astype("float32"), self.norm_spec)
-        rng_ = max(float(g.max() - g.min()), 1e-6)
-        mse = float(((pred - g) ** 2).mean())
-        psnr = 20 * __import__("numpy").log10(rng_) - 10 * __import__("numpy").log10(max(mse, 1e-12))
-        return {"psnr": float(psnr), "mse": mse}
+        # TEST.METRICS selects which restoration metrics to report
+        # (reference: check_configuration.py:1277 defaults psnr/mae/mse/ssim)
+        return M.restoration_test_metrics(pred, g, self.cfg.TEST.METRICS)
