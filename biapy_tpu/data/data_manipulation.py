@@ -88,12 +88,17 @@ def filter_samples_by_properties(
     values: Sequence[Sequence[float]],
     signs: Sequence[Sequence[str]],
     is_3d: bool,
+    save_dir: Optional[str] = None,
+    save_num: int = 3,
 ) -> BiaPyDataset:
     """Drop samples matching any AND-group of (prop, sign, value) conditions
-    (reference: filter_samples_by_properties, data_manipulation.py:2415)."""
+    (reference: filter_samples_by_properties, data_manipulation.py:2415).
+    ``save_dir`` dumps the first ``save_num`` dropped samples for inspection
+    (reference: DATA.SAVE_FILTERED_IMAGES / PATHS.FIL_SAMPLES_DIR)."""
     if not props:
         return ds
     kept = []
+    dropped_saved = 0
     for s in ds.sample_list:
         f = ds.dataset_info[s.fid]
         img = s.img
@@ -125,6 +130,13 @@ def filter_samples_by_properties(
                 break
         if not drop:
             kept.append(s)
+        elif save_dir and dropped_saved < save_num:
+            from biapy_tpu.data.io import save_tif
+
+            stem = os.path.splitext(os.path.basename(f.path))[0]
+            save_tif(img[None], save_dir, [f"filtered_{dropped_saved}_{stem}.tif"],
+                     verbose=False)
+            dropped_saved += 1
     out = BiaPyDataset(dataset_info=ds.dataset_info, sample_list=kept)
     if len(kept) == 0:
         raise ValueError("All samples were filtered out by DATA.*.FILTER_SAMPLES")
@@ -336,7 +348,10 @@ def load_and_prepare_train_data(cfg, norm_spec: Optional[Dict] = None,
     )
     fs = cfg.DATA.TRAIN.FILTER_SAMPLES
     if fs.ENABLE:
-        train = filter_samples_by_properties(train, fs.PROPS, fs.VALUES, fs.SIGNS, is_3d)
+        train = filter_samples_by_properties(
+            train, fs.PROPS, fs.VALUES, fs.SIGNS, is_3d,
+            save_dir=(cfg.PATHS.FIL_SAMPLES_DIR if cfg.DATA.SAVE_FILTERED_IMAGES else None),
+            save_num=int(cfg.DATA.SAVE_FILTERED_IMAGES_NUM))
 
     if not cfg.DATA.VAL.FROM_TRAIN:
         val = build_dataset(

@@ -340,22 +340,98 @@ def repair_large_blobs(labels: np.ndarray, max_size: int) -> np.ndarray:
     return out
 
 
+def _donut_line_ushape(line: np.ndarray, smooth_ticks: int):
+    """Detect the two-peaks-around-a-valley profile of a ring ('donuts')
+    cell along one center line (reference: detection_watershed donut
+    analysis, post_processing.py:2246-2320). Returns (is_ushape, peak_span,
+    left_gradient_ok, right_gradient_ok)."""
+    from scipy.signal import find_peaks, savgol_filter
+
+    if len(line) < max(5, smooth_ticks + 1):
+        return False, 0, False, False
+    win = min(len(line) - (1 - len(line) % 2), max(5, smooth_ticks | 1))
+    sm = savgol_filter(line.astype(np.float64), win, 2)
+    mid = len(sm) // 2
+    valley = float(sm[mid])
+    peaks, _ = find_peaks(sm)
+    lefts = [p for p in peaks if p <= mid and sm[p] >= valley * 1.5]
+    rights = [p for p in peaks if p > mid and sm[p] >= valley * 1.5]
+    if not lefts or not rights:
+        return False, 0, False, False
+    lp = max(lefts, key=lambda p: sm[p])
+    rp = max(rights, key=lambda p: sm[p])
+    lgrad = bool(sm[:lp].size and sm[:lp].min() < sm[lp] * 0.7)
+    rgrad = bool(sm[rp:].size and sm[rp:].min() < sm[rp] * 0.7)
+    return True, int(rp - lp), lgrad, rgrad
+
+
 def detection_watershed(points: np.ndarray, img: np.ndarray,
                         first_dilation: Sequence[int] = (2, 2),
-                        growth_mask: Optional[np.ndarray] = None) -> np.ndarray:
+                        growth_mask: Optional[np.ndarray] = None,
+                        classes: Optional[np.ndarray] = None,
+                        donuts_classes: Sequence[int] = (-1,),
+                        donuts_patch: Sequence[int] = (13, 120, 120),
+                        donuts_nucleus_diameter: int = 30) -> np.ndarray:
     """Grow instances around detected points via watershed over the image
-    intensity (reference: detection watershed w/ donut handling,
-    post_processing.py:2100; donut-class special-casing is a tracked gap)."""
+    intensity (reference: detection_watershed, post_processing.py:2100).
+
+    Ring-shaped ('donuts') cells confuse a point-seeded watershed: the seed
+    sits in the dark lumen. For points of ``donuts_classes``, the center
+    intensity lines are profiled; a U-shape on both axes with healthy outer
+    gradients triggers an extra per-seed dilation sized to the ring span so
+    the seed reaches the bright membrane (reference :2178-2360)."""
     nd = img.ndim
+    points = np.asarray(points, int)
     seeds = np.zeros(img.shape, np.int32)
-    for i, p in enumerate(np.asarray(points, int)):
+    for i, p in enumerate(points):
         idx = tuple(np.clip(p[d], 0, img.shape[d] - 1) for d in range(nd))
         seeds[idx] = i + 1
-    if any(d > 0 for d in first_dilation):
-        seeds = ndimage.grey_dilation(
-            seeds, size=tuple(2 * int(d) + 1 for d in (list(first_dilation) + [first_dilation[-1]] * nd)[:nd])
-        )
+    fd = [int(d) for d in (list(first_dilation) + [list(first_dilation)[-1]] * nd)[:nd]]
+    if any(d > 0 for d in fd):
+        seeds = ndimage.grey_dilation(seeds, size=tuple(2 * max(d, 0) + 1 for d in fd))
+
+    if list(donuts_classes) and int(list(donuts_classes)[0]) != -1:
+        half = [p // 2 for p in list(donuts_patch)[-nd:]]
+        ticks = [max(5, (p // 8) | 1) for p in list(donuts_patch)[-nd:]]
+        for i, p in enumerate(points):
+            if classes is not None and int(classes[i]) not in [int(c) for c in donuts_classes]:
+                continue
+            c = [int(np.clip(p[d], 0, img.shape[d] - 1)) for d in range(nd)]
+            sl = tuple(slice(max(c[d] - half[d], 0), min(c[d] + half[d], img.shape[d]))
+                       for d in range(nd))
+            patch = img[sl]
+            center = [c[d] - sl[d].start for d in range(nd)]
+            # center lines along the last two axes (y through x-center, x
+            # through y-center); 3D profiles at the seed's z plane
+            if nd == 2:
+                line_y = patch[:, center[1]]
+                line_x = patch[center[0], :]
+            else:
+                line_y = patch[center[0], :, center[2]]
+                line_x = patch[center[0], center[1], :]
+            uy, span_y, lg_y, rg_y = _donut_line_ushape(line_y, ticks[-2])
+            ux, span_x, lg_x, rg_x = _donut_line_ushape(line_x, ticks[-1])
+            if not (uy and ux):
+                continue
+            if span_y + span_x < 2 * donuts_nucleus_diameter:
+                continue  # donut-shaped but small: normal growth suffices
+            if not (lg_y and rg_y and lg_x and rg_x):
+                continue  # weak outer gradient: dilation would bleed out
+            # dilate THIS seed by ~60% of the ring span per axis
+            extra = [0] * nd
+            extra[-2] = max(0, int((span_y - fd[-2]) * 0.6) // 2)
+            extra[-1] = max(0, int((span_x - fd[-1]) * 0.6) // 2)
+            if nd == 3:
+                extra[0] = max(fd[0], 1)
+            if all(e == 0 for e in extra):
+                continue
+            own = seeds == (i + 1)
+            grown = ndimage.binary_dilation(
+                own, structure=np.ones(tuple(2 * e + 1 for e in extra), bool))
+            seeds[grown & (seeds == 0)] = i + 1
+
     if growth_mask is None:
         growth_mask = img > _otsu(img.astype(np.float32))
+    growth_mask = growth_mask | (seeds > 0)  # seeds always belong to an instance
     topo = -img.astype(np.float32)
     return watershed(topo, seeds, growth_mask)

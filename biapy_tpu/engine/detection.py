@@ -204,5 +204,27 @@ class Detection_Workflow(Base_Workflow):
                 w.writerow(["axis-0", "axis-1", "axis-2"][: self.nd])
                 for c in coords:
                     w.writerow([int(v) for v in c])
+        pp = self.cfg.TEST.POST_PROCESSING
+        if pp.DET_WATERSHED and len(coords):
+            # grow instances around the points over the RAW image intensity
+            # (reference: TEST.POST_PROCESSING.DET_WATERSHED + donut-shaped
+            # cell handling, post_processing.py:2100-2360)
+            from biapy_tpu.data.io import read_img_as_ndarray, save_tif
+            from biapy_tpu.data.post_processing import detection_watershed
+
+            img_path = getattr(self, "_current_test_file", None)
+            if img_path and os.path.exists(str(img_path)):
+                raw = read_img_as_ndarray(str(img_path), is_3d=self.is_3d)[..., 0]
+                fdil = [d for d in pp.DET_WATERSHED_FIRST_DILATION if d > 0] or [2] * self.nd
+                inst = detection_watershed(
+                    coords, raw.astype(np.float32), first_dilation=fdil,
+                    donuts_classes=list(pp.DET_WATERSHED_DONUTS_CLASSES),
+                    donuts_patch=list(pp.DET_WATERSHED_DONUTS_PATCH),
+                    donuts_nucleus_diameter=int(pp.DET_WATERSHED_DONUTS_NUCLEUS_DIAMETER))
+                if self.save_to_disk:
+                    save_tif(inst[None][..., None].astype(
+                        np.uint16 if inst.max() < 2**16 else np.uint32),
+                        self.cfg.PATHS.WATERSHED_DIR, [fname], verbose=False)
+                self._predictions.append({"role": "post", "pred": inst, "file": fname})
         self._predictions.append({"role": "points", "points": coords, "file": fname})
         self._last_points = None

@@ -269,3 +269,32 @@ def test_omnipose_channels_in_compiler():
     assert out.shape == (48, 48, 3)
     assert np.allclose(out[..., 0][lab == 0], -5.0)
     assert out[..., 0][lab > 0].min() > 0
+
+
+def test_detection_watershed_donuts():
+    """Donut (ring) cells get an extra seed dilation sized from the center
+    intensity profile so the watershed claims the ring (reference:
+    detection_watershed, post_processing.py:2100-2360)."""
+    from biapy_tpu.data.post_processing import detection_watershed
+
+    img = np.zeros((128, 128), np.float32)
+    yy, xx = np.mgrid[:128, :128]
+    # ring cell centered (64,64): bright membrane radius 30..40, dark lumen
+    r = np.sqrt((yy - 64.0) ** 2 + (xx - 64.0) ** 2)
+    img += ((r > 30) & (r < 40)) * 1.0
+    # solid cell at (20,20)
+    img += (np.sqrt((yy - 20.0) ** 2 + (xx - 20.0) ** 2) < 8) * 1.0
+    pts = np.array([[64, 64], [20, 20]])
+
+    plain = detection_watershed(pts, img, first_dilation=(2, 2))
+    donut = detection_watershed(pts, img, first_dilation=(2, 2),
+                                donuts_classes=[1],
+                                donuts_patch=[100, 100],
+                                donuts_nucleus_diameter=20)
+    ring = (r > 30) & (r < 40)
+    # with donut handling, the ring pixels belong to instance 1
+    frac_donut = (donut[ring] == 1).mean()
+    frac_plain = (plain[ring] == 1).mean()
+    assert frac_donut > 0.9, f"donut watershed should claim the ring ({frac_donut:.2f})"
+    assert donut[20, 20] == 2  # solid cell unaffected
+    assert frac_donut >= frac_plain
