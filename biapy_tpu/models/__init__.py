@@ -190,6 +190,18 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
             contrast=bool(cfg.LOSS.CONTRAST.ENABLE),
             contrast_proj_dim=int(cfg.LOSS.CONTRAST.PROJ_DIM),
         )
+        h = cfg.MODEL.HRNET
+        if variant in ("custom", ""):
+            # custom HRNet spec (reference: MODEL.HRNET.NUM_STAGES/
+            # NUM_MODULES/NUM_BLOCKS/NUM_CHANNELS, config.py HRNET subtree)
+            chans = list(h.NUM_CHANNELS) if h.NUM_CHANNELS else [32]
+            while isinstance(chans[0], (list, tuple)):  # nested per-stage spec
+                chans = list(chans[0])
+            kwargs["variant"] = str(int(chans[0]))
+            kwargs["num_stages"] = int(h.NUM_STAGES)
+            kwargs["num_modules"] = tuple(int(m) for m in h.NUM_MODULES)[: int(h.NUM_STAGES)]
+            kwargs["num_blocks"] = int(h.NUM_BLOCKS[0] if isinstance(h.NUM_BLOCKS, (list, tuple))
+                                       and len(h.NUM_BLOCKS) else h.NUM_BLOCKS or 4)
         return HRNet(**kwargs), {"class": "HRNet", **kwargs}
 
     if arch == "stunet":
@@ -228,6 +240,7 @@ def _vit_kwargs(cfg, ndim: int, model_key: str = "VIT_MODEL") -> Dict:
         in_channels=int(cfg.DATA.PATCH_SIZE[-1]),
         img_size=int(cfg.DATA.PATCH_SIZE[0]),
         drop_rate=float(cfg.MODEL.DROPOUT_VALUES[0]) if cfg.MODEL.DROPOUT_VALUES else 0.0,
+        norm_eps=float(cfg.MODEL.VIT_NORM_EPS),
     )
     preset_name = str(getattr(cfg.MODEL, model_key, "custom")).lower()
     if preset_name in _VIT_PRESETS:

@@ -37,6 +37,7 @@ class MAE(nn.Module):
     mask_ratio: float = 0.5
     masking_type: str = "random"
     norm_pix_loss: bool = False
+    norm_eps: float = 1e-6
 
     def _grid_len(self) -> int:
         return self.img_size // self.patch_size
@@ -117,8 +118,8 @@ class MAE(nn.Module):
         cls_tok = jnp.broadcast_to(cls + pos[:, :1], (b, 1, self.embed_dim))
         h = jnp.concatenate([cls_tok, x], axis=1)
         for _ in range(self.depth):
-            h = TransformerBlock(self.num_heads, self.mlp_ratio)(h, train)
-        h = nn.LayerNorm(epsilon=1e-6)(h)
+            h = TransformerBlock(self.num_heads, self.mlp_ratio, norm_eps=self.norm_eps)(h, train)
+        h = nn.LayerNorm(epsilon=self.norm_eps)(h)
 
         # -- decoder -------------------------------------------------------
         h = nn.Dense(self.dec_embed_dim, kernel_init=KERNEL_INIT)(h)
@@ -131,8 +132,8 @@ class MAE(nn.Module):
                              (1, L + 1, self.dec_embed_dim))
         full = full + dec_pos
         for _ in range(self.dec_depth):
-            full = TransformerBlock(self.dec_num_heads, self.mlp_ratio)(full, train)
-        full = nn.LayerNorm(epsilon=1e-6)(full)
+            full = TransformerBlock(self.dec_num_heads, self.mlp_ratio, norm_eps=self.norm_eps)(full, train)
+        full = nn.LayerNorm(epsilon=self.norm_eps)(full)
         patch_dim = (self.patch_size**self.ndim) * self.in_channels
         pred = nn.Dense(patch_dim, kernel_init=KERNEL_INIT)(full)[:, 1:]
 

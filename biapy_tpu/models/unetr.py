@@ -35,6 +35,7 @@ class UNETR(nn.Module):
     vit_hidden_multiple: int = -1  # -1 => depth // 4
     norm: str = "none"
     backbone: str = "custom"  # "custom" | "sam3_vit"
+    norm_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x, train: bool = False):
