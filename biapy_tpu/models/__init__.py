@@ -200,8 +200,10 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
             kwargs["variant"] = str(int(chans[0]))
             kwargs["num_stages"] = int(h.NUM_STAGES)
             kwargs["num_modules"] = tuple(int(m) for m in h.NUM_MODULES)[: int(h.NUM_STAGES)]
-            kwargs["num_blocks"] = int(h.NUM_BLOCKS[0] if isinstance(h.NUM_BLOCKS, (list, tuple))
-                                       and len(h.NUM_BLOCKS) else h.NUM_BLOCKS or 4)
+            nb = h.NUM_BLOCKS
+            while isinstance(nb, (list, tuple)):
+                nb = nb[0] if len(nb) else 4
+            kwargs["num_blocks"] = int(nb or 4)
         return HRNet(**kwargs), {"class": "HRNet", **kwargs}
 
     if arch == "stunet":
