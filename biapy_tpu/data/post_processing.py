@@ -244,6 +244,34 @@ def remove_close_points(points: np.ndarray, radius: float,
     return np.asarray(points)[kept]
 
 
+def remove_close_points_by_mask(points: np.ndarray, radius: float,
+                                mask_labels: np.ndarray,
+                                resolution: Sequence[float] = (1, 1, 1)) -> np.ndarray:
+    """Greedy close-point removal CONSTRAINED to the same mask component:
+    two points only conflict when they fall inside the same non-zero label
+    of ``mask_labels`` (reference: remove_close_points_by_mask,
+    post_processing.py:1839 — used by the synapse workflow so points of
+    different synapses never suppress each other)."""
+    if len(points) == 0:
+        return points
+    pts_i = np.asarray(points, int)
+    labs = np.array([mask_labels[tuple(np.clip(p, 0, np.array(mask_labels.shape) - 1))]
+                     for p in pts_i])
+    res = np.asarray(resolution[: pts_i.shape[1]], np.float32)
+    scaled = np.asarray(points, np.float32) * res
+    kept: List[int] = []
+    for i in range(len(scaled)):
+        ok = True
+        for j in kept:
+            if labs[i] != 0 and labs[i] == labs[j] and \
+                    np.linalg.norm(scaled[i] - scaled[j]) < radius:
+                ok = False
+                break
+        if ok:
+            kept.append(i)
+    return np.asarray(points)[kept]
+
+
 def voronoi_on_mask(labels: np.ndarray, mask: np.ndarray) -> np.ndarray:
     """Expand instances to fill a mask by nearest-instance assignment
     (reference: voronoi expansion, post_processing.py:1742)."""

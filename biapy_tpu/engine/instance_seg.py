@@ -396,9 +396,23 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         # optional removal of too-close points (post-processing)
         radii = {"pre": float(syn.REMOVE_CLOSE_PRE_POINTS_RADIUS),
                  "post": float(syn.REMOVE_CLOSE_POST_POINTS_RADIUS)}
+        ch_for = {"pre": self.channel_codes.index("F_pre") if "F_pre" in self.channel_codes else 0,
+                  "post": self.channel_codes.index("F_post") if "F_post" in self.channel_codes
+                  else pred.shape[-1] - 1}
         for k, r in radii.items():
             if r > 0 and k in points and len(points[k]):
-                points[k] = remove_close_points(points[k], r)
+                if bool(syn.REMOVE_CLOSE_POINTS_RADIUS_BY_MASK):
+                    # suppress only within the same connected blob of the
+                    # binarized prediction (reference: post_processing.py:1839)
+                    from biapy_tpu.data.post_processing import remove_close_points_by_mask
+                    from biapy_tpu.native import connected_components
+
+                    c = ch_for[k]
+                    labs, _ = connected_components(
+                        (pred[..., c] > ths[c]).astype(np.uint8))
+                    points[k] = remove_close_points_by_mask(points[k], r, labs)
+                else:
+                    points[k] = remove_close_points(points[k], r)
 
         result = {"points": points, "file": fname}
         cur_file = getattr(self, "_current_test_file", None)

@@ -298,3 +298,24 @@ def test_detection_watershed_donuts():
     assert frac_donut > 0.9, f"donut watershed should claim the ring ({frac_donut:.2f})"
     assert donut[20, 20] == 2  # solid cell unaffected
     assert frac_donut >= frac_plain
+
+
+def test_remove_close_points_by_mask():
+    """Close points suppress each other only within the SAME mask component
+    (reference: remove_close_points_by_mask, post_processing.py:1839)."""
+    from biapy_tpu.data.post_processing import remove_close_points, remove_close_points_by_mask
+
+    labs = np.zeros((40, 40), np.int32)
+    labs[5:15, 5:15] = 1
+    labs[5:15, 20:30] = 2
+    pts = np.array([[8, 8], [10, 10],    # both in label 1, 2.8px apart
+                    [8, 24], [10, 26],   # both in label 2
+                    [35, 35]])           # background
+    plain = remove_close_points(pts, 5.0)
+    by_mask = remove_close_points_by_mask(pts, 5.0, labs)
+    assert len(plain) == 3  # one survivor per close pair + the bg point
+    assert len(by_mask) == 3
+    # cross-label closeness is NOT suppressed
+    pts2 = np.array([[8, 14], [8, 21]])  # 7px apart but different labels
+    assert len(remove_close_points(pts2, 10.0)) == 1
+    assert len(remove_close_points_by_mask(pts2, 10.0, labs)) == 2
