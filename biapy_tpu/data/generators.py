@@ -370,9 +370,11 @@ def save_aug_samples(dataset: PairDataset, out_dir: str, n: int = 10,
         dataset._grid_overlay = False
 
 
-def check_generator_consistence(loader: BatchLoader, out_dir: str, n: int = 3):
+def check_generator_consistence(loader: BatchLoader, out_dir: str, n: int = 3,
+                                mask_dir: Optional[str] = None):
     """Dump generator output for visual inspection (reference:
-    DATA.CHECK_GENERATORS, generators/__init__.py:884)."""
+    DATA.CHECK_GENERATORS, generators/__init__.py:884; masks go to
+    PATHS.GEN_MASK_CHECKS when given)."""
     import os
 
     from biapy_tpu.data.io import save_tif
@@ -382,4 +384,4 @@ def check_generator_consistence(loader: BatchLoader, out_dir: str, n: int = 3):
     batch = next(it)
     save_tif(batch["x"][:n], os.path.join(out_dir, "x"), verbose=False)
     if "y" in batch:
-        save_tif(batch["y"][:n], os.path.join(out_dir, "y"), verbose=False)
+        save_tif(batch["y"][:n], mask_dir or os.path.join(out_dir, "y"), verbose=False)

@@ -73,8 +73,15 @@ class AxisTransform:
         return out * signs
 
 
-def build_axis_transform_group(ndim: int, zflip: bool = True) -> List[AxisTransform]:
-    """8 orientations in 2D; 16 in 3D (reference: 8/16 TTA variants)."""
+def build_axis_transform_group(ndim: int, zflip: bool = True,
+                               level: str = "full") -> List[AxisTransform]:
+    """8 orientations in 2D; 16 in 3D (reference: 8/16 TTA variants).
+    ``level``: 'full'/'auto' = rot90s + flips; 'flips' = axis flips only
+    (4 in 2D, 8 in 3D — what Cellpose does upstream); 'none' = identity
+    (reference: TEST.AUGMENTATION_GROUP)."""
+    level = (level or "full").lower()
+    if level == "none":
+        return [AxisTransform.identity(ndim)]
     group: List[AxisTransform] = []
     rots = [
         ((0, 1), (False, False)),   # identity
@@ -82,6 +89,8 @@ def build_axis_transform_group(ndim: int, zflip: bool = True) -> List[AxisTransf
         ((0, 1), (True, True)),     # rot180
         ((1, 0), (True, False)),    # rot270
     ]
+    if level == "flips":
+        rots = [((0, 1), (False, False)), ((0, 1), (True, False))]  # id + vflip
     for perm2, flips2 in rots:
         for hflip in (False, True):
             f = (flips2[0], flips2[1] != hflip)
@@ -265,13 +274,14 @@ def ensemble_predictions(
     ndim: Optional[int] = None,
     mode: str = "mean",
     zflip: bool = True,
+    group_level: str = "full",
 ) -> np.ndarray:
     """Orientation-averaged prediction (reference: ensemble_predictions,
     post_processing.py:1371). ``pred_fn`` maps a channels-last image (or
     batch) to activated predictions; transforms whose channel semantics
     cannot be inverted are dropped from the ensemble."""
     nd = spec.ndim if spec is not None else (ndim or img.ndim - 1)
-    group = build_axis_transform_group(nd, zflip=zflip)
+    group = build_axis_transform_group(nd, zflip=zflip, level=group_level)
     if spec is not None and not spec.is_scalar_only:
         group = [t for t in group if all(g.supports(t) for g in spec.groups)]
         if not group:

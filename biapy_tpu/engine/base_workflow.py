@@ -282,7 +282,9 @@ class Base_Workflow(metaclass=ABCMeta):
                                    shuffle=cfg.AUGMENTOR.SHUFFLE_TRAIN_DATA_EACH_EPOCH,
                                    seed=cfg.SYSTEM.SEED,
                                    replicate=max(1, int(cfg.DATA.TRAIN.REPLICATE or 0)))
-        val_loader = BatchLoader(val_data, gbs, shuffle=False, seed=cfg.SYSTEM.SEED)
+        val_loader = BatchLoader(val_data, gbs,
+                                 shuffle=bool(cfg.AUGMENTOR.SHUFFLE_VAL_DATA_EACH_EPOCH),
+                                 seed=cfg.SYSTEM.SEED)
         self._steps_per_epoch = len(train_loader)
 
         # runtime self-checks (reference: DATA.CHECK_GENERATORS dumps
@@ -293,7 +295,8 @@ class Base_Workflow(metaclass=ABCMeta):
                                                    save_aug_samples)
 
             if cfg.DATA.CHECK_GENERATORS and cfg.PATHS.GEN_CHECKS:
-                check_generator_consistence(train_loader, cfg.PATHS.GEN_CHECKS)
+                check_generator_consistence(train_loader, cfg.PATHS.GEN_CHECKS,
+                                            mask_dir=cfg.PATHS.GEN_MASK_CHECKS or None)
             if cfg.AUGMENTOR.ENABLE and cfg.AUGMENTOR.AUG_SAMPLES and cfg.PATHS.DA_SAMPLES:
                 save_aug_samples(train_data, cfg.PATHS.DA_SAMPLES,
                                  n=int(cfg.AUGMENTOR.AUG_NUM_SAMPLES),
@@ -541,17 +544,19 @@ class Base_Workflow(metaclass=ABCMeta):
         # cache the jitted stitch per geometry — a fresh trace per block would
         # recompile (~30s on the tunnel) for every tile/image
         splits = tuple(tuple(s) for s in out_splits) if out_splits is not None else None
-        key = (tuple(block_n.shape), ov, pad, bs, reduce_mem, splits)
+        key = (tuple(block_n.shape), ov, pad, bs, reduce_mem, splits,
+               bool(cfg.DATA.TEST.MEDIAN_PADDING))
         cache = getattr(self, "_stitch_cache", None)
         if cache is None:
             cache = self._stitch_cache = {}
         runner = cache.get(key)
         if runner is None:
             out_dt = jnp.bfloat16 if reduce_mem else jnp.float32
+            pad_mode = "median" if cfg.DATA.TEST.MEDIAN_PADDING else "reflect"
             runner = jax.jit(lambda v, vol: sliding_window_inference(
                 apply_fn, v, vol, patch, ov, pad,
                 out_channels=sum(chans), batch_size=bs, out_dtype=out_dt,
-                out_splits=splits))
+                out_splits=splits, pad_mode=pad_mode))
             cache[key] = runner
         block_j = jnp.asarray(block_n.astype(np.float32), jnp.bfloat16) if reduce_mem \
             else jnp.asarray(block_n)  # bf16 halves H2D + HBM for the volume
@@ -608,7 +613,8 @@ class Base_Workflow(metaclass=ABCMeta):
 
             mode = (self.cfg.TEST.AUGMENTATION_MODE or "mean").lower()
             return ensemble_predictions(run_batches, patches, spec=self.tta_spec(),
-                                        ndim=self.nd, mode=mode)
+                                        ndim=self.nd, mode=mode,
+                                        group_level=str(self.cfg.TEST.AUGMENTATION_GROUP or "full"))
         return run_batches(patches)
 
     def before_test_sample(self, img: np.ndarray, gt: Optional[np.ndarray], fname: str):
@@ -685,7 +691,9 @@ class Base_Workflow(metaclass=ABCMeta):
             # the device (ops/stitch.py); TTA/SR fall back to host crop/merge
             merged = self.predict_block_on_device(img_n, overlap=ov, padding=pad)
         if merged is None:
-            patches, _ = crop_data_with_overlap(img_n[None], crop_shape, overlap=ov, padding=pad)
+            patches, _ = crop_data_with_overlap(
+                img_n[None], crop_shape, overlap=ov, padding=pad,
+                pad_type="median" if cfg.DATA.TEST.MEDIAN_PADDING else "reflect")
             preds = self.predict_patches(patches)
             out_ch = preds.shape[-1]
             out_spatial = tuple(img.shape[d] * up[d] for d in range(self.nd))

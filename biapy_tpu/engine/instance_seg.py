@@ -664,9 +664,14 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         rays_sl = self._channel_slice("R")
         prob_sl = self._channel_slice("P") or self._channel_slice("F")
         prob = pred[..., prob_sl][..., 0] if prob_sl is not None else np.ones(pred.shape[:-1], np.float32)
+        sd = self.cfg.PROBLEM.INSTANCE_SEG.STARDIST
+        kw = dict(prob_threshold=float(sd.PROB_THRESH),
+                  iou_threshold=float(sd.NMS_IOU_THRESH))
+        if sd.GRID:
+            kw["grid_step"] = int(list(sd.GRID)[0])
         if self.nd == 3:
-            return stardist_nms_3d(prob, pred[..., rays_sl])
-        return stardist_nms_2d(prob, pred[..., rays_sl])
+            return stardist_nms_3d(prob, pred[..., rays_sl], **kw)
+        return stardist_nms_2d(prob, pred[..., rays_sl], **kw)
 
     def after_by_chunks_prediction(self, ci, raw_path: str, base: str) -> None:
         """Per-tile watershed + 5-pass cross-tile merge (reference:

@@ -135,6 +135,8 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
         kwargs["dec_embed_dim"] = int(cfg.MODEL.MAE_DEC_HIDDEN_SIZE)
         kwargs["dec_depth"] = int(cfg.MODEL.MAE_DEC_NUM_LAYERS)
         kwargs["dec_num_heads"] = int(cfg.MODEL.MAE_DEC_NUM_HEADS)
+        kwargs["dec_mlp_ratio"] = float(cfg.MODEL.MAE_DEC_MLP_DIMS) / max(
+            int(cfg.MODEL.MAE_DEC_HIDDEN_SIZE), 1)
         return MAE(**kwargs), {"class": "MAE", **kwargs}
 
     if arch == "unetr":

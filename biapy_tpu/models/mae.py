@@ -34,6 +34,7 @@ class MAE(nn.Module):
     dec_embed_dim: int = 512
     dec_depth: int = 8
     dec_num_heads: int = 16
+    dec_mlp_ratio: float = 4.0  # MAE_DEC_MLP_DIMS / dec_embed_dim
     mask_ratio: float = 0.5
     masking_type: str = "random"
     norm_pix_loss: bool = False
@@ -132,7 +133,7 @@ class MAE(nn.Module):
                              (1, L + 1, self.dec_embed_dim))
         full = full + dec_pos
         for _ in range(self.dec_depth):
-            full = TransformerBlock(self.dec_num_heads, self.mlp_ratio, norm_eps=self.norm_eps)(full, train)
+            full = TransformerBlock(self.dec_num_heads, self.dec_mlp_ratio, norm_eps=self.norm_eps)(full, train)
         full = nn.LayerNorm(epsilon=self.norm_eps)(full)
         patch_dim = (self.patch_size**self.ndim) * self.in_channels
         pred = nn.Dense(patch_dim, kernel_init=KERNEL_INIT)(full)[:, 1:]

@@ -63,6 +63,13 @@ def sliding_window_inference(
     compute (a post-hoc slice would serialize D2H after the whole queue).
     """
     nd = len(patch)
+    if pad_mode == "median":
+        # DATA.TEST.MEDIAN_PADDING: fill borders with the volume median
+        # (jnp.pad has no median mode; constant with the traced median)
+        med = jnp.median(volume)
+        pad_kw = dict(mode="constant", constant_values=med)
+    else:
+        pad_kw = dict(mode=pad_mode)
     orig_spatial = volume.shape[:nd]
     # reflect-pad axes shorter than the effective patch core so any volume
     # can be processed (the crop is undone on return) — the device analog of
@@ -71,7 +78,7 @@ def sliding_window_inference(
     deficits = [max(0, min_sz[d] - orig_spatial[d]) for d in range(nd)]
     if any(deficits):
         pw = [(d // 2, d - d // 2) for d in deficits] + [(0, 0)]
-        volume = jnp.pad(volume, pw, mode=pad_mode)
+        volume = jnp.pad(volume, pw, **pad_kw)
     spatial = volume.shape[:nd]
     starts_np, ov_px = _grid_starts(spatial, patch, overlap, padding)
     n = len(starts_np)
@@ -88,7 +95,7 @@ def sliding_window_inference(
     window = jnp.asarray(window_np, out_dtype)
 
     pad_width = [(padding[d], padding[d]) for d in range(nd)] + [(0, 0)]
-    vol_p = jnp.pad(volume, pad_width, mode=pad_mode)
+    vol_p = jnp.pad(volume, pad_width, **pad_kw)
     if compute_dtype is not None:
         vol_p = vol_p.astype(compute_dtype)
 

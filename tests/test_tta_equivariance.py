@@ -136,3 +136,19 @@ def test_unsupported_transforms_degrade():
     spec = build_tta_spec(["R"], [6], 2, extra)
     group = [t for t in build_axis_transform_group(2) if all(g.supports(t) for g in spec.groups)]
     assert 0 < len(group) < 8
+
+
+def test_augmentation_group_levels():
+    """TEST.AUGMENTATION_GROUP: 'full' = 8 orientations (2D), 'flips' = 4,
+    'none' = identity (reference: config.py:1849-1857)."""
+    from biapy_tpu.data.tta import build_axis_transform_group
+
+    assert len(build_axis_transform_group(2, level="full")) == 8
+    assert len(build_axis_transform_group(2, level="auto")) == 8
+    assert len(build_axis_transform_group(2, level="flips")) == 4
+    assert len(build_axis_transform_group(2, level="none")) == 1
+    assert len(build_axis_transform_group(3, level="full")) == 16
+    assert len(build_axis_transform_group(3, level="flips")) == 8
+    # flips level really contains only flips (no axis permutations)
+    for t in build_axis_transform_group(2, level="flips"):
+        assert tuple(t.perm) == (0, 1)
