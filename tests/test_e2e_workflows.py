@@ -331,3 +331,39 @@ def test_contrastive_semantic_seg_hrnet(tmp_path):
     job = _run(cfg, root, "contrast")
     assert np.isfinite(job.workflow.stats["iou"])
     assert len(job.workflow._predictions) == 2
+
+
+@pytest.mark.slow
+def test_semantic_seg_3d(tmp_path):
+    """3D semantic segmentation end-to-end (anisotropic z_down, on-device
+    3D stitch) — the reference's Test2-style 3D run on synthetic data."""
+    rng = np.random.default_rng(66)
+    root = str(tmp_path)
+    for d, n in [("train", 6), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x"); os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            vol = np.zeros((16, 64, 64), np.float32)
+            for _ in range(3):
+                cz, cy, cx = rng.integers(4, 12), *rng.integers(16, 48, 2)
+                zz, yy, xx = np.mgrid[:16, :64, :64]
+                vol += ((((zz - cz) * 3.0) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2) < 100) * 0.7
+            noisy = vol + rng.normal(0, 0.05, vol.shape).astype(np.float32)
+            write_tiff(f"{root}/{d}/x/{i}.tif", (noisy * 200).clip(0, 255).astype(np.uint8))
+            write_tiff(f"{root}/{d}/y/{i}.tif", ((vol > 0.3) * 255).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "3D"},
+        "DATA": {"PATCH_SIZE": (8, 32, 32, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y"},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y",
+                          "LOAD_GT": True, "PADDING": (2, 4, 4)}},
+        "AUGMENTOR": {"ENABLE": True, "VFLIP": True, "HFLIP": True, "ZFLIP": True},
+        "MODEL": {"ARCHITECTURE": "resunet", "FEATURE_MAPS": [8, 16],
+                  "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [1, 2],
+                  "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3,
+                  "BATCH_SIZE": 4, "EPOCHS": 10},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "sem3d")
+    assert job.workflow.stats["iou"] > 0.35, job.workflow.stats
