@@ -94,7 +94,13 @@ def main():
         return s
 
     devices = jax.local_devices()
-    pred = np.empty(vol_shape + (1,), np.float32)
+    # REDUCE_MEMORY keeps predictions at half precision END TO END — the
+    # reference stores fp16 predictions under the same flag — so the host
+    # buffer is bfloat16 and the drain is a pure memcpy (no f32 convert
+    # serializing in the drain threads).
+    import ml_dtypes
+
+    pred = np.empty(vol_shape + (1,), ml_dtypes.bfloat16)
     n_streams = int(os.environ.get("BIAPY_TPU_D2H_STREAMS", "8"))
 
     def splits_for(z0, z1):
@@ -112,7 +118,7 @@ def main():
         def pull(z0, chunk):
             try:
                 n = chunk.shape[0]
-                pred[z0:z0 + n] = np.asarray(jax.device_get(chunk)).astype(np.float32)
+                pred[z0:z0 + n] = np.asarray(jax.device_get(chunk))
             except Exception as e:  # surfaces async OOM; re-raised below
                 errors.append(e)
 
@@ -151,12 +157,17 @@ def main():
     for patch in candidates:
         if patch == candidates[-1]:
             break  # smallest always fits; don't pay a probe for it
-        r = subprocess.run([sys.executable, os.path.abspath(__file__),
-                            "--probe", ",".join(map(str, patch))],
-                           stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        if r.returncode == 0:
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                "--probe", ",".join(map(str, patch))],
+                               stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                               timeout=int(os.environ.get("BIAPY_TPU_PROBE_TIMEOUT", "900")))
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False  # hung compile/transfer counts as unusable
+        if ok:
             break
-        print(f"patch={patch} OOM, falling back", file=sys.stderr)
+        print(f"patch={patch} unusable (OOM/timeout), falling back", file=sys.stderr)
     print(f"bench geometry: patch={patch}", file=sys.stderr)
     wf = build(patch)
     run_once(wf)  # warmup/compile
