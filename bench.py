@@ -48,7 +48,6 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
     from biapy_tpu._biapy import BiaPy
-    from biapy_tpu.parallel import parallel_device_get
 
     vol_shape = (256, 512, 512)  # ~67M voxels; stand-in for 1024^3 (same kernel shapes)
     padding = (10, 10, 10)  # the reference's measured by-chunks halo (config.py:1974)

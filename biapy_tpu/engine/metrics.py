@@ -377,7 +377,9 @@ def _labels_to_ids(y, nd: int, spatial_e):
     import jax.numpy as jnp
 
     if y.shape[-1] == 1:
-        ids = (y[..., 0] > 0.5).astype(jnp.int32)
+        # one channel = integer class map (0/1 binary or 0..C-1 multiclass);
+        # round, don't binarize
+        ids = jnp.round(y[..., 0]).astype(jnp.int32)
     else:
         ids = jnp.argmax(y, axis=-1).astype(jnp.int32)
     sp = ids.shape[1 : 1 + nd]
@@ -407,7 +409,7 @@ def pixel_contrast_loss(embed, labels_ids, predict_ids, queue, rng,
     feats = feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-8)
     lab = labels_ids.reshape(-1)
     prd = predict_ids.reshape(-1)
-    n_view = max(1, max_anchors // n_classes)
+    n_view = min(max(1, max_anchors // n_classes), feats.shape[0])
 
     u = jax.random.uniform(rng, lab.shape)
 
@@ -463,8 +465,15 @@ def make_contrast_ce_loss(main_loss, nd: int, n_classes: int = 2,
             pred_ids = (pred[..., 0] > 0).astype(jnp.int32)  # logits: >0 == sigmoid>.5
         else:
             pred_ids = jnp.argmax(pred, axis=-1).astype(jnp.int32)
-        pred_ids = _labels_to_ids(pred_ids[..., None].astype(jnp.float32) if pred_ids.ndim == lab_ids.ndim
-                                  else pred_ids, nd, spatial_e) if pred_ids.shape[1:] != spatial_e else pred_ids
+        if pred_ids.shape[1:] != spatial_e:
+            # nearest-downsample the integer class map to the embed grid
+            # (no _labels_to_ids here — its 1-channel path binarizes, which
+            # corrupts multiclass ids)
+            sp = pred_ids.shape[1 : 1 + nd]
+            sl = (slice(None),) + tuple(
+                slice(None, None, max(1, sp[d] // max(1, spatial_e[d]))) for d in range(nd))
+            pred_ids = pred_ids[sl]
+            pred_ids = pred_ids[(slice(None),) + tuple(slice(0, spatial_e[d]) for d in range(nd))]
         queue = jnp.concatenate([outputs["segment_queue"], outputs["pixel_queue"]], axis=1)
         lc = pixel_contrast_loss(embed, lab_ids, pred_ids, queue, rng,
                                  n_classes=n_classes, temperature=temperature,
