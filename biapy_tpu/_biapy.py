@@ -158,6 +158,13 @@ class BiaPy:
                 raw.setdefault("PATHS", {})["CHECKPOINT_FILE"] = config
                 raw.setdefault("MODEL", {})["LOAD_CHECKPOINT"] = True
                 return raw
+            if config.endswith(".safetensors"):
+                # reference parity: check_api.py asserts guidance here —
+                # safetensors carries weights only, no embedded config
+                raise ValueError(
+                    "A .safetensors file only stores weights — it cannot rebuild a "
+                    "workflow. Pass the matching .ckpt (config embedded), or a YAML "
+                    "config with PATHS.CHECKPOINT_FILE pointing at a .ckpt.")
             raise ValueError(f"Config file must be .yaml/.yml/.ckpt: {config}")
         raise ValueError(f"Unsupported config type: {type(config)}")
 

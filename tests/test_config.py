@@ -96,3 +96,16 @@ def test_migration_channel_string():
 def test_diff_between_configs():
     d = diff_between_configs({"A": {"B": 1, "C": 2}}, {"A": {"B": 1, "C": 3}})
     assert d == [("A.C", 2, 3)]
+
+
+def test_safetensors_config_rejected_with_guidance(tmp_path):
+    """Reference parity (check_api.py:205-250): building a workflow from a
+    .safetensors file is rejected with guidance to use the .ckpt."""
+    import pytest
+
+    from biapy_tpu._biapy import BiaPy
+
+    p = str(tmp_path / "weights.safetensors")
+    open(p, "wb").write(b"\x00" * 8)
+    with pytest.raises(ValueError, match="safetensors.*weights"):
+        BiaPy(p, result_dir=str(tmp_path), name="x", silent=True)
