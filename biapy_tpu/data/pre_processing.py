@@ -349,6 +349,17 @@ def labels_into_channels(
             outs.append(affinities(labels, extra))
         elif code == "R":
             outs.append(radial_distances(labels, int(extra.get("R", {}).get("nrays", 32))))
+        elif code == "We":
+            # U-Net border weight map — GT-only channel the loss consumes
+            # (reference: PROBLEM.INSTANCE_SEG.BORDER_EXTRA_WEIGHTS,
+            # pre_processing.py:1565 + util.py:199)
+            from biapy_tpu.utils.util import unet_weight_map
+
+            if nd == 3:
+                wm = np.stack([unet_weight_map(labels[z]) for z in range(labels.shape[0])])
+            else:
+                wm = unet_weight_map(labels)
+            outs.append(wm.astype(np.float32)[..., None])
         elif code in ("E", "E_sigma", "E_seediness"):
             raise NotImplementedError("EmbedSeg channels arrive with the EmbedSeg vertical")
         else:

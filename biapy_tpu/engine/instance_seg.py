@@ -62,10 +62,19 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         self.embedseg_mode = bool(self.channel_codes) and all(c.startswith("E") for c in self.channel_codes)
         self.gt_keep_labels = self.embedseg_mode
 
+        if "We" in self.channel_codes and self.channel_codes[-1] != "We":
+            raise ValueError("'We' (border weight map) must be the LAST entry of "
+                             "PROBLEM.INSTANCE_SEG.DATA_CHANNELS — it is a GT-only "
+                             "channel consumed by the loss (reference: metrics.py:1637)")
         acts: List[str] = []
         self.channels_per_output: List[int] = []
         for i, c in enumerate(self.channel_codes):
             n = channels_per_code(c, self.channel_extra_opts, self.nd)
+            if c == "We":
+                # GT-only weight channel: never predicted (reference:
+                # instance_seg.py:440)
+                self.channels_per_output.append(n)
+                continue
             self.channels_per_output.append(n)
             if c.startswith("E"):
                 acts.extend(["linear"] * n)  # EmbedSeg clustering consumes raw maps
@@ -78,12 +87,13 @@ class Instance_Segmentation_Workflow(Base_Workflow):
                              else "linear"] * n)
             else:
                 acts.extend(["linear"] * n)
-        total = sum(self.channels_per_output)
+        total = sum(n for c, n in zip(self.channel_codes, self.channels_per_output)
+                    if c != "We")  # predicted channels only
         self.output_channels = [total]
         self.activations = acts
         # apply_activations works per activation entry with 1 channel each
         self._act_channels = [1] * total
-        self.output_channel_info = ["+".join(self.channel_codes)]
+        self.output_channel_info = ["+".join(c for c in self.channel_codes if c != "We")]
 
     def define_metrics(self):
         cfg = self.cfg

@@ -173,20 +173,33 @@ def instance_segmentation_loss(
     """
     mask_distances = mask_distances or {}
 
+    # 'We': GT carries a U-Net border weight map as its LAST channel; it is
+    # never predicted. BCE channels add it to their per-pixel weight
+    # (w(x) = w_c(x) + w_border(x), the U-Net paper formula); other losses
+    # apply it multiplicatively (reference: metrics.py:1637,1744).
+    border_weight = "We" in out_channels
+    active = [(ch, ln, w, n) for ch, ln, w, n in
+              zip(out_channels, losses_to_use, channel_weights, channels_per_output)
+              if ch != "We"]
+
     def loss_fn(y_pred, y_true):
         if isinstance(y_pred, dict):
             y_pred = y_pred["pred"]
+        w_borders = None
+        if border_weight:
+            w_borders = y_true[..., -1:]
+            y_true = y_true[..., :-1]
         total = 0.0
         off = 0
         # the F (or first binary) channel index, used as mask for regression
         fg_idx = None
         o = 0
-        for ch, n in zip(out_channels, channels_per_output):
+        for ch, _, _, n in active:
             if ch in ("F", "B", "P", "C", "F_pre", "F_post", "F_cleft"):
                 fg_idx = o
                 break
             o += n
-        for ch, lname, w, n in zip(out_channels, losses_to_use, channel_weights, channels_per_output):
+        for ch, lname, w, n in active:
             pred_c = y_pred[..., off : off + n]
             true_c = y_true[..., off : off + n].astype(pred_c.dtype)
             weight = None
@@ -195,6 +208,12 @@ def instance_segmentation_loss(
             if mask_distances.get(ch, False) and fg_idx is not None:
                 fg = (y_true[..., fg_idx : fg_idx + 1] > 0.5).astype(pred_c.dtype)
                 weight = fg if weight is None else weight * fg
+            if w_borders is not None:
+                wb = w_borders.astype(pred_c.dtype)
+                if lname.lower() == "bce":
+                    weight = wb if weight is None else weight + wb
+                else:
+                    weight = wb if weight is None else weight * wb
             total = total + w * _channel_loss(lname, pred_c, true_c, weight)
             off += n
         return total

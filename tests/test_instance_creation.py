@@ -319,3 +319,36 @@ def test_remove_close_points_by_mask():
     pts2 = np.array([[8, 14], [8, 21]])  # 7px apart but different labels
     assert len(remove_close_points(pts2, 10.0)) == 1
     assert len(remove_close_points_by_mask(pts2, 10.0, labs)) == 2
+
+
+def test_we_border_weight_channel():
+    """'We' compiles a U-Net border weight map as a GT-only channel and the
+    loss consumes it (reference: BORDER_EXTRA_WEIGHTS 'unet-like',
+    metrics.py:1637)."""
+    import jax.numpy as jnp
+
+    from biapy_tpu.data.pre_processing import labels_into_channels
+    from biapy_tpu.engine.metrics import instance_segmentation_loss
+
+    lab = np.zeros((40, 40, 1), np.int32)
+    lab[5:18, 5:18] = 1
+    lab[5:18, 21:34] = 2  # 3-px gap: the weight map must peak in between
+    ch = labels_into_channels(lab, mode=("F", "C", "We"))
+    assert ch.shape == (40, 40, 3)
+    wmap = ch[..., 2]
+    gap = wmap[10, 18:21].mean()
+    far = wmap[35, 35]
+    assert gap > far, (gap, far)
+
+    loss = instance_segmentation_loss(
+        out_channels=["F", "C", "We"], losses_to_use=["bce", "bce", "bce"],
+        channel_weights=[1.0, 1.0, 1.0], channels_per_output=[1, 1, 1])
+    pred = jnp.zeros((1, 40, 40, 2))  # model predicts only F+C
+    y = jnp.asarray(ch[None])
+    l = float(loss(pred, y))
+    assert np.isfinite(l) and l > 0
+    # the border weights make a wrong-positive in the gap cost more than
+    # the same mistake far from any instance
+    bad_gap = jnp.zeros((1, 40, 40, 2)).at[0, 10, 19, 0].set(10.0)
+    bad_far = jnp.zeros((1, 40, 40, 2)).at[0, 35, 35, 0].set(10.0)
+    assert float(loss(bad_gap, y)) > float(loss(bad_far, y))
