@@ -301,11 +301,20 @@ def apply_median_filter(img: np.ndarray, axes: Sequence[str], sizes: Sequence[in
     return out
 
 
-def measure_instance_properties(labels: np.ndarray, resolution: Sequence[float] = (1, 1, 1)) -> Dict[str, np.ndarray]:
-    """Per-instance morphology: size, centroid, diameter, circularity-ish
-    (reference: measure/filter props -> CSV, post_processing.py:2420)."""
+def measure_instance_properties(labels: np.ndarray, resolution: Sequence[float] = (1, 1, 1),
+                                extra_props: Sequence[str] = ()) -> Dict[str, np.ndarray]:
+    """Per-instance morphology: size, centroid, diameter (+ EXTRA_PROPS:
+    perimeter/surface_area, bbox, circularity/sphericity, elongation, area/
+    volume in physical units) — reference: measure/filter props -> CSV,
+    post_processing.py:2420 with MEASURE_PROPERTIES.EXTRA_PROPS."""
+    nd = labels.ndim
+    extras = [str(p).lower() for p in extra_props]
+    res = np.asarray(list(resolution)[:nd] + [1.0] * max(0, nd - len(resolution)), np.float64)
     objs = ndimage.find_objects(labels)
     ids, sizes, centroids, diameters = [], [], [], []
+    perims, bboxes, rounds, elongs, physs = [], [], [], [], []
+    want_perim = any(p in extras for p in ("perimeter", "surface_area",
+                                           "circularity", "sphericity"))
     for lab, sl in zip(range(1, len(objs) + 1), objs):
         if sl is None:
             continue
@@ -314,10 +323,64 @@ def measure_instance_properties(labels: np.ndarray, resolution: Sequence[float] 
         sizes.append(int(m.sum()))
         com = ndimage.center_of_mass(m)
         centroids.append([float(c + s.start) for c, s in zip(com, sl)])
-        diameters.append(float(2 * (m.sum() * 3 / (4 * np.pi)) ** (1 / 3)) if labels.ndim == 3
+        diameters.append(float(2 * (m.sum() * 3 / (4 * np.pi)) ** (1 / 3)) if nd == 3
                          else float(2 * np.sqrt(m.sum() / np.pi)))
-    return {"id": np.asarray(ids), "size": np.asarray(sizes),
-            "centroid": np.asarray(centroids), "diameter": np.asarray(diameters)}
+        if want_perim:
+            core = ndimage.binary_erosion(m)
+            perims.append(int((m & ~core).sum()))
+        if "bbox" in extras:
+            bboxes.append([int(s.start) for s in sl] + [int(s.stop) for s in sl])
+        if "elongation" in extras:
+            ext = [s.stop - s.start for s in sl]
+            elongs.append(float(max(ext) / max(min(ext), 1)))
+        if any(p in extras for p in ("area", "volume")):
+            physs.append(float(m.sum() * np.prod(res)))
+    out = {"id": np.asarray(ids), "size": np.asarray(sizes),
+           "centroid": np.asarray(centroids), "diameter": np.asarray(diameters)}
+    if want_perim:
+        p = np.asarray(perims, np.float64)
+        out["surface_area" if nd == 3 else "perimeter"] = p
+        s = np.asarray(sizes, np.float64)
+        if nd == 2 and ("circularity" in extras or want_perim):
+            out["circularity"] = np.where(p > 0, 4 * np.pi * s / np.maximum(p, 1) ** 2, 0.0)
+        if nd == 3 and ("sphericity" in extras or want_perim):
+            out["sphericity"] = np.where(
+                p > 0, np.pi ** (1 / 3) * (6 * s) ** (2 / 3) / np.maximum(p, 1), 0.0)
+    if "bbox" in extras:
+        out["bbox"] = np.asarray(bboxes)
+    if "elongation" in extras:
+        out["elongation"] = np.asarray(elongs)
+    if any(p in extras for p in ("area", "volume")):
+        out["volume" if nd == 3 else "area"] = np.asarray(physs)
+    return out
+
+
+def instance_properties_csv(labels: np.ndarray, path: str,
+                            resolution: Sequence[float] = (1, 1, 1),
+                            extra_props: Sequence[str] = ()) -> None:
+    """Write the per-instance property table (reference: the CSV pandas dump
+    in post_processing.py:2420)."""
+    import csv
+    import os
+
+    props = measure_instance_properties(labels, resolution, extra_props)
+    nd = labels.ndim
+    cols = ["id", "size", "diameter"] + [k for k in props
+                                         if k not in ("id", "size", "diameter", "centroid", "bbox")]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        header = cols[:2] + [f"centroid-{d}" for d in range(nd)] + cols[2:]
+        if "bbox" in props:
+            header += [f"bbox-{d}" for d in range(2 * nd)]
+        w.writerow(header)
+        for i in range(len(props["id"])):
+            row = [int(props["id"][i]), int(props["size"][i])]
+            row += [float(c) for c in props["centroid"][i]]
+            row += [float(props[k][i]) for k in cols[2:]]
+            if "bbox" in props:
+                row += [int(b) for b in props["bbox"][i]]
+            w.writerow(row)
 
 
 def filter_instances_by_properties(labels: np.ndarray, props: Sequence[str],

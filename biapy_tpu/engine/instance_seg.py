@@ -465,6 +465,19 @@ class Instance_Segmentation_Workflow(Base_Workflow):
 
             save_tif(instances[None][..., None].astype(np.uint16 if instances.max() < 2**16 else np.uint32),
                      cfg.PATHS.RESULT_DIR.PER_IMAGE_INSTANCES, [fname], verbose=False)
+            mp = cfg.TEST.POST_PROCESSING.MEASURE_PROPERTIES
+            if mp.ENABLE:
+                # per-instance property CSV (+ MEASURE_PROPERTIES.EXTRA_PROPS
+                # columns; reference: post_processing.py:2420-2470)
+                from biapy_tpu.data.post_processing import instance_properties_csv
+
+                res = list(cfg.DATA.TEST.RESOLUTION) if cfg.DATA.TEST.RESOLUTION and \
+                    cfg.DATA.TEST.RESOLUTION != [-1] else (1.0,) * self.nd
+                instance_properties_csv(
+                    instances,
+                    os.path.join(cfg.PATHS.RESULT_DIR.PER_IMAGE_INSTANCES,
+                                 os.path.splitext(fname)[0] + "_properties.csv"),
+                    resolution=res, extra_props=list(mp.EXTRA_PROPS))
         # matching stats vs raw instance GT
         gt_dir = getattr(self, "_instance_gt_dirs", {}).get("TEST")
         if gt_dir and cfg.TEST.MATCHING_STATS:

@@ -352,3 +352,31 @@ def test_we_border_weight_channel():
     bad_gap = jnp.zeros((1, 40, 40, 2)).at[0, 10, 19, 0].set(10.0)
     bad_far = jnp.zeros((1, 40, 40, 2)).at[0, 35, 35, 0].set(10.0)
     assert float(loss(bad_gap, y)) > float(loss(bad_far, y))
+
+
+def test_measure_instance_properties_extra_props(tmp_path):
+    """EXTRA_PROPS columns: perimeter/circularity (2D), bbox, elongation,
+    physical area (reference: MEASURE_PROPERTIES.EXTRA_PROPS,
+    post_processing.py:2424)."""
+    from biapy_tpu.data.post_processing import (instance_properties_csv,
+                                                measure_instance_properties)
+
+    lab = np.zeros((40, 40), np.int32)
+    lab[5:15, 5:15] = 1        # 10x10 square
+    lab[20:24, 5:33] = 2       # 4x28 elongated bar
+    p = measure_instance_properties(lab, resolution=(2.0, 2.0),
+                                    extra_props=["perimeter", "circularity",
+                                                 "bbox", "elongation", "area"])
+    assert list(p["id"]) == [1, 2]
+    assert p["perimeter"][0] > 0
+    # the square is rounder than the bar
+    assert p["circularity"][0] > p["circularity"][1]
+    assert p["elongation"][1] > p["elongation"][0]
+    assert p["area"][0] == 100 * 4.0  # 100 px * (2*2) physical units
+    assert list(p["bbox"][0]) == [5, 5, 15, 15]
+
+    out = str(tmp_path / "props.csv")
+    instance_properties_csv(lab, out, extra_props=["perimeter", "circularity", "bbox"])
+    import csv
+    rows = list(csv.reader(open(out)))
+    assert len(rows) == 3 and "circularity" in rows[0] and "bbox-0" in rows[0]
