@@ -90,23 +90,42 @@ def filter_samples_by_properties(
     is_3d: bool,
     save_dir: Optional[str] = None,
     save_num: int = 3,
+    by_image: bool = False,
+    norm_spec: Optional[Dict] = None,
 ) -> BiaPyDataset:
     """Drop samples matching any AND-group of (prop, sign, value) conditions
     (reference: filter_samples_by_properties, data_manipulation.py:2415).
     ``save_dir`` dumps the first ``save_num`` dropped samples for inspection
-    (reference: DATA.SAVE_FILTERED_IMAGES / PATHS.FIL_SAMPLES_DIR)."""
+    (reference: DATA.SAVE_FILTERED_IMAGES / PATHS.FIL_SAMPLES_DIR).
+    ``by_image`` evaluates the conditions on the WHOLE image, dropping every
+    patch of a failing file together (reference: DATA.FILTER_BY_IMAGE);
+    ``norm_spec`` normalizes before measuring (FILTER_SAMPLES.NORM_BEFORE)."""
     if not props:
         return ds
     kept = []
     dropped_saved = 0
+    file_verdicts: Dict[int, bool] = {}
+    def _decide(img, gt) -> bool:
+        if norm_spec is not None:
+            img, _ = normalize_image(img, norm_spec)
+        p = _sample_props(img, gt)
+        for group_p, group_v, group_s in zip(props, values, signs):
+            if all(_SIGN_FNS[sg](p[pr], vv) for pr, vv, sg in zip(group_p, group_v, group_s)):
+                return True
+        return False
+
     for s in ds.sample_list:
         f = ds.dataset_info[s.fid]
         img = s.img
         gt = s.gt
-        if img is None:
+        if by_image and s.fid in file_verdicts:
+            if not file_verdicts[s.fid]:
+                kept.append(s)
+            continue
+        if img is None or by_image:
             from biapy_tpu.data.io import _is_chunked, read_patch_as_ndarray
 
-            if s.coords and _is_chunked(f.path):
+            if s.coords and _is_chunked(f.path) and not by_image:
                 img = read_patch_as_ndarray(f.path, s.coords, is_3d=is_3d,
                                             data_path=f.data_path, axes_order=f.input_axes)
                 if f.gt_path:
@@ -115,19 +134,16 @@ def filter_samples_by_properties(
             else:
                 img = read_img_as_ndarray(f.path, is_3d=is_3d, data_path=f.data_path,
                                           axes_order=f.input_axes)
-                if s.coords:
+                if s.coords and not by_image:
                     img = extract_patch(img, s.coords)
                 if f.gt_path:
                     gt = read_img_as_ndarray(f.gt_path, is_3d=is_3d, data_path=f.gt_data_path,
                                              axes_order=f.gt_input_axes)
-                    if s.coords:
+                    if s.coords and not by_image:
                         gt = extract_patch(gt, s.coords)
-        p = _sample_props(img, gt)
-        drop = False
-        for group_p, group_v, group_s in zip(props, values, signs):
-            if all(_SIGN_FNS[sg](p[pr], vv) for pr, vv, sg in zip(group_p, group_v, group_s)):
-                drop = True
-                break
+        drop = _decide(img, gt)
+        if by_image:
+            file_verdicts[s.fid] = drop
         if not drop:
             kept.append(s)
         elif save_dir and dropped_saved < save_num:
@@ -351,7 +367,9 @@ def load_and_prepare_train_data(cfg, norm_spec: Optional[Dict] = None,
         train = filter_samples_by_properties(
             train, fs.PROPS, fs.VALUES, fs.SIGNS, is_3d,
             save_dir=(cfg.PATHS.FIL_SAMPLES_DIR if cfg.DATA.SAVE_FILTERED_IMAGES else None),
-            save_num=int(cfg.DATA.SAVE_FILTERED_IMAGES_NUM))
+            save_num=int(cfg.DATA.SAVE_FILTERED_IMAGES_NUM),
+            by_image=bool(cfg.DATA.FILTER_BY_IMAGE),
+            norm_spec=(norm_spec if fs.NORM_BEFORE else None))
 
     if not cfg.DATA.VAL.FROM_TRAIN:
         val = build_dataset(

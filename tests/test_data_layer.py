@@ -378,3 +378,50 @@ def test_replicate_extra_data_factor(tmp_path):
     # replicas of the same sample must differ (fresh random crop per replica)
     n = len(base)
     assert not np.array_equal(batches[0], batches[n])
+
+
+def test_filter_by_image_and_norm_before(tmp_path):
+    """DATA.FILTER_BY_IMAGE drops every patch of a failing file together;
+    FILTER_SAMPLES.NORM_BEFORE measures after normalization (reference:
+    data_manipulation.py:112-113)."""
+    import os
+
+    from biapy_tpu.config.config import Config
+    from biapy_tpu.data.data_manipulation import load_and_prepare_train_data
+    from biapy_tpu.data.io import save_tif
+
+    root = str(tmp_path)
+    os.makedirs(f"{root}/x"); os.makedirs(f"{root}/y")
+    rng = np.random.default_rng(10)
+    # file 0: dark image (mean ~20); file 1: bright (mean ~200)
+    for i, base in enumerate([20, 200]):
+        img = (base + rng.normal(0, 3, (64, 64, 1))).clip(0, 255).astype(np.uint8)
+        save_tif(img[None], f"{root}/x", [f"{i}.tif"], verbose=False)
+        save_tif((img > base).astype(np.uint8)[None], f"{root}/y", [f"{i}.tif"], verbose=False)
+
+    def build(**data_over):
+        c = Config(".", "t")
+        cfg = c.get_cfg_defaults()
+        cfg.merge_from_dict({"DATA": {
+            "PATCH_SIZE": (32, 32, 1),
+            "TRAIN": {"PATH": f"{root}/x", "GT_PATH": f"{root}/y",
+                      "FILTER_SAMPLES": {"ENABLE": True, "PROPS": [["mean"]],
+                                         "VALUES": [[100]], "SIGNS": [["lt"]],
+                                         **data_over.pop("FS", {})}},
+            "VAL": {"SPLIT_TRAIN": 0.01, "FROM_TRAIN": False,
+                    "PATH": f"{root}/x", "GT_PATH": f"{root}/y"},
+            **data_over}})
+        return cfg
+
+    # by-image: file 0 (mean<100) fully dropped -> only file 1's 4 patches
+    train, _ = load_and_prepare_train_data(build(FILTER_BY_IMAGE=True))
+    assert len(train.sample_list) == 4
+    assert all(train.dataset_info[s.fid].path.endswith("1.tif") for s in train.sample_list)
+
+    # NORM_BEFORE with div normalization: means become <=1, so EVERY sample
+    # matches 'mean < 100' -> all filtered -> error
+    import pytest
+
+    with pytest.raises(ValueError, match="filtered out"):
+        load_and_prepare_train_data(build(FS={"NORM_BEFORE": True}),
+                                    norm_spec={"type": "div"})
