@@ -25,7 +25,7 @@ ALL_MODELS = UNET_LIKE + ["multiresunet", "hrnet", "hrnet18", "hrnet32", "hrnet4
                           "efficientnet_b6", "efficientnet_b7"]
 
 INSTANCE_CHANNEL_CODES = ["F", "B", "M", "P", "C", "H", "V", "Z", "Gh", "Gv", "Gz",
-                          "Db", "Dc", "Dn", "D", "R", "T", "A", "E"]
+                          "Db", "Dc", "Dn", "D", "R", "T", "A", "E", "We"]
 
 
 def check_configuration(cfg, job_identifier: str = "job") -> None:

@@ -310,6 +310,8 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         flat_idx: List[int] = []
         off = 0
         for c, n in zip(self.channel_codes, self.channels_per_output):
+            if c == "We":  # GT-only weight channel: not in predictions
+                continue
             flat_codes.append(c)
             flat_idx.append(off)
             off += n
