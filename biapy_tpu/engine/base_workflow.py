@@ -839,6 +839,7 @@ class Base_Workflow(metaclass=ABCMeta):
                         handle.close()
             self.after_by_chunks_prediction(ci, raw_path, base)
         self.after_all_images()
+        self.print_stats()
 
     def after_by_chunks_prediction(self, ci, raw_path: str, base: str) -> None:
         """Workflow hook after the raw-prediction Zarr exists (instance seg

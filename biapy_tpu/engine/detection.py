@@ -114,7 +114,11 @@ class Detection_Workflow(Base_Workflow):
         super().train()
 
     def test(self, image=None, gt=None):
-        if image is None and self.cfg.DATA.TEST.LOAD_GT:
+        self._original_test_gt_path = str(self.cfg.DATA.TEST.GT_PATH)
+        by_chunks = bool(self.cfg.TEST.BY_CHUNKS.ENABLE) and self.is_3d
+        if image is None and self.cfg.DATA.TEST.LOAD_GT and not by_chunks:
+            # by-chunks reads GT points straight from the CSV (reference:
+            # detection.py:1069) — no full-volume point-mask compile needed
             self._prepare_detection_masks("TEST")
         super().test(image=image, gt=gt)
 
@@ -129,7 +133,12 @@ class Detection_Workflow(Base_Workflow):
         return target_fn
 
     # -- test -----------------------------------------------------------------
-    def _extract_points(self, heatmap: np.ndarray) -> np.ndarray:
+    def _extract_points(self, heatmap: np.ndarray, global_post: bool = True) -> np.ndarray:
+        """Peak extraction. ``global_post=False`` skips the whole-image
+        post steps (border-box drop + close-point removal) so the by-chunks
+        path can apply them once over the merged point set (reference:
+        detection.py:984-1040 applies REMOVE_CLOSE_POINTS to the
+        concatenated per-chunk dataframe, not per chunk)."""
         cfg = self.cfg
         # TEST.DET_TH_TYPE='auto' derives the peak threshold per image by Otsu
         # (reference: detection.py:366); 'manual' uses DET_MIN_TH_TO_BE_PEAK
@@ -161,7 +170,7 @@ class Detection_Workflow(Base_Workflow):
             )
         # drop points within a fixed margin of the image border (reference:
         # TEST.DET_IGNORE_POINTS_OUTSIDE_BOX, detection.py:699)
-        box = list(cfg.TEST.DET_IGNORE_POINTS_OUTSIDE_BOX or [])
+        box = list(cfg.TEST.DET_IGNORE_POINTS_OUTSIDE_BOX or []) if global_post else []
         if box and len(coords):
             keep = np.ones(len(coords), bool)
             for d in range(min(self.nd, len(box))):
@@ -171,7 +180,7 @@ class Detection_Workflow(Base_Workflow):
                             (coords[:, d] <= max(heatmap.shape[d] - m, 0))
             coords = coords[keep]
         pp = cfg.TEST.POST_PROCESSING
-        if pp.REMOVE_CLOSE_POINTS and len(coords):
+        if global_post and pp.REMOVE_CLOSE_POINTS and len(coords):
             coords = remove_close_points(
                 coords, float(pp.REMOVE_CLOSE_POINTS_RADIUS),
                 resolution=list(cfg.DATA.TEST.RESOLUTION) if cfg.DATA.TEST.RESOLUTION else (1,) * self.nd,
@@ -228,3 +237,95 @@ class Detection_Workflow(Base_Workflow):
                 self._predictions.append({"role": "post", "pred": inst, "file": fname})
         self._predictions.append({"role": "points", "points": coords, "file": fname})
         self._last_points = None
+
+    def after_by_chunks_prediction(self, ci, raw_path: str, base: str) -> None:
+        """Per-tile peak extraction + global point merge for huge volumes
+        (reference: detection.py after_one_chunk_raw_prediction:902 — points
+        per chunk shifted to global coords, per-patch CSVs — and
+        after_all_chunk_prediction_workflow_process_master_rank:992 — CSV
+        concat, global REMOVE_CLOSE_POINTS, _all_points.csv, metrics vs the
+        GT CSV)."""
+        cfg = self.cfg
+        if not cfg.TEST.BY_CHUNKS.WORKFLOW_PROCESS.ENABLE:
+            return
+        import glob
+
+        from biapy_tpu.data.zarr_store import ZarrArray
+        from biapy_tpu.engine.chunked import tile_grid
+        from biapy_tpu.parallel import all_gather_objects, is_main_process
+
+        pred = ZarrArray(raw_path)
+        spatial = tuple(pred.shape[: self.nd])
+        tiles = tile_grid(spatial, ci.tile_size, ci.halo)
+        mine = ci.my_tiles(tiles)
+        check_dir = cfg.PATHS.RESULT_DIR.DET_LOCAL_MAX_COORDS_CHECK
+        if self.save_to_disk:
+            os.makedirs(check_dir, exist_ok=True)
+        zfill = len(str(len(tiles)))
+        local_pts: List[np.ndarray] = []
+        for ti, t in enumerate(tiles):
+            if t not in mine:
+                continue
+            region = tuple(slice(t.halo_start[d], t.halo_end[d]) for d in range(self.nd))
+            hm = pred[region + (slice(None),)]
+            coords = self._extract_points(hm, global_post=False)
+            if len(coords):
+                # halo context sharpens peaks near tile edges; core ownership
+                # makes the per-tile point sets disjoint (no double counting)
+                keep = np.ones(len(coords), bool)
+                for d in range(self.nd):
+                    g = coords[:, d] + t.halo_start[d]
+                    keep &= (g >= t.core_start[d]) & (g < t.core_end[d])
+                coords = coords[keep] + np.asarray(t.halo_start, np.int64)
+            if self.save_to_disk:
+                with open(os.path.join(
+                        check_dir, f"{base}_patch{str(ti).zfill(zfill)}_points.csv"),
+                        "w", newline="") as f:
+                    w = csv.writer(f)
+                    w.writerow(["axis-0", "axis-1", "axis-2"][: self.nd])
+                    for c in coords:
+                        w.writerow([int(v) for v in c])
+            local_pts.append(np.asarray(coords, np.int64).reshape(-1, self.nd))
+        gathered = all_gather_objects(local_pts)
+        if not is_main_process():
+            return
+        flat = [p for g in gathered for p in g if len(p)]
+        coords = np.concatenate(flat, axis=0) if flat else np.zeros((0, self.nd), np.int64)
+        # whole-volume post steps, applied once over the merged set
+        box = list(cfg.TEST.DET_IGNORE_POINTS_OUTSIDE_BOX or [])
+        if box and len(coords):
+            keep = np.ones(len(coords), bool)
+            for d in range(min(self.nd, len(box))):
+                m = int(box[d])
+                if m > 0:
+                    keep &= (coords[:, d] >= m) & (coords[:, d] <= max(spatial[d] - m, 0))
+            coords = coords[keep]
+        pp = cfg.TEST.POST_PROCESSING
+        out_dir = check_dir
+        if pp.REMOVE_CLOSE_POINTS and len(coords):
+            out_dir = cfg.PATHS.RESULT_DIR.DET_LOCAL_MAX_COORDS_CHECK_POST_PROCESSING
+            coords = remove_close_points(
+                coords, float(pp.REMOVE_CLOSE_POINTS_RADIUS),
+                resolution=list(cfg.DATA.TEST.RESOLUTION) if cfg.DATA.TEST.RESOLUTION
+                else (1,) * self.nd,
+            )
+        if self.save_to_disk:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, base + "_all_points.csv"), "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["axis-0", "axis-1", "axis-2"][: self.nd])
+                for c in coords:
+                    w.writerow([int(v) for v in c])
+        self._predictions.append({"role": "points", "points": coords, "file": base})
+        # metrics straight from the GT CSV (no point-mask compile)
+        gt_dir = getattr(self, "_original_test_gt_path", "")
+        if cfg.DATA.TEST.LOAD_GT and gt_dir and os.path.isdir(gt_dir):
+            csvs = sorted(glob.glob(os.path.join(gt_dir, "*.csv")))
+            match = [c for c in csvs if os.path.splitext(os.path.basename(c))[0] == base]
+            gt_csv = match[0] if match else (csvs[0] if csvs else None)
+            if gt_csv:
+                true_pts = read_points_csv(gt_csv, self.nd)
+                dm = detection_metrics(true_pts, coords.astype(np.float32),
+                                       float(cfg.TEST.DET_TOLERANCE))
+                self.metrics_per_test_file.append(
+                    {f"det_{k}": float(v) for k, v in dm.items()})

@@ -248,3 +248,67 @@ def test_instance_merge_two_ranks_simulated(tmp_path):
     assert stats["f1"] > 0.9, stats
     n_pred = len(np.unique(merged)) - 1
     assert abs(n_pred - int(labels.max())) <= 1, (n_pred, int(labels.max()))
+
+
+def test_detection_by_chunks_points(tmp_path):
+    """By-chunks detection: per-tile peak extraction with core ownership
+    (no double counting across halos), global close-point merge, metrics
+    straight from the GT CSV (reference: detection.py:902,992)."""
+    import csv as _csv
+
+    from biapy_tpu.config.config import get_cfg_defaults
+    from biapy_tpu.engine.detection import Detection_Workflow
+
+    shape = (48, 96, 96)
+    # one point sits exactly on a tile-core boundary (z=24 with tile_size
+    # 24) so it is visible in two tiles' halos; the close pair must merge
+    true_pts = np.array([[10, 20, 20], [24, 48, 48], [40, 80, 30]], np.int64)
+    close_extra = np.array([[40, 82, 30]], np.int64)  # within radius of the 3rd
+    heat = np.zeros(shape + (1,), np.float32)
+    zz, yy, xx = np.mgrid[: shape[0], : shape[1], : shape[2]]
+    for p in np.concatenate([true_pts, close_extra]):
+        d2 = (zz - p[0]) ** 2 + (yy - p[1]) ** 2 + (xx - p[2]) ** 2
+        heat[..., 0] = np.maximum(heat[..., 0], np.exp(-d2 / 8.0))
+
+    out_dir = str(tmp_path / "chunks")
+    os.makedirs(out_dir)
+    raw_path = os.path.join(out_dir, "raw_pred.zarr")
+    raw = ZarrArray.create(raw_path, shape=heat.shape, chunks=(24, 32, 32, 1),
+                           dtype="f4", compressor={"id": "zlib", "level": 1})
+    raw[:, :, :, :] = heat
+
+    gt_dir = str(tmp_path / "gt")
+    os.makedirs(gt_dir)
+    with open(os.path.join(gt_dir, "vol.csv"), "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["axis-0", "axis-1", "axis-2"])
+        for p in true_pts:
+            w.writerow(list(map(int, p)))
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_dict({
+        "PROBLEM": {"TYPE": "DETECTION", "NDIM": "3D"},
+        "DATA": {"PATCH_SIZE": (32, 48, 48, 1), "TEST": {"LOAD_GT": True}},
+        "TEST": {"DET_TH_TYPE": "manual", "DET_MIN_TH_TO_BE_PEAK": 0.5,
+                 "DET_TOLERANCE": 3,
+                 "BY_CHUNKS": {"ENABLE": True, "WORKFLOW_PROCESS": {"ENABLE": True}},
+                 "POST_PROCESSING": {"REMOVE_CLOSE_POINTS": True,
+                                     "REMOVE_CLOSE_POINTS_RADIUS": 4.0}},
+    })
+    wf = Detection_Workflow.__new__(Detection_Workflow)
+    wf.cfg = cfg
+    wf.nd = 3
+    wf.is_3d = True
+    wf.save_to_disk = False
+    wf.metrics_per_test_file = []
+    wf._predictions = []
+    wf._original_test_gt_path = gt_dir
+
+    ci = ChunkedInference(wf, (32, 48, 48), (0, 0, 0), (4, 8, 8), (1, 1, 1), 1, out_dir)
+    wf.after_by_chunks_prediction(ci, raw_path, "vol")
+
+    pts = [p for p in wf._predictions if p["role"] == "points"][0]["points"]
+    assert len(pts) == 3, pts  # close pair merged; boundary point counted once
+    for tp in true_pts:
+        assert np.min(np.linalg.norm(pts - tp, axis=1)) <= 3.0, (tp, pts)
+    assert wf.metrics_per_test_file and wf.metrics_per_test_file[0]["det_f1"] == 1.0
