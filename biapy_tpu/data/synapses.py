@@ -315,7 +315,7 @@ def extract_points_in_predictions(
         fields = ([f"{point_type}_id"] + [f"axis-{d}" for d in range(data.ndim)]
                   + ["probability", f"{point_type} th"])
         _write_points_csv(os.path.join(out_dir, f"pred_{point_type}_locations.csv"), rows, fields)
-    return rows, np.asarray([c for c in coords], int).reshape(len(coords), -1)
+    return rows, np.asarray(coords, int).reshape(len(coords), data.ndim)
 
 
 def connect_pre_post_points_by_distance(

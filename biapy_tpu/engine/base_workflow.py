@@ -806,7 +806,7 @@ class Base_Workflow(metaclass=ABCMeta):
         process_test_sample_by_chunks, base_workflow.py:2469)."""
         import jax
 
-        from biapy_tpu.data.io import list_image_files
+        from biapy_tpu.data.io import list_image_files, open_lazy
         from biapy_tpu.engine.chunked import ChunkedInference
 
         cfg = self.cfg
@@ -814,7 +814,10 @@ class Base_Workflow(metaclass=ABCMeta):
         files = list_image_files(cfg.DATA.TEST.PATH)
         out_ch = sum(self.output_channels)
         phases = [str(p) for p in bc.PHASES]
+        data_path = (str(cfg.DATA.TEST.INPUT_ZARR_MULTIPLE_DATA_RAW_PATH) or None
+                     if cfg.DATA.TEST.INPUT_ZARR_MULTIPLE_DATA else None)
         for f in files:
+            self._current_test_file = f
             base = os.path.splitext(os.path.basename(f))[0]
             out_dir = os.path.join(cfg.PATHS.RESULT_DIR.PER_IMAGE, base + "_chunks")
             ci = ChunkedInference(
@@ -824,9 +827,23 @@ class Base_Workflow(metaclass=ABCMeta):
             )
             raw_path = os.path.join(out_dir, "raw_pred.zarr")
             if "prediction" in phases:
+                roi = roi_handle = None
+                roi_cfg = cfg.DATA.TEST.ROI_MASK
+                if roi_cfg.ENABLE:
+                    # by-chunks skips tiles with no ROI overlap instead of
+                    # zeroing after the fact (reference: config.py:934)
+                    rpath = str(roi_cfg.PATH)
+                    cands = list_image_files(rpath) if os.path.isdir(rpath) else [rpath]
+                    match = [c for c in cands
+                             if os.path.basename(c) == os.path.basename(f)] or cands[:1]
+                    if match:
+                        roi, roi_handle = open_lazy(match[0])
                 raw_path = ci.predict_volume(
-                    f, z_range=(int(bc.Z_START), int(bc.Z_END)), verbose=self.verbose
+                    f, z_range=(int(bc.Z_START), int(bc.Z_END)), verbose=self.verbose,
+                    data_path=data_path, roi=roi,
                 )
+                if roi_handle is not None:
+                    roi_handle.close()
                 if bc.SAVE_OUT_TIF and is_main_process():
                     # whole-volume TIF of the raw prediction (reference:
                     # TEST.BY_CHUNKS.SAVE_OUT_TIF, base_workflow.py:2581)

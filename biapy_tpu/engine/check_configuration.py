@@ -177,6 +177,15 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
                 req(str(ph) in ("prediction", "instance_creation", "instance_merging"),
                     f"Unknown TEST.BY_CHUNKS.PHASES entry: {ph} "
                     "(valid: prediction/instance_creation/instance_merging)")
+        # DATA.PREPROCESS.ZOOM is by-chunks-only (reference
+        # check_configuration.py:2150-2156)
+        if cfg.DATA.PREPROCESS.ZOOM.ENABLE:
+            req(cfg.TEST.BY_CHUNKS.ENABLE,
+                "DATA.PREPROCESS.ZOOM.ENABLE requires TEST.BY_CHUNKS.ENABLE")
+            req(len(cfg.DATA.PREPROCESS.ZOOM.ZOOM_FACTOR)
+                == len(str(cfg.DATA.TEST.INPUT_IMG_AXES_ORDER)),
+                "DATA.PREPROCESS.ZOOM.ZOOM_FACTOR must have one entry per axis "
+                "of DATA.TEST.INPUT_IMG_AXES_ORDER")
         if cfg.TEST.MATCHING_STATS:
             for t in cfg.TEST.MATCHING_STATS_THS:
                 req(0.0 < float(t) < 1.0, f"TEST.MATCHING_STATS_THS values must be in (0,1), got {t}")

@@ -104,8 +104,13 @@ class ChunkedInference:
     # -- phase 1: raw prediction ---------------------------------------------
     def predict_volume(self, vol_path: str, out_name: str = "raw_pred.zarr",
                        z_range: Tuple[int, int] = (-1, -1),
-                       verbose: bool = True) -> str:
-        vol, handle = open_lazy(vol_path)
+                       verbose: bool = True, data_path: Optional[str] = None,
+                       roi=None) -> str:
+        """``roi``: optional lazy array of the volume's spatial shape; tiles
+        whose core has no ROI voxel are skipped entirely (reference:
+        config.py:934 — by-chunks does not predict patches outside the ROI)
+        and partially-covered cores are masked."""
+        vol, handle = open_lazy(vol_path, data_path=data_path)
         shape = tuple(vol.shape)
         has_c = len(shape) == self.nd + 1
         spatial = shape[: self.nd]
@@ -140,16 +145,29 @@ class ChunkedInference:
         inflight: List[tuple] = []
 
         def drain(entry):
-            t, pred = entry
+            t, pred, roi_core = entry
             pred = np.asarray(pred).astype(np.float32)
             core_sl_local = tuple(
                 slice(t.core_start[d] - t.halo_start[d],
                       t.core_end[d] - t.halo_start[d]) for d in range(self.nd)
             )
             core_sl_out = tuple(slice(t.core_start[d], t.core_end[d]) for d in range(self.nd))
-            out[core_sl_out + (slice(None),)] = pred[core_sl_local]
+            core = pred[core_sl_local]
+            if roi_core is not None:
+                core = core * roi_core[..., None]
+            out[core_sl_out + (slice(None),)] = core
 
+        skipped = 0
         for ti, t in enumerate(mine):
+            roi_core = None
+            if roi is not None:
+                core_sl = tuple(slice(t.core_start[d], t.core_end[d]) for d in range(self.nd))
+                roi_core = np.asarray(roi[core_sl]) > 0
+                if not roi_core.any():
+                    skipped += 1
+                    continue
+                if roi_core.all():
+                    roi_core = None
             region = tuple(slice(t.halo_start[d], t.halo_end[d]) for d in range(self.nd))
             block = np.asarray(vol[region]).astype(np.float32)
             if not has_c:
@@ -161,13 +179,15 @@ class ChunkedInference:
                 block_n, overlap=self.overlap, padding=self.padding,
                 device=devices[ti % len(devices)], sync=False)
             if dev_pred is None:
-                drain((t, self._predict_block(block_n)))
+                drain((t, self._predict_block(block_n), roi_core))
             else:
-                inflight.append((t, dev_pred))
+                inflight.append((t, dev_pred, roi_core))
                 if len(inflight) >= len(devices):
                     drain(inflight.pop(0))
             if verbose:
                 print(f"[by-chunks] rank {self.rank}: tile {ti + 1}/{len(mine)} dispatched")
+        if skipped and verbose:
+            print(f"[by-chunks] rank {self.rank}: {skipped} tiles outside the ROI skipped")
         for entry in inflight:
             drain(entry)
         if handle is not None:

@@ -309,13 +309,25 @@ class Detection_Workflow(Base_Workflow):
                 resolution=list(cfg.DATA.TEST.RESOLUTION) if cfg.DATA.TEST.RESOLUTION
                 else (1,) * self.nd,
             )
+        coords = coords.astype(np.float64)
+        zoom = cfg.DATA.PREPROCESS.ZOOM
+        if zoom.ENABLE:
+            # DATA.PREPROCESS.ZOOM is by-chunks-only in the reference and its
+            # sole effect there is rescaling the final point coordinates by
+            # the per-axis factor aligned with INPUT_IMG_AXES_ORDER
+            # (reference detection.py:1044-1052; no patch is ever zoomed)
+            axes = str(cfg.DATA.TEST.INPUT_IMG_AXES_ORDER)
+            factor = {a: f for a, f in zip(axes, list(zoom.ZOOM_FACTOR))}
+            div = np.array([factor.get(a, 1.0) for a in ("Z", "Y", "X")[-self.nd:]],
+                           np.float64)
+            coords = coords / div
         if self.save_to_disk:
             os.makedirs(out_dir, exist_ok=True)
             with open(os.path.join(out_dir, base + "_all_points.csv"), "w", newline="") as f:
                 w = csv.writer(f)
                 w.writerow(["axis-0", "axis-1", "axis-2"][: self.nd])
                 for c in coords:
-                    w.writerow([int(v) for v in c])
+                    w.writerow([float(v) for v in c])
         self._predictions.append({"role": "points", "points": coords, "file": base})
         # metrics straight from the GT CSV (no point-mask compile)
         gt_dir = getattr(self, "_original_test_gt_path", "")

@@ -353,18 +353,20 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         return relabel_sequential(labels)
 
     # -- synapses -----------------------------------------------------------
-    def synapse_seg_process(self, pred: np.ndarray, fname: str,
-                            out_dir: Optional[str] = None,
-                            calculate_metrics: bool = True) -> Dict:
-        """Prediction channels -> pre/post/cleft point sets + detection metrics
-        vs CREMI GT points (reference: synapse_seg_process,
-        instance_seg.py:1499)."""
+    def _extract_synapse_points(self, pred: np.ndarray,
+                                out_dir: Optional[str] = None,
+                                do_post_processing: bool = True,
+                                connect: bool = True) -> Dict[str, np.ndarray]:
+        """Point extraction from synapse prediction channels. The by-chunks
+        path calls this per tile with ``do_post_processing=False`` and
+        ``connect=False`` so close-point removal and pre/post pairing run
+        once over the merged global set (reference: per-chunk
+        synapse_seg_process(do_post_processing=False), instance_seg.py:1880)."""
         from biapy_tpu.data.post_processing import _otsu, remove_close_points
         from biapy_tpu.data.synapses import (
             connect_pre_post_points_by_distance,
             extract_points_in_predictions,
             extract_synful_synapses,
-            load_synapse_gt_points,
         )
 
         cfg = self.cfg
@@ -397,7 +399,8 @@ class Instance_Segmentation_Workflow(Base_Workflow):
                 pred[..., i_pre], "pre", min_th_to_be_peak=ths[i_pre], **common)
             _, points["post"] = extract_points_in_predictions(
                 pred[..., i_post], "post", min_th_to_be_peak=ths[i_post], **common)
-            connect_pre_post_points_by_distance(points["pre"], points["post"], out_dir=out_dir)
+            if connect:
+                connect_pre_post_points_by_distance(points["pre"], points["post"], out_dir=out_dir)
         elif self.synapse_method == "cleft":
             _, points["cleft"] = extract_points_in_predictions(
                 pred[..., 0], "cleft", min_th_to_be_peak=ths[0], **common)
@@ -406,6 +409,8 @@ class Instance_Segmentation_Workflow(Base_Workflow):
                 pred[..., 0], "post", min_th_to_be_peak=ths[0], **common)
 
         # optional removal of too-close points (post-processing)
+        if not do_post_processing:
+            return points
         radii = {"pre": float(syn.REMOVE_CLOSE_PRE_POINTS_RADIUS),
                  "post": float(syn.REMOVE_CLOSE_POST_POINTS_RADIUS)}
         ch_for = {"pre": self.channel_codes.index("F_pre") if "F_pre" in self.channel_codes else 0,
@@ -425,7 +430,22 @@ class Instance_Segmentation_Workflow(Base_Workflow):
                     points[k] = remove_close_points_by_mask(points[k], r, labs)
                 else:
                     points[k] = remove_close_points(points[k], r)
+        return points
 
+    def synapse_seg_process(self, pred: np.ndarray, fname: str,
+                            out_dir: Optional[str] = None,
+                            calculate_metrics: bool = True) -> Dict:
+        """Prediction channels -> pre/post/cleft point sets + detection metrics
+        vs CREMI GT points (reference: synapse_seg_process,
+        instance_seg.py:1499)."""
+        points = self._extract_synapse_points(pred, out_dir=out_dir)
+        return self._synapse_metrics_and_result(points, fname, calculate_metrics)
+
+    def _synapse_metrics_and_result(self, points: Dict[str, np.ndarray], fname: str,
+                                    calculate_metrics: bool = True) -> Dict:
+        from biapy_tpu.data.synapses import load_synapse_gt_points
+
+        cfg = self.cfg
         result = {"points": points, "file": fname}
         cur_file = getattr(self, "_current_test_file", None)
         if cur_file is not None and not os.path.exists(cur_file):
@@ -700,10 +720,17 @@ class Instance_Segmentation_Workflow(Base_Workflow):
 
     def after_by_chunks_prediction(self, ci, raw_path: str, base: str) -> None:
         """Per-tile watershed + 5-pass cross-tile merge (reference:
-        after_all_chunk_prediction_workflow_process, instance_seg.py:1915)."""
+        after_all_chunk_prediction_workflow_process, instance_seg.py:1915).
+        Synapse mode instead extracts points per tile and merges them
+        globally — including synful, which the reference leaves
+        unimplemented by chunks (instance_seg.py:1944 'TODO: synful
+        support')."""
         bc = self.cfg.TEST.BY_CHUNKS
         phases = [str(p) for p in bc.PHASES]
         if not bc.WORKFLOW_PROCESS.ENABLE:
+            return
+        if getattr(self, "synapse_mode", False):
+            self._synapse_by_chunks(ci, raw_path, base)
             return
         # size filtering happens post-merge: pull a min size from the
         # REMOVE_BY_PROPERTIES 'size lt X' rule when present
@@ -724,6 +751,101 @@ class Instance_Segmentation_Workflow(Base_Workflow):
                 verbose=self.verbose,
             )
             self._predictions.append({"role": "instances_zarr", "path": inst_path, "file": base})
+
+    def _synapse_by_chunks(self, ci, raw_path: str, base: str) -> None:
+        """Per-tile synapse point extraction with core ownership, then one
+        global pass of close-point removal + pre/post pairing + metrics
+        (mirrors the by-chunks detection design; reference:
+        instance_seg.py:1874-1913 per-chunk extraction + :2395-2440 master
+        CSV merge)."""
+        import csv as _csv
+
+        from biapy_tpu.data.post_processing import remove_close_points
+        from biapy_tpu.data.synapses import connect_pre_post_points_by_distance
+        from biapy_tpu.data.zarr_store import ZarrArray
+        from biapy_tpu.engine.chunked import tile_grid
+        from biapy_tpu.parallel import all_gather_objects, is_main_process
+
+        cfg = self.cfg
+        syn = cfg.PROBLEM.INSTANCE_SEG.SYNAPSES
+        pred = ZarrArray(raw_path)
+        spatial = tuple(pred.shape[: self.nd])
+        tiles = tile_grid(spatial, ci.tile_size, ci.halo)
+        mine = ci.my_tiles(tiles)
+        check_dir = cfg.PATHS.RESULT_DIR.DET_LOCAL_MAX_COORDS_CHECK
+        if self.save_to_disk:
+            os.makedirs(check_dir, exist_ok=True)
+        zfill = len(str(len(tiles)))
+        # anchor key per method: ownership of a (paired) point set follows
+        # the anchor so synful pre/post pairs never split across tiles
+        anchor = "post" if self.synapse_method == "synful" else None
+        local: Dict[str, list] = {}
+        for ti, t in enumerate(tiles):
+            if t not in mine:
+                continue
+            region = tuple(slice(t.halo_start[d], t.halo_end[d]) for d in range(self.nd))
+            p = pred[region + (slice(None),)]
+            pts = self._extract_synapse_points(p, do_post_processing=False, connect=False)
+            shift = np.asarray(t.halo_start, np.float32)
+            if anchor is not None and anchor in pts and len(pts[anchor]):
+                keep = np.ones(len(pts[anchor]), bool)
+                for d in range(self.nd):
+                    g = pts[anchor][:, d] + t.halo_start[d]
+                    keep &= (g >= t.core_start[d]) & (g < t.core_end[d])
+                for k in pts:
+                    if len(pts[k]) == len(keep):
+                        pts[k] = pts[k][keep]
+            for k, arr in pts.items():
+                arr = np.asarray(arr, np.float32).reshape(-1, self.nd)
+                if anchor is None and len(arr):
+                    keep = np.ones(len(arr), bool)
+                    for d in range(self.nd):
+                        g = arr[:, d] + t.halo_start[d]
+                        keep &= (g >= t.core_start[d]) & (g < t.core_end[d])
+                    arr = arr[keep]
+                arr = arr + shift
+                local.setdefault(k, []).append(arr)
+                if self.save_to_disk:
+                    with open(os.path.join(
+                            check_dir,
+                            f"{base}_patch{str(ti).zfill(zfill)}_{k}_points.csv"),
+                            "w", newline="") as f:
+                        w = _csv.writer(f)
+                        w.writerow(["axis-0", "axis-1", "axis-2"][: self.nd])
+                        for c in arr:
+                            w.writerow([float(v) for v in c])
+        gathered = all_gather_objects({k: np.concatenate(v, axis=0) if v else
+                                       np.zeros((0, self.nd), np.float32)
+                                       for k, v in local.items()})
+        if not is_main_process():
+            return
+        points: Dict[str, np.ndarray] = {}
+        for g in gathered:
+            for k, arr in g.items():
+                points[k] = (np.concatenate([points[k], arr], axis=0)
+                             if k in points else arr)
+        # global post: close-point removal per point type (plain radius —
+        # the by-mask variant needs the full-volume component labels)
+        radii = {"pre": float(syn.REMOVE_CLOSE_PRE_POINTS_RADIUS),
+                 "post": float(syn.REMOVE_CLOSE_POST_POINTS_RADIUS)}
+        for k, r in radii.items():
+            if r > 0 and k in points and len(points[k]):
+                points[k] = remove_close_points(points[k], r)
+        out_dir = cfg.PATHS.RESULT_DIR.PER_IMAGE_INSTANCES if self.save_to_disk else None
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            for k, arr in points.items():
+                with open(os.path.join(out_dir, f"{base}_all_{k}_points.csv"),
+                          "w", newline="") as f:
+                    w = _csv.writer(f)
+                    w.writerow(["axis-0", "axis-1", "axis-2"][: self.nd])
+                    for c in arr:
+                        w.writerow([float(v) for v in c])
+        if self.synapse_method == "simpsyn" and "pre" in points and "post" in points:
+            connect_pre_post_points_by_distance(points["pre"], points["post"],
+                                                out_dir=out_dir)
+        res = self._synapse_metrics_and_result(points, base)
+        self._predictions.append({"role": "synapse_points", **res})
 
     def metric_calculation(self, pred: np.ndarray, gt: Optional[np.ndarray]) -> Dict[str, float]:
         # IoU of the first binary channel vs binarized GT labels

@@ -312,3 +312,83 @@ def test_detection_by_chunks_points(tmp_path):
     for tp in true_pts:
         assert np.min(np.linalg.norm(pts - tp, axis=1)) <= 3.0, (tp, pts)
     assert wf.metrics_per_test_file and wf.metrics_per_test_file[0]["det_f1"] == 1.0
+
+
+def test_by_chunks_roi_skips_tiles(tmp_path):
+    """ROI-gated by-chunks prediction: tiles with no ROI voxel in their core
+    are never predicted, partially-covered cores are masked (reference:
+    config.py:934)."""
+
+    class _IdentityWF:
+        norm_spec = {"type": "none", "percentile_clip": False, "out_dtype": "float32"}
+
+        def __init__(self):
+            self.calls = 0
+
+        def predict_block_on_device(self, block, overlap=None, padding=None,
+                                    device=None, sync=False):
+            self.calls += 1
+            return block
+
+    vol = np.random.default_rng(0).random((48, 96, 96)).astype(np.float32)
+    vol_path = str(tmp_path / "vol.zarr")
+    z = ZarrArray.create(vol_path, shape=vol.shape, chunks=(24, 48, 48),
+                         dtype="f4", compressor={"id": "zlib", "level": 1})
+    z[:, :, :] = vol
+    roi = np.zeros(vol.shape, np.uint8)
+    roi[:, :40, :] = 1  # half-covers the first tile row in y
+
+    wf = _IdentityWF()
+    out_dir = str(tmp_path / "chunks")
+    ci = ChunkedInference(wf, (32, 56, 56), (0, 0, 0), (4, 4, 4), (1, 1, 1), 1, out_dir)
+    assert ci.tile_size == (24, 48, 48)
+    out_path = ci.predict_volume(vol_path, roi=roi, verbose=False)
+    out = np.asarray(ZarrArray(out_path))[..., 0]
+
+    assert wf.calls == 4, wf.calls  # y>=48 tile column never predicted
+    assert np.allclose(out[:, :40, :], vol[:, :40, :])
+    assert not out[:, 40:, :].any()
+
+
+def test_detection_by_chunks_zoom_rescale(tmp_path):
+    """DATA.PREPROCESS.ZOOM under by-chunks rescales the final detection
+    coordinates by the per-axis factor (reference detection.py:1044-1052 —
+    the key's only live effect)."""
+    from biapy_tpu.config.config import get_cfg_defaults
+    from biapy_tpu.engine.detection import Detection_Workflow
+
+    shape = (32, 64, 64)
+    heat = np.zeros(shape + (1,), np.float32)
+    zz, yy, xx = np.mgrid[: shape[0], : shape[1], : shape[2]]
+    p = (16, 32, 48)
+    heat[..., 0] = np.exp(-(((zz - p[0]) ** 2 + (yy - p[1]) ** 2 + (xx - p[2]) ** 2)) / 8.0)
+    out_dir = str(tmp_path / "chunks")
+    os.makedirs(out_dir)
+    raw_path = os.path.join(out_dir, "raw_pred.zarr")
+    raw = ZarrArray.create(raw_path, shape=heat.shape, chunks=(16, 32, 32, 1),
+                           dtype="f4", compressor={"id": "zlib", "level": 1})
+    raw[:, :, :, :] = heat
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_dict({
+        "PROBLEM": {"TYPE": "DETECTION", "NDIM": "3D"},
+        "DATA": {"PATCH_SIZE": (16, 32, 32, 1),
+                 "PREPROCESS": {"ZOOM": {"ENABLE": True, "ZOOM_FACTOR": [2, 4, 8]}},
+                 "TEST": {"LOAD_GT": False, "INPUT_IMG_AXES_ORDER": "ZYX"}},
+        "TEST": {"DET_TH_TYPE": "manual", "DET_MIN_TH_TO_BE_PEAK": 0.5,
+                 "BY_CHUNKS": {"ENABLE": True, "WORKFLOW_PROCESS": {"ENABLE": True}}},
+    })
+    wf = Detection_Workflow.__new__(Detection_Workflow)
+    wf.cfg = cfg
+    wf.nd = 3
+    wf.is_3d = True
+    wf.save_to_disk = False
+    wf.metrics_per_test_file = []
+    wf._predictions = []
+    wf._original_test_gt_path = ""
+
+    ci = ChunkedInference(wf, (16, 32, 32), (0, 0, 0), (2, 4, 4), (1, 1, 1), 1, out_dir)
+    wf.after_by_chunks_prediction(ci, raw_path, "vol")
+    pts = [q for q in wf._predictions if q["role"] == "points"][0]["points"]
+    assert len(pts) == 1
+    assert np.allclose(pts[0], [16 / 2, 32 / 4, 48 / 8]), pts

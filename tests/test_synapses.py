@@ -207,3 +207,76 @@ def test_synapse_workflow_end_to_end(tmp_path):
     assert m["f1 (post points)"] > 0.5, m
     assert m["recall (pre points)"] >= 0.5, m
     assert m["recall (post points)"] >= 0.75, m
+
+
+def test_synapse_by_chunks(tmp_path):
+    """Synapse by-chunks: per-tile extraction with core ownership + one
+    global merge/metric pass over the CREMI GT (reference per-chunk
+    extraction instance_seg.py:1874; our oracle: GT-compiled channels as
+    the 'prediction')."""
+    from biapy_tpu.config.config import get_cfg_defaults
+    from biapy_tpu.data.synapses import synapse_channel_creation
+    from biapy_tpu.data.zarr_store import ZarrArray
+    from biapy_tpu.engine.chunked import ChunkedInference
+    from biapy_tpu.engine.instance_seg import Instance_Segmentation_Workflow
+
+    vol_path = str(tmp_path / "vol.zarr")
+    pres, posts = _make_cremi(vol_path, shape=(32, 96, 96), n_syn=8, seed=11)
+    chan_path = synapse_channel_creation(
+        vol_path, str(tmp_path / "chan.zarr"),
+        ["F_pre", "F_post"], {"F_pre": {"dilation": [1, 2, 2]},
+                              "F_post": {"dilation": [1, 2, 2]}})
+    # the oracle channels ARE the raw prediction
+    out_dir = str(tmp_path / "chunks")
+    os.makedirs(out_dir)
+    raw_path = os.path.join(out_dir, "raw_pred.zarr")
+    from scipy import ndimage
+
+    src = np.asarray(ZarrArray(chan_path), np.float32)
+    for c in range(src.shape[-1]):  # plateau -> unique peak per blob
+        s = ndimage.gaussian_filter(src[..., c], 1.0)
+        src[..., c] = s / max(s.max(), 1e-8)
+    raw = ZarrArray.create(raw_path, shape=src.shape, chunks=(16, 48, 48, 2),
+                           dtype="f4", compressor={"id": "zlib", "level": 1})
+    raw[:, :, :, :] = src
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_dict({
+        "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "3D",
+                    "INSTANCE_SEG": {"TYPE": "synapses",
+                                     "DATA_CHANNELS": ["F_pre", "F_post"],
+                                     "SYNAPSES": {"TH_TYPE": "manual",
+                                                  "MIN_TH_TO_BE_PEAK": 0.5,
+                                                  "REMOVE_CLOSE_PRE_POINTS_RADIUS": 3.0,
+                                                  "REMOVE_CLOSE_POST_POINTS_RADIUS": 3.0}}},
+        "DATA": {"PATCH_SIZE": (16, 32, 32, 1),
+                 "TEST": {"LOAD_GT": True, "RESOLUTION": (8, 8, 8),
+                          "INPUT_ZARR_MULTIPLE_DATA_PARTNERS_PATH": "annotations.partners",
+                          "INPUT_ZARR_MULTIPLE_DATA_RESOLUTION_PATH": "volumes.raw"}},
+        "TEST": {"DET_TOLERANCE": 24,  # world units at resolution 8
+                 "BY_CHUNKS": {"ENABLE": True, "WORKFLOW_PROCESS": {"ENABLE": True}}},
+    })
+    wf = Instance_Segmentation_Workflow.__new__(Instance_Segmentation_Workflow)
+    wf.cfg = cfg
+    wf.nd = 3
+    wf.is_3d = True
+    wf.verbose = False
+    wf.save_to_disk = False
+    wf.metrics_per_test_file = []
+    wf._predictions = []
+    wf.synapse_mode = True
+    wf.synapse_method = "simpsyn"
+    wf.channel_codes = ["F_pre", "F_post"]
+    wf._current_test_file = vol_path
+
+    ci = ChunkedInference(wf, (16, 32, 32), (0, 0, 0), (2, 4, 4), (1, 1, 1), 2, out_dir)
+    wf.after_by_chunks_prediction(ci, raw_path, "vol")
+
+    res = [p for p in wf._predictions if p["role"] == "synapse_points"][0]
+    pts = res["points"]
+    assert len(pts["pre"]) == len(pres), (len(pts["pre"]), len(pres))
+    assert len(pts["post"]) == len(posts)
+    for p in pres:
+        assert np.min(np.linalg.norm(pts["pre"] - p, axis=1)) <= 2.0
+    m = wf.metrics_per_test_file[0]
+    assert m["f1 (pre points)"] == 1.0 and m["f1 (post points)"] == 1.0, m
