@@ -175,6 +175,42 @@ def lazy_image_shape(path: str, is_3d: bool = False, data_path: Optional[str] = 
     return tuple(out), dtype
 
 
+class LazyCanonicalView:
+    """Channels-last lazy view over a chunked array with arbitrary on-disk
+    axes order (``DATA.*.INPUT_IMG_AXES_ORDER``): exposes a canonical
+    (z,)y,x,c ``shape`` and translates canonical slices to on-disk slices on
+    access, so by-chunks streaming never materialises the volume (reference
+    analog: the order_dimensions slice translation in
+    chunked_test_pair_data_generator.py:194,524)."""
+
+    def __init__(self, arr, is_3d: bool = True, axes_order: Optional[str] = None):
+        disk_shape = tuple(int(s) for s in arr.shape)
+        self.arr = arr
+        self.nd = 3 if is_3d else 2
+        self.order = (_fit_axes_order(axes_order, len(disk_shape)) if axes_order
+                      else _default_axes_order(disk_shape, self.nd))
+        want = "ZYXC" if is_3d else "YXC"
+        self.shape = tuple(disk_shape[self.order.index(a)] if a in self.order else 1
+                           for a in want)
+        self.dtype = np.dtype(arr.dtype)
+
+    def __getitem__(self, key):
+        if not isinstance(key, tuple):
+            key = (key,)
+        key = tuple(key) + (slice(None),) * (self.nd + 1 - len(key))
+        spatial = "ZYX" if self.nd == 3 else "YX"
+        sl = []
+        for a in self.order:
+            if a in spatial:
+                sl.append(key[spatial.index(a)])
+            elif a == "C":
+                sl.append(key[self.nd])
+            else:  # T: first frame
+                sl.append(slice(0, 1))
+        region = np.asarray(self.arr[tuple(sl)])
+        return ensure_channels_last(region, self.nd, axes_order=self.order)
+
+
 def read_patch_lazy(path: str, starts, ends, is_3d: bool = False,
                     data_path: Optional[str] = None,
                     axes_order: Optional[str] = None) -> np.ndarray:

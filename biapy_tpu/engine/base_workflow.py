@@ -841,6 +841,7 @@ class Base_Workflow(metaclass=ABCMeta):
                 raw_path = ci.predict_volume(
                     f, z_range=(int(bc.Z_START), int(bc.Z_END)), verbose=self.verbose,
                     data_path=data_path, roi=roi,
+                    axes_order=str(cfg.DATA.TEST.INPUT_IMG_AXES_ORDER) or None,
                 )
                 if roi_handle is not None:
                     roi_handle.close()

@@ -105,12 +105,18 @@ class ChunkedInference:
     def predict_volume(self, vol_path: str, out_name: str = "raw_pred.zarr",
                        z_range: Tuple[int, int] = (-1, -1),
                        verbose: bool = True, data_path: Optional[str] = None,
-                       roi=None) -> str:
+                       roi=None, axes_order: Optional[str] = None) -> str:
         """``roi``: optional lazy array of the volume's spatial shape; tiles
         whose core has no ROI voxel are skipped entirely (reference:
         config.py:934 — by-chunks does not predict patches outside the ROI)
-        and partially-covered cores are masked."""
+        and partially-covered cores are masked. ``axes_order``: on-disk axes
+        of the input (DATA.TEST.INPUT_IMG_AXES_ORDER); slices are translated
+        lazily, the volume is never materialised."""
         vol, handle = open_lazy(vol_path, data_path=data_path)
+        if axes_order and len(vol.shape) >= self.nd:
+            from biapy_tpu.data.io import LazyCanonicalView
+
+            vol = LazyCanonicalView(vol, is_3d=self.nd == 3, axes_order=axes_order)
         shape = tuple(vol.shape)
         has_c = len(shape) == self.nd + 1
         spatial = shape[: self.nd]

@@ -392,3 +392,31 @@ def test_detection_by_chunks_zoom_rescale(tmp_path):
     pts = [q for q in wf._predictions if q["role"] == "points"][0]["points"]
     assert len(pts) == 1
     assert np.allclose(pts[0], [16 / 2, 32 / 4, 48 / 8]), pts
+
+
+def test_by_chunks_axes_order_cyx(tmp_path):
+    """A volume stored channel-first (CZYX) streams through by-chunks via
+    the lazy canonical view — never materialised, same result as ZYXC
+    (reference: chunked generator axes translation)."""
+
+    class _IdentityWF:
+        norm_spec = {"type": "none", "percentile_clip": False, "out_dtype": "float32"}
+
+        def predict_block_on_device(self, block, overlap=None, padding=None,
+                                    device=None, sync=False):
+            return block
+
+    rng = np.random.default_rng(1)
+    vol = rng.random((2, 48, 96, 96)).astype(np.float32)  # C,Z,Y,X on disk
+    vol_path = str(tmp_path / "vol.zarr")
+    z = ZarrArray.create(vol_path, shape=vol.shape, chunks=(2, 24, 48, 48),
+                         dtype="f4", compressor={"id": "zlib", "level": 1})
+    z[:, :, :, :] = vol
+
+    out_dir = str(tmp_path / "chunks")
+    ci = ChunkedInference(_IdentityWF(), (32, 56, 56), (0, 0, 0), (4, 4, 4),
+                          (1, 1, 1), 2, out_dir)
+    out_path = ci.predict_volume(vol_path, verbose=False, axes_order="CZYX")
+    out = np.asarray(ZarrArray(out_path))
+    assert out.shape == (48, 96, 96, 2)
+    assert np.allclose(out, np.moveaxis(vol, 0, -1))
