@@ -374,14 +374,24 @@ def create_detection_masks(points: np.ndarray, shape: Sequence[int],
     """Point coordinates -> dilated point heatmap mask (reference:
     create_detection_masks, pre_processing.py; detection workflow GT)."""
     nd = len(shape)
-    out = np.zeros(tuple(shape) + (1 if n_classes <= 2 else 2,), np.float32)
+    multiclass = n_classes > 2
+    out = np.zeros(tuple(shape) + (2 if multiclass else 1,), np.float32)
     pts = np.zeros(tuple(shape), bool)
+    cls_map = np.zeros(tuple(shape), np.float32) if multiclass else None
+    cls = (np.asarray(classes).reshape(-1) if classes is not None
+           else np.ones(len(points)))
     for i, p in enumerate(np.asarray(points, dtype=int)):
         idx = tuple(np.clip(p[d], 0, shape[d] - 1) for d in range(nd))
         pts[idx] = True
+        if cls_map is not None:
+            cls_map[idx] = float(cls[i]) if i < len(cls) else 1.0
     struct = np.ones(tuple(2 * int(d) + 1 for d in (dilation if len(dilation) == nd else [dilation[0]] * nd)), bool)
     pts = ndimage.binary_dilation(pts, structure=struct)
     out[..., 0] = pts.astype(np.float32)
+    if cls_map is not None:
+        # dilate class ids onto each point's blob (nearest seed wins ties)
+        _, idxs = ndimage.distance_transform_edt(cls_map == 0, return_indices=True)
+        out[..., 1] = np.where(pts, cls_map[tuple(idxs)], 0.0)
     return out
 
 

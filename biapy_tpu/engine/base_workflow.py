@@ -482,7 +482,10 @@ class Base_Workflow(metaclass=ABCMeta):
         def apply_with_acts(variables, x, train=False):
             out = self.model.apply(variables, x, train=False)
             if isinstance(out, dict):
+                cls = out.get("class")
                 out = out["pred"]
+                if cls is not None:
+                    out = jnp.concatenate([out, cls], axis=-1)
             return apply_activations(out, acts, chans, training=False)
 
         return make_predict_fn(lambda v, x, train=False: apply_with_acts(v, x), mesh=self.mesh)
@@ -533,7 +536,12 @@ class Base_Workflow(metaclass=ABCMeta):
                 x = x.astype(jnp.bfloat16)
             out = model.apply(v, x, train=False)
             if isinstance(out, dict):
+                cls = out.get("class")
                 out = out["pred"]
+                if cls is not None:
+                    # separated class head travels flat after the main
+                    # channels (multi-head instance/detection)
+                    out = jnp.concatenate([out, cls], axis=-1)
             return apply_activations(out.astype(jnp.float32), acts, chans, training=False)
 
         ndev = len(self.mesh.devices.flatten())

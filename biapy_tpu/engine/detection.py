@@ -24,10 +24,12 @@ from biapy_tpu.engine.base_workflow import Base_Workflow
 from biapy_tpu.utils.matching import detection_metrics
 
 
-def read_points_csv(path: str, ndim: int) -> np.ndarray:
+def read_points_csv(path: str, ndim: int, with_classes: bool = False):
     """Read point coordinates from a CSV (header optional; columns
-    (z,)y,x [,class]; reference: detection workflow CSV IO)."""
-    pts = []
+    (z,)y,x [,class]; reference: detection workflow CSV IO). With
+    ``with_classes`` also returns the per-point class column (defaulting
+    to 1 when absent)."""
+    pts, cls = [], []
     with open(path) as f:
         for row in csv.reader(f):
             if not row:
@@ -37,7 +39,14 @@ def read_points_csv(path: str, ndim: int) -> np.ndarray:
             except ValueError:
                 continue  # header
             pts.append(vals)
-    return np.asarray(pts, dtype=np.float32).reshape(-1, ndim)
+            try:
+                cls.append(float(row[ndim]) if len(row) > ndim else 1.0)
+            except ValueError:
+                cls.append(1.0)
+    coords = np.asarray(pts, dtype=np.float32).reshape(-1, ndim)
+    if with_classes:
+        return coords, np.asarray(cls, np.int32).reshape(-1)
+    return coords
 
 
 def points_from_mask(mask: np.ndarray) -> np.ndarray:
@@ -59,7 +68,17 @@ class Detection_Workflow(Base_Workflow):
         self.n_classes = max(int(cfg.DATA.N_CLASSES), 2)
         self.output_channels = [1]
         self.activations = ["ce_sigmoid"]
+        self._act_channels = [1]
         self.output_channel_info = ["points"]
+        self.separated_class_channel = self.n_classes > 2
+        if self.separated_class_channel:
+            # multi-head: points heatmap + N_CLASSES softmax class head
+            # (reference: detection.py:143-148); class probs travel flat
+            # after the heatmap at inference
+            self.output_channels = [1, self.n_classes]
+            self.activations = ["ce_sigmoid", "ce_softmax"]
+            self._act_channels = [1, self.n_classes]
+            self.output_channel_info = ["points", "class"]
 
     def define_metrics(self):
         cfg = self.cfg
@@ -95,9 +114,9 @@ class Detection_Workflow(Base_Workflow):
                 dil = dil * self.nd
             for xp, cp in zip(xs, csvs):
                 img = read_img_as_ndarray(xp, is_3d=self.is_3d)
-                pts = read_points_csv(cp, self.nd)
+                pts, pt_cls = read_points_csv(cp, self.nd, with_classes=True)
                 mask = create_detection_masks(pts, img.shape[: self.nd], dilation=dil,
-                                              n_classes=self.n_classes)
+                                              classes=pt_cls, n_classes=self.n_classes)
                 save_tif(mask[None].astype(np.uint8),
                          mask_dir, [os.path.basename(xp)], verbose=False)
         frozen = self.cfg.is_frozen()
@@ -187,6 +206,23 @@ class Detection_Workflow(Base_Workflow):
             )
         return coords
 
+    def _point_classes(self, pred: np.ndarray, coords: np.ndarray) -> np.ndarray:
+        """Majority class in a small region around each point over the class
+        head's argmax (reference: detection.py:400-426 votes over the dilated
+        point area)."""
+        if not getattr(self, "separated_class_channel", False) or not len(coords):
+            return np.zeros(len(coords), np.int32)
+        cls_map = np.argmax(pred[..., 1 : 1 + self.n_classes], axis=-1)
+        r = 3
+        out = []
+        for c in coords:
+            sl = tuple(slice(max(0, int(c[d]) - r), int(c[d]) + r + 1)
+                       for d in range(self.nd))
+            region = cls_map[sl].ravel()
+            region = region[region > 0]
+            out.append(int(np.bincount(region).argmax()) if len(region) else 1)
+        return np.asarray(out, np.int32)
+
     def metric_calculation(self, pred: np.ndarray, gt: Optional[np.ndarray]) -> Dict[str, float]:
         m: Dict[str, float] = {}
         if gt is not None:
@@ -194,9 +230,17 @@ class Detection_Workflow(Base_Workflow):
             m["iou"] = float(M.jaccard_index_numpy(gtb, pred[..., :1]))
         coords = self._extract_points(pred)
         self._last_points = coords
+        self._last_classes = self._point_classes(pred, coords)
         if gt is not None:
             true_pts = points_from_mask(gt[..., 0])
-            dm = detection_metrics(true_pts, coords, float(self.cfg.TEST.DET_TOLERANCE))
+            tc = pc = None
+            if getattr(self, "separated_class_channel", False) and gt.shape[-1] >= 2:
+                lim = np.asarray(gt.shape[: self.nd]) - 1
+                tc = np.asarray([int(gt[tuple(np.clip(np.round(p).astype(int), 0, lim))][1])
+                                 for p in true_pts], np.int32)
+                pc = self._last_classes
+            dm = detection_metrics(true_pts, coords, float(self.cfg.TEST.DET_TOLERANCE),
+                                   true_classes=tc, pred_classes=pc)
             m.update({f"det_{k}": float(v) for k, v in dm.items()})
         return m
 
@@ -204,15 +248,23 @@ class Detection_Workflow(Base_Workflow):
         coords = getattr(self, "_last_points", None)
         if coords is None:
             coords = self._extract_points(pred)
+        classes = getattr(self, "_last_classes", None)
+        if classes is None or len(classes) != len(coords):
+            classes = self._point_classes(pred, coords)
+        multiclass = getattr(self, "separated_class_channel", False)
         if self.save_to_disk:
             out_dir = self.cfg.PATHS.RESULT_DIR.DET_LOCAL_MAX_COORDS_CHECK
             os.makedirs(out_dir, exist_ok=True)
             base = os.path.splitext(fname)[0]
             with open(os.path.join(out_dir, base + "_points.csv"), "w", newline="") as f:
                 w = csv.writer(f)
-                w.writerow(["axis-0", "axis-1", "axis-2"][: self.nd])
-                for c in coords:
-                    w.writerow([int(v) for v in c])
+                header = ["axis-0", "axis-1", "axis-2"][: self.nd]
+                w.writerow(header + (["class"] if multiclass else []))
+                for i, c in enumerate(coords):
+                    row = [int(v) for v in c]
+                    if multiclass:
+                        row.append(int(classes[i]))
+                    w.writerow(row)
         pp = self.cfg.TEST.POST_PROCESSING
         if pp.DET_WATERSHED and len(coords):
             # grow instances around the points over the RAW image intensity
@@ -235,8 +287,12 @@ class Detection_Workflow(Base_Workflow):
                         np.uint16 if inst.max() < 2**16 else np.uint32),
                         self.cfg.PATHS.WATERSHED_DIR, [fname], verbose=False)
                 self._predictions.append({"role": "post", "pred": inst, "file": fname})
-        self._predictions.append({"role": "points", "points": coords, "file": fname})
+        entry = {"role": "points", "points": coords, "file": fname}
+        if multiclass:
+            entry["classes"] = classes
+        self._predictions.append(entry)
         self._last_points = None
+        self._last_classes = None
 
     def after_by_chunks_prediction(self, ci, raw_path: str, base: str) -> None:
         """Per-tile peak extraction + global point merge for huge volumes

@@ -89,16 +89,39 @@ class Instance_Segmentation_Workflow(Base_Workflow):
                 acts.extend(["linear"] * n)
         total = sum(n for c, n in zip(self.channel_codes, self.channels_per_output)
                     if c != "We")  # predicted channels only
-        self.output_channels = [total]
-        self.activations = acts
         # apply_activations works per activation entry with 1 channel each
         self._act_channels = [1] * total
-        self.output_channel_info = ["+".join(c for c in self.channel_codes if c != "We")]
+        # Multi-head: instances + per-pixel classification when
+        # DATA.N_CLASSES > 2 — GT labels carry a second class-map channel and
+        # the model grows an N_CLASSES softmax head whose argmax is
+        # majority-voted per instance at test time (reference:
+        # instance_seg.py:459-465,955-995)
+        self.n_class_channels = 0
+        info = "+".join(c for c in self.channel_codes if c != "We")
+        self.output_channels = [total]
+        self.output_channel_info = [info]
+        if (int(cfg.DATA.N_CLASSES) > 2 and str(inst.TYPE) == "regular"
+                and not self.embedseg_mode):
+            # a second 'class' head (the model returns it separately and
+            # supports SEPARATED_DECODERS_PER_HEAD); its softmax probs are
+            # concatenated after the instance channels at inference
+            self.n_class_channels = int(cfg.DATA.N_CLASSES)
+            acts.append("ce_softmax")
+            self._act_channels.append(self.n_class_channels)
+            self.output_channels = [total, self.n_class_channels]
+            self.output_channel_info = [info, "class"]
+        self.activations = acts
 
     def define_metrics(self):
         cfg = self.cfg
         inst = cfg.PROBLEM.INSTANCE_SEG
         weights = list(inst.DATA_CHANNEL_WEIGHTS)
+        # with a class head, DATA_CHANNEL_WEIGHTS may carry one extra trailing
+        # entry for it (reference: check_configuration.py:122 counts the class
+        # channel into channels_provided)
+        class_w = 1.0
+        if getattr(self, "n_class_channels", 0) and len(weights) > len(self.channel_codes):
+            class_w = float(weights[len(self.channel_codes)])
         if len(weights) < len(self.channel_codes):
             weights = weights + [1.0] * (len(self.channel_codes) - len(weights))
         if getattr(self, "embedseg_mode", False):
@@ -130,6 +153,8 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             channels_per_output=self.channels_per_output,
             mask_distances=mask_distances,
             class_rebalance_within_channels=bool(inst.CLASS_REBALANCE_WITHIN_CHANNELS),
+            n_classes=getattr(self, "n_class_channels", 0),
+            class_channel_weight=class_w,
         )
         # IoU of the first binary channel during training
         first_bin = 0
@@ -149,8 +174,15 @@ class Instance_Segmentation_Workflow(Base_Workflow):
     def tta_spec(self):
         from biapy_tpu.data.tta import build_tta_spec
 
-        return build_tta_spec(self.channel_codes, self.channels_per_output,
-                              self.nd, self.channel_extra_opts)
+        # predictions carry neither the GT-only 'We' channel nor (as codes)
+        # the class head; the class probabilities are per-pixel scalars
+        codes = [c for c in self.channel_codes if c != "We"]
+        cpo = [n for c, n in zip(self.channel_codes, self.channels_per_output)
+               if c != "We"]
+        if getattr(self, "n_class_channels", 0):
+            codes.append("class")
+            cpo.append(self.n_class_channels)
+        return build_tta_spec(codes, cpo, self.nd, self.channel_extra_opts)
 
     # -- activations use per-channel granularity -------------------------------
     def _predict_fn(self):
@@ -161,8 +193,15 @@ class Instance_Segmentation_Workflow(Base_Workflow):
 
         def apply_with_acts(variables, x, train=False):
             out = self.model.apply(variables, x, train=False)
+            cls = out.get("class") if isinstance(out, dict) else None
             if isinstance(out, dict):
                 out = out["pred"]
+            if cls is not None:
+                # class head travels flat after the instance channels so the
+                # stitch/TTA machinery sees one array
+                import jax.numpy as jnp
+
+                out = jnp.concatenate([out, cls], axis=-1)
             return apply_activations(out, acts, chans, training=False)
 
         return make_predict_fn(apply_with_acts, mesh=self.mesh)
@@ -189,11 +228,24 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             diams: List[float] = []
             for p in gts:
                 lab = read_img_as_ndarray(p, is_3d=self.is_3d)
+                class_map = None
+                if getattr(self, "n_class_channels", 0):
+                    # multi-class GT: channel 0 = instance labels, channel 1 =
+                    # class map (reference: pre_processing.py:527-549)
+                    if lab.shape[-1] != 2:
+                        raise ValueError(
+                            "With DATA.N_CLASSES > 2, instance GT images need two "
+                            "channels (instance labels + class map), got shape "
+                            f"{lab.shape} for {p}")
+                    class_map = lab[..., 1:2].astype(np.float32)
+                    lab = lab[..., :1]
                 if compute_diam:
                     d = self._estimate_diameter(lab[..., 0].astype(np.int64))
                     if d:
                         diams.append(d)
                 chans = labels_into_channels(lab, self.channel_codes, self.channel_extra_opts)
+                if class_map is not None:
+                    chans = np.concatenate([chans, class_map], axis=-1)
                 # .npy keeps arbitrary channel counts unambiguous (a 2D
                 # many-channel TIFF is indistinguishable from a z-stack)
                 base = os.path.splitext(os.path.basename(p))[0]
@@ -481,12 +533,26 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             self._predictions.append({"role": "synapse_points", **res})
             return
         instances = self.instance_seg_process(pred)
+        class_map = None
+        if getattr(self, "n_class_channels", 0):
+            # multi-head: per-pixel class argmax -> per-instance majority
+            # vote (reference: instance_seg.py:970-995 'Adapting class
+            # channel')
+            pix_cls = np.argmax(pred[..., -self.n_class_channels:], axis=-1).astype(np.int32)
+            class_map = self._majority_vote_classes(instances, pix_cls)
+            self._predictions.append({"role": "class_map", "classes": class_map, "file": fname})
         self._predictions.append({"role": "instances", "instances": instances, "file": fname})
         if self.save_to_disk:
             from biapy_tpu.data.io import save_tif
 
-            save_tif(instances[None][..., None].astype(np.uint16 if instances.max() < 2**16 else np.uint32),
-                     cfg.PATHS.RESULT_DIR.PER_IMAGE_INSTANCES, [fname], verbose=False)
+            dt = np.uint16 if instances.max() < 2**16 else np.uint32
+            out_img = instances[None][..., None].astype(dt)
+            if class_map is not None:
+                # instances + voted classes side by side (reference saves the
+                # concatenated pair, instance_seg.py:995-1005)
+                out_img = np.concatenate(
+                    [out_img, class_map[None][..., None].astype(dt)], axis=-1)
+            save_tif(out_img, cfg.PATHS.RESULT_DIR.PER_IMAGE_INSTANCES, [fname], verbose=False)
             mp = cfg.TEST.POST_PROCESSING.MEASURE_PROPERTIES
             if mp.ENABLE:
                 # per-instance property CSV (+ MEASURE_PROPERTIES.EXTRA_PROPS
@@ -514,7 +580,24 @@ class Instance_Segmentation_Workflow(Base_Workflow):
                 if cands:
                     gt_path = cands[0]
             if os.path.exists(gt_path):
-                gt_lab = read_img_as_ndarray(gt_path, is_3d=self.is_3d)[..., 0].astype(np.int32)
+                gt_img = read_img_as_ndarray(gt_path, is_3d=self.is_3d)
+                gt_lab = gt_img[..., 0].astype(np.int32)
+                if class_map is not None and gt_img.shape[-1] >= 2:
+                    # class IoU of the voted class map vs the GT class map
+                    # (reference: jaccard_index_matching, instance_seg.py:1088)
+                    gt_cls = gt_img[..., 1].astype(np.int32)
+                    ious = []
+                    for k in range(1, self.n_class_channels):
+                        inter = np.count_nonzero((class_map == k) & (gt_cls == k))
+                        union = np.count_nonzero((class_map == k) | (gt_cls == k))
+                        if union:
+                            ious.append(inter / union)
+                    if ious:
+                        ciou = float(np.mean(ious))
+                        self._class_ious = getattr(self, "_class_ious", [])
+                        self._class_ious.append(ciou)
+                        if self.verbose:
+                            print(f"  {fname} class IoU: {ciou:.4f}")
                 stats = matching(gt_lab, instances, thresh=list(cfg.TEST.MATCHING_STATS_THS))
                 self.all_matching_stats.append(stats)
                 if self.verbose:
@@ -545,7 +628,27 @@ class Instance_Segmentation_Workflow(Base_Workflow):
                         save_tif(colored[None], cfg.PATHS.RESULT_DIR.INST_ASSOC_POINTS,
                                  [f"{stem}_th_{s['thresh']}.tif"], verbose=False)
 
+    def _majority_vote_classes(self, instances: np.ndarray,
+                               pix_cls: np.ndarray) -> np.ndarray:
+        """Per-instance majority class over the pixel-wise argmax; ties to
+        the most frequent non-background class, instances with no class
+        evidence default to class 1 (reference: instance_seg.py:975-988)."""
+        n = int(instances.max())
+        if n == 0:
+            return np.zeros_like(instances, dtype=np.int32)
+        k = self.n_class_channels
+        lab = instances.ravel().astype(np.int64)
+        cls = pix_cls.ravel().astype(np.int64)
+        counts = np.bincount(lab * k + cls, minlength=(n + 1) * k).reshape(n + 1, k)
+        counts[:, 0] = 0  # background never wins the vote
+        winner = np.argmax(counts, axis=1).astype(np.int32)
+        winner[counts.sum(axis=1) == 0] = 1
+        winner[0] = 0
+        return winner[instances]
+
     def after_all_images(self):
+        if getattr(self, "_class_ious", None) and self.verbose:
+            print(f"Test class IoU (per image): {float(np.mean(self._class_ious)):.6f}")
         if getattr(self, "all_matching_stats", None):
             agg = aggregate_matching(self.all_matching_stats,
                                      by_image=bool(self.cfg.TEST.MATCHING_STATS_BY_IMAGE))

@@ -36,9 +36,12 @@ def bce_with_logits(logits, targets, weight=None):
     return loss
 
 
-def softmax_ce_with_logits(logits, labels_int, class_weights=None, ignore_index=None):
+def softmax_ce_with_logits(logits, labels_int, class_weights=None, ignore_index=None,
+                           mask=None):
     """Per-pixel softmax cross-entropy; ``labels_int`` integer class map
-    (B, ..., 1) or (B, ...)."""
+    (B, ..., 1) or (B, ...). ``mask`` restricts the loss to foreground
+    pixels, normalized by the mask mass (reference: detection_loss masks the
+    class CE to the point channel, metrics.py:693-697)."""
     if labels_int.shape[-1] == 1:
         labels_int = labels_int[..., 0]
     labels_int = labels_int.astype(jnp.int32)
@@ -50,8 +53,14 @@ def softmax_ce_with_logits(logits, labels_int, class_weights=None, ignore_index=
     if class_weights is not None:
         w = jnp.asarray(class_weights)[safe_labels]
         loss = loss * w
+    valid = None
     if ignore_index is not None:
         valid = (labels_int != ignore_index).astype(loss.dtype)
+    if mask is not None:
+        m = mask[..., 0] if mask.ndim == loss.ndim + 1 else mask
+        m = m.astype(loss.dtype)
+        valid = m if valid is None else valid * m
+    if valid is not None:
         loss = loss * valid
         return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1.0)
     return jnp.mean(loss)
@@ -161,9 +170,16 @@ def instance_segmentation_loss(
     channels_per_output: Sequence[int],
     mask_distances: Optional[Dict[str, bool]] = None,
     class_rebalance_within_channels: bool = False,
+    n_classes: int = 0,
+    class_channel_weight: float = 1.0,
 ):
     """Build the multi-channel instance-seg loss
     (reference: instance_segmentation_loss, metrics.py:1400).
+
+    ``n_classes`` > 0 adds the multi-head classification term: the last
+    ``n_classes`` prediction channels are softmax logits scored against the
+    class-index map carried as the LAST ground-truth channel (reference:
+    DATA.N_CLASSES > 2 multi-head, instance_seg.py:459-465).
 
     ``out_channels`` e.g. ["F","C","D"]; ``channels_per_output`` gives how
     many prediction channels each representation occupies (e.g. flows take
@@ -183,8 +199,24 @@ def instance_segmentation_loss(
               if ch != "We"]
 
     def loss_fn(y_pred, y_true):
+        cls_pred = None
         if isinstance(y_pred, dict):
+            cls_pred = y_pred.get("class")
             y_pred = y_pred["pred"]
+        class_term = 0.0
+        if n_classes > 0:
+            if cls_pred is None:  # flat layout (stitched/TTA-merged arrays)
+                cls_pred = y_pred[..., -n_classes:]
+                y_pred = y_pred[..., :-n_classes]
+            # class map is the very last GT channel (appended after the
+            # compiled channels, reference pre_processing.py:549)
+            cls_true = y_true[..., -1:]
+            y_true = y_true[..., :-1]
+            # scored only where an instance exists — the overwhelming
+            # background would otherwise drown the term (reference:
+            # metrics.py:1783-1787)
+            class_term = class_channel_weight * softmax_ce_with_logits(
+                cls_pred, cls_true, mask=(cls_true > 0))
         w_borders = None
         if border_weight:
             w_borders = y_true[..., -1:]
@@ -216,7 +248,7 @@ def instance_segmentation_loss(
                     weight = wb if weight is None else weight * wb
             total = total + w * _channel_loss(lname, pred_c, true_c, weight)
             off += n
-        return total
+        return total + class_term
 
     return loss_fn
 
@@ -243,8 +275,10 @@ def detection_loss(
         if cls_pred is not None and num_classes > 2:
             cls_true = y_true[..., 1:2]
             cw = jnp.asarray(class_weights) if (class_rebalance == "manual" and class_weights) else None
+            # class CE only where a point blob exists (reference masks the
+            # class term to the foreground, metrics.py:693-697)
             loss = loss + (channel_weights[-1] if len(channel_weights) > 1 else 1.0) * softmax_ce_with_logits(
-                cls_pred, cls_true, cw
+                cls_pred, cls_true, cw, mask=(y_true[..., :1] > 0)
             )
         return loss
 

@@ -133,24 +133,52 @@ def detection_metrics(
     pred_points: np.ndarray,
     tolerance: float,
     resolution: Sequence[float] = (1, 1, 1),
+    true_classes: Optional[np.ndarray] = None,
+    pred_classes: Optional[np.ndarray] = None,
 ) -> Dict[str, float]:
     """Point-detection precision/recall/F1 with distance tolerance via
-    optimal assignment (reference: detection_metrics, metrics.py:1795)."""
+    optimal assignment (reference: detection_metrics, metrics.py:1795).
+    When per-point classes are given, spatially-matched pairs additionally
+    score class agreement (reference multi-head detection: 'Precision
+    (class)' etc., detection.py:231)."""
     t = np.asarray(true_points, np.float32)
     p = np.asarray(pred_points, np.float32)
+    with_cls = true_classes is not None and pred_classes is not None
+    out: Dict[str, float] = {}
     if len(t) == 0 and len(p) == 0:
-        return {"precision": 1.0, "recall": 1.0, "f1": 1.0, "tp": 0, "fp": 0, "fn": 0}
+        out = {"precision": 1.0, "recall": 1.0, "f1": 1.0, "tp": 0, "fp": 0, "fn": 0}
+        if with_cls:
+            out.update({"precision_class": 1.0, "recall_class": 1.0,
+                        "f1_class": 1.0, "tp_class": 0})
+        return out
     if len(t) == 0 or len(p) == 0:
-        return {"precision": 0.0, "recall": 0.0, "f1": 0.0, "tp": 0,
-                "fp": len(p), "fn": len(t)}
+        out = {"precision": 0.0, "recall": 0.0, "f1": 0.0, "tp": 0,
+               "fp": len(p), "fn": len(t)}
+        if with_cls:
+            out.update({"precision_class": 0.0, "recall_class": 0.0,
+                        "f1_class": 0.0, "tp_class": 0})
+        return out
     res = np.asarray(resolution[: t.shape[1]], np.float32)
     d = np.linalg.norm((t[:, None, :] - p[None, :, :]) * res, axis=-1)
     cost = np.where(d <= tolerance, d, 1e9)
     ti, pi = linear_sum_assignment(cost)
-    tp = int((d[ti, pi] <= tolerance).sum())
+    ok = d[ti, pi] <= tolerance
+    tp = int(ok.sum())
     fp = len(p) - tp
     fn = len(t) - tp
     precision = tp / (tp + fp) if tp + fp else 0.0
     recall = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * tp / (2 * tp + fp + fn) if 2 * tp + fp + fn else 0.0
-    return {"precision": precision, "recall": recall, "f1": f1, "tp": tp, "fp": fp, "fn": fn}
+    out = {"precision": precision, "recall": recall, "f1": f1,
+           "tp": tp, "fp": fp, "fn": fn}
+    if with_cls:
+        tc = np.asarray(true_classes).reshape(-1)
+        pc = np.asarray(pred_classes).reshape(-1)
+        tp_c = int(np.sum(tc[ti[ok]] == pc[pi[ok]]))
+        out["tp_class"] = tp_c
+        out["precision_class"] = tp_c / len(p) if len(p) else 0.0
+        out["recall_class"] = tp_c / len(t) if len(t) else 0.0
+        denom = out["precision_class"] + out["recall_class"]
+        out["f1_class"] = (2 * out["precision_class"] * out["recall_class"] / denom
+                           if denom else 0.0)
+    return out

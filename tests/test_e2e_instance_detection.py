@@ -155,3 +155,184 @@ def test_detection_point_extraction_options(tmp_path):
     wf = build(DET_MIN_TH_TO_BE_PEAK=0.5, DET_IGNORE_POINTS_OUTSIDE_BOX=[10, 10])
     inner = wf._extract_points(heat)
     assert len(inner) == 2  # (8,8) is inside the 10-px border margin
+
+
+@pytest.mark.slow
+def test_instance_seg_2d_multiclass(tmp_path):
+    """Multi-head instance seg + classification (DATA.N_CLASSES > 2): GT is
+    (labels, class-map) 2-channel, the model grows an N_CLASSES softmax head,
+    predicted classes are majority-voted per instance and scored as class
+    IoU (reference: run_checks Test29; instance_seg.py:459,955)."""
+    rng = np.random.default_rng(33)
+    root = str(tmp_path)
+    for d, n in [("train", 12), ("test", 3)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            # class 1 = dim circles, class 2 = bright circles
+            img, lab, centers = _labeled_circles((96, 96), 4, rng)
+            imgf = img.astype(np.float32) / 200.0
+            cls = np.zeros_like(lab)
+            for li in range(1, lab.max() + 1):
+                m = lab == li
+                bright = bool(rng.integers(0, 2))
+                cls[m] = 2 if bright else 1
+                if bright:
+                    imgf[m] = imgf[m] + 0.5
+            write_tiff(f"{root}/{d}/x/{i:02d}.tif",
+                       (imgf * 160).clip(0, 255).astype(np.uint8))
+            write_tiff(f"{root}/{d}/y/{i:02d}.tif",
+                       np.stack([lab, cls.astype(lab.dtype)], axis=-1))
+    from biapy_tpu._biapy import BiaPy
+
+    cfg = {
+        "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "2D",
+                    "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"],
+                                     # trailing entry weights the class head
+                                     "DATA_CHANNEL_WEIGHTS": [1.0, 1.0, 0.3]}},
+        "DATA": {"PATCH_SIZE": (64, 64, 1), "N_CLASSES": 3,
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                          "LOAD_GT": True, "PADDING": (8, 8)}},
+        "AUGMENTOR": {"ENABLE": True, "VFLIP": True, "HFLIP": True, "ROT90": True},
+        "MODEL": {"ARCHITECTURE": "resunet", "FEATURE_MAPS": [8, 16, 32],
+                  "DROPOUT_VALUES": [0.0, 0.0, 0.0], "Z_DOWN": [2, 2, 2],
+                  "YX_DOWN": [2, 2, 2], "CONV_LAYERS": [2, 2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 8, "EPOCHS": 20},
+        "TEST": {"ENABLE": True, "MATCHING_STATS_THS": [0.3],
+                 "POST_PROCESSING": {"MEASURE_PROPERTIES": {
+                     "ENABLE": True,
+                     "REMOVE_BY_PROPERTIES": {"ENABLE": True, "PROPS": [["size"]],
+                                              "VALUES": [[30]], "SIGNS": [["lt"]]}}}},
+    }
+    job = BiaPy(cfg, result_dir=root + "/results", name="instmc", silent=True)
+    job.run_job()
+    agg = job.workflow.matching_stats
+    assert agg[0]["f1"] > 0.5, agg
+    cmaps = [p for p in job.workflow._predictions if p["role"] == "class_map"]
+    assert cmaps, "no class maps recorded"
+    assert set(np.unique(cmaps[0]["classes"])) <= {0, 1, 2}
+    cious = job.workflow._class_ious
+    assert cious and float(np.mean(cious)) > 0.4, cious
+
+
+def test_detection_multiclass_units(tmp_path):
+    """Multi-head detection units: class-filled GT masks, per-point class
+    voting, class-aware metrics (reference: detection.py:143,400,231)."""
+    from biapy_tpu.config.config import get_cfg_defaults
+    from biapy_tpu.data.pre_processing import create_detection_masks
+    from biapy_tpu.engine.detection import Detection_Workflow, read_points_csv
+    from biapy_tpu.utils.matching import detection_metrics
+
+    # GT mask: class channel dilated onto each point blob
+    pts = np.array([[10, 10], [30, 40]], np.float32)
+    mask = create_detection_masks(pts, (48, 48), dilation=[2, 2],
+                                  classes=np.array([1, 2]), n_classes=3)
+    assert mask.shape == (48, 48, 2)
+    assert mask[10, 10, 1] == 1 and mask[30, 40, 1] == 2
+    assert mask[11, 11, 1] == 1 and mask[29, 39, 1] == 2  # dilated
+    assert mask[0, 0, 1] == 0
+
+    # CSV round trip with class column
+    p = str(tmp_path / "pts.csv")
+    with open(p, "w") as f:
+        f.write("axis-0,axis-1,class\n10,10,1\n30,40,2\n")
+    coords, cls = read_points_csv(p, 2, with_classes=True)
+    assert np.array_equal(cls, [1, 2])
+
+    # class-aware metrics: one class agrees, one doesn't
+    dm = detection_metrics(pts, pts, 2.0, true_classes=[1, 2], pred_classes=[1, 1])
+    assert dm["f1"] == 1.0 and dm["tp_class"] == 1
+    assert abs(dm["precision_class"] - 0.5) < 1e-6
+
+    # end-to-end metric_calculation over an oracle prediction
+    cfg = get_cfg_defaults()
+    cfg.merge_from_dict({
+        "PROBLEM": {"TYPE": "DETECTION", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (48, 48, 1), "N_CLASSES": 3},
+        "TEST": {"DET_TH_TYPE": "manual", "DET_MIN_TH_TO_BE_PEAK": 0.5,
+                 "DET_TOLERANCE": 3},
+    })
+    wf = Detection_Workflow.__new__(Detection_Workflow)
+    wf.cfg = cfg
+    wf.nd = 2
+    wf.is_3d = False
+    wf.verbose = False
+    wf.save_to_disk = False
+    wf.metrics_per_test_file = []
+    wf._predictions = []
+    wf.define_activations_and_channels()
+    assert wf.output_channels == [1, 3]
+
+    yy, xx = np.mgrid[:48, :48]
+    heat = np.zeros((48, 48, 1), np.float32)
+    for q in pts:
+        heat[..., 0] = np.maximum(heat[..., 0],
+                                  np.exp(-((yy - q[0]) ** 2 + (xx - q[1]) ** 2) / 6.0))
+    cls_probs = np.zeros((48, 48, 3), np.float32)
+    cls_probs[..., 0] = 1.0
+    for q, k in zip(pts.astype(int), (1, 2)):
+        cls_probs[q[0] - 3 : q[0] + 4, q[1] - 3 : q[1] + 4, :] = 0
+        cls_probs[q[0] - 3 : q[0] + 4, q[1] - 3 : q[1] + 4, k] = 1.0
+    pred = np.concatenate([heat, cls_probs], axis=-1)
+    m = wf.metric_calculation(pred, mask)
+    assert m["det_f1"] == 1.0, m
+    assert m["det_f1_class"] == 1.0, m
+
+
+@pytest.mark.slow
+def test_detection_2d_multiclass(tmp_path):
+    """Multi-head detection + classification: CSVs carry a class column,
+    the model grows an N_CLASSES softmax head, per-point classes are voted
+    from the class map and scored (reference: detection.py:143,231,400)."""
+    rng = np.random.default_rng(25)
+    root = str(tmp_path)
+    for d, n in [("train", 12), ("test", 3)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            img, lab, centers = _labeled_circles((96, 96), 4, rng, r_range=(4, 7))
+            # class 2 points sit on bright circles, class 1 on dim ones
+            imgf = img.astype(np.float32) / 200.0
+            rows = []
+            for li, (cy, cx, _) in enumerate(centers, start=1):
+                bright = bool(rng.integers(0, 2))
+                if bright:
+                    imgf[lab == li] += 0.5
+                rows.append((cy, cx, 2 if bright else 1))
+            write_tiff(f"{root}/{d}/x/{i:02d}.tif",
+                       (imgf * 160).clip(0, 255).astype(np.uint8))
+            with open(f"{root}/{d}/y/{i:02d}.csv", "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["axis-0", "axis-1", "class"])
+                for r in rows:
+                    w.writerow(r)
+    from biapy_tpu._biapy import BiaPy
+
+    cfg = {
+        "PROBLEM": {"TYPE": "DETECTION", "NDIM": "2D",
+                    "DETECTION": {"CENTRAL_POINT_DILATION": [2, 2]}},
+        "DATA": {"PATCH_SIZE": (64, 64, 1), "N_CLASSES": 3,
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                          "LOAD_GT": True, "PADDING": (8, 8)}},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16, 32],
+                  "DROPOUT_VALUES": [0.0, 0.0, 0.0], "Z_DOWN": [2, 2, 2],
+                  "YX_DOWN": [2, 2, 2], "CONV_LAYERS": [2, 2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 8, "EPOCHS": 40},
+        "TEST": {"ENABLE": True, "DET_MIN_TH_TO_BE_PEAK": 0.5,
+                 "DET_PEAK_LOCAL_MAX_MIN_DISTANCE": 3, "DET_TOLERANCE": 8},
+    }
+    job = BiaPy(cfg, result_dir=root + "/results", name="detmc", silent=True)
+    job.run_job()
+    stats = job.workflow.stats
+    assert stats["det_f1"] > 0.5, stats
+    assert stats["det_recall_class"] > 0.4, stats
+    # per-point classes recorded and CSVs carry the class column
+    pts = [p for p in job.workflow._predictions if p["role"] == "points"][0]
+    assert "classes" in pts and set(np.unique(pts["classes"])) <= {1, 2}
+    import glob
+    csvf = glob.glob(root + "/results/detmc/results/detmc/per_image_local_max_check/*_points.csv")
+    assert csvf and "class" in open(csvf[0]).readline()
