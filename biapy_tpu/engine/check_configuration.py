@@ -177,6 +177,10 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
                 req(str(ph) in ("prediction", "instance_creation", "instance_merging"),
                     f"Unknown TEST.BY_CHUNKS.PHASES entry: {ph} "
                     "(valid: prediction/instance_creation/instance_merging)")
+            req(str(cfg.TEST.BY_CHUNKS.WORKFLOW_PROCESS.TYPE)
+                in ("chunk_by_chunk", "entire_pred"),
+                "TEST.BY_CHUNKS.WORKFLOW_PROCESS.TYPE must be 'chunk_by_chunk' "
+                "or 'entire_pred' (reference check_configuration.py:2312)")
         # DATA.PREPROCESS.ZOOM is by-chunks-only (reference
         # check_configuration.py:2150-2156)
         if cfg.DATA.PREPROCESS.ZOOM.ENABLE:

@@ -835,6 +835,18 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         if getattr(self, "synapse_mode", False):
             self._synapse_by_chunks(ci, raw_path, base)
             return
+        if str(bc.WORKFLOW_PROCESS.TYPE) == "entire_pred":
+            # load the full raw prediction and run the normal per-image
+            # post-processing in one piece (reference: base_workflow
+            # 'entire_pred', instance_seg.py:2369-2384) — for volumes that
+            # fit host RAM; 'chunk_by_chunk' below never materialises it
+            from biapy_tpu.data.zarr_store import ZarrArray
+            from biapy_tpu.parallel import is_main_process
+
+            if is_main_process():
+                pred = np.asarray(ZarrArray(raw_path), np.float32)
+                self.after_merge_patches(pred, None, base + ".tif")
+            return
         # size filtering happens post-merge: pull a min size from the
         # REMOVE_BY_PROPERTIES 'size lt X' rule when present
         min_size = 0

@@ -420,3 +420,48 @@ def test_by_chunks_axes_order_cyx(tmp_path):
     out = np.asarray(ZarrArray(out_path))
     assert out.shape == (48, 96, 96, 2)
     assert np.allclose(out, np.moveaxis(vol, 0, -1))
+
+
+def test_by_chunks_entire_pred(tmp_path):
+    """WORKFLOW_PROCESS.TYPE=entire_pred loads the full raw prediction and
+    runs the normal per-image instance post-processing in one piece
+    (reference: instance_seg.py:2369)."""
+    from biapy_tpu.config.config import get_cfg_defaults
+    from biapy_tpu.data.pre_processing import labels_into_channels
+    from biapy_tpu.engine.instance_seg import Instance_Segmentation_Workflow
+
+    labels = _spheres()
+    chans = labels_into_channels(labels, ["F", "C"])
+    out_dir = str(tmp_path / "chunks")
+    os.makedirs(out_dir)
+    raw_path = os.path.join(out_dir, "raw_pred.zarr")
+    raw = ZarrArray.create(raw_path, shape=chans.shape, chunks=(32, 48, 48, 2),
+                           dtype="f4", compressor={"id": "zlib", "level": 1})
+    raw[:, :, :, :] = chans
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_dict({
+        "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "3D",
+                    "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"]}},
+        "DATA": {"PATCH_SIZE": (32, 48, 48, 1)},
+        "TEST": {"BY_CHUNKS": {"ENABLE": True,
+                               "WORKFLOW_PROCESS": {"ENABLE": True,
+                                                    "TYPE": "entire_pred"}}},
+    })
+    wf = Instance_Segmentation_Workflow.__new__(Instance_Segmentation_Workflow)
+    wf.cfg = cfg
+    wf.nd = 3
+    wf.is_3d = True
+    wf.verbose = False
+    wf.save_to_disk = False
+    wf.synapse_mode = False
+    wf.metrics_per_test_file = []
+    wf._predictions = []
+    wf.define_activations_and_channels()
+
+    wf2 = _OracleWorkflow(labels)
+    ci = ChunkedInference(wf2, (32, 48, 48), (0, 0, 0), (4, 8, 8), (1, 1, 1), 2, out_dir)
+    wf.after_by_chunks_prediction(ci, raw_path, "vol")
+    inst = [p for p in wf._predictions if p["role"] == "instances"][0]["instances"]
+    stats = matching(labels, inst, thresh=[0.5])[0]
+    assert stats["f1"] > 0.9, stats
