@@ -230,18 +230,21 @@ def blob_log(img: np.ndarray, min_sigma: float = 5, max_sigma: float = 10,
 
 def remove_close_points(points: np.ndarray, radius: float,
                         resolution: Sequence[float] = (1, 1, 1),
-                        classes: Optional[np.ndarray] = None) -> np.ndarray:
+                        classes: Optional[np.ndarray] = None,
+                        return_keep: bool = False):
     """Greedy removal of points closer than ``radius`` (reference:
-    post_processing.py:1994)."""
+    post_processing.py:1994). ``return_keep`` additionally returns the kept
+    indices so per-point side arrays (classes, scores) stay in sync."""
     if len(points) == 0:
-        return points
+        return (points, []) if return_keep else points
     res = np.asarray(resolution[: points.shape[1]], np.float32)
     kept: List[int] = []
     pts = np.asarray(points, np.float32) * res
     for i in range(len(pts)):
         if all(np.linalg.norm(pts[i] - pts[j]) >= radius for j in kept):
             kept.append(i)
-    return np.asarray(points)[kept]
+    out = np.asarray(points)[kept]
+    return (out, kept) if return_keep else out
 
 
 def remove_close_points_by_mask(points: np.ndarray, radius: float,

@@ -843,13 +843,20 @@ class Base_Workflow(metaclass=ABCMeta):
                     rpath = str(roi_cfg.PATH)
                     cands = list_image_files(rpath) if os.path.isdir(rpath) else [rpath]
                     match = [c for c in cands
-                             if os.path.basename(c) == os.path.basename(f)] or cands[:1]
+                             if os.path.basename(c) == os.path.basename(f)]
+                    if not match and len(cands) == 1:
+                        match = cands  # a single mask file serves every volume
+                    elif not match and cands:
+                        print(f"WARNING: no ROI mask named {os.path.basename(f)} "
+                              f"in {rpath} and several candidates exist — "
+                              "skipping the ROI for this volume")
                     if match:
                         roi, roi_handle = open_lazy(match[0])
+                ao = str(cfg.DATA.TEST.INPUT_IMG_AXES_ORDER) or None
                 raw_path = ci.predict_volume(
                     f, z_range=(int(bc.Z_START), int(bc.Z_END)), verbose=self.verbose,
-                    data_path=data_path, roi=roi,
-                    axes_order=str(cfg.DATA.TEST.INPUT_IMG_AXES_ORDER) or None,
+                    data_path=data_path, roi=roi, axes_order=ao,
+                    axes_order_is_default=(ao == "TZCYX"),
                 )
                 if roi_handle is not None:
                     roi_handle.close()

@@ -105,15 +105,23 @@ class ChunkedInference:
     def predict_volume(self, vol_path: str, out_name: str = "raw_pred.zarr",
                        z_range: Tuple[int, int] = (-1, -1),
                        verbose: bool = True, data_path: Optional[str] = None,
-                       roi=None, axes_order: Optional[str] = None) -> str:
+                       roi=None, axes_order: Optional[str] = None,
+                       axes_order_is_default: bool = False) -> str:
         """``roi``: optional lazy array of the volume's spatial shape; tiles
         whose core has no ROI voxel are skipped entirely (reference:
         config.py:934 — by-chunks does not predict patches outside the ROI)
         and partially-covered cores are masked. ``axes_order``: on-disk axes
         of the input (DATA.TEST.INPUT_IMG_AXES_ORDER); slices are translated
-        lazily, the volume is never materialised."""
+        lazily, the volume is never materialised. When the caller flags the
+        order as the untouched config default ('TZCYX') and the data has an
+        unmistakable channels-last signature (nd+1 dims, last axis <= 4),
+        the channels-last heuristic wins — otherwise a plain ZYXC zarr would
+        silently be read as Z,C,Y,X."""
         vol, handle = open_lazy(vol_path, data_path=data_path)
-        if axes_order and len(vol.shape) >= self.nd:
+        channels_last_signature = (len(vol.shape) == self.nd + 1
+                                   and int(vol.shape[-1]) <= 4)
+        if (axes_order and len(vol.shape) >= self.nd
+                and not (axes_order_is_default and channels_last_signature)):
             from biapy_tpu.data.io import LazyCanonicalView
 
             vol = LazyCanonicalView(vol, is_3d=self.nd == 3, axes_order=axes_order)
@@ -163,12 +171,21 @@ class ChunkedInference:
                 core = core * roi_core[..., None]
             out[core_sl_out + (slice(None),)] = core
 
+        if roi is not None and tuple(roi.shape[: self.nd]) != tuple(spatial):
+            raise ValueError(
+                f"ROI mask spatial shape {tuple(roi.shape[: self.nd])} does not "
+                f"match the volume {tuple(spatial)} — by-chunks needs a "
+                "full-resolution mask (the per-image path rescales, this one "
+                "streams)")
         skipped = 0
         for ti, t in enumerate(mine):
             roi_core = None
             if roi is not None:
                 core_sl = tuple(slice(t.core_start[d], t.core_end[d]) for d in range(self.nd))
-                roi_core = np.asarray(roi[core_sl]) > 0
+                roi_core = np.asarray(roi[core_sl])
+                while roi_core.ndim > self.nd:  # drop trailing channel axes
+                    roi_core = roi_core[..., 0]
+                roi_core = roi_core > 0
                 if not roi_core.any():
                     skipped += 1
                     continue

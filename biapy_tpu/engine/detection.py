@@ -313,14 +313,15 @@ class Detection_Workflow(Base_Workflow):
         pred = ZarrArray(raw_path)
         spatial = tuple(pred.shape[: self.nd])
         tiles = tile_grid(spatial, ci.tile_size, ci.halo)
-        mine = ci.my_tiles(tiles)
         check_dir = cfg.PATHS.RESULT_DIR.DET_LOCAL_MAX_COORDS_CHECK
         if self.save_to_disk:
             os.makedirs(check_dir, exist_ok=True)
         zfill = len(str(len(tiles)))
+        multiclass = getattr(self, "separated_class_channel", False)
         local_pts: List[np.ndarray] = []
+        local_cls: List[np.ndarray] = []
         for ti, t in enumerate(tiles):
-            if t not in mine:
+            if ti % ci.world != ci.rank:  # my_tiles' round-robin, O(1)
                 continue
             region = tuple(slice(t.halo_start[d], t.halo_end[d]) for d in range(self.nd))
             hm = pred[region + (slice(None),)]
@@ -332,21 +333,29 @@ class Detection_Workflow(Base_Workflow):
                 for d in range(self.nd):
                     g = coords[:, d] + t.halo_start[d]
                     keep &= (g >= t.core_start[d]) & (g < t.core_end[d])
-                coords = coords[keep] + np.asarray(t.halo_start, np.int64)
+                coords = coords[keep]
+            classes = self._point_classes(hm, coords)  # local coords, tile pred
+            coords = np.asarray(coords, np.int64).reshape(-1, self.nd) \
+                + np.asarray(t.halo_start, np.int64)
             if self.save_to_disk:
                 with open(os.path.join(
                         check_dir, f"{base}_patch{str(ti).zfill(zfill)}_points.csv"),
                         "w", newline="") as f:
                     w = csv.writer(f)
-                    w.writerow(["axis-0", "axis-1", "axis-2"][: self.nd])
-                    for c in coords:
-                        w.writerow([int(v) for v in c])
-            local_pts.append(np.asarray(coords, np.int64).reshape(-1, self.nd))
-        gathered = all_gather_objects(local_pts)
+                    header = ["axis-0", "axis-1", "axis-2"][: self.nd]
+                    w.writerow(header + (["class"] if multiclass else []))
+                    for i, c in enumerate(coords):
+                        w.writerow([int(v) for v in c]
+                                   + ([int(classes[i])] if multiclass else []))
+            local_pts.append(coords)
+            local_cls.append(np.asarray(classes, np.int32).reshape(-1))
+        gathered = all_gather_objects((local_pts, local_cls))
         if not is_main_process():
             return
-        flat = [p for g in gathered for p in g if len(p)]
+        flat = [p for g, _ in gathered for p in g if len(p)]
+        flat_cls = [c for _, gc in gathered for c in gc if len(c)]
         coords = np.concatenate(flat, axis=0) if flat else np.zeros((0, self.nd), np.int64)
+        classes = (np.concatenate(flat_cls) if flat_cls else np.zeros(0, np.int32))
         # whole-volume post steps, applied once over the merged set
         box = list(cfg.TEST.DET_IGNORE_POINTS_OUTSIDE_BOX or [])
         if box and len(coords):
@@ -356,15 +365,20 @@ class Detection_Workflow(Base_Workflow):
                 if m > 0:
                     keep &= (coords[:, d] >= m) & (coords[:, d] <= max(spatial[d] - m, 0))
             coords = coords[keep]
+            if len(classes) == len(keep):
+                classes = classes[keep]
         pp = cfg.TEST.POST_PROCESSING
         out_dir = check_dir
         if pp.REMOVE_CLOSE_POINTS and len(coords):
             out_dir = cfg.PATHS.RESULT_DIR.DET_LOCAL_MAX_COORDS_CHECK_POST_PROCESSING
-            coords = remove_close_points(
+            coords, kept = remove_close_points(
                 coords, float(pp.REMOVE_CLOSE_POINTS_RADIUS),
                 resolution=list(cfg.DATA.TEST.RESOLUTION) if cfg.DATA.TEST.RESOLUTION
                 else (1,) * self.nd,
+                return_keep=True,
             )
+            if len(classes):
+                classes = classes[kept]
         coords = coords.astype(np.float64)
         zoom = cfg.DATA.PREPROCESS.ZOOM
         if zoom.ENABLE:
@@ -381,19 +395,34 @@ class Detection_Workflow(Base_Workflow):
             os.makedirs(out_dir, exist_ok=True)
             with open(os.path.join(out_dir, base + "_all_points.csv"), "w", newline="") as f:
                 w = csv.writer(f)
-                w.writerow(["axis-0", "axis-1", "axis-2"][: self.nd])
-                for c in coords:
-                    w.writerow([float(v) for v in c])
-        self._predictions.append({"role": "points", "points": coords, "file": base})
+                header = ["axis-0", "axis-1", "axis-2"][: self.nd]
+                w.writerow(header + (["class"] if multiclass else []))
+                for i, c in enumerate(coords):
+                    w.writerow([float(v) for v in c]
+                               + ([int(classes[i])] if multiclass else []))
+        entry = {"role": "points", "points": coords, "file": base}
+        if multiclass:
+            entry["classes"] = classes
+        self._predictions.append(entry)
         # metrics straight from the GT CSV (no point-mask compile)
         gt_dir = getattr(self, "_original_test_gt_path", "")
         if cfg.DATA.TEST.LOAD_GT and gt_dir and os.path.isdir(gt_dir):
             csvs = sorted(glob.glob(os.path.join(gt_dir, "*.csv")))
             match = [c for c in csvs if os.path.splitext(os.path.basename(c))[0] == base]
-            gt_csv = match[0] if match else (csvs[0] if csvs else None)
+            gt_csv = match[0] if match else None
+            if gt_csv is None and len(csvs) == 1:
+                # reference warns and falls back positionally (detection.py:1069);
+                # only safe when there is exactly one candidate
+                print(f"WARNING: no GT CSV named {base}.csv — using {csvs[0]}")
+                gt_csv = csvs[0]
+            elif gt_csv is None and csvs:
+                print(f"WARNING: no GT CSV named {base}.csv among {len(csvs)} "
+                      "candidates — skipping metrics for this volume")
             if gt_csv:
-                true_pts = read_points_csv(gt_csv, self.nd)
+                true_pts, true_cls = read_points_csv(gt_csv, self.nd, with_classes=True)
                 dm = detection_metrics(true_pts, coords.astype(np.float32),
-                                       float(cfg.TEST.DET_TOLERANCE))
+                                       float(cfg.TEST.DET_TOLERANCE),
+                                       true_classes=true_cls if multiclass else None,
+                                       pred_classes=classes if multiclass else None)
                 self.metrics_per_test_file.append(
                     {f"det_{k}": float(v) for k, v in dm.items()})

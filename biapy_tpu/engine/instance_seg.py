@@ -886,33 +886,27 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         pred = ZarrArray(raw_path)
         spatial = tuple(pred.shape[: self.nd])
         tiles = tile_grid(spatial, ci.tile_size, ci.halo)
-        mine = ci.my_tiles(tiles)
         check_dir = cfg.PATHS.RESULT_DIR.DET_LOCAL_MAX_COORDS_CHECK
         if self.save_to_disk:
             os.makedirs(check_dir, exist_ok=True)
         zfill = len(str(len(tiles)))
-        # anchor key per method: ownership of a (paired) point set follows
-        # the anchor so synful pre/post pairs never split across tiles
-        anchor = "post" if self.synapse_method == "synful" else None
+        # ownership is per point LOCATION for every key: the tile whose core
+        # contains a point emits it, so per-tile sets are disjoint. For
+        # synful this means pre points (projected + clustered, not
+        # positionally paired with posts) dedup by their projected location —
+        # the halo must cover the synful offset range for border pres to be
+        # seen by their owning tile.
         local: Dict[str, list] = {}
         for ti, t in enumerate(tiles):
-            if t not in mine:
+            if ti % ci.world != ci.rank:  # my_tiles' round-robin, O(1)
                 continue
             region = tuple(slice(t.halo_start[d], t.halo_end[d]) for d in range(self.nd))
             p = pred[region + (slice(None),)]
             pts = self._extract_synapse_points(p, do_post_processing=False, connect=False)
             shift = np.asarray(t.halo_start, np.float32)
-            if anchor is not None and anchor in pts and len(pts[anchor]):
-                keep = np.ones(len(pts[anchor]), bool)
-                for d in range(self.nd):
-                    g = pts[anchor][:, d] + t.halo_start[d]
-                    keep &= (g >= t.core_start[d]) & (g < t.core_end[d])
-                for k in pts:
-                    if len(pts[k]) == len(keep):
-                        pts[k] = pts[k][keep]
             for k, arr in pts.items():
                 arr = np.asarray(arr, np.float32).reshape(-1, self.nd)
-                if anchor is None and len(arr):
+                if len(arr):
                     keep = np.ones(len(arr), bool)
                     for d in range(self.nd):
                         g = arr[:, d] + t.halo_start[d]

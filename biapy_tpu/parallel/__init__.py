@@ -129,12 +129,25 @@ def broadcast_from_main(obj: Any) -> Any:
 
 def all_gather_objects(obj: Any) -> list:
     """Gather a picklable object from every process (reference analog:
-    dist.all_gather_object)."""
+    dist.all_gather_object). Objects are exchanged as length-padded pickle
+    byte arrays so ranks may hold arbitrarily different structures (ragged
+    per-tile lists, empty dicts on tile-less ranks) — process_allgather on
+    the raw pytree would require identical structure/shapes everywhere."""
     if jax.process_count() <= 1:
         return [obj]
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    return list(multihost_utils.process_allgather(obj, tiled=False))
+    buf = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = np.asarray(
+        multihost_utils.process_allgather(np.asarray([buf.size], np.int64))
+    ).reshape(-1)
+    padded = np.zeros(int(sizes.max()), np.uint8)
+    padded[: buf.size] = buf
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [pickle.loads(gathered[i, : int(sizes[i])].tobytes())
+            for i in range(len(sizes))]
 
 
 def parallel_device_get(arr, out: Optional[np.ndarray] = None, streams: int = 8,

@@ -465,3 +465,95 @@ def test_by_chunks_entire_pred(tmp_path):
     inst = [p for p in wf._predictions if p["role"] == "instances"][0]["instances"]
     stats = matching(labels, inst, thresh=[0.5])[0]
     assert stats["f1"] > 0.9, stats
+
+
+def test_by_chunks_default_axes_channels_last(tmp_path):
+    """With the untouched 'TZCYX' config default, a (Z,Y,X,C<=4) zarr must be
+    recognized as channels-last instead of being misread as Z,C,Y,X."""
+
+    class _IdentityWF:
+        norm_spec = {"type": "none", "percentile_clip": False, "out_dtype": "float32"}
+
+        def predict_block_on_device(self, block, overlap=None, padding=None,
+                                    device=None, sync=False):
+            return block
+
+    rng = np.random.default_rng(2)
+    vol = rng.random((48, 96, 96, 2)).astype(np.float32)  # Z,Y,X,C on disk
+    vol_path = str(tmp_path / "vol.zarr")
+    z = ZarrArray.create(vol_path, shape=vol.shape, chunks=(24, 48, 48, 2),
+                         dtype="f4", compressor={"id": "zlib", "level": 1})
+    z[:, :, :, :] = vol
+    ci = ChunkedInference(_IdentityWF(), (32, 56, 56), (0, 0, 0), (4, 4, 4),
+                          (1, 1, 1), 2, str(tmp_path / "chunks"))
+    out_path = ci.predict_volume(vol_path, verbose=False, axes_order="TZCYX",
+                                 axes_order_is_default=True)
+    out = np.asarray(ZarrArray(out_path))
+    assert out.shape == (48, 96, 96, 2)
+    assert np.allclose(out, vol)
+
+
+def test_detection_by_chunks_multiclass(tmp_path):
+    """By-chunks multiclass detection keeps per-point classes through the
+    tile merge, writes the class column, and scores class-aware metrics."""
+    import csv as _csv
+
+    from biapy_tpu.config.config import get_cfg_defaults
+    from biapy_tpu.engine.detection import Detection_Workflow
+
+    shape = (48, 96, 96)
+    true_pts = np.array([[10, 20, 20], [24, 48, 48], [40, 80, 30]], np.int64)
+    true_cls = np.array([1, 2, 1])
+    heat = np.zeros(shape + (1,), np.float32)
+    cls_probs = np.zeros(shape + (3,), np.float32)
+    cls_probs[..., 0] = 1.0
+    zz, yy, xx = np.mgrid[: shape[0], : shape[1], : shape[2]]
+    for p, k in zip(true_pts, true_cls):
+        d2 = (zz - p[0]) ** 2 + (yy - p[1]) ** 2 + (xx - p[2]) ** 2
+        heat[..., 0] = np.maximum(heat[..., 0], np.exp(-d2 / 8.0))
+        blob = d2 <= 9
+        cls_probs[blob] = 0
+        cls_probs[blob, k] = 1.0
+    pred = np.concatenate([heat, cls_probs], axis=-1)
+
+    out_dir = str(tmp_path / "chunks")
+    os.makedirs(out_dir)
+    raw_path = os.path.join(out_dir, "raw_pred.zarr")
+    raw = ZarrArray.create(raw_path, shape=pred.shape, chunks=(24, 32, 32, 4),
+                           dtype="f4", compressor={"id": "zlib", "level": 1})
+    raw[:, :, :, :] = pred
+
+    gt_dir = str(tmp_path / "gt")
+    os.makedirs(gt_dir)
+    with open(os.path.join(gt_dir, "vol.csv"), "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["axis-0", "axis-1", "axis-2", "class"])
+        for p, k in zip(true_pts, true_cls):
+            w.writerow(list(map(int, p)) + [int(k)])
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_dict({
+        "PROBLEM": {"TYPE": "DETECTION", "NDIM": "3D"},
+        "DATA": {"PATCH_SIZE": (32, 48, 48, 1), "N_CLASSES": 3,
+                 "TEST": {"LOAD_GT": True}},
+        "TEST": {"DET_TH_TYPE": "manual", "DET_MIN_TH_TO_BE_PEAK": 0.5,
+                 "DET_TOLERANCE": 3,
+                 "BY_CHUNKS": {"ENABLE": True, "WORKFLOW_PROCESS": {"ENABLE": True}}},
+    })
+    wf = Detection_Workflow.__new__(Detection_Workflow)
+    wf.cfg = cfg
+    wf.nd = 3
+    wf.is_3d = True
+    wf.save_to_disk = False
+    wf.metrics_per_test_file = []
+    wf._predictions = []
+    wf._original_test_gt_path = gt_dir
+    wf.define_activations_and_channels()
+
+    ci = ChunkedInference(wf, (32, 48, 48), (0, 0, 0), (4, 8, 8), (1, 1, 1), 4, out_dir)
+    wf.after_by_chunks_prediction(ci, raw_path, "vol")
+    entry = [p for p in wf._predictions if p["role"] == "points"][0]
+    assert len(entry["points"]) == 3
+    assert sorted(entry["classes"].tolist()) == [1, 1, 2]
+    m = wf.metrics_per_test_file[0]
+    assert m["det_f1"] == 1.0 and m["det_f1_class"] == 1.0, m
