@@ -206,6 +206,82 @@ class BiaPy:
         finally:
             self.workflow.save_to_disk = True
 
+    def print_config(self):
+        """Full resolved configuration dump (reference: print_config,
+        _biapy.py:450)."""
+        print("Configuration details:")
+        print(self.cfg)
+
+    def _enabled_augmentations(self) -> List[str]:
+        aug = self.cfg.AUGMENTOR
+        flags = ("ZOOM", "ROT90", "RANDOM_ROT", "SHEAR", "SHIFT", "VFLIP", "HFLIP",
+                 "ZFLIP", "ELASTIC", "G_BLUR", "MEDIAN_BLUR", "MOTION_BLUR", "GAMMA_CONTRAST",
+                 "BRIGHTNESS", "CONTRAST", "DROPOUT", "CUTOUT", "CUTBLUR", "CUTMIX",
+                 "CUTNOISE", "MISALIGNMENT", "MISSING_SECTIONS", "GRAYSCALE",
+                 "CHANNEL_SHUFFLE", "GRIDMASK", "GAUSSIAN_NOISE", "POISSON_NOISE",
+                 "SALT", "PEPPER", "SALT_AND_PEPPER")
+        return [f for f in flags if getattr(aug, f, False)]
+
+    def _enabled_postprocessing(self) -> List[str]:
+        pp = self.cfg.TEST.POST_PROCESSING
+        out = []
+        if pp.MEDIAN_FILTER:
+            out.append("median_filter")
+        if pp.REMOVE_CLOSE_POINTS:
+            out.append("remove_close_points")
+        if pp.DET_WATERSHED:
+            out.append("det_watershed")
+        if pp.VORONOI_ON_MASK:
+            out.append("voronoi_on_mask")
+        if pp.MEASURE_PROPERTIES.ENABLE:
+            out.append("measure_properties")
+        if pp.INSTANCE_REFINEMENT.ENABLE:
+            out.extend(str(o) for o in pp.INSTANCE_REFINEMENT.OPERATIONS)
+        return out
+
+    def print_train_info(self):
+        """Concise training-config overview (reference: print_train_info,
+        _biapy.py:580)."""
+        cfg = self.cfg
+        augs = self._enabled_augmentations()
+        augs_desc = ("disabled" if not cfg.AUGMENTOR.ENABLE else
+                     f"{len(augs)} ({', '.join(augs)})" if augs else "enabled (none selected)")
+        lr = cfg.TRAIN.LR[0] if isinstance(cfg.TRAIN.LR, (list, tuple)) and \
+            len(cfg.TRAIN.LR) else cfg.TRAIN.LR
+        opt = cfg.TRAIN.OPTIMIZER[0] if isinstance(cfg.TRAIN.OPTIMIZER, (list, tuple)) and \
+            len(cfg.TRAIN.OPTIMIZER) else cfg.TRAIN.OPTIMIZER
+        print("BiaPy train configuration")
+        for k, v in (("Enabled", cfg.TRAIN.ENABLE),
+                     ("Model", cfg.MODEL.ARCHITECTURE),
+                     ("Source", cfg.MODEL.SOURCE),
+                     ("Patch size", tuple(cfg.DATA.PATCH_SIZE)),
+                     ("Epochs", cfg.TRAIN.EPOCHS),
+                     ("Learning rate", lr),
+                     ("Optimizer", opt),
+                     ("Batch size", cfg.TRAIN.BATCH_SIZE),
+                     ("Augmentations", augs_desc)):
+            print(f"  {k}: {v}")
+
+    def print_test_info(self):
+        """Concise inference-config overview (reference: print_test_info,
+        _biapy.py:624)."""
+        cfg = self.cfg
+        gt_desc = f"yes ({cfg.DATA.TEST.GT_PATH})" if cfg.DATA.TEST.LOAD_GT else "no"
+        pp = self._enabled_postprocessing()
+        print("BiaPy test configuration")
+        for k, v in (("Enabled", cfg.TEST.ENABLE),
+                     ("Test data", cfg.DATA.TEST.PATH),
+                     ("Ground truth", gt_desc),
+                     ("Patch size", tuple(cfg.DATA.PATCH_SIZE)),
+                     ("Overlap", tuple(cfg.DATA.TEST.OVERLAP)),
+                     ("Padding", tuple(cfg.DATA.TEST.PADDING)),
+                     ("Post-processing", ", ".join(pp) if pp else "none")):
+            print(f"  {k}: {v}")
+
+    def __repr__(self) -> str:
+        return (f"BiaPy(workflow={self.cfg.PROBLEM.TYPE}, ndim={self.cfg.PROBLEM.NDIM}, "
+                f"model={self.cfg.MODEL.ARCHITECTURE}, job={self.job_identifier})")
+
     def update_config(self, new_cfg: Dict, reset_workflow: bool = False) -> None:
         """Merge post-hoc config edits, re-derive dependent keys, and rebuild
         the workflow if requested (reference: BiaPy.update_config,
