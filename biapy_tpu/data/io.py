@@ -111,7 +111,9 @@ def open_lazy(path: str, data_path: Optional[str] = None):
 
         f = h5py.File(path, "r")
         return _first_h5_dataset(f, data_path), f
-    if ext in ZARR_EXTS or (os.path.isdir(path) and os.path.exists(os.path.join(path, ".zarray"))):
+    if ext in ZARR_EXTS or (os.path.isdir(path) and (
+            os.path.exists(os.path.join(path, ".zarray"))
+            or os.path.exists(os.path.join(path, "attributes.json")))):
         return _first_zarr_array(open_zarr(path), data_path), None
     # Non-chunked formats: read fully.
     return imread(path, data_path), None
@@ -121,7 +123,8 @@ def _is_chunked(path: str) -> bool:
     ext = os.path.splitext(path)[1].lower()
     return ext in H5_EXTS or ext in ZARR_EXTS or (
         os.path.isdir(path) and (os.path.exists(os.path.join(path, ".zarray"))
-                                 or os.path.exists(os.path.join(path, ".zgroup"))))
+                                 or os.path.exists(os.path.join(path, ".zgroup"))
+                                 or os.path.exists(os.path.join(path, "attributes.json"))))
 
 
 def _default_axes_order(disk_shape: Tuple[int, ...], ndim: int) -> str:

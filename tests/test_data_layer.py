@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -425,3 +427,60 @@ def test_filter_by_image_and_norm_before(tmp_path):
     with pytest.raises(ValueError, match="filtered out"):
         load_and_prepare_train_data(build(FS={"NORM_BEFORE": True}),
                                     norm_spec={"type": "div"})
+
+
+def test_n5_store_roundtrip(tmp_path):
+    """N5 read/write: reversed dimension order, nested chunk paths,
+    big-endian headered blocks, gzip compression (reference reads N5 via
+    zarr's N5 store; SURVEY §2.5)."""
+    from biapy_tpu.data.zarr_store import N5Array, N5Group, open_zarr
+
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 1000, (5, 7, 11)).astype(np.uint16)
+    root = str(tmp_path / "vol.n5")
+    g = N5Group.create(root)
+    arr = g.create_dataset("volumes/raw", shape=data.shape, chunks=(2, 3, 4),
+                           dtype=np.uint16, compression="gzip")
+    arr[:, :, :] = data
+
+    # on-disk layout: reversed dims in attributes.json, nested x/y/z paths
+    import json as _json
+    meta = _json.load(open(os.path.join(root, "volumes/raw/attributes.json")))
+    assert meta["dimensions"] == [11, 7, 5] and meta["blockSize"] == [4, 3, 2]
+    assert os.path.exists(os.path.join(root, "volumes/raw/0/0/0"))
+
+    back = open_zarr(root)["volumes/raw"]
+    assert isinstance(back, N5Array)
+    assert back.shape == data.shape
+    assert np.array_equal(np.asarray(back), data)
+    assert np.array_equal(back[1:4, 2:6, 3:9], data[1:4, 2:6, 3:9])
+
+    # hand-built raw block pins the binary format independent of our writer
+    raw_root = str(tmp_path / "hand.n5")
+    os.makedirs(os.path.join(raw_root, "0"))
+    _json.dump({"dimensions": [3, 2], "blockSize": [3, 2], "dataType": "uint8",
+                "compression": {"type": "raw"}},
+               open(os.path.join(raw_root, "attributes.json"), "w"))
+    # block: mode=0, ndim=2, dims (3,2) big-endian, payload x-fastest
+    blob = (0).to_bytes(2, "big") + (2).to_bytes(2, "big") \
+        + (3).to_bytes(4, "big") + (2).to_bytes(4, "big") \
+        + bytes([1, 2, 3, 4, 5, 6])
+    with open(os.path.join(raw_root, "0/0"), "wb") as f:
+        f.write(blob)
+    hand = open_zarr(raw_root)
+    assert hand.shape == (2, 3)  # numpy order = reversed(dimensions)
+    assert np.array_equal(np.asarray(hand), [[1, 2, 3], [4, 5, 6]])
+
+
+def test_n5_streams_through_open_lazy(tmp_path):
+    from biapy_tpu.data.io import open_lazy
+    from biapy_tpu.data.zarr_store import N5Group
+
+    data = np.arange(4 * 6 * 6, dtype=np.float32).reshape(4, 6, 6)
+    root = str(tmp_path / "vol.n5")
+    g = N5Group.create(root)
+    arr = g.create_dataset("volumes/raw", shape=data.shape, chunks=(2, 3, 3),
+                           dtype=np.float32)
+    arr[:, :, :] = data
+    lazy, handle = open_lazy(root, data_path="volumes.raw")
+    assert np.allclose(lazy[1:3, 0:4, 2:5], data[1:3, 0:4, 2:5])
