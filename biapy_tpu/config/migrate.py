@@ -353,9 +353,20 @@ def convert_old_model_cfg_to_current_version(old_cfg: dict, verbose: bool = Fals
             _ensure(cfg, "PROBLEM", "INSTANCE_SEG")["CLASS_REBALANCE_WITHIN_CHANNELS"] = val
         elif wf == "DETECTION":
             _ensure(cfg, "PROBLEM", "DETECTION")["CLASS_REBALANCE_WITHIN_CHANNELS"] = val
-        elif val:
+        elif val and loss.get("CLASS_WEIGHTS"):
+            # 'manual' is only meaningful with explicit weights (reference:
+            # check_configuration.py:4014-4016)
             loss["CLASS_REBALANCE"] = "manual"
         note("LOSS.CLASS_REBALANCE: bool -> mode string")
+    elif str(loss.get("CLASS_REBALANCE", "")).lower() == "auto":
+        # legacy 'auto' mode was dropped upstream; closest current semantics
+        loss["CLASS_REBALANCE"] = "none"
+        wf = _get(cfg, "PROBLEM", "TYPE") or "SEMANTIC_SEG"
+        if wf == "INSTANCE_SEG":
+            _ensure(cfg, "PROBLEM", "INSTANCE_SEG")["CLASS_REBALANCE_WITHIN_CHANNELS"] = True
+        elif wf == "DETECTION":
+            _ensure(cfg, "PROBLEM", "DETECTION")["CLASS_REBALANCE_WITHIN_CHANNELS"] = True
+        note("LOSS.CLASS_REBALANCE: 'auto' -> within-channel rebalance")
 
     # ---- MODEL checkpoint-loading flags ----
     mdl = cfg.get("MODEL", {})

@@ -40,6 +40,9 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
         f"PROBLEM.TYPE must be one of {VALID_WORKFLOWS}, got {cfg.PROBLEM.TYPE}")
     req(cfg.PROBLEM.NDIM in ("2D", "3D"), f"PROBLEM.NDIM must be '2D' or '3D', got {cfg.PROBLEM.NDIM}")
     is_3d = cfg.PROBLEM.NDIM == "3D"
+    req(bool(cfg.TRAIN.ENABLE) or bool(cfg.TEST.ENABLE),
+        "At least one of TRAIN.ENABLE or TEST.ENABLE must be True "
+        "(reference check_configuration.py:54)")
 
     # -- patch size ----------------------------------------------------------
     ps = cfg.DATA.PATCH_SIZE
@@ -214,14 +217,176 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
             for m in list(cfg.TRAIN.METRICS) + list(cfg.TEST.METRICS):
                 req(str(m).lower() == "iou",
                     f"TRAIN/TEST.METRICS must be 'iou' for {cfg.PROBLEM.TYPE}, got '{m}'")
+        req(str(cfg.TEST.AUGMENTATION_GROUP).lower() in ("", "auto", "full", "flips", "none"),
+            f"TEST.AUGMENTATION_GROUP must be auto/full/flips/none, got "
+            f"{cfg.TEST.AUGMENTATION_GROUP}")
+        req(not (cfg.TEST.ANALIZE_2D_IMGS_AS_3D_STACK and is_3d),
+            "TEST.ANALIZE_2D_IMGS_AS_3D_STACK makes no sense for a 3D problem "
+            "(reference check_configuration.py:1403)")
         pp = cfg.TEST.POST_PROCESSING
         if pp.VORONOI_ON_MASK:
             req(cfg.PROBLEM.TYPE == "INSTANCE_SEG",
                 "TEST.POST_PROCESSING.VORONOI_ON_MASK only applies to INSTANCE_SEG")
+        if pp.DET_WATERSHED:
+            req(cfg.PROBLEM.TYPE == "DETECTION",
+                "TEST.POST_PROCESSING.DET_WATERSHED only applies to DETECTION "
+                "(reference check_configuration.py:997)")
+            fdil = list(pp.DET_WATERSHED_FIRST_DILATION)
+            req(len(fdil) in (0, nd),
+                f"DET_WATERSHED_FIRST_DILATION needs {nd} values for {cfg.PROBLEM.NDIM}")
+            dc = [int(c) for c in pp.DET_WATERSHED_DONUTS_CLASSES]
+            if dc and dc != [-1]:
+                req(len(dc) <= int(cfg.DATA.N_CLASSES) and max(dc) <= int(cfg.DATA.N_CLASSES),
+                    "DET_WATERSHED_DONUTS_CLASSES entries must be class ids <= DATA.N_CLASSES")
+                req(len(list(pp.DET_WATERSHED_DONUTS_PATCH)) == nd,
+                    f"DET_WATERSHED_DONUTS_PATCH needs {nd} values")
+        if int(pp.REPARE_LARGE_BLOBS_SIZE) != -1:
+            req(cfg.PROBLEM.TYPE == "INSTANCE_SEG",
+                "TEST.POST_PROCESSING.REPARE_LARGE_BLOBS_SIZE only applies to INSTANCE_SEG")
+            req(set(cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNELS) == {"F", "P"},
+                "REPARE_LARGE_BLOBS_SIZE only makes sense with DATA_CHANNELS ['F','P'] "
+                "(reference check_configuration.py:989)")
+        if pp.MEDIAN_FILTER:
+            req(len(pp.MEDIAN_FILTER_AXIS) > 0 and len(pp.MEDIAN_FILTER_SIZE) > 0,
+                "MEDIAN_FILTER needs MEDIAN_FILTER_AXIS and MEDIAN_FILTER_SIZE configured")
+            req(len(pp.MEDIAN_FILTER_AXIS) == len(pp.MEDIAN_FILTER_SIZE),
+                "MEDIAN_FILTER_AXIS and MEDIAN_FILTER_SIZE must have the same length")
+            req(cfg.PROBLEM.TYPE in ("SEMANTIC_SEG", "INSTANCE_SEG", "DETECTION"),
+                "MEDIAN_FILTER only applies to SEMANTIC_SEG/INSTANCE_SEG/DETECTION")
+            for f in pp.MEDIAN_FILTER_AXIS:
+                req(str(f) in ("xy", "yx", "zy", "yz", "zx", "xz", "z"),
+                    f"MEDIAN_FILTER_AXIS options are xy/yx/zy/yz/zx/xz/z, got '{f}'")
+                req("z" not in str(f) or is_3d or cfg.TEST.ANALIZE_2D_IMGS_AS_3D_STACK,
+                    "z-axis median filtering in 2D needs TEST.ANALIZE_2D_IMGS_AS_3D_STACK")
         if pp.MEASURE_PROPERTIES.ENABLE and pp.MEASURE_PROPERTIES.REMOVE_BY_PROPERTIES.ENABLE:
             rp = pp.MEASURE_PROPERTIES.REMOVE_BY_PROPERTIES
+            req(cfg.PROBLEM.TYPE in ("INSTANCE_SEG", "DETECTION"),
+                "REMOVE_BY_PROPERTIES only applies to INSTANCE_SEG/DETECTION "
+                "(reference check_configuration.py:1073)")
+            req(len(rp.PROPS) > 0,
+                "REMOVE_BY_PROPERTIES.PROPS cannot be empty when enabled")
             req(len(rp.PROPS) == len(rp.VALUES) == len(rp.SIGNS),
                 "REMOVE_BY_PROPERTIES PROPS/VALUES/SIGNS must have equal lengths")
+            _RM_PROPS = ("circularity", "npixels", "area", "diameter", "elongation",
+                         "sphericity", "perimeter", "size", "volume")
+            for props, values, signs in zip(rp.PROPS, rp.VALUES, rp.SIGNS):
+                if not isinstance(props, (list, tuple)):
+                    req(False, "REMOVE_BY_PROPERTIES entries must be lists of "
+                        "lists, e.g. PROPS: [['circularity'], ['area','diameter']]")
+                    continue
+                req(len(props) == len(values) == len(signs),
+                    "REMOVE_BY_PROPERTIES sublists must have equal lengths")
+                req(len(set(props)) == len(props),
+                    "REMOVE_BY_PROPERTIES: repeated properties are not allowed")
+                for p, v, s in zip(props, values, signs):
+                    req(str(p) in _RM_PROPS,
+                        f"Unknown REMOVE_BY_PROPERTIES property '{p}' (valid: {_RM_PROPS})")
+                    req(str(s) in ("gt", "ge", "lt", "le"),
+                        f"REMOVE_BY_PROPERTIES signs must be gt/ge/lt/le, got '{s}'")
+                    if str(p) in ("circularity", "elongation"):
+                        req(not is_3d, f"'{p}' is 2D-only (3D analog: sphericity)")
+                        if str(p) == "circularity":
+                            req(0.0 <= float(v) <= 1.0,
+                                "circularity values must be in [0,1]")
+                    if str(p) == "sphericity":
+                        req(is_3d, "'sphericity' is 3D-only (2D analog: circularity)")
+
+    # -- sample filtering -------------------------------------------------------
+    # (reference: FILTER_SAMPLES structure/vocabulary rules,
+    # check_configuration.py:836-980)
+    _FILTER_PROPS = ("foreground", "mean", "min", "max", "target_mean",
+                     "target_min", "target_max", "diff", "diff_by_min_max_ratio",
+                     "diff_by_target_min_max_ratio")
+    _TARGET_PROPS = ("foreground", "target_mean", "target_min", "target_max",
+                     "diff", "diff_by_min_max_ratio", "diff_by_target_min_max_ratio")
+    for split in ("TRAIN", "VAL", "TEST"):
+        fs = cfg.DATA[split].FILTER_SAMPLES
+        if not fs.ENABLE:
+            continue
+        req(len(fs.PROPS) > 0,
+            f"DATA.{split}.FILTER_SAMPLES.PROPS cannot be empty when filtering is enabled")
+        req(len(fs.PROPS) == len(fs.VALUES) == len(fs.SIGNS),
+            f"DATA.{split}.FILTER_SAMPLES PROPS/VALUES/SIGNS must have the same length")
+        for i, (props, values, signs) in enumerate(zip(fs.PROPS, fs.VALUES, fs.SIGNS)):
+            req(isinstance(props, (list, tuple)) and isinstance(values, (list, tuple))
+                and isinstance(signs, (list, tuple)),
+                f"DATA.{split}.FILTER_SAMPLES entries must be lists of lists, "
+                "e.g. PROPS: [['mean'], ['min','max']]")
+            if not isinstance(props, (list, tuple)):
+                continue
+            req(len(props) == len(values) == len(signs),
+                f"DATA.{split}.FILTER_SAMPLES condition {i}: PROPS/VALUES/SIGNS "
+                "sublists must have the same length")
+            req(len(set(props)) == len(props),
+                f"DATA.{split}.FILTER_SAMPLES condition {i}: repeated properties "
+                "are not allowed")
+            for p, v, s in zip(props, values, signs):
+                req(str(p) in _FILTER_PROPS,
+                    f"Unknown FILTER_SAMPLES property '{p}' (valid: {_FILTER_PROPS})")
+                req(str(s) in ("gt", "ge", "lt", "le"),
+                    f"FILTER_SAMPLES signs must be gt/ge/lt/le, got '{s}'")
+                if str(p) == "foreground":
+                    req(cfg.PROBLEM.TYPE in ("SEMANTIC_SEG", "INSTANCE_SEG", "DETECTION"),
+                        "'foreground' filtering needs a workflow with masks "
+                        "(SEMANTIC_SEG/INSTANCE_SEG/DETECTION)")
+                    req(0.0 <= float(v) <= 1.0,
+                        "'foreground' filter values must be in [0,1]")
+                if str(p).startswith("diff"):
+                    req(cfg.PROBLEM.TYPE != "SUPER_RESOLUTION",
+                        "diff-based FILTER_SAMPLES conditions are not possible in "
+                        "super-resolution (raw and target differ in size; "
+                        "reference check_configuration.py:956)")
+                if str(p) in _TARGET_PROPS:
+                    req(cfg.PROBLEM.TYPE not in ("DENOISING", "SELF_SUPERVISED"),
+                        f"FILTER_SAMPLES property '{p}' needs target data, which "
+                        f"{cfg.PROBLEM.TYPE} does not have")
+                    if split == "TEST":
+                        req(bool(cfg.DATA.TEST.LOAD_GT) or bool(cfg.DATA.TEST.USE_VAL_AS_TEST),
+                            f"FILTER_SAMPLES property '{p}' on TEST needs "
+                            "DATA.TEST.LOAD_GT or USE_VAL_AS_TEST")
+
+    # -- loss ------------------------------------------------------------------
+    # (reference: the per-workflow LOSS.TYPE whitelists,
+    # check_configuration.py:1330-1366, and LOSS.CLASS_REBALANCE/IGNORE_INDEX
+    # rules :1369-1381)
+    ltype = str(cfg.LOSS.TYPE).upper()
+    if cfg.PROBLEM.TYPE == "SEMANTIC_SEG":
+        req(ltype in ("", "CE", "DICE", "W_CE_DICE"),
+            f"LOSS.TYPE for SEMANTIC_SEG must be CE/DICE/W_CE_DICE, got {ltype}")
+        if int(cfg.DATA.N_CLASSES) > 2:
+            req(ltype in ("", "CE", "W_CE_DICE"),
+                "DATA.N_CLASSES > 2 needs LOSS.TYPE CE or W_CE_DICE")
+    elif cfg.PROBLEM.TYPE in ("SUPER_RESOLUTION", "SELF_SUPERVISED", "IMAGE_TO_IMAGE"):
+        req(ltype in ("", "MAE", "MSE", "SSIM", "W_MAE_SSIM", "W_MSE_SSIM"),
+            f"LOSS.TYPE for {cfg.PROBLEM.TYPE} must be MAE/MSE/SSIM/W_MAE_SSIM/"
+            f"W_MSE_SSIM, got {ltype}")
+        if ltype in ("W_MAE_SSIM", "W_MSE_SSIM"):
+            req(len(cfg.LOSS.WEIGHTS) == 2 and abs(sum(cfg.LOSS.WEIGHTS) - 1.0) < 1e-6,
+                "LOSS.WEIGHTS must be two floats summing to 1 for weighted SSIM losses")
+    elif cfg.PROBLEM.TYPE == "DENOISING":
+        req(ltype in ("", "MSE", "CYCLEGAN"),
+            f"LOSS.TYPE for DENOISING must be MSE or CYCLEGAN, got {ltype}")
+    elif cfg.PROBLEM.TYPE == "CLASSIFICATION":
+        req(ltype in ("", "CE"), f"LOSS.TYPE for CLASSIFICATION must be CE, got {ltype}")
+    if int(cfg.LOSS.IGNORE_INDEX) != -1:
+        req(0 <= int(cfg.LOSS.IGNORE_INDEX) <= 255,
+            "LOSS.IGNORE_INDEX must be in [0,255] when set")
+    req(str(cfg.LOSS.CLASS_REBALANCE) in ("none", "manual"),
+        f"LOSS.CLASS_REBALANCE must be 'none' or 'manual', got {cfg.LOSS.CLASS_REBALANCE}")
+    if str(cfg.LOSS.CLASS_REBALANCE) == "manual":
+        req(len(cfg.LOSS.CLASS_WEIGHTS) == int(cfg.DATA.N_CLASSES),
+            "LOSS.CLASS_WEIGHTS must have one weight per class with manual rebalance")
+    elif cfg.LOSS.CLASS_WEIGHTS and int(cfg.DATA.N_CLASSES) > 2:
+        req(len(cfg.LOSS.CLASS_WEIGHTS) == int(cfg.DATA.N_CLASSES),
+            "LOSS.CLASS_WEIGHTS length must equal DATA.N_CLASSES")
+    if cfg.LOSS.CONTRAST.ENABLE:
+        req(int(cfg.LOSS.CONTRAST.MEMORY_SIZE) > 0, "LOSS.CONTRAST.MEMORY_SIZE must be > 0")
+        req(int(cfg.LOSS.CONTRAST.PROJ_DIM) > 0, "LOSS.CONTRAST.PROJ_DIM must be > 0")
+        req(int(cfg.LOSS.CONTRAST.PIXEL_UPD_FREQ) > 0, "LOSS.CONTRAST.PIXEL_UPD_FREQ must be > 0")
+        req(cfg.PROBLEM.TYPE in ("SEMANTIC_SEG", "INSTANCE_SEG", "DETECTION"),
+            "LOSS.CONTRAST only applies to SEMANTIC_SEG/INSTANCE_SEG/DETECTION")
+        req(arch != "stunet", "LOSS.CONTRAST cannot be combined with stunet "
+            "(reference check_configuration.py:1399)")
 
     # -- per-workflow -------------------------------------------------------
     if cfg.PROBLEM.TYPE == "INSTANCE_SEG":
@@ -237,8 +402,27 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
                     f"Unknown instance channel code '{c}' (valid: {INSTANCE_CHANNEL_CODES})")
             losses = list(cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNELS_LOSSES)
             if losses:
-                req(len(losses) == len(chans),
-                    "PROBLEM.INSTANCE_SEG.DATA_CHANNELS_LOSSES must match DATA_CHANNELS length")
+                req(len(losses) == len([c for c in chans if c not in ("We", "I")]),
+                    "PROBLEM.INSTANCE_SEG.DATA_CHANNELS_LOSSES must match DATA_CHANNELS "
+                    "length (GT-only 'We'/'I' channels take no loss)")
+                for ln in losses:
+                    req(str(ln) in ("bce", "ce", "mse", "l1", "mae", "embedseg"),
+                        f"DATA_CHANNELS_LOSSES values must be bce/ce/mse/l1/mae/embedseg, "
+                        f"got '{ln}'")
+            extra_l = list(cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNELS_EXTRA_OPTS)
+            extra = extra_l[0] if extra_l else {}
+            if any(c in ("Gv", "Gh", "Gz") for c in chans) and \
+                    str(extra.get("Gv", {}).get("gradient_type", "cellpose")) == "omnipose":
+                # Omnipose reconstruction needs the predicted distance field
+                # (reference check_configuration.py:711-721)
+                req("Db" in chans and str(extra.get("Db", {}).get("val_type")) == "omnipose",
+                    "Omnipose flows need a 'Db' channel with val_type 'omnipose'")
+            if (cfg.PROBLEM.INSTANCE_SEG.SEPARATED_DECODERS_PER_HEAD and len(chans) > 1
+                    and int(cfg.DATA.N_CLASSES) <= 2):
+                # with N_CLASSES > 2 the class head provides the second decoder
+                req(len(list(cfg.PROBLEM.INSTANCE_SEG.CHANNELS_PER_HEAD_INFO)) >= 2,
+                    "SEPARATED_DECODERS_PER_HEAD needs CHANNELS_PER_HEAD_INFO with at "
+                    "least 2 entries (reference check_configuration.py:787)")
             proc = str(cfg.PROBLEM.INSTANCE_SEG.INSTANCE_CREATION_PROCESS).lower()
             req(proc in ("", "watershed", "flow_tracking", "gradient_tracking", "omnipose",
                          "stardist", "nms", "embedseg"),

@@ -95,6 +95,7 @@ def test_bmz_import_adapts_config(tmp_path):
     cfg = _base_cfg(root)
     cfg["MODEL"] = {"SOURCE": "bmz", "BMZ": {"SOURCE_MODEL_ID": zpath}}
     cfg["TRAIN"]["ENABLE"] = False
+    cfg.setdefault("TEST", {})["ENABLE"] = True  # at least one phase must run
     job2 = BiaPy(cfg, result_dir=root + "/results", name="bmzdst", silent=True)
     assert list(job2.cfg.MODEL.FEATURE_MAPS) == [4, 8]
     assert job2.cfg.MODEL.ARCHITECTURE == "unet"

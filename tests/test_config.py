@@ -109,3 +109,47 @@ def test_safetensors_config_rejected_with_guidance(tmp_path):
     open(p, "wb").write(b"\x00" * 8)
     with pytest.raises(ValueError, match="safetensors.*weights"):
         BiaPy(p, result_dir=str(tmp_path), name="x", silent=True)
+
+
+@pytest.mark.parametrize("bad,msg_frag", [
+    ({"TRAIN": {"ENABLE": False}, "TEST": {"ENABLE": False}}, "At least one"),
+    ({"LOSS": {"TYPE": "DICE"}, "DATA": {"N_CLASSES": 3}}, "N_CLASSES > 2"),
+    ({"LOSS": {"CLASS_REBALANCE": "manual"}}, "CLASS_WEIGHTS"),
+    ({"LOSS": {"IGNORE_INDEX": 300}}, "IGNORE_INDEX"),
+    ({"TEST": {"POST_PROCESSING": {"MEDIAN_FILTER": True}}}, "MEDIAN_FILTER"),
+    ({"TEST": {"POST_PROCESSING": {"MEDIAN_FILTER": True,
+                                   "MEDIAN_FILTER_AXIS": ["z"],
+                                   "MEDIAN_FILTER_SIZE": [3]}}}, "z-axis"),
+    ({"TEST": {"POST_PROCESSING": {"DET_WATERSHED": True}}}, "DET_WATERSHED"),
+    ({"TEST": {"ANALIZE_2D_IMGS_AS_3D_STACK": True},
+      "PROBLEM": {"NDIM": "3D"},
+      "DATA": {"PATCH_SIZE": (16, 64, 64, 1)}}, "3D"),
+    ({"LOSS": {"CONTRAST": {"ENABLE": True}},
+      "PROBLEM": {"TYPE": "SUPER_RESOLUTION",
+                  "SUPER_RESOLUTION": {"UPSCALING": (2, 2)}}}, "CONTRAST"),
+])
+def test_validation_rejects(bad, msg_frag):
+    """New cross-field rules ported from the reference validator
+    (check_configuration.py:54,989,1185,1330-1399,1403)."""
+    from biapy_tpu.config.config import get_cfg_defaults
+    from biapy_tpu.engine.check_configuration import check_configuration
+
+    cfg = get_cfg_defaults()
+    base = {"PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
+            "DATA": {"PATCH_SIZE": (64, 64, 1)},
+            "TRAIN": {"ENABLE": True}, "TEST": {"ENABLE": True}}
+
+    def deep(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                deep(dst[k], v)
+            else:
+                dst[k] = v
+    deep(base, bad)
+    cfg.merge_from_dict(base)
+    with pytest.raises(ValueError, match="Invalid configuration"):
+        check_configuration(cfg)
+    try:
+        check_configuration(cfg)
+    except ValueError as e:
+        assert msg_frag in str(e), str(e)
