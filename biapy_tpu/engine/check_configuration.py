@@ -148,6 +148,40 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
         norm = str(cfg.MODEL.NORMALIZATION).lower()
         req(norm in ("", "none", "bn", "sync_bn", "in", "gn", "ln"),
             f"MODEL.NORMALIZATION must be one of none/bn/sync_bn/in/gn/ln, got {norm}")
+        # patch size must survive every downsampling level (reference:
+        # check_configuration.py:3091-3155 — the model would otherwise fail
+        # with an opaque shape error)
+        if arch in ("unet", "resunet", "resunet++", "seunet", "resunet_se",
+                    "attention_unet", "multiresunet", "unext_v1", "unext_v2") \
+                and len(ps) == want:
+            n_down = 4 if arch == "multiresunet" else len(cfg.MODEL.FEATURE_MAPS) - 1
+            cur_z = int(ps[0]) if is_3d else 1
+            cur_yx = [int(v) for v in (ps[1:-1] if is_3d else ps[:-1])]
+            zd = list(cfg.MODEL.Z_DOWN) or [2] * n_down
+            yd = list(cfg.MODEL.YX_DOWN) or [2] * n_down
+            if all(int(v) == 0 for v in zd):  # all-zero lists default to 2s
+                zd = [2] * n_down
+            if all(int(v) == 0 for v in yd):
+                yd = [2] * n_down
+            for i in range(min(n_down, len(yd))):
+                yxf = max(1, int(yd[i]))
+                zf = max(1, int(zd[i])) if is_3d and i < len(zd) else 1
+                bad = any(d % yxf != 0 or d <= 2 for d in cur_yx) or \
+                    (is_3d and (cur_z % zf != 0 or cur_z <= 2))
+                req(not bad,
+                    f"DATA.PATCH_SIZE is not divisible by the downsampling factor at "
+                    f"level {i} of {arch} — reduce MODEL.FEATURE_MAPS depth, enlarge "
+                    "the patch, or relax MODEL.Z_DOWN for the z axis")
+                if bad:
+                    break
+                cur_yx = [d // yxf for d in cur_yx]
+                cur_z = cur_z // zf
+        if "hrnet" in arch:
+            req(str(cfg.MODEL.HRNET.BLOCK_TYPE) in
+                ("BASIC", "BOTTLENECK", "CONVNEXT_V1", "CONVNEXT_V2"),
+                "MODEL.HRNET.BLOCK_TYPE must be BASIC/BOTTLENECK/CONVNEXT_V1/CONVNEXT_V2")
+            req(str(cfg.MODEL.HRNET.HEAD_TYPE) in ("OCR", "ASPP", "PSP", "FCN"),
+                "MODEL.HRNET.HEAD_TYPE must be OCR/ASPP/PSP/FCN")
 
     if cfg.TRAIN.ENABLE:
         req(all(float(lr) > 0 for lr in cfg.TRAIN.LR), "TRAIN.LR values must be > 0")

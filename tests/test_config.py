@@ -65,6 +65,13 @@ def test_merge_from_list():
     assert cfg.PROBLEM.NDIM == "3D"
 
 
+# Templates the reference's OWN current validator rejects (stale upstream):
+# 3d_super-resolution.yaml: patch z=6 with the default 5-level resunet —
+# z collapses to 0 at level 2 (both frameworks crash at the skip concat;
+# reference check_configuration.py:3142 rejects it as well).
+KNOWN_INVALID_TEMPLATES = ("super-resolution/3d_super-resolution.yaml",)
+
+
 @pytest.mark.parametrize("template", TEMPLATES, ids=lambda t: t.split("templates/")[1])
 def test_all_reference_templates_merge(template):
     """Every shipped reference template must merge AND pass full validation
@@ -76,6 +83,10 @@ def test_all_reference_templates_merge(template):
     raw = yaml.safe_load(open(template)) or {}
     cfg.merge_from_dict(convert_old_model_cfg_to_current_version(raw))
     update_dependencies(cfg, "/tmp/job", "run1")
+    if any(template.endswith(k) for k in KNOWN_INVALID_TEMPLATES):
+        with pytest.raises(ValueError, match="not divisible"):
+            check_configuration(cfg, "run1")
+        return
     check_configuration(cfg, "run1")
 
 
@@ -153,3 +164,25 @@ def test_validation_rejects(bad, msg_frag):
         check_configuration(cfg)
     except ValueError as e:
         assert msg_frag in str(e), str(e)
+
+
+def test_validation_patch_divisibility():
+    """U-Net family patch-vs-downsampling divisibility (reference
+    check_configuration.py:3091-3155)."""
+    from biapy_tpu.config.config import get_cfg_defaults
+    from biapy_tpu.engine.check_configuration import check_configuration
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_dict({
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (100, 100, 1)},  # 100 -> 50 -> 25 -> not divisible
+        "TRAIN": {"ENABLE": True},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16, 32, 64],
+                  "DROPOUT_VALUES": [0.0] * 4, "Z_DOWN": [2, 2, 2],
+                  "YX_DOWN": [2, 2, 2], "CONV_LAYERS": [2] * 4},
+    })
+    with pytest.raises(ValueError, match="not divisible"):
+        check_configuration(cfg)
+    # 96 divides cleanly three times
+    cfg.merge_from_dict({"DATA": {"PATCH_SIZE": (96, 96, 1)}})
+    check_configuration(cfg)
