@@ -22,10 +22,35 @@ from biapy_tpu.engine import metrics as M
 from biapy_tpu.engine.base_workflow import Base_Workflow
 
 
+def _fit_to_patch(img: np.ndarray, patch: tuple) -> np.ndarray:
+    """Center-crop/pad spatial axes to the configured patch size (reference:
+    the classification generator resizes/crops samples to DATA.PATCH_SIZE)."""
+    nd = len(patch)
+    if tuple(img.shape[:nd]) == tuple(patch):
+        return img
+    out = img
+    for d in range(nd):
+        diff = out.shape[d] - patch[d]
+        if diff > 0:
+            lo = diff // 2
+            out = out[tuple([slice(None)] * d + [slice(lo, lo + patch[d])])]
+        elif diff < 0:
+            pad = [(0, 0)] * out.ndim
+            pad[d] = (-diff // 2, -diff - (-diff // 2))
+            out = np.pad(out, pad, mode="reflect")
+    return out
+
+
 def load_classification_dataset(path: str, is_3d: bool, in_memory: bool = True,
-                                expected_classes: Optional[int] = None) -> BiaPyDataset:
+                                expected_classes: Optional[int] = None,
+                                preprocess_cfg=None,
+                                patch_size: Optional[tuple] = None) -> BiaPyDataset:
     """Scan a directory of per-class sub-directories (reference:
-    classification.py load_train_data:248)."""
+    classification.py load_train_data:248). ``preprocess_cfg`` applies the
+    DATA.PREPROCESS pipeline (resize etc., reference run_checks Test19/21)
+    and ``patch_size`` center-crops/pads each sample to the model input."""
+    from biapy_tpu.data.pre_processing import preprocess_image
+
     class_dirs = sorted(d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d)))
     if expected_classes and len(class_dirs) != expected_classes:
         raise ValueError(
@@ -35,6 +60,11 @@ def load_classification_dataset(path: str, is_3d: bool, in_memory: bool = True,
     for ci, cname in enumerate(class_dirs):
         for p in list_image_files(os.path.join(path, cname)):
             img = read_img_as_ndarray(p, is_3d=is_3d) if in_memory else None
+            if img is not None:
+                if preprocess_cfg is not None:
+                    img = preprocess_image(preprocess_cfg, img, is_2d=not is_3d)
+                if patch_size is not None:
+                    img = _fit_to_patch(img, tuple(patch_size))
             ds.dataset_info.append(DatasetFile(path=p, shape=img.shape if img is not None else None,
                                                class_num=ci, class_name=cname))
             ds.sample_list.append(DataSample(fid=len(ds.dataset_info) - 1, img=img))
@@ -81,16 +111,26 @@ class Classification_Workflow(Base_Workflow):
     # -- data -----------------------------------------------------------------
     def _build_loaders(self):
         cfg = self.cfg
-        train_ds = load_classification_dataset(cfg.DATA.TRAIN.PATH, self.is_3d,
-                                               in_memory=bool(cfg.DATA.TRAIN.IN_MEMORY),
-                                               expected_classes=self.n_classes)
+        patch = tuple(cfg.DATA.PATCH_SIZE)[: self.nd]
+        train_ds = load_classification_dataset(
+            cfg.DATA.TRAIN.PATH, self.is_3d,
+            in_memory=bool(cfg.DATA.TRAIN.IN_MEMORY),
+            expected_classes=self.n_classes,
+            preprocess_cfg=cfg.DATA.PREPROCESS if cfg.DATA.PREPROCESS.TRAIN else None,
+            patch_size=patch)
         if not cfg.DATA.VAL.FROM_TRAIN:
-            val_ds = load_classification_dataset(cfg.DATA.VAL.PATH, self.is_3d)
+            val_ds = load_classification_dataset(
+                cfg.DATA.VAL.PATH, self.is_3d,
+                preprocess_cfg=cfg.DATA.PREPROCESS if cfg.DATA.PREPROCESS.VAL else None,
+                patch_size=patch)
         else:
             from biapy_tpu.data.data_manipulation import split_train_val
 
-            train_ds, val_ds = split_train_val(train_ds, float(cfg.DATA.VAL.SPLIT_TRAIN),
-                                               seed=cfg.SYSTEM.SEED)
+            train_ds, val_ds = split_train_val(
+                train_ds, float(cfg.DATA.VAL.SPLIT_TRAIN), seed=cfg.SYSTEM.SEED,
+                cross_val=bool(cfg.DATA.VAL.CROSS_VAL),
+                cross_val_nsplits=int(cfg.DATA.VAL.CROSS_VAL_NFOLD),
+                cross_val_fold=int(cfg.DATA.VAL.CROSS_VAL_FOLD))
         mk = lambda ds, aug: _ClassifDataset(ds, cfg, self.norm_spec, augment=aug,
                                              n_classes=self.n_classes, seed=cfg.SYSTEM.SEED)
         return mk(train_ds, True), mk(val_ds, False)
@@ -162,7 +202,10 @@ class Classification_Workflow(Base_Workflow):
             labels = [int(gt) if gt is not None else -1]
             names = ["in_memory"]
         else:
-            ds = load_classification_dataset(cfg.DATA.TEST.PATH, self.is_3d)
+            ds = load_classification_dataset(
+                cfg.DATA.TEST.PATH, self.is_3d,
+                preprocess_cfg=cfg.DATA.PREPROCESS if cfg.DATA.PREPROCESS.TEST else None,
+                patch_size=tuple(cfg.DATA.PATCH_SIZE)[: self.nd])
             imgs, labels, names = [], [], []
             for s in ds.sample_list:
                 f = ds.dataset_info[s.fid]

@@ -367,3 +367,36 @@ def test_semantic_seg_3d(tmp_path):
     }
     job = _run(cfg, root, "sem3d")
     assert job.workflow.stats["iou"] > 0.35, job.workflow.stats
+
+
+@pytest.mark.slow
+def test_classification_3d_with_resize_crossval(tmp_path):
+    """3D classification with DATA.PREPROCESS resize + cross-validation
+    (reference: run_checks Test21 — DermaMNIST 3D, preprocess resize,
+    cross-val, simple_cnn)."""
+    rng = np.random.default_rng(17)
+    root = str(tmp_path)
+    for d, n in [("train", 40), ("test", 8)]:
+        for ci, cname in enumerate(["dark", "bright"]):
+            os.makedirs(f"{root}/{d}/{cname}", exist_ok=True)
+            for i in range(n // 2):
+                base = 40 if ci == 0 else 200
+                vol = (rng.normal(base, 15, (10, 40, 40))).clip(0, 255).astype(np.uint8)
+                write_tiff(f"{root}/{d}/{cname}/{i}.tif", vol)
+    cfg = {
+        "PROBLEM": {"TYPE": "CLASSIFICATION", "NDIM": "3D"},
+        "DATA": {"PATCH_SIZE": (8, 32, 32, 1), "N_CLASSES": 2,
+                 "NORMALIZATION": {"TYPE": "div"},
+                 "PREPROCESS": {"TRAIN": True, "TEST": True,
+                                "RESIZE": {"ENABLE": True,
+                                           "OUTPUT_SHAPE": (8, 32, 32)}},
+                 "TRAIN": {"PATH": f"{root}/train", "IN_MEMORY": True},
+                 "VAL": {"CROSS_VAL": True, "CROSS_VAL_NFOLD": 5, "CROSS_VAL_FOLD": 1},
+                 "TEST": {"PATH": f"{root}/test", "IN_MEMORY": True, "LOAD_GT": True}},
+        "MODEL": {"ARCHITECTURE": "simple_cnn"},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3, "BATCH_SIZE": 8,
+                  "EPOCHS": 12},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "cls3d")
+    assert job.workflow.stats["accuracy"] > 0.7, job.workflow.stats
