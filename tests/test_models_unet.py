@@ -220,3 +220,25 @@ def test_unetr_sam3_backbone_builds():
         assert y.shape == (1, 64, 64, 1)
     finally:
         sv.SAM3_VIT_PARAMS.update(orig)
+
+
+def test_efficientnet_builds_and_forwards():
+    """EfficientNet classifier (reference wraps torchvision; ours is a
+    first-party Flax implementation, models/efficientnet.py)."""
+    import jax
+    import numpy as np
+
+    from biapy_tpu.config.config import get_cfg_defaults
+    from biapy_tpu.models import build_model
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_dict({
+        "PROBLEM": {"TYPE": "CLASSIFICATION", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (64, 64, 3), "N_CLASSES": 4},
+        "MODEL": {"ARCHITECTURE": "efficientnet_b0"},
+    })
+    m, _ = build_model(cfg, [4], ["class"], ["linear"])
+    v = m.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=False)
+    out = m.apply(v, np.zeros((2, 64, 64, 3), np.float32), train=False)
+    out = out["class"] if isinstance(out, dict) else out
+    assert out.shape == (2, 4)
