@@ -183,6 +183,27 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
             req(str(cfg.MODEL.HRNET.HEAD_TYPE) in ("OCR", "ASPP", "PSP", "FCN"),
                 "MODEL.HRNET.HEAD_TYPE must be OCR/ASPP/PSP/FCN")
 
+    # checkpoint/freeze option vocab (reference check_configuration.py:1449-1460)
+    for item in cfg.MODEL.ITEMS_TO_LOAD_FROM_CHECKPOINT:
+        req(str(item) in ("weights", "norm", "model_arch", "optimizer", "epoch"),
+            f"MODEL.ITEMS_TO_LOAD_FROM_CHECKPOINT entries must be in "
+            f"['weights','norm','model_arch','optimizer','epoch'], got '{item}'")
+    for i, pattern in enumerate(cfg.MODEL.FREEZE_LAYERS_MATCHING or []):
+        import re as _re
+
+        try:
+            _re.compile(str(pattern))
+        except _re.error as e:
+            req(False, f"MODEL.FREEZE_LAYERS_MATCHING[{i}] is not a valid regex "
+                f"('{pattern}'): {e}")
+    if cfg.DATA.TRAIN.PROBABILITY_MAP:
+        req(cfg.PROBLEM.TYPE in ("SEMANTIC_SEG", "INSTANCE_SEG", "DETECTION"),
+            "DATA.TRAIN.PROBABILITY_MAP only applies to SEMANTIC_SEG/INSTANCE_SEG/"
+            "DETECTION (reference check_configuration.py:1445)")
+    if cfg.TEST.POST_PROCESSING.VORONOI_ON_MASK:
+        req(0.0 <= float(cfg.TEST.POST_PROCESSING.VORONOI_TH) <= 1.0,
+            "TEST.POST_PROCESSING.VORONOI_TH must be in [0,1]")
+
     if cfg.TRAIN.ENABLE:
         req(all(float(lr) > 0 for lr in cfg.TRAIN.LR), "TRAIN.LR values must be > 0")
         sch = cfg.TRAIN.LR_SCHEDULER.NAME
@@ -434,6 +455,21 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
             for c in chans:
                 req(c in INSTANCE_CHANNEL_CODES or str(c).startswith("E"),
                     f"Unknown instance channel code '{c}' (valid: {INSTANCE_CHANNEL_CODES})")
+            # channel dependency rules (reference check_configuration.py:1530-1569)
+            cset = set(chans)
+            if "M" in cset:
+                req(is_3d, "'M' (CartoCell legacy) channel is 3D-only")
+                req(cset == {"F", "C", "M"},
+                    "'M' can only be combined with exactly 'F' and 'C' (CartoCell)")
+            req("A" not in cset or is_3d, "'A' (affinities) channel is 3D-only here")
+            req("Z" not in cset or is_3d, "'Z' offset channel is 3D-only")
+            req(not (("H" in cset) ^ ("V" in cset)),
+                "'H' and 'V' HoVer offsets must be used together")
+            if "Z" in cset:
+                req({"H", "V"} <= cset, "'Z' needs 'H' and 'V' offsets alongside")
+            if cset and cset <= {"H", "V", "Z"}:
+                req(False, "HoVer offsets alone cannot define the foreground — add "
+                    "one of F/B/C/Db/Dc/Dn/D")
             losses = list(cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNELS_LOSSES)
             if losses:
                 req(len(losses) == len([c for c in chans if c not in ("We", "I")]),
