@@ -63,6 +63,19 @@ def main():
     if os.environ.get("BIAPY_TPU_BENCH_PATCH"):
         candidates = [tuple(int(v) for v in
                             os.environ["BIAPY_TPU_BENCH_PATCH"].split(","))] + candidates
+    # a geometry that measured successfully on this machine before is the
+    # best first guess — its probe succeeds in one compile; contended-chip
+    # probe timeouts otherwise burn minutes before any measurement
+    geom_cache = os.path.join(cache, "bench_geom.json")
+    try:
+        with open(geom_cache) as f:
+            prev = tuple(json.load(f)["patch"])
+        if prev in candidates[:-1]:
+            # never pin the smallest: a one-off contended run must not lock
+            # future runs out of the larger geometries
+            candidates = [prev] + [c for c in candidates if c != prev]
+    except (OSError, ValueError, KeyError):
+        pass
 
     def build(patch):
         cfg = {
@@ -160,14 +173,21 @@ def main():
             r = subprocess.run([sys.executable, os.path.abspath(__file__),
                                 "--probe", ",".join(map(str, patch))],
                                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                               timeout=int(os.environ.get("BIAPY_TPU_PROBE_TIMEOUT", "900")))
+                               timeout=int(os.environ.get("BIAPY_TPU_PROBE_TIMEOUT", "300")))
             ok = r.returncode == 0
         except subprocess.TimeoutExpired:
             ok = False  # hung compile/transfer counts as unusable
         if ok:
             break
         print(f"patch={patch} unusable (OOM/timeout), falling back", file=sys.stderr)
+    # candidates are ordered big->small; a smaller geometry never OOMs after
+    # a bigger one failed, so remember the winner for the next run's probe
     print(f"bench geometry: patch={patch}", file=sys.stderr)
+    try:
+        with open(geom_cache, "w") as f:
+            json.dump({"patch": list(patch)}, f)
+    except OSError:
+        pass
     wf = build(patch)
     run_once(wf)  # warmup/compile
 

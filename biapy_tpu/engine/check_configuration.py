@@ -470,6 +470,53 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
             if cset and cset <= {"H", "V", "Z"}:
                 req(False, "HoVer offsets alone cannot define the foreground — add "
                     "one of F/B/C/Db/Dc/Dn/D")
+            # extra-opts key vocabulary per channel (reference
+            # check_configuration.py:1600-1699)
+            _ALLOWED_OPTS = {
+                "F": {"erosion", "dilation"}, "B": {"erosion", "dilation"},
+                "P": {"erosion", "dilation", "type"},
+                "C": {"mode"},
+                "Z": {"norm", "act", "dilation", "mask_values"},
+                "V": {"norm", "act", "dilation", "mask_values"},
+                "H": {"norm", "act", "dilation", "mask_values"},
+                "Gv": {"gradient_type"}, "Gh": {"gradient_type"}, "Gz": {"gradient_type"},
+                "Db": {"val_type", "act", "mask_values"},
+                "Dc": {"type", "norm", "mask_values"},
+                "Dn": {"closing_size", "norm", "mask_values", "decline_power"},
+                "D": {"act", "mask_values"},
+                "R": {"nrays", "mask_values"},
+                "T": {"thickness"},
+                "A": {"z_affinities", "y_affinities", "x_affinities", "widen_borders"},
+                "E": {"center_mode", "medoid_max_points"},
+                "E_offset": {"center_mode", "medoid_max_points"},
+            }
+            extra_list = list(cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNELS_EXTRA_OPTS)
+            opts_map = extra_list[0] if extra_list else {}
+            if isinstance(opts_map, dict):
+                for key, val in opts_map.items():
+                    req(str(key) in cset or str(key) in INSTANCE_CHANNEL_CODES
+                        or str(key).startswith("E"),
+                        f"DATA_CHANNELS_EXTRA_OPTS has '{key}' which is not a "
+                        "channel code")
+                    allowed = _ALLOWED_OPTS.get(str(key))
+                    if allowed is not None and isinstance(val, dict):
+                        for opt in val:
+                            req(str(opt) in allowed,
+                                f"DATA_CHANNELS_EXTRA_OPTS['{key}'] option '{opt}' "
+                                f"is not supported (valid: {sorted(allowed)})")
+                    if str(key) == "C" and isinstance(val, dict) and "mode" in val:
+                        req(str(val["mode"]) in ("thick", "inner", "outer",
+                                                 "subpixel", "dense"),
+                            "contour mode must be thick/inner/outer/subpixel/dense")
+                    if str(key) in ("Gv", "Gh", "Gz") and isinstance(val, dict) \
+                            and "gradient_type" in val:
+                        req(str(val["gradient_type"]) in ("cellpose", "omnipose"),
+                            "gradient_type must be 'cellpose' or 'omnipose'")
+                    if str(key) == "Db" and isinstance(val, dict) \
+                            and str(val.get("val_type")) == "discretize":
+                        req(cset == {"Db"},
+                            "'Db' must be the only channel when val_type is "
+                            "'discretize'")
             losses = list(cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNELS_LOSSES)
             if losses:
                 req(len(losses) == len([c for c in chans if c not in ("We", "I")]),
