@@ -553,6 +553,34 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
             for sel in list(ws.SEED_CHANNELS) + list(ws.GROWTH_MASK_CHANNELS):
                 req(str(sel) in [str(c) for c in chans] or sel in ("", None),
                     f"Watershed channel '{sel}' is not among DATA_CHANNELS {list(chans)}")
+            for op in ws.SEED_MORPH_SEQUENCE:
+                req(str(op) in ("dilate", "erode"),
+                    "WATERSHED.SEED_MORPH_SEQUENCE entries must be 'dilate'/'erode'")
+            req(len(ws.SEED_MORPH_SEQUENCE) == len(ws.SEED_MORPH_RADIUS),
+                "WATERSHED.SEED_MORPH_SEQUENCE and SEED_MORPH_RADIUS must have "
+                "the same length")
+            if ws.ERODE_AND_DILATE_GROWTH_MASK:
+                req(any(c in ("F", "B", "C", "D", "M") for c in chans),
+                    "WATERSHED.ERODE_AND_DILATE_GROWTH_MASK needs one of F/B/C/D/M")
+            if cfg.TEST.POST_PROCESSING.VORONOI_ON_MASK:
+                req(any(c in ("F", "B", "C", "M") for c in chans),
+                    "VORONOI_ON_MASK needs one of the F/B/C/M channels "
+                    "(reference check_configuration.py:1782)")
+            ir = cfg.TEST.POST_PROCESSING.INSTANCE_REFINEMENT
+            if ir.ENABLE:
+                req(len(ir.OPERATIONS) == len(ir.VALUES),
+                    "INSTANCE_REFINEMENT OPERATIONS and VALUES must have the same "
+                    "length ('none' for value-less ops)")
+                for op, value in zip(ir.OPERATIONS, ir.VALUES):
+                    req(str(op) in ("dilation", "erosion", "fill_holes", "clear_border",
+                                    "remove_small_objects", "remove_big_objects"),
+                        f"Unknown INSTANCE_REFINEMENT operation '{op}'")
+                    if str(op) in ("remove_small_objects", "remove_big_objects"):
+                        req(isinstance(value, int) and value >= 1,
+                            f"INSTANCE_REFINEMENT value for '{op}' must be an int >= 1")
+                    if str(op) in ("fill_holes", "clear_border"):
+                        req(str(value) == "none",
+                            f"INSTANCE_REFINEMENT value for '{op}' must be 'none'")
         else:  # synapses
             from biapy_tpu.data.synapses import select_synapse_method
 
