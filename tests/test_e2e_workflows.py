@@ -400,3 +400,39 @@ def test_classification_3d_with_resize_crossval(tmp_path):
     }
     job = _run(cfg, root, "cls3d")
     assert job.workflow.stats["accuracy"] > 0.7, job.workflow.stats
+
+
+@pytest.mark.slow
+def test_super_resolution_3d_onecycle(tmp_path):
+    """3D super-resolution: yx-only upscaling through the 3D data layer,
+    U-Net post-upsampling, one-cycle LR schedule (reference: run_checks
+    Test12 — 3D SR, resunet, one-cycle)."""
+    rng = np.random.default_rng(19)
+    root = str(tmp_path)
+    for d, n in [("train", 8), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            hr = np.stack([_noisy_circles((64, 64), noise=0.02, rng=rng)
+                           for _ in range(8)], axis=0)
+            lr = hr[:, ::2, ::2]
+            write_tiff(f"{root}/{d}/x/{i}.tif", (lr * 200).clip(0, 255).astype(np.uint8))
+            write_tiff(f"{root}/{d}/y/{i}.tif", (hr * 200).clip(0, 255).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "SUPER_RESOLUTION", "NDIM": "3D",
+                    "SUPER_RESOLUTION": {"UPSCALING": (1, 2, 2)}},
+        "DATA": {"PATCH_SIZE": (8, 16, 16, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                          "LOAD_GT": True, "PADDING": (2, 4, 4)}},
+        "MODEL": {"ARCHITECTURE": "resunet", "FEATURE_MAPS": [8, 16],
+                  "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [1, 1], "YX_DOWN": [2, 2],
+                  "CONV_LAYERS": [2, 2], "UNET_SR_UPSAMPLE_POSITION": "post"},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3, "BATCH_SIZE": 8,
+                  "EPOCHS": 25,
+                  "LR_SCHEDULER": {"NAME": "onecycle"}},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "sr3d")
+    assert job.workflow.stats["psnr"] > 10.0, job.workflow.stats
