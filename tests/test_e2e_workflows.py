@@ -436,3 +436,102 @@ def test_super_resolution_3d_onecycle(tmp_path):
     }
     job = _run(cfg, root, "sr3d")
     assert job.workflow.stats["psnr"] > 10.0, job.workflow.stats
+
+
+@pytest.mark.slow
+def test_ssl_mae_masking_3d(tmp_path):
+    """3D MAE masking pretext (reference: run_checks Test22 — 3D SSL mae,
+    random masking)."""
+    rng = np.random.default_rng(23)
+    root = str(tmp_path)
+    for d, n in [("train", 8), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        for i in range(n):
+            vol = np.stack([_noisy_circles((32, 32), noise=0.02, rng=rng)
+                            for _ in range(16)], axis=0)
+            write_tiff(f"{root}/{d}/x/{i}.tif", (vol * 200).clip(0, 255).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "SELF_SUPERVISED", "NDIM": "3D",
+                    "SELF_SUPERVISED": {"PRETEXT_TASK": "masking"}},
+        "DATA": {"PATCH_SIZE": (16, 16, 16, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "IN_MEMORY": True, "LOAD_GT": False}},
+        "MODEL": {"ARCHITECTURE": "mae", "VIT_TOKEN_SIZE": 8, "VIT_EMBED_DIM": 32,
+                  "VIT_NUM_LAYERS": 2, "VIT_NUM_HEADS": 4, "VIT_MLP_RATIO": 2.0,
+                  "MAE_DEC_HIDDEN_SIZE": 32, "MAE_DEC_NUM_LAYERS": 1,
+                  "MAE_DEC_NUM_HEADS": 4, "MAE_MASK_RATIO": 0.5, "MAE_MASK_TYPE": "random"},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3, "BATCH_SIZE": 8,
+                  "EPOCHS": 3},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "mae3d")
+    preds = job.workflow._predictions
+    assert len(preds) == 2
+    for p in preds:
+        assert np.isfinite(p["pred"]).all()
+
+
+@pytest.mark.slow
+def test_image_to_image_3d(tmp_path):
+    """3D image-to-image regression (reference: run_checks Test25 —
+    Nuclear_Pore_complex_3D)."""
+    rng = np.random.default_rng(27)
+    root = str(tmp_path)
+    for d, n in [("train", 8), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            vol = np.stack([_noisy_circles((32, 32), noise=0.05, rng=rng)
+                            for _ in range(8)], axis=0)
+            u8 = (vol * 200).clip(0, 255).astype(np.uint8)
+            write_tiff(f"{root}/{d}/x/{i}.tif", u8)
+            write_tiff(f"{root}/{d}/y/{i}.tif", (255 - u8).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "IMAGE_TO_IMAGE", "NDIM": "3D"},
+        "DATA": {"PATCH_SIZE": (8, 16, 16, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                          "LOAD_GT": True, "PADDING": (2, 4, 4)}},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16], "DROPOUT_VALUES": [0.0, 0.0],
+                  "Z_DOWN": [1, 1], "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 8, "EPOCHS": 6},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "i2i3d")
+    assert job.workflow.stats["psnr"] > 10.0, job.workflow.stats
+
+
+@pytest.mark.slow
+def test_denoising_n2v_3d(tmp_path):
+    """3D Noise2Void (reference: run_checks Test11 — Flywing 3D)."""
+    rng = np.random.default_rng(29)
+    root = str(tmp_path)
+    for d, n in [("train", 6), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        for i in range(n):
+            clean = np.stack([_noisy_circles((32, 32), noise=0.0, rng=rng)
+                              for _ in range(8)], axis=0)
+            noisy = clean + rng.normal(0, 0.15, clean.shape)
+            write_tiff(f"{root}/{d}/x/{i}.tif",
+                       (noisy * 160).clip(0, 255).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "DENOISING", "NDIM": "3D",
+                    "DENOISING": {"N2V_PERC_PIX": 0.6,
+                                  "N2V_MANIPULATOR": "uniform_withCP"}},
+        "DATA": {"PATCH_SIZE": (8, 16, 16, 1),
+                 "NORMALIZATION": {"TYPE": "zero_mean_unit_variance"},
+                 "TRAIN": {"PATH": f"{root}/train/x", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "IN_MEMORY": True, "LOAD_GT": False,
+                          "PADDING": (2, 4, 4)}},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16], "DROPOUT_VALUES": [0.0, 0.0],
+                  "Z_DOWN": [1, 1], "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 8,
+                  "EPOCHS": 8},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "n2v3d")
+    preds = [p for p in job.workflow._predictions if p["role"] == "raw"]
+    assert preds and all(np.isfinite(p["pred"]).all() for p in preds)
