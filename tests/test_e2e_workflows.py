@@ -535,3 +535,36 @@ def test_denoising_n2v_3d(tmp_path):
     job = _run(cfg, root, "n2v3d")
     preds = [p for p in job.workflow._predictions if p["role"] == "raw"]
     assert preds and all(np.isfinite(p["pred"]).all() for p in preds)
+
+
+@pytest.mark.slow
+def test_classification_2d_vit(tmp_path):
+    """ViT classifier end-to-end (reference: run_checks Test19 — DermaMNIST,
+    ViT, resize preprocess)."""
+    rng = np.random.default_rng(31)
+    root = str(tmp_path)
+    for d, n in [("train", 40), ("test", 8)]:
+        for ci, cname in enumerate(["dark", "bright"]):
+            os.makedirs(f"{root}/{d}/{cname}", exist_ok=True)
+            for i in range(n // 2):
+                base = 40 if ci == 0 else 200
+                img = (rng.normal(base, 15, (40, 40))).clip(0, 255).astype(np.uint8)
+                write_tiff(f"{root}/{d}/{cname}/{i}.tif", img)
+    cfg = {
+        "PROBLEM": {"TYPE": "CLASSIFICATION", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (32, 32, 1), "N_CLASSES": 2,
+                 "NORMALIZATION": {"TYPE": "div"},
+                 "PREPROCESS": {"TRAIN": True, "TEST": True,
+                                "RESIZE": {"ENABLE": True, "OUTPUT_SHAPE": (32, 32)}},
+                 "TRAIN": {"PATH": f"{root}/train", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test", "IN_MEMORY": True, "LOAD_GT": True}},
+        "MODEL": {"ARCHITECTURE": "vit", "VIT_MODEL": "custom", "VIT_TOKEN_SIZE": 8,
+                  "VIT_EMBED_DIM": 32, "VIT_NUM_LAYERS": 2, "VIT_NUM_HEADS": 4,
+                  "VIT_MLP_RATIO": 2.0},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3, "BATCH_SIZE": 8,
+                  "EPOCHS": 15},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "clsvit")
+    assert job.workflow.stats["accuracy"] > 0.7, job.workflow.stats
