@@ -568,3 +568,38 @@ def test_classification_2d_vit(tmp_path):
     }
     job = _run(cfg, root, "clsvit")
     assert job.workflow.stats["accuracy"] > 0.7, job.workflow.stats
+
+
+@pytest.mark.slow
+def test_semantic_seg_full_img(tmp_path):
+    """TEST.FULL_IMG: one whole-image forward (stride-safe reflect pad, no
+    patch stitching) writes into the full_image dir (reference:
+    base_workflow.py:2401 after_full_image path)."""
+    rng = np.random.default_rng(35)
+    root = str(tmp_path)
+    for d, n in [("train", 8), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            img = _noisy_circles((48, 48), noise=0.05, rng=rng)
+            write_tiff(f"{root}/{d}/x/{i}.tif", (img * 200).clip(0, 255).astype(np.uint8))
+            write_tiff(f"{root}/{d}/y/{i}.tif", (img > 0.4).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                          "LOAD_GT": True}},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16], "DROPOUT_VALUES": [0.0, 0.0],
+                  "Z_DOWN": [2, 2], "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 8, "EPOCHS": 8},
+        "TEST": {"ENABLE": True, "FULL_IMG": True},
+    }
+    job = _run(cfg, root, "fullimg")
+    # 48x48 input is not a multiple of the 64 stride pad: the pad/crop path ran
+    preds = [p for p in job.workflow._predictions if p["role"] == "raw"]
+    assert preds and preds[0]["pred"].shape[:2] == (48, 48)
+    assert job.workflow.stats["iou"] > 0.5, job.workflow.stats
+    import glob
+    assert glob.glob(root + "/results/fullimg/results/fullimg/full_image/*.tif")
