@@ -603,3 +603,32 @@ def test_semantic_seg_full_img(tmp_path):
     assert job.workflow.stats["iou"] > 0.5, job.workflow.stats
     import glob
     assert glob.glob(root + "/results/fullimg/results/fullimg/full_image/*.tif")
+
+
+@pytest.mark.slow
+def test_semantic_seg_tta(tmp_path):
+    """TEST.AUGMENTATION: 8-orientation TTA ensembling at inference must not
+    degrade IoU on a symmetric task (reference: ensemble8_2d predictions)."""
+    rng = np.random.default_rng(37)
+    root = str(tmp_path)
+    for d, n in [("train", 8), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            img = _noisy_circles((64, 64), noise=0.05, rng=rng)
+            write_tiff(f"{root}/{d}/x/{i}.tif", (img * 200).clip(0, 255).astype(np.uint8))
+            write_tiff(f"{root}/{d}/y/{i}.tif", (img > 0.4).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                          "LOAD_GT": True, "PADDING": (4, 4)}},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16], "DROPOUT_VALUES": [0.0, 0.0],
+                  "Z_DOWN": [2, 2], "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 8, "EPOCHS": 8},
+        "TEST": {"ENABLE": True, "AUGMENTATION": True, "AUGMENTATION_MODE": "mean"},
+    }
+    job = _run(cfg, root, "tta2d")
+    assert job.workflow.stats["iou"] > 0.5, job.workflow.stats
