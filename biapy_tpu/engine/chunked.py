@@ -68,6 +68,24 @@ def tile_grid(vol_shape: Sequence[int], tile_size: Sequence[int], halo: Sequence
     return tiles
 
 
+def owned_tiles(ci: "ChunkedInference", spatial: Sequence[int]):
+    """Tile grid over ``spatial`` plus this rank's round-robin share
+    (shared by the detection/synapse per-tile point extractors)."""
+    tiles = tile_grid(tuple(spatial), ci.tile_size, ci.halo)
+    return tiles, [(i, t) for i, t in enumerate(tiles) if i % ci.world == ci.rank]
+
+
+def core_keep_mask(coords: np.ndarray, tile: Tile, nd: int) -> np.ndarray:
+    """Boolean mask of local-coordinate points whose global position falls in
+    the tile CORE — halo context sharpens extraction near edges while core
+    ownership keeps per-tile point sets disjoint (no double counting)."""
+    keep = np.ones(len(coords), bool)
+    for d in range(nd):
+        g = coords[:, d] + tile.halo_start[d]
+        keep &= (g >= tile.core_start[d]) & (g < tile.core_end[d])
+    return keep
+
+
 class ChunkedInference:
     """Runs sliding-window inference over a huge volume, tile by tile."""
 

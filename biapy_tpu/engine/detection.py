@@ -307,12 +307,12 @@ class Detection_Workflow(Base_Workflow):
         import glob
 
         from biapy_tpu.data.zarr_store import ZarrArray
-        from biapy_tpu.engine.chunked import tile_grid
+        from biapy_tpu.engine.chunked import core_keep_mask, owned_tiles
         from biapy_tpu.parallel import all_gather_objects, is_main_process
 
         pred = ZarrArray(raw_path)
         spatial = tuple(pred.shape[: self.nd])
-        tiles = tile_grid(spatial, ci.tile_size, ci.halo)
+        tiles, mine = owned_tiles(ci, spatial)
         check_dir = cfg.PATHS.RESULT_DIR.DET_LOCAL_MAX_COORDS_CHECK
         if self.save_to_disk:
             os.makedirs(check_dir, exist_ok=True)
@@ -320,20 +320,12 @@ class Detection_Workflow(Base_Workflow):
         multiclass = getattr(self, "separated_class_channel", False)
         local_pts: List[np.ndarray] = []
         local_cls: List[np.ndarray] = []
-        for ti, t in enumerate(tiles):
-            if ti % ci.world != ci.rank:  # my_tiles' round-robin, O(1)
-                continue
+        for ti, t in mine:
             region = tuple(slice(t.halo_start[d], t.halo_end[d]) for d in range(self.nd))
             hm = pred[region + (slice(None),)]
             coords = self._extract_points(hm, global_post=False)
             if len(coords):
-                # halo context sharpens peaks near tile edges; core ownership
-                # makes the per-tile point sets disjoint (no double counting)
-                keep = np.ones(len(coords), bool)
-                for d in range(self.nd):
-                    g = coords[:, d] + t.halo_start[d]
-                    keep &= (g >= t.core_start[d]) & (g < t.core_end[d])
-                coords = coords[keep]
+                coords = coords[core_keep_mask(coords, t, self.nd)]
             classes = self._point_classes(hm, coords)  # local coords, tile pred
             coords = np.asarray(coords, np.int64).reshape(-1, self.nd) \
                 + np.asarray(t.halo_start, np.int64)

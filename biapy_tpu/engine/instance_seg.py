@@ -878,14 +878,14 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         from biapy_tpu.data.post_processing import remove_close_points
         from biapy_tpu.data.synapses import connect_pre_post_points_by_distance
         from biapy_tpu.data.zarr_store import ZarrArray
-        from biapy_tpu.engine.chunked import tile_grid
+        from biapy_tpu.engine.chunked import core_keep_mask, owned_tiles
         from biapy_tpu.parallel import all_gather_objects, is_main_process
 
         cfg = self.cfg
         syn = cfg.PROBLEM.INSTANCE_SEG.SYNAPSES
         pred = ZarrArray(raw_path)
         spatial = tuple(pred.shape[: self.nd])
-        tiles = tile_grid(spatial, ci.tile_size, ci.halo)
+        tiles, mine = owned_tiles(ci, spatial)
         check_dir = cfg.PATHS.RESULT_DIR.DET_LOCAL_MAX_COORDS_CHECK
         if self.save_to_disk:
             os.makedirs(check_dir, exist_ok=True)
@@ -897,9 +897,7 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         # the halo must cover the synful offset range for border pres to be
         # seen by their owning tile.
         local: Dict[str, list] = {}
-        for ti, t in enumerate(tiles):
-            if ti % ci.world != ci.rank:  # my_tiles' round-robin, O(1)
-                continue
+        for ti, t in mine:
             region = tuple(slice(t.halo_start[d], t.halo_end[d]) for d in range(self.nd))
             p = pred[region + (slice(None),)]
             pts = self._extract_synapse_points(p, do_post_processing=False, connect=False)
@@ -907,11 +905,7 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             for k, arr in pts.items():
                 arr = np.asarray(arr, np.float32).reshape(-1, self.nd)
                 if len(arr):
-                    keep = np.ones(len(arr), bool)
-                    for d in range(self.nd):
-                        g = arr[:, d] + t.halo_start[d]
-                        keep &= (g >= t.core_start[d]) & (g < t.core_end[d])
-                    arr = arr[keep]
+                    arr = arr[core_keep_mask(arr, t, self.nd)]
                 arr = arr + shift
                 local.setdefault(k, []).append(arr)
                 if self.save_to_disk:
