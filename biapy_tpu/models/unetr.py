@@ -41,8 +41,17 @@ class UNETR(nn.Module):
     def __call__(self, x, train: bool = False):
         nd = self.ndim
         g = self.img_size // self.patch_size
+        # The decoder doubles resolution once per pyramid level plus once for
+        # the stem, so it needs exactly log2(token) - 1 skip taps; shallow
+        # encoders supply what they can and the bottom feature fills the rest.
+        n_levels = int(self.patch_size).bit_length() - 1
+        if 2 ** n_levels != self.patch_size:
+            raise ValueError(
+                f"UNETR decoder needs a power-of-two token size, got {self.patch_size}")
+        n_skips = n_levels - 1
         mult = self.vit_hidden_multiple if self.vit_hidden_multiple > 0 else max(1, self.depth // 4)
-        taps = [mult * i for i in range(1, 4) if mult * i < self.depth]
+        taps = sorted({min(mult * i, self.depth - 1) for i in range(1, n_skips + 1)
+                       if self.depth > 1 and min(mult * i, self.depth - 1) >= 1})
 
         if self.backbone == "sam3_vit":
             # SAM 3 image encoder backbone (reference: MODEL.UNETR_VIT_MODEL
@@ -76,9 +85,11 @@ class UNETR(nn.Module):
         # bottom feature (z12) and intermediate taps (z3/z6/z9 analogs)
         bottom = to_grid(feats)
         skips = [to_grid(s) for s in saved]  # shallow -> deep
+        while len(skips) < n_skips:  # shallow encoder: bottom fills deep slots
+            skips.append(bottom)
 
-        # Build multi-resolution skip pyramids: tap i upsampled (4 - i - 1) times.
-        n_levels = 4  # patch 16 = 2^4
+        # Build multi-resolution skip pyramids: tap i upsampled
+        # (n_levels - i - 1) times back to its decoder resolution.
         pyr = []
         for i, s in enumerate(skips):
             ups = n_levels - 1 - i

@@ -632,3 +632,92 @@ def test_semantic_seg_tta(tmp_path):
     }
     job = _run(cfg, root, "tta2d")
     assert job.workflow.stats["iou"] > 0.5, job.workflow.stats
+
+
+@pytest.mark.slow
+def test_image_to_image_unetr_random_patch_streaming(tmp_path):
+    """UNETR image-to-image with EXTRACT_RANDOM_PATCH and train/val NOT in
+    memory (reference: run_checks Test23 — lightmycells 2D, extract random,
+    val and train not in memory, UNETR)."""
+    rng = np.random.default_rng(23)
+    root = str(tmp_path)
+    for d, n in [("train", 8), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            img = _noisy_circles((64, 64), noise=0.05, rng=rng)
+            write_tiff(f"{root}/{d}/x/{i}.tif", (img * 200).clip(0, 255).astype(np.uint8))
+            write_tiff(f"{root}/{d}/y/{i}.tif", (255 - (img * 200).clip(0, 255)).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "IMAGE_TO_IMAGE", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y",
+                           "IN_MEMORY": False, "EXTRACT_RANDOM_PATCH": True},
+                 "VAL": {"SPLIT_TRAIN": 0.25, "IN_MEMORY": False},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                          "LOAD_GT": True, "PADDING": (4, 4)}},
+        "MODEL": {"ARCHITECTURE": "unetr", "VIT_TOKEN_SIZE": 8, "VIT_EMBED_DIM": 32,
+                  "VIT_NUM_LAYERS": 2, "VIT_NUM_HEADS": 4, "VIT_MLP_RATIO": 2.0,
+                  "UNETR_VIT_NUM_FILTERS": 8, "DROPOUT_VALUES": [0.0]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 4, "EPOCHS": 4},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "i2i_unetr")
+    assert job.workflow.stats["psnr"] > 8.0, job.workflow.stats
+
+
+@pytest.mark.slow
+def test_super_resolution_dfcan_crossval(tmp_path):
+    """DFCAN 2D super-resolution with cross-validation folds (reference:
+    run_checks Test12 — SR 2D data, Cross-val, DFCAN)."""
+    rng = np.random.default_rng(12)
+    root = str(tmp_path)
+    for d, n in [("train", 10), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            hr = _noisy_circles((64, 64), noise=0.02, rng=rng)
+            lr = hr[::2, ::2]
+            write_tiff(f"{root}/{d}/x/{i}.tif", (lr * 200).clip(0, 255).astype(np.uint8))
+            write_tiff(f"{root}/{d}/y/{i}.tif", (hr * 200).clip(0, 255).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "SUPER_RESOLUTION", "NDIM": "2D",
+                    "SUPER_RESOLUTION": {"UPSCALING": (2, 2)}},
+        "DATA": {"PATCH_SIZE": (16, 16, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"CROSS_VAL": True, "CROSS_VAL_NFOLD": 5, "CROSS_VAL_FOLD": 2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                          "LOAD_GT": True, "PADDING": (4, 4)}},
+        "MODEL": {"ARCHITECTURE": "dfcan"},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3, "BATCH_SIZE": 8, "EPOCHS": 15},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "sr_dfcan")
+    assert job.workflow.stats["psnr"] > 10.0, job.workflow.stats
+
+
+@pytest.mark.slow
+def test_ssl_crappify_rcan_crossval(tmp_path):
+    """RCAN backbone on the crappify SSL pretext with cross-val (reference:
+    run_checks Test14 — 2D SSL, Lucchi, Cross-val, rcan)."""
+    rng = np.random.default_rng(14)
+    root = str(tmp_path)
+    for d, n in [("train", 10), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        for i in range(n):
+            img = _noisy_circles((64, 64), noise=0.02, rng=rng)
+            write_tiff(f"{root}/{d}/x/{i}.tif", (img * 200).clip(0, 255).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "SELF_SUPERVISED", "NDIM": "2D",
+                    "SELF_SUPERVISED": {"PRETEXT_TASK": "crappify", "RESIZING_FACTOR": 2, "NOISE": 0.1}},
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "IN_MEMORY": True},
+                 "VAL": {"CROSS_VAL": True, "CROSS_VAL_NFOLD": 5, "CROSS_VAL_FOLD": 1},
+                 "TEST": {"PATH": f"{root}/test/x", "IN_MEMORY": True, "LOAD_GT": False,
+                          "PADDING": (4, 4)}},
+        "MODEL": {"ARCHITECTURE": "rcan", "RCAN_UPSCALING_LAYER": False},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3, "BATCH_SIZE": 8, "EPOCHS": 3},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "ssl_rcan")
+    assert len(job.workflow._predictions) == 2
