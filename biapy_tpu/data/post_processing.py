@@ -402,6 +402,53 @@ def filter_instances_by_properties(labels: np.ndarray, props: Sequence[str],
     return out
 
 
+def apply_label_refinement(labels: np.ndarray, operations: Sequence[str],
+                           values: Sequence) -> np.ndarray:
+    """Sequential label cleanups over an instance image (reference:
+    apply_label_refinement, post_processing.py:2900 — the
+    TEST.POST_PROCESSING.INSTANCE_REFINEMENT chain). ``values`` is
+    positional with ``operations``; value-less ops carry 'none'."""
+    out = labels.copy()
+    for op, value in zip(operations, values):
+        op = str(op)
+        if op == "fill_holes":
+            # Per-instance cavity fill inside a grown bbox so holes cut by
+            # the bbox edge still close (reference: fill_label_holes:2962).
+            objs = ndimage.find_objects(out)
+            filled = np.zeros_like(out)
+            for lab, sl in zip(range(1, len(objs) + 1), objs):
+                if sl is None:
+                    continue
+                grown = tuple(slice(max(s.start - 1, 0), min(s.stop + 1, sz))
+                              for s, sz in zip(sl, out.shape))
+                m = fill_holes(out[grown] == lab)
+                filled[grown][m] = lab
+            out = filled
+        elif op == "clear_border":
+            border = np.zeros(out.shape, bool)
+            for ax in range(out.ndim):
+                sl = [slice(None)] * out.ndim
+                for edge in (0, -1):
+                    sl[ax] = edge
+                    border[tuple(sl)] = True
+            for lab in np.unique(out[border]):
+                if lab:
+                    out[out == lab] = 0
+        elif op == "erosion":
+            out = ndimage.grey_erosion(out, size=(int(value),) * out.ndim)
+        elif op == "dilation":
+            out = ndimage.grey_dilation(out, size=(int(value),) * out.ndim)
+        elif op == "remove_small_objects":
+            out = remove_small_instances(out, int(value))
+        elif op == "remove_big_objects":
+            sizes = np.bincount(out.reshape(-1))
+            big = np.flatnonzero(sizes > int(value))
+            out[np.isin(out, big) & (out > 0)] = 0
+        else:
+            raise ValueError(f"Label refinement operation '{op}' not recognized")
+    return out
+
+
 def repair_large_blobs(labels: np.ndarray, max_size: int) -> np.ndarray:
     """Split oversized instances (usually watershed under-segmentation) by
     re-running a distance-transform watershed inside the blob

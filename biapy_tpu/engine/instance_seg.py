@@ -385,13 +385,34 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             thres_small_before=int(ws.DATA_REMOVE_SMALL_OBJ_BEFORE),
         )
         pp = cfg.TEST.POST_PROCESSING
-        if pp.VORONOI_ON_MASK:
-            fg_idx = flat_idx[flat_codes.index("F")] if "F" in flat_codes else flat_idx[0]
-            labels = voronoi_on_mask(labels, pred[..., fg_idx] > float(pp.VORONOI_TH or 0.5))
+        # Reference chain order: refinement -> repair large blobs -> voronoi
+        # (instance_seg.py:1202-1216)
+        if pp.INSTANCE_REFINEMENT.ENABLE:
+            from biapy_tpu.data.post_processing import apply_label_refinement
+
+            labels = apply_label_refinement(labels, list(pp.INSTANCE_REFINEMENT.OPERATIONS),
+                                            list(pp.INSTANCE_REFINEMENT.VALUES))
         if int(pp.REPARE_LARGE_BLOBS_SIZE) > 0:
             from biapy_tpu.data.post_processing import repair_large_blobs
 
             labels = repair_large_blobs(labels, int(pp.REPARE_LARGE_BLOBS_SIZE))
+        if pp.VORONOI_ON_MASK:
+            # Mask source preference mirrors the reference (instance_seg.py:1216):
+            # M, else F(+C), else 1-B, else C, else the first channel.
+            def _ch(code):
+                return pred[..., flat_idx[flat_codes.index(code)]]
+
+            if "M" in flat_codes:
+                vor = _ch("M")
+            elif "F" in flat_codes:
+                vor = _ch("F") + (_ch("C") if "C" in flat_codes else 0)
+            elif "B" in flat_codes:
+                vor = 1.0 - _ch("B")
+            elif "C" in flat_codes:
+                vor = _ch("C")
+            else:
+                vor = pred[..., flat_idx[0]]
+            labels = voronoi_on_mask(labels, vor > float(pp.VORONOI_TH or 0.5))
         mp = pp.MEASURE_PROPERTIES
         if mp.ENABLE and mp.REMOVE_BY_PROPERTIES.ENABLE:
             from biapy_tpu.data.post_processing import filter_instances_by_properties

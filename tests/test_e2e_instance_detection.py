@@ -336,3 +336,131 @@ def test_detection_2d_multiclass(tmp_path):
     import glob
     csvf = glob.glob(root + "/results/detmc/results/detmc/per_image_local_max_check/*_points.csv")
     assert csvf and "class" in open(csvf[0]).readline()
+
+
+@pytest.mark.slow
+def test_detection_3d_multiclass(tmp_path):
+    """3D detection with per-point classes — CSVs carry axis-0/1/2 plus a
+    class column, the class head is voted per point in 3D (reference:
+    run_checks Test31 — Achucarro 3D data, points + classes)."""
+    rng = np.random.default_rng(31)
+    root = str(tmp_path)
+    shape = (16, 64, 64)
+    for d, n in [("train", 10), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            vol = np.zeros(shape, np.float32)
+            rows = []
+            zz, yy, xx = np.mgrid[: shape[0], : shape[1], : shape[2]]
+            for _ in range(3):
+                cz = int(rng.integers(4, shape[0] - 4))
+                cy, cx = (int(v) for v in rng.integers(10, shape[1] - 10, 2))
+                r = int(rng.integers(3, 5))
+                m = ((zz - cz) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2) < r * r
+                bright = bool(rng.integers(0, 2))
+                vol[m] = 1.2 if bright else 0.7
+                rows.append((cz, cy, cx, 2 if bright else 1))
+            vol += rng.normal(0, 0.05, shape)
+            write_tiff(f"{root}/{d}/x/{i:02d}.tif", (vol * 160).clip(0, 255).astype(np.uint8))
+            with open(f"{root}/{d}/y/{i:02d}.csv", "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["axis-0", "axis-1", "axis-2", "class"])
+                for r_ in rows:
+                    w.writerow(r_)
+    from biapy_tpu._biapy import BiaPy
+
+    cfg = {
+        "PROBLEM": {"TYPE": "DETECTION", "NDIM": "3D",
+                    "DETECTION": {"CENTRAL_POINT_DILATION": [1, 2, 2]}},
+        "DATA": {"PATCH_SIZE": (8, 32, 32, 1), "N_CLASSES": 3,
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                          "LOAD_GT": True, "PADDING": (2, 4, 4)}},
+        "MODEL": {"ARCHITECTURE": "resunet", "FEATURE_MAPS": [8, 16],
+                  "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [1, 1],
+                  "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 4, "EPOCHS": 30},
+        "TEST": {"ENABLE": True, "DET_MIN_TH_TO_BE_PEAK": 0.5,
+                 "DET_PEAK_LOCAL_MAX_MIN_DISTANCE": 3, "DET_TOLERANCE": 6},
+    }
+    job = BiaPy(cfg, result_dir=root + "/results", name="det3dmc", silent=True)
+    job.run_job()
+    stats = job.workflow.stats
+    assert stats["det_f1"] > 0.4, stats
+    pts = [p for p in job.workflow._predictions if p["role"] == "points"][0]
+    assert "classes" in pts and set(np.unique(pts["classes"])) <= {1, 2}
+
+
+def _labeled_spheres(shape, n, rng, r_range=(4, 6)):
+    lab = np.zeros(shape, np.uint16)
+    img = np.zeros(shape, np.float32)
+    centers = []
+    zz, yy, xx = np.mgrid[: shape[0], : shape[1], : shape[2]]
+    tries = 0
+    while len(centers) < n and tries < 200:
+        tries += 1
+        cz = int(rng.integers(5, shape[0] - 5))
+        cy, cx = (int(v) for v in rng.integers(10, shape[1] - 10, 2))
+        r = int(rng.integers(*r_range))
+        if any((cz - z) ** 2 + (cy - y) ** 2 + (cx - x) ** 2 < (r + rr + 2) ** 2
+               for z, y, x, rr in centers):
+            continue
+        m = ((zz - cz) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2) < r * r
+        lab[m] = len(centers) + 1
+        img += m * 0.7
+        centers.append((cz, cy, cx, r))
+    img += rng.normal(0, 0.08, shape)
+    return (img * 200).clip(0, 255).astype(np.uint8), lab
+
+
+@pytest.mark.slow
+def test_instance_seg_3d_fcm_postproc_chain(tmp_path):
+    """3D instance seg with F+C+M channels and the full reference Test5
+    post-processing chain: INSTANCE_REFINEMENT clear_border, voronoi
+    expansion on the M mask, remove-by-properties size filter (reference:
+    run_checks Test5 — Cyst data, BCM, resunet, Clear border + Voronoi +
+    remove by props; apply_label_refinement post_processing.py:2900)."""
+    rng = np.random.default_rng(5)
+    root = str(tmp_path)
+    shape = (18, 72, 72)
+    for d, n in [("train", 8), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            img, lab = _labeled_spheres(shape, 4, rng)
+            write_tiff(f"{root}/{d}/x/{i:02d}.tif", img)
+            write_tiff(f"{root}/{d}/y/{i:02d}.tif", lab)
+    from biapy_tpu._biapy import BiaPy
+
+    cfg = {
+        "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "3D",
+                    "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C", "M"]}},
+        "DATA": {"PATCH_SIZE": (8, 48, 48, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                          "LOAD_GT": True, "PADDING": (2, 8, 8)}},
+        "AUGMENTOR": {"ENABLE": True, "VFLIP": True, "HFLIP": True, "ROT90": True},
+        "MODEL": {"ARCHITECTURE": "resunet", "FEATURE_MAPS": [8, 16],
+                  "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [1, 1],
+                  "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 4, "EPOCHS": 20},
+        "TEST": {"ENABLE": True, "MATCHING_STATS_THS": [0.3],
+                 "POST_PROCESSING": {
+                     "INSTANCE_REFINEMENT": {"ENABLE": True,
+                                             "OPERATIONS": ["clear_border"],
+                                             "VALUES": ["none"]},
+                     "VORONOI_ON_MASK": True, "VORONOI_TH": 0.5,
+                     "MEASURE_PROPERTIES": {
+                         "ENABLE": True,
+                         "REMOVE_BY_PROPERTIES": {"ENABLE": True, "PROPS": [["size"]],
+                                                  "VALUES": [[30]], "SIGNS": [["lt"]]}}}},
+    }
+    job = BiaPy(cfg, result_dir=root + "/results", name="inst3d", silent=True)
+    job.run_job()
+    agg = job.workflow.matching_stats
+    f1_03 = [s for s in agg if abs(s["thresh"] - 0.3) < 1e-6][0]["f1"]
+    assert f1_03 > 0.5, f"matching f1@0.3 too low: {agg}"
+    assert os.path.isdir(f"{root}/train/y_FCM_11")

@@ -122,3 +122,60 @@ def test_bmz_export(tmp_path):
         rdf = _yaml.safe_load(z.read("rdf.yaml"))
         assert rdf["format_version"].startswith("0.5")
         assert rdf["config"]["biapy_tpu"]["workflow"] == "SEMANTIC_SEG"
+
+
+@pytest.mark.slow
+def test_semantic_seg_2d_as_3d_stack_zfilter(tmp_path):
+    """TEST.ANALIZE_2D_IMGS_AS_3D_STACK: 2D slice predictions restacked as a
+    3D volume with a z median filter (reference: run_checks Test1 — 2D stack
+    as 3D, post-proc z-filtering). An isolated one-slice blob must be
+    suppressed by the z filter in the stacked output while persisting across
+    slices survives."""
+    root = str(tmp_path)
+    _make_data(root, 10, "train", 0)
+    rng = np.random.default_rng(7)
+    # test "volume" as ordered 2D slices: a blob at a fixed location on every
+    # slice (z-persistent) plus a one-slice-only blob (z-noise)
+    os.makedirs(f"{root}/test/x")
+    os.makedirs(f"{root}/test/y")
+    yy, xx = np.mgrid[:128, :128]
+    persistent = ((yy - 40) ** 2 + (xx - 40) ** 2) < 14 * 14
+    lone = ((yy - 90) ** 2 + (xx - 90) ** 2) < 12 * 12
+    n_slices = 6
+    for i in range(n_slices):
+        m = persistent | (lone if i == 3 else False)
+        img = m * 0.7 + rng.normal(0, 0.15, (128, 128))
+        write_tiff(f"{root}/test/x/{i:03d}.tif", (img * 127 + 64).clip(0, 255).astype(np.uint8))
+        write_tiff(f"{root}/test/y/{i:03d}.tif", (m * 255).astype(np.uint8))
+
+    from biapy_tpu._biapy import BiaPy
+
+    cfg = {
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
+        "DATA": {
+            "PATCH_SIZE": (64, 64, 1),
+            "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+            "VAL": {"SPLIT_TRAIN": 0.2},
+            "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                     "LOAD_GT": True, "PADDING": (8, 8)},
+        },
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16, 32],
+                  "DROPOUT_VALUES": [0.0, 0.0, 0.0], "Z_DOWN": [2, 2, 2],
+                  "YX_DOWN": [2, 2, 2], "CONV_LAYERS": [2, 2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 8,
+                  "EPOCHS": 12},
+        "TEST": {"ENABLE": True, "ANALIZE_2D_IMGS_AS_3D_STACK": True,
+                 "POST_PROCESSING": {"MEDIAN_FILTER": True,
+                                     "MEDIAN_FILTER_AXIS": ["z"],
+                                     "MEDIAN_FILTER_SIZE": [5]}},
+    }
+    job = BiaPy(cfg, result_dir=root + "/results", name="as3d", silent=True)
+    job.run_job()
+    stacks = [p for p in job.workflow._predictions if p.get("role") == "as_3d_stack"]
+    assert stacks, "as_3d_stack prediction missing"
+    stack = stacks[0]["pred"]
+    assert stack.shape[0] == n_slices
+    # z-median over 5 slices keeps the persistent blob but kills the lone one
+    assert (stack[3][persistent] > 0.5).mean() > 0.5
+    assert (stack[3][lone] > 0.5).mean() < 0.1
+    assert os.path.isfile(root + "/results/as3d/results/as3d/as_3d_stack/stack.tif")

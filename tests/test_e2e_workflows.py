@@ -195,10 +195,12 @@ def test_gan_denoising_2d(tmp_path):
 
 
 @pytest.mark.slow
-def test_ssl_mae_masking_2d(tmp_path):
+@pytest.mark.parametrize("mask_type", ["random", "grid"])
+def test_ssl_mae_masking_2d(tmp_path, mask_type):
     """SSL 'masking' pretext end-to-end: a tiny MAE (ViT encoder + decoder)
     trains on its own masked-patch reconstruction loss and inference returns
-    reconstructed images (reference: Test self-supervised MAE path,
+    reconstructed images, under both random and checkerboard-grid token
+    masking (reference: run_checks Tests 15/16 — mae masking: random / grid,
     self_supervised.py + models/mae.py)."""
     rng = np.random.default_rng(21)
     root = str(tmp_path)
@@ -217,7 +219,7 @@ def test_ssl_mae_masking_2d(tmp_path):
         "MODEL": {"ARCHITECTURE": "mae", "VIT_TOKEN_SIZE": 8, "VIT_EMBED_DIM": 32,
                   "VIT_NUM_LAYERS": 2, "VIT_NUM_HEADS": 4, "VIT_MLP_RATIO": 2.0,
                   "MAE_DEC_HIDDEN_SIZE": 32, "MAE_DEC_NUM_LAYERS": 1,
-                  "MAE_DEC_NUM_HEADS": 4, "MAE_MASK_RATIO": 0.5, "MAE_MASK_TYPE": "random"},
+                  "MAE_DEC_NUM_HEADS": 4, "MAE_MASK_RATIO": 0.5, "MAE_MASK_TYPE": mask_type},
         "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3, "BATCH_SIZE": 8,
                   "EPOCHS": 3},
         "TEST": {"ENABLE": True},

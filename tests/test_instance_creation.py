@@ -380,3 +380,36 @@ def test_measure_instance_properties_extra_props(tmp_path):
     import csv
     rows = list(csv.reader(open(out)))
     assert len(rows) == 3 and "circularity" in rows[0] and "bbox-0" in rows[0]
+
+
+def test_apply_label_refinement_chain():
+    """INSTANCE_REFINEMENT ops (reference: apply_label_refinement,
+    post_processing.py:2900): fill_holes closes instance cavities,
+    clear_border drops border-touching labels, dilation grows, and
+    remove_small/big_objects filter by pixel count."""
+    from biapy_tpu.data.post_processing import apply_label_refinement
+
+    lab = np.zeros((32, 32), np.int32)
+    lab[4:14, 4:14] = 1
+    lab[8:10, 8:10] = 0            # cavity inside instance 1
+    lab[0:6, 20:26] = 2            # touches the top border
+    lab[20:22, 20:22] = 3          # tiny 4-px object
+
+    out = apply_label_refinement(lab, ["fill_holes"], ["none"])
+    assert (out[8:10, 8:10] == 1).all() and out.max() == 3
+
+    out = apply_label_refinement(lab, ["clear_border"], ["none"])
+    assert 2 not in out and 1 in out and 3 in out
+
+    out = apply_label_refinement(lab, ["remove_small_objects"], [10])
+    assert 3 not in out and 1 in out
+
+    out = apply_label_refinement(lab, ["remove_big_objects"], [50])
+    assert 1 not in out and 3 in out
+
+    out = apply_label_refinement(lab, ["dilation"], [3])
+    assert (out == 3).sum() > (lab == 3).sum()
+
+    # chained: fill then drop the border instance, positional values
+    out = apply_label_refinement(lab, ["fill_holes", "clear_border"], ["none", "none"])
+    assert (out[8:10, 8:10] == 1).all() and 2 not in out
