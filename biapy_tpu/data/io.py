@@ -315,9 +315,9 @@ def ensure_channels_last(img: np.ndarray, ndim: int, axes_order: Optional[str] =
     """
     img = np.asarray(img)
     if axes_order:
-        axes_order = axes_order.upper()
-        if len(axes_order) != img.ndim:
-            raise ValueError(f"axes_order '{axes_order}' does not match image ndim {img.ndim}")
+        # tolerate superset orders (the 'TZCYX' config default) on data with
+        # fewer axes, like the by-chunks lazy path (_fit_axes_order)
+        axes_order = _fit_axes_order(axes_order, img.ndim)
         # Drop any singleton T axis.
         if "T" in axes_order:
             t = axes_order.index("T")

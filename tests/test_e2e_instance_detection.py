@@ -464,3 +464,65 @@ def test_instance_seg_3d_fcm_postproc_chain(tmp_path):
     f1_03 = [s for s in agg if abs(s["thresh"] - 0.3) < 1e-6][0]["f1"]
     assert f1_03 > 0.5, f"matching f1@0.3 too low: {agg}"
     assert os.path.isdir(f"{root}/train/y_FCM_11")
+
+
+@pytest.mark.slow
+def test_detection_3d_zarr_input_percnorm(tmp_path):
+    """3D detection with .zarr input volumes through the NORMAL (in-memory)
+    path — zero_mean_unit_variance normalization with per-image percentile
+    clipping (reference: run_checks Test9 — Brainglobe Zarr data,
+    zero_mean_unit_variance + percentile norm, per image)."""
+    from biapy_tpu.data.zarr_store import ZarrArray
+
+    rng = np.random.default_rng(9)
+    root = str(tmp_path)
+    shape = (16, 64, 64)
+    for d, n in [("train", 10), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            vol = np.zeros(shape, np.float32)
+            rows = []
+            zz, yy, xx = np.mgrid[: shape[0], : shape[1], : shape[2]]
+            for _ in range(3):
+                cz = int(rng.integers(4, shape[0] - 4))
+                cy, cx = (int(v) for v in rng.integers(10, shape[1] - 10, 2))
+                m = ((zz - cz) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2) < 16
+                vol[m] = 1.0
+                rows.append((cz, cy, cx))
+            vol += rng.normal(0, 0.05, shape)
+            # a few hot outlier voxels make the percentile clip matter
+            for _ in range(5):
+                vol[tuple(rng.integers(0, s) for s in shape)] = 50.0
+            arr = ZarrArray.create(f"{root}/{d}/x/{i:02d}.zarr", shape=shape,
+                                   chunks=(8, 32, 32), dtype="float32")
+            arr[...] = vol
+            with open(f"{root}/{d}/y/{i:02d}.csv", "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["axis-0", "axis-1", "axis-2"])
+                for r_ in rows:
+                    w.writerow(r_)
+    from biapy_tpu._biapy import BiaPy
+
+    cfg = {
+        "PROBLEM": {"TYPE": "DETECTION", "NDIM": "3D",
+                    "DETECTION": {"CENTRAL_POINT_DILATION": [1, 2, 2]}},
+        "DATA": {"PATCH_SIZE": (8, 32, 32, 1),
+                 "NORMALIZATION": {"TYPE": "zero_mean_unit_variance",
+                                   "PERC_CLIP": {"ENABLE": True,
+                                                 "LOWER_PERC": 0.5,
+                                                 "UPPER_PERC": 99.5}},
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                          "LOAD_GT": True, "PADDING": (2, 4, 4)}},
+        "MODEL": {"ARCHITECTURE": "resunet", "FEATURE_MAPS": [8, 16],
+                  "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [1, 1],
+                  "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 4, "EPOCHS": 25},
+        "TEST": {"ENABLE": True, "DET_MIN_TH_TO_BE_PEAK": 0.5,
+                 "DET_PEAK_LOCAL_MAX_MIN_DISTANCE": 3, "DET_TOLERANCE": 5},
+    }
+    job = BiaPy(cfg, result_dir=root + "/results", name="det9", silent=True)
+    job.run_job()
+    assert job.workflow.stats["det_f1"] > 0.5, job.workflow.stats
