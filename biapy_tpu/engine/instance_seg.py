@@ -130,10 +130,11 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             from biapy_tpu.ops.embedseg import spatial_emb_loss
 
             nd = self.nd
+            gs = self._embedseg_grid_size()
 
             def emb_loss(out, y):
                 pred = out["pred"] if isinstance(out, dict) else out
-                return spatial_emb_loss(pred, y[..., 0], nd)
+                return spatial_emb_loss(pred, y[..., 0], nd, grid_size=gs)
 
             self.loss = emb_loss
             self.train_metrics = {}
@@ -331,6 +332,17 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             self._instance_gt_dirs["TEST"] = str(self.cfg.DATA.TEST.GT_PATH)
         super().test(image=image, gt=gt)
 
+    def _embedseg_grid_size(self) -> int:
+        """EMBEDSEG.GRID_SIZE if set (> 0), else the canonical EmbedSeg
+        default of 1024 (reference set_embedseg_grid_size, pre_processing.py:261
+        derives the dataset's max dim when -1; a fixed canonical grid keeps
+        train crops and test images on one coordinate scale without a data
+        pass)."""
+        from biapy_tpu.ops.embedseg import DEFAULT_GRID_SIZE
+
+        gs = int(self.cfg.PROBLEM.INSTANCE_SEG.EMBEDSEG.GRID_SIZE)
+        return gs if gs > 0 else DEFAULT_GRID_SIZE
+
     # -- instances ---------------------------------------------------------------
     def instance_seg_process(self, pred: np.ndarray) -> np.ndarray:
         """Channel maps -> instance labels (reference: instance_seg_process,
@@ -350,7 +362,8 @@ class Instance_Segmentation_Workflow(Base_Workflow):
                 seed_threshold=float(es.SEED_THRESH),
                 fg_threshold=float(es.FG_THRESH),
                 min_size=max(int(es.MIN_MASK_SUM), 16),
-                min_unclustered_sum=int(es.MIN_UNCLUSTERED_SUM))
+                min_unclustered_sum=int(es.MIN_UNCLUSTERED_SUM),
+                grid_size=self._embedseg_grid_size())
         if process in ("flow_tracking", "gradient_tracking") or (not process and has_flows):
             return self._instances_from_flows(pred)
         if process in ("stardist", "nms") or (not process and has_rays):

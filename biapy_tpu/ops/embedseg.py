@@ -5,14 +5,20 @@ lovasz_hinge:2300) and biapy/data/post_processing/embedseg.py:21 (seed-driven
 clustering); Neven et al. 2019 / Lalit et al. 2022.
 
 Model heads (channel codes E_offset / E_sigma / E_seediness): per-pixel
-offset vectors o(x) (tanh), per-pixel sigmas, and a seediness map. The
-embedding of pixel x is e(x) = x/S + o(x) in normalized coords; an instance
-is the set of pixels whose gaussian membership
-phi_k(x) = exp(-||e(x) - c_k||^2 / (2 sigma_k^2)) exceeds 0.5 around a seed.
+offset vectors o(x), per-pixel raw sigmas, and a seediness logit. The
+embedding of pixel x is e(x) = coords(x) + tanh(o(x)) on a CANONICAL
+coordinate grid with fixed per-pixel step 1/(grid_size - 1) — a fixed step,
+not a per-image [0, 1] span, so training crops and larger test images share
+one scale (reference: SpatialEmbLoss._coords_for, metrics.py:2425).
 
-Loss (jit, fixed MAX_INSTANCES): per instance, lovasz-hinge on the
-membership logits vs the instance mask; sigma smoothness; seediness
-regression to phi on foreground and 0 on background.
+Membership is a gaussian in PRECISION form (reference: metrics.py:2560):
+
+    phi_k(x) = exp(-sum_d (e_d(x) - c_d)^2 * s_d),   s = exp(10 * sigma_raw)
+
+i.e. larger raw sigma -> tighter instance. This direction matters: if the
+sigma head drifts low, phi -> 1 and the lovasz term still has gradient
+(false positives), whereas a 1/(2 sigma^2) form underflows phi -> 0 and every
+gradient through phi dies (observed as a loss plateau at ~2.1).
 """
 
 from __future__ import annotations
@@ -23,6 +29,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+DEFAULT_GRID_SIZE = 1024  # EmbedSeg's canonical n_x = n_y (reference default)
 
 
 def lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
@@ -50,9 +58,11 @@ def lovasz_hinge_flat(logits: jnp.ndarray, labels: jnp.ndarray,
     return jnp.sum(relu_err * grad)
 
 
-def _coord_grid(spatial) -> jnp.ndarray:
-    """Normalized pixel coordinates in [0, 1], (spatial..., nd)."""
-    axes = [jnp.linspace(0, 1, s) for s in spatial]
+def _coord_grid(spatial, grid_size: int) -> jnp.ndarray:
+    """Canonical pixel coordinates with fixed step 1/(grid_size-1),
+    (spatial..., nd) (reference: metrics.py:2425)."""
+    step = 1.0 / float(max(grid_size - 1, 1))
+    axes = [jnp.arange(s, dtype=jnp.float32) * step for s in spatial]
     return jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
 
 
@@ -64,54 +74,72 @@ def spatial_emb_loss(
     w_inst: float = 1.0,
     w_var: float = 10.0,
     w_seed: float = 1.0,
+    grid_size: int = DEFAULT_GRID_SIZE,
 ) -> jnp.ndarray:
     """EmbedSeg loss (reference: SpatialEmbLoss, metrics.py:2375).
 
-    ``pred``: (..., 2*nd + 1) = offsets (tanh'd), sigmas (raw), seediness
-    logit. ``instance_labels``: (...,) int map (0 = background).
+    ``pred``: (..., 2*nd + 1) = offset logits (tanh applied here), raw
+    sigmas, seediness logit. ``instance_labels``: (...,) int map
+    (0 = background). A leading batch axis (pred.ndim == nd + 2) is vmapped
+    and averaged.
     """
+    if pred.ndim == nd + 2:
+        per_sample = jax.vmap(
+            partial(spatial_emb_loss, nd=nd, max_instances=max_instances,
+                    w_inst=w_inst, w_var=w_var, w_seed=w_seed,
+                    grid_size=grid_size))
+        return jnp.mean(per_sample(pred, instance_labels))
     spatial = pred.shape[:-1]
     offsets = jnp.tanh(pred[..., :nd])
-    sigmas = jnp.exp(pred[..., nd : 2 * nd] * 10.0)
+    sigma_raw = pred[..., nd : 2 * nd]
     seed_logit = pred[..., 2 * nd]
-    coords = _coord_grid(spatial)
+    coords = _coord_grid(spatial, grid_size)
     emb = coords + offsets  # (spatial..., nd)
 
     flat_emb = emb.reshape(-1, nd)
-    flat_sig = sigmas.reshape(-1, nd)
+    flat_coords = coords.reshape(-1, nd)
+    flat_sigr = sigma_raw.reshape(-1, nd)
     flat_lab = instance_labels.reshape(-1).astype(jnp.int32)
-    flat_seed = seed_logit.reshape(-1)
+    flat_seed = jax.nn.sigmoid(seed_logit.reshape(-1))
     n_pix = flat_lab.shape[0]
 
-    seed_target = jnp.zeros(n_pix)
-    total_inst = 0.0
-    total_var = 0.0
+    # background seeds regress to 0 (reference: metrics.py:2545)
+    bg = (flat_lab == 0).astype(jnp.float32)
+    seed_loss0 = jnp.sum((flat_seed * bg) ** 2)
 
     def per_instance(k, carry):
-        total_inst, total_var, seed_target = carry
+        total_inst, total_var, total_seed, n_obj = carry
         m = (flat_lab == k).astype(jnp.float32)
         cnt = jnp.sum(m)
         present = cnt > 0
-        center = jnp.sum(flat_emb * m[:, None], axis=0) / jnp.maximum(cnt, 1.0)
-        s_k = jnp.sum(flat_sig * m[:, None], axis=0) / jnp.maximum(cnt, 1.0)
-        # sigma smoothness within the instance
-        var = jnp.sum(jnp.sum((flat_sig - s_k) ** 2, axis=-1) * m) / jnp.maximum(cnt, 1.0)
-        dist2 = jnp.sum((flat_emb - center) ** 2 / jnp.maximum(2 * s_k**2, 1e-8), axis=-1)
+        # centroid of the COORDS over the mask (reference: _center_from_mask
+        # with center_mode='centroid', metrics.py:2455)
+        center = jnp.sum(flat_coords * m[:, None], axis=0) / jnp.maximum(cnt, 1.0)
+        # sigma stats on raw values; variance term detaches the mean
+        # (reference: metrics.py:2556)
+        s_mean = jnp.sum(flat_sigr * m[:, None], axis=0) / jnp.maximum(cnt, 1.0)
+        var = jnp.sum(jnp.sum((flat_sigr - jax.lax.stop_gradient(s_mean)) ** 2, -1) * m) \
+            / jnp.maximum(cnt, 1.0)
+        # precision-form gaussian membership (reference: metrics.py:2560);
+        # clip the exponent so a runaway sigma head cannot overflow f32
+        s = jnp.exp(jnp.clip(s_mean * 10.0, -8.0, 8.0))
+        dist2 = jnp.sum((flat_emb - center) ** 2 * s, axis=-1)
         phi = jnp.exp(-dist2)
-        logits = 2.0 * phi - 1.0  # membership logit in [-1, 1]
-        inst = lovasz_hinge_flat(logits, m, jnp.ones_like(m, bool))
-        seed_target = jnp.where(m > 0, phi, seed_target)
+        inst = lovasz_hinge_flat(2.0 * phi - 1.0, m, jnp.ones_like(m, bool))
+        # seediness regresses to phi on the instance (stop-gradient target)
+        seed = jnp.sum(((flat_seed - jax.lax.stop_gradient(phi)) * m) ** 2)
         total_inst = total_inst + jnp.where(present, inst, 0.0)
         total_var = total_var + jnp.where(present, var, 0.0)
-        return total_inst, total_var, seed_target
+        total_seed = total_seed + jnp.where(present, seed, 0.0)
+        n_obj = n_obj + jnp.where(present, 1.0, 0.0)
+        return total_inst, total_var, total_seed, n_obj
 
-    total_inst, total_var, seed_target = jax.lax.fori_loop(
-        1, max_instances + 1, per_instance, (total_inst, total_var, seed_target)
+    total_inst, total_var, total_seed, n_obj = jax.lax.fori_loop(
+        1, max_instances + 1, per_instance, (0.0, 0.0, 0.0, 0.0)
     )
-    n_inst = jnp.maximum(jnp.max(flat_lab).astype(jnp.float32), 1.0)
-    seed_pred = jax.nn.sigmoid(flat_seed)
-    seed_loss = jnp.mean((seed_pred - jax.lax.stop_gradient(seed_target)) ** 2)
-    return (w_inst * total_inst + w_var * total_var) / n_inst + w_seed * seed_loss
+    n_obj = jnp.maximum(n_obj, 1.0)
+    seed_loss = (seed_loss0 + total_seed) / float(n_pix)
+    return (w_inst * total_inst + w_var * total_var) / n_obj + w_seed * seed_loss
 
 
 def embedseg_cluster(
@@ -122,15 +150,18 @@ def embedseg_cluster(
     max_instances: int = 256,
     fg_threshold: float = 0.5,
     min_unclustered_sum: int = 0,
+    grid_size: int = DEFAULT_GRID_SIZE,
 ) -> np.ndarray:
     """Seed-driven clustering at inference (reference: embedseg.py:21):
     repeatedly take the highest unclaimed seediness pixel, gather the pixels
-    whose gaussian membership around its embedding exceeds 0.5."""
+    whose precision-form gaussian membership around its embedding exceeds
+    ``fg_threshold`` — the same phi the loss trained."""
     spatial = pred.shape[:-1]
     offsets = np.tanh(pred[..., :nd])
-    sigmas = np.exp(pred[..., nd : 2 * nd] * 10.0)
+    sigma_raw = pred[..., nd : 2 * nd]
     seed = 1.0 / (1.0 + np.exp(-pred[..., 2 * nd]))
-    axes = [np.linspace(0, 1, s) for s in spatial]
+    step = 1.0 / float(max(grid_size - 1, 1))
+    axes = [np.arange(s, dtype=np.float32) * step for s in spatial]
     coords = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
     emb = coords + offsets
 
@@ -146,8 +177,8 @@ def embedseg_cluster(
         vals = seed[tuple(cand.T)]
         c = cand[int(np.argmax(vals))]
         center = emb[tuple(c)]
-        s = sigmas[tuple(c)]
-        dist2 = np.sum((emb - center) ** 2 / np.maximum(2 * s**2, 1e-8), axis=-1)
+        s = np.exp(np.clip(sigma_raw[tuple(c)] * 10.0, -8.0, 8.0))
+        dist2 = np.sum((emb - center) ** 2 * s, axis=-1)
         member = (np.exp(-dist2) > fg_threshold) & (labels == 0)
         if member.sum() < min_size:
             unclaimed[tuple(c)] = False

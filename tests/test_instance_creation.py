@@ -87,21 +87,26 @@ def test_embedseg_oracle_2d():
 
     lab = _circles_2d(seed=4, n=3)
     h, w = lab.shape
-    coords = np.stack(np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij"), axis=-1)
+    gs = max(h, w)
+    step = 1.0 / (gs - 1)
+    coords = np.stack(np.meshgrid(np.arange(h) * step, np.arange(w) * step,
+                                  indexing="ij"), axis=-1).astype(np.float32)
     offs = np.zeros((h, w, 2), np.float32)
     for k in np.unique(lab):
         if k == 0:
             continue
         m = lab == k
         offs[m] = coords[m].mean(axis=0) - coords[m]
-    sig = np.full((h, w, 2), np.log(0.05) / 10.0, np.float32)
+    # precision form: s = exp(10 * raw); raw 0.6 -> s ~ 400, phi drops below
+    # 0.5 within ~2.6 px of a center at this grid step
+    sig = np.full((h, w, 2), 0.6, np.float32)
     seed = np.where(lab > 0, 5.0, -5.0).astype(np.float32)
     pred = np.concatenate([np.arctanh(np.clip(offs, -0.99, 0.99)), sig, seed[..., None]], axis=-1)
-    inst = embedseg_cluster(pred, 2)
+    inst = embedseg_cluster(pred, 2, grid_size=gs)
     assert matching(lab, inst, thresh=[0.5])[0]["f1"] == 1.0
-    loss = float(spatial_emb_loss(jnp.asarray(pred), jnp.asarray(lab), 2))
+    loss = float(spatial_emb_loss(jnp.asarray(pred), jnp.asarray(lab), 2, grid_size=gs))
     assert loss < 0.3
-    g = jax.grad(lambda p: spatial_emb_loss(p, jnp.asarray(lab), 2))(jnp.asarray(pred))
+    g = jax.grad(lambda p: spatial_emb_loss(p, jnp.asarray(lab), 2, grid_size=gs))(jnp.asarray(pred))
     assert bool(jnp.isfinite(g).all())
 
 
