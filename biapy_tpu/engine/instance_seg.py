@@ -332,6 +332,49 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             self._instance_gt_dirs["TEST"] = str(self.cfg.DATA.TEST.GT_PATH)
         super().test(image=image, gt=gt)
 
+    def prepare_model(self):
+        fresh = self.model is None
+        super().prepare_model()
+        if (fresh and getattr(self, "embedseg_mode", False)
+                and not self.cfg.MODEL.LOAD_CHECKPOINT
+                and str(self.cfg.MODEL.SOURCE).lower() != "bmz"):
+            self._embedseg_head_init()
+
+    def _embedseg_head_init(self):
+        """EmbedSeg's canonical output-head init (Neven/EmbedSeg
+        init_output): zero the head conv, bias 0 for offsets/seediness and 1
+        for raw sigmas (s = e^10, tight gaussians). A randomly-initialized
+        head starts at phi ~ 0.5 everywhere, the tie-degenerate point of the
+        lovasz hinge where sorting is arbitrary and offset gradients cancel
+        to ~0 — trainings plateau at loss ~2 without this."""
+        import jax
+        import jax.numpy as jnp
+
+        n_out = 2 * self.nd + 1
+        bias = np.zeros(n_out, np.float32)
+        bias[self.nd: 2 * self.nd] = 1.0
+        patched = {"n": 0}
+
+        def walk(tree):
+            for v in tree.values():
+                if not isinstance(v, dict):
+                    continue
+                k = v.get("kernel")
+                if k is not None and getattr(k, "ndim", 0) >= 2 and k.shape[-1] == n_out:
+                    v["kernel"] = jnp.zeros_like(k)
+                    if "bias" in v:
+                        v["bias"] = jnp.asarray(bias, v["bias"].dtype)
+                    patched["n"] += 1
+                else:
+                    walk(v)
+
+        params = jax.tree.map(lambda x: x, self.state.params)  # shallow copy tree
+        walk(params)
+        if patched["n"]:
+            self.state = self.state.replace(params=params)
+            if self.verbose:
+                print(f"EmbedSeg head init applied to {patched['n']} conv(s)")
+
     def _embedseg_grid_size(self) -> int:
         """EMBEDSEG.GRID_SIZE if set (> 0), else the canonical EmbedSeg
         default of 1024 (reference set_embedseg_grid_size, pre_processing.py:261

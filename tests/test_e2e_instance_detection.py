@@ -526,3 +526,43 @@ def test_detection_3d_zarr_input_percnorm(tmp_path):
     job = BiaPy(cfg, result_dir=root + "/results", name="det9", silent=True)
     job.run_job()
     assert job.workflow.stats["det_f1"] > 0.5, job.workflow.stats
+
+
+@pytest.mark.slow
+def test_instance_seg_2d_embedseg(tmp_path):
+    """EmbedSeg vertical end-to-end: E_offset/E_sigma/E_seediness heads
+    trained with the spatial embedding loss on raw instance labels, instances
+    recovered by seed-driven clustering at test time (reference:
+    SpatialEmbLoss metrics.py:2375, Embedding_cluster embedseg.py:21)."""
+    rng = np.random.default_rng(77)
+    root = str(tmp_path)
+    for d, n in [("train", 12), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            img, lab, _ = _labeled_circles((64, 64), 3, rng, r_range=(6, 9))
+            write_tiff(f"{root}/{d}/x/{i:02d}.tif", img)
+            write_tiff(f"{root}/{d}/y/{i:02d}.tif", lab)
+    from biapy_tpu._biapy import BiaPy
+
+    cfg = {
+        "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "2D",
+                    "INSTANCE_SEG": {
+                        "DATA_CHANNELS": ["E_offset", "E_sigma", "E_seediness"],
+                        "EMBEDSEG": {"SEED_THRESH": 0.5, "MIN_MASK_SUM": 20, "GRID_SIZE": 64}}},
+        "DATA": {"PATCH_SIZE": (64, 64, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                          "LOAD_GT": True}},
+        "MODEL": {"ARCHITECTURE": "resunet", "FEATURE_MAPS": [16, 32],
+                  "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [2, 2],
+                  "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 4, "EPOCHS": 80},
+        "TEST": {"ENABLE": True, "MATCHING_STATS_THS": [0.3]},
+    }
+    job = BiaPy(cfg, result_dir=root + "/results", name="embedseg2d", silent=True)
+    job.run_job()
+    agg = job.workflow.matching_stats
+    f1_03 = [s for s in agg if abs(s["thresh"] - 0.3) < 1e-6][0]["f1"]
+    assert f1_03 > 0.3, f"embedseg matching f1@0.3 too low: {agg}"
