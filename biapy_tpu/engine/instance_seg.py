@@ -131,10 +131,26 @@ class Instance_Segmentation_Workflow(Base_Workflow):
 
             nd = self.nd
             gs = self._embedseg_grid_size()
+            # channel_weights [foreground, instance, variance, seed]
+            # (reference: instance_seg.py:620); the all-default case takes
+            # EmbedSeg's weights [10, 1, 10, 1] (check_configuration.py:1743);
+            # anisotropy from DATA.TEST.RESOLUTION (reference: :619); center
+            # mode from E_offset extra opts (reference: :621)
+            if not weights or all(float(w) == 1.0 for w in weights):
+                cw = [10.0, 1.0, 10.0, 1.0]
+            else:
+                cw = [float(w) for w in weights] + [1.0] * (4 - len(weights))
+            res = list(cfg.DATA.TEST.RESOLUTION)
+            aniso = res if res and res != [-1] else None
+            cmode = str(self.channel_extra_opts.get("E_offset", {})
+                        .get("center_mode", "centroid"))
 
             def emb_loss(out, y):
                 pred = out["pred"] if isinstance(out, dict) else out
-                return spatial_emb_loss(pred, y[..., 0], nd, grid_size=gs)
+                return spatial_emb_loss(pred, y[..., 0], nd, grid_size=gs,
+                                        w_fg=float(cw[0]), w_inst=float(cw[1]),
+                                        w_var=float(cw[2]), w_seed=float(cw[3]),
+                                        anisotropy=aniso, center_mode=cmode)
 
             self.loss = emb_loss
             self.train_metrics = {}

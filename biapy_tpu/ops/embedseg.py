@@ -58,11 +58,23 @@ def lovasz_hinge_flat(logits: jnp.ndarray, labels: jnp.ndarray,
     return jnp.sum(relu_err * grad)
 
 
-def _coord_grid(spatial, grid_size: int) -> jnp.ndarray:
-    """Canonical pixel coordinates with fixed step 1/(grid_size-1),
+def _axis_ratios(nd: int, anisotropy) -> Tuple[float, ...]:
+    """Per-axis coordinate ratios from voxel spacing (z, y, x) — y is the
+    unit axis, z carries the anisotropy (reference: metrics.py:2415)."""
+    if anisotropy is None or len(anisotropy) < nd:
+        return (1.0,) * nd
+    a = [float(v) for v in anisotropy[-nd:]]  # (y, x) or (z, y, x)
+    unit = a[-2] if len(a) >= 2 else 1.0  # y spacing
+    return tuple(v / max(unit, 1e-12) for v in a)
+
+
+def _coord_grid(spatial, grid_size: int, ratios=None) -> jnp.ndarray:
+    """Canonical pixel coordinates with fixed step ratio/(grid_size-1),
     (spatial..., nd) (reference: metrics.py:2425)."""
     step = 1.0 / float(max(grid_size - 1, 1))
-    axes = [jnp.arange(s, dtype=jnp.float32) * step for s in spatial]
+    ratios = ratios or (1.0,) * len(spatial)
+    axes = [jnp.arange(s, dtype=jnp.float32) * (step * r)
+            for s, r in zip(spatial, ratios)]
     return jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
 
 
@@ -71,29 +83,36 @@ def spatial_emb_loss(
     instance_labels: jnp.ndarray,
     nd: int,
     max_instances: int = 32,
+    w_fg: float = 1.0,
     w_inst: float = 1.0,
     w_var: float = 10.0,
     w_seed: float = 1.0,
     grid_size: int = DEFAULT_GRID_SIZE,
+    anisotropy=None,
+    center_mode: str = "centroid",
 ) -> jnp.ndarray:
     """EmbedSeg loss (reference: SpatialEmbLoss, metrics.py:2375).
 
     ``pred``: (..., 2*nd + 1) = offset logits (tanh applied here), raw
     sigmas, seediness logit. ``instance_labels``: (...,) int map
     (0 = background). A leading batch axis (pred.ndim == nd + 2) is vmapped
-    and averaged.
-    """
+    and averaged. ``w_fg`` weights the foreground seed regression
+    (channel_weights[0]); ``anisotropy`` is the (z, y, x) voxel spacing;
+    ``center_mode`` 'centroid' or 'medoid' (approximated inside jit as the
+    masked pixel closest to the centroid — exact for convex instances,
+    avoiding the reference's O(N^2) cdist, metrics.py:2475)."""
     if pred.ndim == nd + 2:
         per_sample = jax.vmap(
             partial(spatial_emb_loss, nd=nd, max_instances=max_instances,
-                    w_inst=w_inst, w_var=w_var, w_seed=w_seed,
-                    grid_size=grid_size))
+                    w_fg=w_fg, w_inst=w_inst, w_var=w_var, w_seed=w_seed,
+                    grid_size=grid_size, anisotropy=anisotropy,
+                    center_mode=center_mode))
         return jnp.mean(per_sample(pred, instance_labels))
     spatial = pred.shape[:-1]
     offsets = jnp.tanh(pred[..., :nd])
     sigma_raw = pred[..., nd : 2 * nd]
     seed_logit = pred[..., 2 * nd]
-    coords = _coord_grid(spatial, grid_size)
+    coords = _coord_grid(spatial, grid_size, _axis_ratios(nd, anisotropy))
     emb = coords + offsets  # (spatial..., nd)
 
     flat_emb = emb.reshape(-1, nd)
@@ -112,9 +131,14 @@ def spatial_emb_loss(
         m = (flat_lab == k).astype(jnp.float32)
         cnt = jnp.sum(m)
         present = cnt > 0
-        # centroid of the COORDS over the mask (reference: _center_from_mask
-        # with center_mode='centroid', metrics.py:2455)
+        # center of the COORDS over the mask (reference: _center_from_mask,
+        # metrics.py:2455); medoid approximated as the masked pixel closest
+        # to the centroid
         center = jnp.sum(flat_coords * m[:, None], axis=0) / jnp.maximum(cnt, 1.0)
+        if center_mode == "medoid":
+            d_c = jnp.sum((flat_coords - center) ** 2, axis=-1)
+            d_c = jnp.where(m > 0, d_c, jnp.inf)
+            center = flat_coords[jnp.argmin(d_c)]
         # sigma stats on raw values; variance term detaches the mean
         # (reference: metrics.py:2556)
         s_mean = jnp.sum(flat_sigr * m[:, None], axis=0) / jnp.maximum(cnt, 1.0)
@@ -126,8 +150,9 @@ def spatial_emb_loss(
         dist2 = jnp.sum((flat_emb - center) ** 2 * s, axis=-1)
         phi = jnp.exp(-dist2)
         inst = lovasz_hinge_flat(2.0 * phi - 1.0, m, jnp.ones_like(m, bool))
-        # seediness regresses to phi on the instance (stop-gradient target)
-        seed = jnp.sum(((flat_seed - jax.lax.stop_gradient(phi)) * m) ** 2)
+        # seediness regresses to phi on the instance (stop-gradient target,
+        # foreground-weighted; reference: metrics.py:2568)
+        seed = w_fg * jnp.sum(((flat_seed - jax.lax.stop_gradient(phi)) * m) ** 2)
         total_inst = total_inst + jnp.where(present, inst, 0.0)
         total_var = total_var + jnp.where(present, var, 0.0)
         total_seed = total_seed + jnp.where(present, seed, 0.0)
@@ -151,6 +176,7 @@ def embedseg_cluster(
     fg_threshold: float = 0.5,
     min_unclustered_sum: int = 0,
     grid_size: int = DEFAULT_GRID_SIZE,
+    anisotropy=None,
 ) -> np.ndarray:
     """Seed-driven clustering at inference (reference: embedseg.py:21):
     repeatedly take the highest unclaimed seediness pixel, gather the pixels
@@ -161,7 +187,9 @@ def embedseg_cluster(
     sigma_raw = pred[..., nd : 2 * nd]
     seed = 1.0 / (1.0 + np.exp(-pred[..., 2 * nd]))
     step = 1.0 / float(max(grid_size - 1, 1))
-    axes = [np.arange(s, dtype=np.float32) * step for s in spatial]
+    ratios = _axis_ratios(nd, anisotropy)
+    axes = [np.arange(s, dtype=np.float32) * (step * r)
+            for s, r in zip(spatial, ratios)]
     coords = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
     emb = coords + offsets
 

@@ -337,8 +337,9 @@ def test_contrastive_semantic_seg_hrnet(tmp_path):
 
 @pytest.mark.slow
 def test_semantic_seg_3d(tmp_path):
-    """3D semantic segmentation end-to-end (anisotropic z_down, on-device
-    3D stitch) — the reference's Test2-style 3D run on synthetic data."""
+    """3D semantic segmentation end-to-end with attention_unet (anisotropic
+    z_down, on-device 3D stitch) — reference: run_checks Test2 (Lucchi++ 3D,
+    attention_unet)."""
     rng = np.random.default_rng(66)
     root = str(tmp_path)
     for d, n in [("train", 6), ("test", 2)]:
@@ -360,7 +361,7 @@ def test_semantic_seg_3d(tmp_path):
                  "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y",
                           "LOAD_GT": True, "PADDING": (2, 4, 4)}},
         "AUGMENTOR": {"ENABLE": True, "VFLIP": True, "HFLIP": True, "ZFLIP": True},
-        "MODEL": {"ARCHITECTURE": "resunet", "FEATURE_MAPS": [8, 16],
+        "MODEL": {"ARCHITECTURE": "attention_unet", "FEATURE_MAPS": [8, 16],
                   "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [1, 2],
                   "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
         "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3,
@@ -723,3 +724,101 @@ def test_ssl_crappify_rcan_crossval(tmp_path):
     }
     job = _run(cfg, root, "ssl_rcan")
     assert len(job.workflow._predictions) == 2
+
+
+@pytest.mark.slow
+def test_denoising_n2v_2d_rgb(tmp_path):
+    """N2V denoising on RGB input: the blind-spot manipulation runs per
+    channel and the model denoises 3-channel images (reference: run_checks
+    Test10 — LongBeach N2V RGB data)."""
+    rng = np.random.default_rng(10)
+    root = str(tmp_path)
+    for d, n in [("train", 8), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        for i in range(n):
+            base = _noisy_circles((64, 64), noise=0.0, rng=rng)
+            rgb = np.stack([base * 0.9, base * 0.6, 1.0 - base * 0.5], axis=-1)
+            rgb = rgb + rng.normal(0, 0.15, rgb.shape)
+            write_tiff(f"{root}/{d}/x/{i}.tif", (rgb * 180).clip(0, 255).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "DENOISING", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (32, 32, 3),
+                 "NORMALIZATION": {"TYPE": "zero_mean_unit_variance"},
+                 "TRAIN": {"PATH": f"{root}/train/x", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "IN_MEMORY": True, "LOAD_GT": False,
+                          "PADDING": (4, 4)}},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16], "DROPOUT_VALUES": [0.0, 0.0],
+                  "Z_DOWN": [2, 2], "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3, "BATCH_SIZE": 8, "EPOCHS": 4},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "n2vrgb")
+    preds = job.workflow._predictions
+    assert len(preds) == 2 and preds[0]["pred"].shape[-1] == 3
+    assert all(np.isfinite(p["pred"]).all() for p in preds)
+
+
+@pytest.mark.slow
+def test_ssl_crappify_3d_resunetpp(tmp_path):
+    """3D SSL crappify pretext with resunet++ (reference: run_checks
+    Test17 — Lucchi 3D self-supervision, resunet++)."""
+    rng = np.random.default_rng(17)
+    root = str(tmp_path)
+    for d, n in [("train", 6), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        for i in range(n):
+            vol = np.zeros((12, 48, 48), np.float32)
+            zz, yy, xx = np.mgrid[:12, :48, :48]
+            for _ in range(3):
+                cz, cy, cx = rng.integers(3, 9), *rng.integers(12, 36, 2)
+                vol += ((((zz - cz) * 3.0) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2) < 64) * 0.7
+            write_tiff(f"{root}/{d}/x/{i}.tif", (vol * 200).clip(0, 255).astype(np.uint8))
+    cfg = {
+        "PROBLEM": {"TYPE": "SELF_SUPERVISED", "NDIM": "3D",
+                    "SELF_SUPERVISED": {"PRETEXT_TASK": "crappify",
+                                        "RESIZING_FACTOR": 2, "NOISE": 0.1}},
+        "DATA": {"PATCH_SIZE": (8, 32, 32, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "IN_MEMORY": True, "LOAD_GT": False,
+                          "PADDING": (2, 4, 4)}},
+        "MODEL": {"ARCHITECTURE": "resunet++", "FEATURE_MAPS": [8, 16],
+                  "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [1, 2],
+                  "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3, "BATCH_SIZE": 4, "EPOCHS": 3},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "ssl3dpp")
+    assert len(job.workflow._predictions) == 2
+
+
+@pytest.mark.slow
+def test_classification_efficientnet_resize(tmp_path):
+    """EfficientNet-B1 classifier with a resize preprocess (reference:
+    run_checks Test20 — butterfly data, preprocess resize, efficientnet_b1)."""
+    rng = np.random.default_rng(20)
+    root = str(tmp_path)
+    for d, n in [("train", 40), ("test", 8)]:
+        for ci, cname in enumerate(["dark", "bright"]):
+            os.makedirs(f"{root}/{d}/{cname}", exist_ok=True)
+            for i in range(n // 2):
+                base = 40 if ci == 0 else 200
+                img = (rng.normal(base, 15, (48, 48))).clip(0, 255).astype(np.uint8)
+                write_tiff(f"{root}/{d}/{cname}/{i}.tif", img)
+    cfg = {
+        "PROBLEM": {"TYPE": "CLASSIFICATION", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (32, 32, 1), "N_CLASSES": 2,
+                 "NORMALIZATION": {"TYPE": "div"},
+                 "PREPROCESS": {"TRAIN": True, "TEST": True,
+                                "RESIZE": {"ENABLE": True, "OUTPUT_SHAPE": (32, 32)}},
+                 "TRAIN": {"PATH": f"{root}/train", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test", "IN_MEMORY": True, "LOAD_GT": True}},
+        "MODEL": {"ARCHITECTURE": "efficientnet_b1"},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3, "BATCH_SIZE": 8,
+                  "EPOCHS": 40},
+        "TEST": {"ENABLE": True},
+    }
+    job = _run(cfg, root, "cls_eff")
+    assert job.workflow.stats["accuracy"] > 0.7, job.workflow.stats

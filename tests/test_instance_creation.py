@@ -418,3 +418,31 @@ def test_apply_label_refinement_chain():
     # chained: fill then drop the border instance, positional values
     out = apply_label_refinement(lab, ["fill_holes", "clear_border"], ["none", "none"])
     assert (out[8:10, 8:10] == 1).all() and 2 not in out
+
+
+def test_embedseg_anisotropy_and_weights():
+    """Anisotropic (z, y, x) resolution scales the coordinate grid's z step
+    (reference: SpatialEmbLoss anisotropy, metrics.py:2415) and the
+    foreground weight scales the fg seed regression (channel_weights[0],
+    metrics.py:2568)."""
+    import jax.numpy as jnp
+
+    from biapy_tpu.ops.embedseg import _axis_ratios, _coord_grid, spatial_emb_loss
+
+    assert _axis_ratios(3, [4.0, 1.0, 1.0]) == (4.0, 1.0, 1.0)
+    assert _axis_ratios(2, [1.0, 1.0]) == (1.0, 1.0)
+    g = _coord_grid((4, 4, 4), grid_size=64, ratios=(4.0, 1.0, 1.0))
+    # z step is 4x the y step
+    assert float(g[1, 0, 0, 0]) == 4 * float(g[0, 1, 0, 1])
+
+    lab = np.zeros((16, 16), np.int32)
+    lab[4:12, 4:12] = 1
+    pred = np.random.default_rng(0).normal(0, 0.3, (16, 16, 5)).astype(np.float32)
+    base = float(spatial_emb_loss(jnp.asarray(pred), jnp.asarray(lab), 2,
+                                  grid_size=16, w_fg=1.0))
+    fgw = float(spatial_emb_loss(jnp.asarray(pred), jnp.asarray(lab), 2,
+                                 grid_size=16, w_fg=10.0))
+    assert fgw > base  # fg seed term got heavier
+    med = float(spatial_emb_loss(jnp.asarray(pred), jnp.asarray(lab), 2,
+                                 grid_size=16, center_mode="medoid"))
+    assert np.isfinite(med)
