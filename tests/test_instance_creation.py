@@ -446,3 +446,36 @@ def test_embedseg_anisotropy_and_weights():
     med = float(spatial_emb_loss(jnp.asarray(pred), jnp.asarray(lab), 2,
                                  grid_size=16, center_mode="medoid"))
     assert np.isfinite(med)
+
+
+def test_embedseg_oracle_3d():
+    """3D EmbedSeg: a perfect prediction (offsets to sphere centers, tight
+    precision) clusters back to the instances; the 3D loss is finite with
+    finite gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from biapy_tpu.ops.embedseg import embedseg_cluster, spatial_emb_loss
+
+    lab = np.zeros((16, 32, 32), np.int32)
+    zz, yy, xx = np.mgrid[:16, :32, :32]
+    for i, (cz, cy, cx, r) in enumerate([(5, 8, 8, 4), (10, 22, 20, 5)]):
+        lab[((zz - cz) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2) < r * r] = i + 1
+    gs = 32
+    step = 1.0 / (gs - 1)
+    coords = np.stack(np.meshgrid(np.arange(16) * step, np.arange(32) * step,
+                                  np.arange(32) * step, indexing="ij"), axis=-1).astype(np.float32)
+    offs = np.zeros(lab.shape + (3,), np.float32)
+    for k in (1, 2):
+        m = lab == k
+        offs[m] = coords[m].mean(axis=0) - coords[m]
+    sig = np.full(lab.shape + (3,), 0.6, np.float32)
+    seed = np.where(lab > 0, 5.0, -5.0).astype(np.float32)
+    pred = np.concatenate([np.arctanh(np.clip(offs, -0.99, 0.99)), sig, seed[..., None]], axis=-1)
+    inst = embedseg_cluster(pred, 3, grid_size=gs)
+    assert matching(lab, inst, thresh=[0.5])[0]["f1"] == 1.0
+    loss = float(spatial_emb_loss(jnp.asarray(pred), jnp.asarray(lab), 3, grid_size=gs))
+    assert loss < 0.3
+    g = jax.grad(lambda p: spatial_emb_loss(p, jnp.asarray(lab), 3, grid_size=gs,
+                                            anisotropy=[4.0, 1.0, 1.0]))(jnp.asarray(pred))
+    assert bool(jnp.isfinite(g).all())
