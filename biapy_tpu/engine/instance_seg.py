@@ -140,8 +140,7 @@ class Instance_Segmentation_Workflow(Base_Workflow):
                 cw = [10.0, 1.0, 10.0, 1.0]
             else:
                 cw = [float(w) for w in weights] + [1.0] * (4 - len(weights))
-            res = list(cfg.DATA.TEST.RESOLUTION)
-            aniso = res if res and res != [-1] else None
+            aniso = self._embedseg_anisotropy()
             cmode = str(self.channel_extra_opts.get("E_offset", {})
                         .get("center_mode", "centroid"))
 
@@ -358,17 +357,21 @@ class Instance_Segmentation_Workflow(Base_Workflow):
 
     def _embedseg_head_init(self):
         """EmbedSeg's canonical output-head init (Neven/EmbedSeg
-        init_output): zero the head conv, bias 0 for offsets/seediness and 1
-        for raw sigmas (s = e^10, tight gaussians). A randomly-initialized
-        head starts at phi ~ 0.5 everywhere, the tie-degenerate point of the
-        lovasz hinge where sorting is arbitrary and offset gradients cancel
-        to ~0 — trainings plateau at loss ~2 without this."""
+        init_output): zero the head conv, bias 0 for offsets/seediness, and
+        a sigma bias giving the initial gaussian a ~5 px half-width AT THE
+        CONFIGURED GRID STEP — s = 0.69/(5*step)^2, bias = ln(s)/10, which
+        reproduces EmbedSeg's literal bias 1.0 (s = e^10) at its canonical
+        1024 grid and stays alive on smaller grids where e^10 would decay
+        phi to 0 within one voxel (the dead zone: a randomly-initialized or
+        mis-scaled head plateaus at loss ~2 with ~0 offset gradients)."""
         import jax
         import jax.numpy as jnp
 
         n_out = 2 * self.nd + 1
+        step = 1.0 / max(self._embedseg_grid_size() - 1, 1)
+        sigma_bias = float(np.log(0.69 / (5.0 * step) ** 2) / 10.0)
         bias = np.zeros(n_out, np.float32)
-        bias[self.nd: 2 * self.nd] = 1.0
+        bias[self.nd: 2 * self.nd] = sigma_bias
         patched = {"n": 0}
 
         def walk(tree):
@@ -402,6 +405,13 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         gs = int(self.cfg.PROBLEM.INSTANCE_SEG.EMBEDSEG.GRID_SIZE)
         return gs if gs > 0 else DEFAULT_GRID_SIZE
 
+    def _embedseg_anisotropy(self):
+        """(z,y,x) voxel spacing from DATA.TEST.RESOLUTION, shared by the
+        loss and the clustering so train and test use one coordinate grid
+        (reference: instance_seg.py:619)."""
+        res = list(self.cfg.DATA.TEST.RESOLUTION)
+        return res if res and res != [-1] else None
+
     # -- instances ---------------------------------------------------------------
     def instance_seg_process(self, pred: np.ndarray) -> np.ndarray:
         """Channel maps -> instance labels (reference: instance_seg_process,
@@ -418,11 +428,12 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             es = cfg.PROBLEM.INSTANCE_SEG.EMBEDSEG
             return embedseg_cluster(
                 pred, self.nd,
-                seed_threshold=float(es.SEED_THRESH),
                 fg_threshold=float(es.FG_THRESH),
-                min_size=max(int(es.MIN_MASK_SUM), 16),
+                seed_threshold=float(es.SEED_THRESH),
+                min_mask_sum=int(es.MIN_MASK_SUM),
                 min_unclustered_sum=int(es.MIN_UNCLUSTERED_SUM),
-                grid_size=self._embedseg_grid_size())
+                grid_size=self._embedseg_grid_size(),
+                anisotropy=self._embedseg_anisotropy())
         if process in ("flow_tracking", "gradient_tracking") or (not process and has_flows):
             return self._instances_from_flows(pred)
         if process in ("stardist", "nms") or (not process and has_rays):
@@ -1046,6 +1057,12 @@ class Instance_Segmentation_Workflow(Base_Workflow):
     def metric_calculation(self, pred: np.ndarray, gt: Optional[np.ndarray]) -> Dict[str, float]:
         # IoU of the first binary channel vs binarized GT labels
         if gt is None:
+            return {}
+        if getattr(self, "embedseg_mode", False):
+            # no per-image IoU for the embedding representation — the offset/
+            # sigma/seed channels have no binary channel to compare (reference
+            # appends "none" to test_metrics, instance_seg.py:584-586); quality
+            # is reported by the matching stats instead
             return {}
         off = 0
         for c, n in zip(self.channel_codes, self.channels_per_output):

@@ -170,18 +170,30 @@ def spatial_emb_loss(
 def embedseg_cluster(
     pred: np.ndarray,
     nd: int,
-    seed_threshold: float = 0.5,
-    min_size: int = 16,
-    max_instances: int = 256,
     fg_threshold: float = 0.5,
+    seed_threshold: float = 0.9,
+    min_mask_sum: int = 0,
     min_unclustered_sum: int = 0,
+    min_object_size: int = 0,
     grid_size: int = DEFAULT_GRID_SIZE,
     anisotropy=None,
 ) -> np.ndarray:
-    """Seed-driven clustering at inference (reference: embedseg.py:21):
-    repeatedly take the highest unclaimed seediness pixel, gather the pixels
-    whose precision-form gaussian membership around its embedding exceeds
-    ``fg_threshold`` — the same phi the loss trained."""
+    """Seed-driven clustering at inference — faithful to EmbedSeg's
+    ``cluster_fast`` path (reference: embedseg.py:21 / create_instances):
+
+    - foreground = pixels with seediness > ``fg_threshold``; clustering only
+      runs when the foreground exceeds ``min_mask_sum`` pixels;
+    - the highest-seediness unclustered foreground pixel centres the next
+      proposal (phi > 0.5 under the precision-form gaussian at that pixel's
+      predicted center/sigma — the same phi the loss trained); clustering
+      stops once that peak drops below ``seed_threshold`` or fewer than
+      ``min_unclustered_sum`` foreground pixels remain unclustered;
+    - a proposal is KEPT only when it exceeds ``min_object_size`` pixels AND
+      more than half of its pixels are still unclustered (the anti-
+      fragmentation rule: rims left around accepted objects cannot become
+      new instances); either way every proposal pixel is marked clustered so
+      rejected fragments cannot re-seed.
+    """
     spatial = pred.shape[:-1]
     offsets = np.tanh(pred[..., :nd])
     sigma_raw = pred[..., nd : 2 * nd]
@@ -194,24 +206,32 @@ def embedseg_cluster(
     emb = coords + offsets
 
     labels = np.zeros(spatial, np.int32)
-    unclaimed = seed > seed_threshold
-    next_id = 0
-    for _ in range(max_instances):
-        cand = np.argwhere(unclaimed & (labels == 0))
-        if len(cand) == 0 or len(cand) < min_unclustered_sum:
-            # PROBLEM.INSTANCE_SEG.EMBEDSEG.MIN_UNCLUSTERED_SUM: stop once
-            # too few seed pixels remain unexplained
+    fg = seed > fg_threshold
+    if int(fg.sum()) <= min_mask_sum:
+        return labels
+
+    emb_m = emb[fg].astype(np.float32)          # (N, nd)
+    sig_m = sigma_raw[fg].astype(np.float32)    # (N, nd)
+    seed_m = seed[fg].astype(np.float32)        # (N,)
+    n = seed_m.shape[0]
+    unclustered = np.ones(n, bool)
+    labels_m = np.zeros(n, np.int32)
+    count = 0
+    while int(unclustered.sum()) > min_unclustered_sum:
+        scores = np.where(unclustered, seed_m, -1.0)
+        i = int(np.argmax(scores))
+        if scores[i] < seed_threshold:
             break
-        vals = seed[tuple(cand.T)]
-        c = cand[int(np.argmax(vals))]
-        center = emb[tuple(c)]
-        s = np.exp(np.clip(sigma_raw[tuple(c)] * 10.0, -8.0, 8.0))
-        dist2 = np.sum((emb - center) ** 2 * s, axis=-1)
-        member = (np.exp(-dist2) > fg_threshold) & (labels == 0)
-        if member.sum() < min_size:
-            unclaimed[tuple(c)] = False
-            continue
-        next_id += 1
-        labels[member] = next_id
-        unclaimed &= ~member
+        center = emb_m[i]
+        unclustered[i] = False
+        s = np.exp(np.clip(sig_m[i] * 10.0, -8.0, 8.0))
+        phi = np.exp(-np.sum((emb_m - center) ** 2 * s, axis=-1))
+        proposal = phi > 0.5
+        psum = int(proposal.sum())
+        if psum > min_object_size:
+            if float(unclustered[proposal].sum()) / psum > 0.5:
+                count += 1
+                labels_m[proposal] = count
+        unclustered[proposal] = False
+    labels[fg] = labels_m
     return labels

@@ -566,3 +566,45 @@ def test_instance_seg_2d_embedseg(tmp_path):
     agg = job.workflow.matching_stats
     f1_03 = [s for s in agg if abs(s["thresh"] - 0.3) < 1e-6][0]["f1"]
     assert f1_03 > 0.3, f"embedseg matching f1@0.3 too low: {agg}"
+
+
+@pytest.mark.slow
+def test_instance_seg_3d_embedseg(tmp_path):
+    """3D EmbedSeg end-to-end (CartoCell-style): anisotropy-aware spatial
+    embedding loss on raw 3D instance labels, seed-driven clustering of
+    spheres at test time (reference: SpatialEmbLoss ndims=3, metrics.py:2375;
+    EmbedSeg 3D in Lalit et al. 2022)."""
+    rng = np.random.default_rng(33)
+    root = str(tmp_path)
+    shape = (12, 40, 40)
+    for d, n in [("train", 10), ("test", 2)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            img, lab = _labeled_spheres(shape, 2, rng, r_range=(4, 6))
+            write_tiff(f"{root}/{d}/x/{i:02d}.tif", img)
+            write_tiff(f"{root}/{d}/y/{i:02d}.tif", lab)
+    from biapy_tpu._biapy import BiaPy
+
+    cfg = {
+        "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "3D",
+                    "INSTANCE_SEG": {
+                        "DATA_CHANNELS": ["E_offset", "E_sigma", "E_seediness"],
+                        "EMBEDSEG": {"SEED_THRESH": 0.5, "MIN_MASK_SUM": 20,
+                                     "GRID_SIZE": 40}}},
+        "DATA": {"PATCH_SIZE": (12, 40, 40, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                          "LOAD_GT": True}},
+        "MODEL": {"ARCHITECTURE": "resunet", "FEATURE_MAPS": [16, 32],
+                  "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [1, 2],
+                  "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 2, "EPOCHS": 60},
+        "TEST": {"ENABLE": True, "MATCHING_STATS_THS": [0.3]},
+    }
+    job = BiaPy(cfg, result_dir=root + "/results", name="embedseg3d", silent=True)
+    job.run_job()
+    agg = job.workflow.matching_stats
+    f1_03 = [s for s in agg if abs(s["thresh"] - 0.3) < 1e-6][0]["f1"]
+    assert f1_03 > 0.3, f"3D embedseg matching f1@0.3 too low: {agg}"

@@ -110,6 +110,47 @@ def test_embedseg_oracle_2d():
     assert bool(jnp.isfinite(g).all())
 
 
+def test_embedseg_cluster_rejects_fragments():
+    """EmbedSeg's anti-fragmentation rule (reference: embedseg.py proposal
+    acceptance): a proposal whose pixels are mostly already clustered is
+    discarded — and its pixels marked clustered so they cannot re-seed —
+    instead of becoming a spurious rim instance. Construction: a 10x10 block
+    embeds tightly at point a (accepted first); a 40-px strip embeds at a
+    nearby point b with a looser sigma whose proposal covers block+strip
+    (29% unclustered) — it must be rejected, leaving exactly one instance."""
+    from biapy_tpu.ops.embedseg import embedseg_cluster
+
+    gs = 20
+    step = 1.0 / (gs - 1)
+    coords = np.stack(np.meshgrid(np.arange(gs) * step, np.arange(gs) * step,
+                                  indexing="ij"), axis=-1).astype(np.float32)
+    block = np.zeros((gs, gs), bool)
+    block[4:14, 4:14] = True
+    strip = np.zeros((gs, gs), bool)
+    strip[4:12, 15:] = True  # 8x5 = 40 px
+    a = coords[9, 9].copy()
+    b = a + np.array([0.0, 2.0 * step], np.float32)  # 2 px away in x
+
+    offs = np.zeros((gs, gs, 2), np.float32)
+    offs[block] = a - coords[block]
+    offs[strip] = b - coords[strip]
+    # per-pixel raw sigma: tight on the block (phi(b from a) ~ 0.01 < 0.5),
+    # loose on the strip (phi(a from b) ~ 0.7 > 0.5 -> proposal swallows the
+    # already-clustered block)
+    sig = np.zeros((gs, gs, 2), np.float32)
+    sig[block] = 0.6
+    sig[strip] = 0.35
+    seed_logit = np.full((gs, gs), -5.0, np.float32)
+    seed_logit[block] = 3.0   # seeds first (sigmoid ~ 0.953)
+    seed_logit[strip] = 2.5   # still above seed_thresh 0.9 (sigmoid ~ 0.924)
+    pred = np.concatenate([np.arctanh(np.clip(offs, -0.99, 0.99)), sig,
+                           seed_logit[..., None]], axis=-1)
+    inst = embedseg_cluster(pred, 2, grid_size=gs)
+    assert inst.max() == 1, f"rim fragment became an instance: {np.unique(inst)}"
+    assert (inst[block] == 1).all()
+    assert (inst[strip] == 0).all()
+
+
 def test_embedseg_workflow_dispatch():
     wf = _workflow(["E_offset", "E_sigma", "E_seediness"])
     assert wf.embedseg_mode
