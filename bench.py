@@ -86,7 +86,10 @@ def main():
                       "DROPOUT_VALUES": [0.0, 0.0, 0.0], "Z_DOWN": [2, 2, 2],
                       "YX_DOWN": [2, 2, 2], "CONV_LAYERS": [2, 2, 2],
                       "NORMALIZATION": "bn", "ACTIVATION": "elu"},
-            "TRAIN": {"ENABLE": False, "BATCH_SIZE": 1},  # one big tile per step beats batching
+            # TRAIN nominally on (never run: the bench drives
+            # predict_block_on_device directly) — a test-only config without a
+            # checkpoint is rejected by config validation, as in the reference
+            "TRAIN": {"ENABLE": True, "BATCH_SIZE": 1},  # one big tile per step beats batching
             "TEST": {"ENABLE": True, "REDUCE_MEMORY": True},  # bf16 on the MXU + over the wire
         }
         job = BiaPy(cfg, result_dir="", name="bench", silent=True)

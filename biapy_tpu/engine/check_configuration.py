@@ -94,15 +94,79 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
                 f"TRAIN.OPTIMIZER values must be in ['SGD','ADAM','ADAMW'], got {o}")
         req(len(cfg.TRAIN.OPTIMIZER) == len(cfg.TRAIN.LR),
             "'TRAIN.OPTIMIZER' and 'TRAIN.LR' must have the same length")
+        if len(cfg.TRAIN.OPTIMIZER) > 1:
+            # the only multi-optimizer setup is GAN denoising: generator +
+            # discriminator (reference check_configuration.py:3199-3210)
+            req((cfg.PROBLEM.TYPE == "DENOISING"
+                 and bool(cfg.PROBLEM.DENOISING.LOAD_GT_DATA))
+                or str(cfg.LOSS.TYPE).upper() == "CYCLEGAN",
+                "Multiple optimizers were provided but no discriminator "
+                "architecture is configured (only GAN setups take two)")
         req(cfg.TRAIN.EPOCHS > 0, "TRAIN.EPOCHS must be > 0")
         req(cfg.TRAIN.BATCH_SIZE > 0, "TRAIN.BATCH_SIZE must be > 0")
         sch = cfg.TRAIN.LR_SCHEDULER.NAME
         req(sch in ("", "reduceonplateau", "warmupcosine", "onecycle", "warmupreduceonplateau"),
             f"Unknown TRAIN.LR_SCHEDULER.NAME: {sch}")
+        # OPT_BETAS: one (beta1, beta2) pair shared or one per optimizer
+        # (reference check_configuration.py:3216-3256)
+        betas = cfg.TRAIN.OPT_BETAS
+        req(isinstance(betas, (list, tuple)), "'TRAIN.OPT_BETAS' must be a list")
+        if isinstance(betas, (list, tuple)) and betas and \
+                isinstance(betas[0], (list, tuple)):
+            req(len(betas) in (1, len(cfg.TRAIN.OPTIMIZER)),
+                "'TRAIN.OPT_BETAS' must have length 1 or match 'TRAIN.OPTIMIZER' length")
+            for pair in betas:
+                req(isinstance(pair, (list, tuple)) and len(pair) == 2,
+                    "Each entry in 'TRAIN.OPT_BETAS' must be a tuple/list of length 2")
+        elif isinstance(betas, (list, tuple)) and betas:
+            req(len(betas) == 2,
+                "'TRAIN.OPT_BETAS' must be a (beta1, beta2) pair or a list of pairs")
+        gcn = cfg.TRAIN.GRADIENT_CLIP_NORM
+        req(isinstance(gcn, (int, float)), "'TRAIN.GRADIENT_CLIP_NORM' must be a number")
+        if isinstance(gcn, (int, float)):
+            req(float(gcn) >= 0,
+                "'TRAIN.GRADIENT_CLIP_NORM' must be non-negative (0 to disable)")
+        min_lr = cfg.TRAIN.LR_SCHEDULER.MIN_LR
+        if isinstance(min_lr, (list, tuple)) and len(min_lr) > 0:
+            req(len(min_lr) in (1, len(cfg.TRAIN.OPTIMIZER)),
+                "'TRAIN.LR_SCHEDULER.MIN_LR' must have length 1 or match "
+                "'TRAIN.OPTIMIZER' length")
+        if sch in ("reduceonplateau", "warmupreduceonplateau"):
+            req(int(cfg.TRAIN.LR_SCHEDULER.REDUCEONPLATEAU_PATIENCE) > 0,
+                "'TRAIN.LR_SCHEDULER.REDUCEONPLATEAU_PATIENCE' needs to be set "
+                "when the scheduler is 'reduceonplateau'")
+            if int(cfg.TRAIN.PATIENCE) != -1:
+                req(int(cfg.TRAIN.LR_SCHEDULER.REDUCEONPLATEAU_PATIENCE)
+                    < int(cfg.TRAIN.PATIENCE),
+                    "'TRAIN.LR_SCHEDULER.REDUCEONPLATEAU_PATIENCE' needs to be "
+                    "less than 'TRAIN.PATIENCE' — otherwise early stopping fires "
+                    "before the LR ever drops")
 
     # -- normalization ----------------------------------------------------------
     req(cfg.DATA.NORMALIZATION.TYPE in ("div", "scale_range", "zero_mean_unit_variance", "none"),
         f"Unknown DATA.NORMALIZATION.TYPE: {cfg.DATA.NORMALIZATION.TYPE}")
+    if cfg.PROBLEM.TYPE == "SUPER_RESOLUTION":
+        req(cfg.DATA.NORMALIZATION.TYPE in ("div", "scale_range"),
+            "DATA.NORMALIZATION.TYPE in the SR workflow needs to be 'div' or "
+            "'scale_range' (reference check_configuration.py:1154)")
+    pclip = cfg.DATA.NORMALIZATION.PERC_CLIP
+    if pclip.ENABLE:
+        # either a percentile or an absolute value must define each bound
+        # (reference check_configuration.py:2560-2580)
+        req(float(pclip.LOWER_PERC) != -1.0
+            or any(float(v) != -1.0 for v in pclip.LOWER_VALUE),
+            "DATA.NORMALIZATION.PERC_CLIP.LOWER_PERC or LOWER_VALUE must be set "
+            "when PERC_CLIP.ENABLE is True")
+        req(float(pclip.UPPER_PERC) != -1.0
+            or any(float(v) != -1.0 for v in pclip.UPPER_VALUE),
+            "DATA.NORMALIZATION.PERC_CLIP.UPPER_PERC or UPPER_VALUE must be set "
+            "when PERC_CLIP.ENABLE is True")
+        if float(pclip.LOWER_PERC) != -1.0:
+            req(0.0 <= float(pclip.LOWER_PERC) <= 100.0,
+                "DATA.NORMALIZATION.PERC_CLIP.LOWER_PERC not in [0, 100] range")
+        if float(pclip.UPPER_PERC) != -1.0:
+            req(0.0 <= float(pclip.UPPER_PERC) <= 100.0,
+                "DATA.NORMALIZATION.PERC_CLIP.UPPER_PERC not in [0, 100] range")
 
     # -- overlap/padding lengths ----------------------------------------------
     nd = 3 if is_3d else 2
@@ -113,6 +177,21 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
             req(len(v) == nd, f"DATA.{split}.{k} must have {nd} values for {cfg.PROBLEM.NDIM}, got {tuple(v)}")
         for o in node.OVERLAP:
             req(0 <= o < 1, f"DATA.{split}.OVERLAP values must be in [0,1)")
+        res = [float(r) for r in node.RESOLUTION]
+        if res and res != [-1.0]:
+            # TEST.RESOLUTION additionally accepts a (z,y,x) triple for 2D
+            # problems analysed as 3D stacks (reference
+            # check_configuration.py:2490-2502)
+            ok_lens = (nd, 3) if split == "TEST" else (nd,)
+            req(len(res) in ok_lens,
+                f"DATA.{split}.RESOLUTION must have {nd} values for "
+                f"{cfg.PROBLEM.NDIM}, got {tuple(res)}")
+        for ax_key in ("INPUT_IMG_AXES_ORDER", "INPUT_MASK_AXES_ORDER"):
+            if ax_key in node:
+                ax = str(node[ax_key])
+                req(len(ax) >= 3,
+                    f"DATA.{split}.{ax_key} needs to be at least of length 3, "
+                    f"e.g. 'ZYX' (got '{ax}')")
 
     # -- more model/train cross-checks ---------------------------------------
     if cfg.MODEL.SOURCE == "biapy":
@@ -148,6 +227,54 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
         norm = str(cfg.MODEL.NORMALIZATION).lower()
         req(norm in ("", "none", "bn", "sync_bn", "in", "gn", "ln"),
             f"MODEL.NORMALIZATION must be one of none/bn/sync_bn/in/gn/ln, got {norm}")
+        req(str(cfg.MODEL.UPSAMPLE_LAYER).lower() in ("upsampling", "convtranspose"),
+            f"MODEL.UPSAMPLE_LAYER needs to be 'upsampling' or 'convtranspose', "
+            f"got {cfg.MODEL.UPSAMPLE_LAYER}")
+        cbo = str(cfg.MODEL.CONV_BLOCK_ORDER)
+        req(cbo in ("conv_norm_act", "norm_act_conv"),
+            "MODEL.CONV_BLOCK_ORDER not in ['conv_norm_act', 'norm_act_conv']")
+        if cbo == "norm_act_conv":
+            req(arch in ("unet", "resunet", "resunet++", "seunet", "resunet_se",
+                         "attention_unet"),
+                "MODEL.CONV_BLOCK_ORDER 'norm_act_conv' (pre-activation) is only "
+                "supported by the plain U-Net family "
+                "(reference check_configuration.py:2601)")
+        for d in cfg.MODEL.DROPOUT_VALUES:
+            req(0.0 <= float(d) <= 1.0, "MODEL.DROPOUT_VALUES not in [0, 1] range")
+        for v in list(cfg.MODEL.Z_DOWN) + list(cfg.MODEL.YX_DOWN):
+            # 0 is our "use the default" broadcast sentinel
+            req(int(v) in (0, 1, 2),
+                "MODEL.Z_DOWN / MODEL.YX_DOWN values need to be 1 or 2")
+        if arch in UNET_LIKE and arch != "stunet" and list(cfg.MODEL.CONV_LAYERS):
+            cl = [int(c) for c in cfg.MODEL.CONV_LAYERS]
+            req(all(c >= 1 for c in cl),
+                "MODEL.CONV_LAYERS values must be greater than or equal to 1")
+            # a uniform list broadcasts to the feature-map depth (reference
+            # check_configuration.py:2734-2740)
+            req(len(cl) == len(cfg.MODEL.FEATURE_MAPS) or len(set(cl)) == 1,
+                "MODEL.FEATURE_MAPS and MODEL.CONV_LAYERS lengths must be equal")
+        if arch == "mae":
+            req(cfg.PROBLEM.TYPE == "SELF_SUPERVISED",
+                "'mae' can only be used in the SELF_SUPERVISED workflow "
+                "(reference check_configuration.py:2879)")
+        if "efficientnet" in arch:
+            req(not is_3d, "EfficientNet architectures are only available for 2D images")
+        if arch in ("vit", "mae", "unetr") and len(ps) == want:
+            sp = [int(v) for v in ps[:-1]]
+            req(len(set(sp)) == 1,
+                f"'{arch}' needs the same size in every spatial dimension of "
+                f"DATA.PATCH_SIZE (e.g. (80,80,80,1)), got {tuple(ps)}")
+        if int(cfg.DATA.N_CLASSES) > 2:
+            req(cfg.PROBLEM.TYPE in ("SEMANTIC_SEG", "INSTANCE_SEG", "DETECTION",
+                                     "CLASSIFICATION", "IMAGE_TO_IMAGE"),
+                "DATA.N_CLASSES can only be greater than 2 in SEMANTIC_SEG/"
+                "INSTANCE_SEG/DETECTION/CLASSIFICATION/IMAGE_TO_IMAGE")
+            if cfg.PROBLEM.TYPE in ("SEMANTIC_SEG", "INSTANCE_SEG", "DETECTION"):
+                req(arch in ("unet", "resunet", "resunet++", "seunet", "resunet_se",
+                             "attention_unet", "multiresunet", "unetr", "unext_v1",
+                             "unext_v2", "hrnet", "stunet") or "hrnet" in arch,
+                    f"DATA.N_CLASSES > 2 is not supported by '{arch}' "
+                    "(reference check_configuration.py:2593)")
         # patch size must survive every downsampling level (reference:
         # check_configuration.py:3091-3155 — the model would otherwise fail
         # with an opaque shape error)
@@ -183,6 +310,15 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
             req(str(cfg.MODEL.HRNET.HEAD_TYPE) in ("OCR", "ASPP", "PSP", "FCN"),
                 "MODEL.HRNET.HEAD_TYPE must be OCR/ASPP/PSP/FCN")
 
+    # testing without training needs a model to load
+    # (reference check_configuration.py:3187)
+    if cfg.MODEL.SOURCE == "biapy" and not cfg.MODEL.LOAD_CHECKPOINT \
+            and not cfg.TRAIN.ENABLE and cfg.TEST.ENABLE:
+        req(False,
+            "Seems that you want to test a model without training first. In "
+            "this case 'MODEL.LOAD_CHECKPOINT' needs to be True to load a "
+            "pre-trained model.")
+
     # checkpoint/freeze option vocab (reference check_configuration.py:1449-1460)
     for item in cfg.MODEL.ITEMS_TO_LOAD_FROM_CHECKPOINT:
         req(str(item) in ("weights", "norm", "model_arch", "optimizer", "epoch"),
@@ -215,22 +351,99 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
             f"TRAIN.MIXED_PRECISION must be bool or 'auto', got {mp!r}")
         vs = float(cfg.DATA.VAL.SPLIT_TRAIN)
         if cfg.DATA.VAL.FROM_TRAIN and not cfg.DATA.VAL.CROSS_VAL:
-            req(0.0 <= vs < 1.0, f"DATA.VAL.SPLIT_TRAIN must be in [0,1), got {vs}")
+            req(0.0 < vs < 1.0,
+                f"DATA.VAL.SPLIT_TRAIN must be in (0,1) when DATA.VAL.FROM_TRAIN "
+                f"is True, got {vs}")
         if cfg.DATA.VAL.CROSS_VAL:
+            req(cfg.DATA.VAL.FROM_TRAIN,
+                "DATA.VAL.CROSS_VAL can only be used when DATA.VAL.FROM_TRAIN is True")
             req(1 <= int(cfg.DATA.VAL.CROSS_VAL_FOLD) <= int(cfg.DATA.VAL.CROSS_VAL_NFOLD),
                 "DATA.VAL.CROSS_VAL_FOLD must be in [1, CROSS_VAL_NFOLD]")
+    if cfg.DATA.TEST.USE_VAL_AS_TEST:
+        req(cfg.DATA.VAL.CROSS_VAL,
+            "DATA.TEST.USE_VAL_AS_TEST can only be used when DATA.VAL.CROSS_VAL "
+            "is selected")
 
     # -- augmentor ------------------------------------------------------------
     if cfg.AUGMENTOR.ENABLE:
-        for k in cfg.AUGMENTOR.keys():
+        aug = cfg.AUGMENTOR
+        for k in aug.keys():
             if k.endswith("_PROB"):
-                v = float(cfg.AUGMENTOR[k])
+                v = float(aug[k])
                 req(0.0 <= v <= 1.0, f"AUGMENTOR.{k} must be in [0,1], got {v}")
+        # per-op parameter ranges (reference check_configuration.py:3280-3380)
+        for k, lo, hi in (("RANDOM_ROT_RANGE", -360, 360), ("SHEAR_RANGE", -360, 360),
+                          ("DROP_RANGE", 0, 1), ("COUT_SIZE", 0, 1),
+                          ("CBLUR_SIZE", 0, 1), ("CBLUR_DOWN_RANGE", 1, 8),
+                          ("CMIX_SIZE", 0, 1), ("CNOISE_SCALE", 0, 1),
+                          ("CNOISE_SIZE", 0, 1), ("ZOOM_RANGE", 0.1, 10)):
+            req(all(lo <= float(v) <= hi for v in aug[k]),
+                f"AUGMENTOR.{k} values not in [{lo}, {hi}] range")
+        req(str(aug.E_MODE) in ("constant", "nearest", "reflect", "wrap"),
+            "AUGMENTOR.E_MODE not in ['constant', 'nearest', 'reflect', 'wrap']")
+        req(0.0 <= float(aug.GRID_RATIO) <= 1.0, "AUGMENTOR.GRID_RATIO not in [0, 1] range")
+        req(all(0.0 <= float(v) <= 1.0 for v in aug.GRID_D_RANGE),
+            "AUGMENTOR.GRID_D_RANGE values not in [0, 1] range")
+        req(float(aug.GRID_D_RANGE[0]) < float(aug.GRID_D_RANGE[1]),
+            "AUGMENTOR.GRID_D_RANGE must be an increasing (low, high) pair")
+        req(0.0 <= float(aug.GRID_ROTATE) <= 1.0, "AUGMENTOR.GRID_ROTATE not in [0, 1] range")
+        if cfg.DATA.NORMALIZATION.TYPE == "zero_mean_unit_variance":
+            # both ops assume non-negative intensities (reference
+            # check_configuration.py:3383-3397)
+            req(not aug.GAMMA_CONTRAST,
+                "AUGMENTOR.GAMMA_CONTRAST misbehaves on negative values, which "
+                "'zero_mean_unit_variance' normalization produces — use 'div' "
+                "or 'scale_range'")
+            req(not aug.POISSON_NOISE,
+                "AUGMENTOR.POISSON_NOISE misbehaves on negative values, which "
+                "'zero_mean_unit_variance' normalization produces — use 'div' "
+                "or 'scale_range'")
+
+    # -- preprocess -------------------------------------------------------------
+    prep = cfg.DATA.PREPROCESS
+    if prep.TRAIN or prep.VAL or prep.TEST:
+        if prep.RESIZE.ENABLE:
+            req(cfg.PROBLEM.TYPE != "DETECTION",
+                "Resizing preprocessing is not available for the DETECTION "
+                "workflow (point GT coordinates would no longer match)")
+            osz = list(prep.RESIZE.OUTPUT_SHAPE)
+            req(len(osz) == nd,
+                f"DATA.PREPROCESS.RESIZE.OUTPUT_SHAPE must have {nd} values for "
+                f"{cfg.PROBLEM.NDIM}, got {tuple(osz)}")
+            if len(osz) == nd and len(ps) == want:
+                req(all(int(s) >= int(p) for s, p in zip(osz, ps[:-1])),
+                    f"DATA.PREPROCESS.RESIZE.OUTPUT_SHAPE {tuple(osz)} can not "
+                    f"be smaller than DATA.PATCH_SIZE {tuple(ps)}")
+        if prep.MEDIAN_BLUR.ENABLE:
+            req(len(list(prep.MEDIAN_BLUR.KERNEL_SIZE)) == nd + 1,
+                f"DATA.PREPROCESS.MEDIAN_BLUR.KERNEL_SIZE must have {nd + 1} "
+                "values (spatial dims + channels)")
+        if prep.CANNY.ENABLE:
+            req(not is_3d, "Canny edge detection preprocessing is 2D-only")
+        if prep.MATCH_HISTOGRAM.ENABLE:
+            import os as _os
+
+            req(_os.path.exists(str(prep.MATCH_HISTOGRAM.REFERENCE_PATH)),
+                "DATA.PREPROCESS.MATCH_HISTOGRAM.REFERENCE_PATH does not exist: "
+                f"{prep.MATCH_HISTOGRAM.REFERENCE_PATH}")
 
     # -- test -----------------------------------------------------------------
     if cfg.TEST.ENABLE:
+        if cfg.DATA.TEST.ROI_MASK.ENABLE:
+            req(str(cfg.DATA.TEST.ROI_MASK.PATH) != "",
+                "DATA.TEST.ROI_MASK.PATH needs to be set when ROI_MASK.ENABLE is True")
         if cfg.TEST.BY_CHUNKS.ENABLE:
             req(is_3d, "TEST.BY_CHUNKS requires PROBLEM.NDIM == '3D' (reference parity)")
+            req(cfg.PROBLEM.TYPE in ("SEMANTIC_SEG", "INSTANCE_SEG", "DETECTION"),
+                "TEST.BY_CHUNKS can only be activated in SEMANTIC_SEG, "
+                "INSTANCE_SEG and DETECTION workflows")
+            z0, z1 = int(cfg.TEST.BY_CHUNKS.Z_START), int(cfg.TEST.BY_CHUNKS.Z_END)
+            req(z0 >= -1, "TEST.BY_CHUNKS.Z_START must be -1 (disabled) or a "
+                "non-negative integer")
+            req(z1 >= -1 and z1 != 0, "TEST.BY_CHUNKS.Z_END must be -1 (disabled) "
+                "or a positive integer")
+            if z0 != -1 and z1 != -1:
+                req(z0 < z1, "TEST.BY_CHUNKS.Z_START must be less than Z_END")
             for ph in cfg.TEST.BY_CHUNKS.PHASES:
                 req(str(ph) in ("prediction", "instance_creation", "instance_merging"),
                     f"Unknown TEST.BY_CHUNKS.PHASES entry: {ph} "
@@ -272,6 +485,17 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
             for m in list(cfg.TRAIN.METRICS) + list(cfg.TEST.METRICS):
                 req(str(m).lower() == "iou",
                     f"TRAIN/TEST.METRICS must be 'iou' for {cfg.PROBLEM.TYPE}, got '{m}'")
+        elif cfg.PROBLEM.TYPE == "CLASSIFICATION":
+            for m in list(cfg.TRAIN.METRICS):
+                req(str(m).lower() in ("accuracy", "top-5-accuracy"),
+                    "TRAIN.METRICS options are ['accuracy', 'top-5-accuracy'] "
+                    f"in CLASSIFICATION, got '{m}'")
+            for m in list(cfg.TEST.METRICS):
+                req(str(m).lower() == "accuracy",
+                    f"TEST.METRICS option is 'accuracy' in CLASSIFICATION, got '{m}'")
+            if "top-5-accuracy" in [str(m).lower() for m in cfg.TRAIN.METRICS]:
+                req(int(cfg.DATA.N_CLASSES) >= 5,
+                    "'top-5-accuracy' can only be used when DATA.N_CLASSES >= 5")
         req(str(cfg.TEST.AUGMENTATION_GROUP).lower() in ("", "auto", "full", "flips", "none"),
             f"TEST.AUGMENTATION_GROUP must be auto/full/flips/none, got "
             f"{cfg.TEST.AUGMENTATION_GROUP}")
@@ -599,9 +823,25 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
         req(all(int(d) >= 0 for d in cfg.PROBLEM.DETECTION.CENTRAL_POINT_DILATION),
             "PROBLEM.DETECTION.CENTRAL_POINT_DILATION values must be >= 0")
         req(float(cfg.TEST.DET_TOLERANCE) > 0, "TEST.DET_TOLERANCE must be > 0")
+        req(str(cfg.TEST.DET_POINT_CREATION_FUNCTION) in ("peak_local_max", "blob_log"),
+            "TEST.DET_POINT_CREATION_FUNCTION must be one of "
+            "['peak_local_max', 'blob_log']")
+    if cfg.TEST.POST_PROCESSING.REMOVE_CLOSE_POINTS:
+        req(int(cfg.TEST.POST_PROCESSING.REMOVE_CLOSE_POINTS_RADIUS) > 0,
+            "TEST.POST_PROCESSING.REMOVE_CLOSE_POINTS_RADIUS needs to be set "
+            "when REMOVE_CLOSE_POINTS is True")
+        tres = [float(r) for r in cfg.DATA.TEST.RESOLUTION]
+        req(bool(tres) and tres != [-1.0],
+            "DATA.TEST.RESOLUTION must be set when using "
+            "TEST.POST_PROCESSING.REMOVE_CLOSE_POINTS (the radius is in "
+            "physical units)")
     if cfg.PROBLEM.TYPE == "DENOISING":
         n2v = cfg.PROBLEM.DENOISING
         if not n2v.LOAD_GT_DATA:  # Noise2Void
+            req(not cfg.DATA.TEST.LOAD_GT,
+                "Noise2Void denoising is unsupervised — there is no ground "
+                "truth to load; disable DATA.TEST.LOAD_GT "
+                "(reference check_configuration.py:2024)")
             req(0.0 < float(n2v.N2V_PERC_PIX) <= 100.0,
                 f"PROBLEM.DENOISING.N2V_PERC_PIX must be in (0,100], got {n2v.N2V_PERC_PIX}")
             req(str(n2v.N2V_MANIPULATOR) in (
@@ -620,11 +860,51 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
         if cfg.PROBLEM.SELF_SUPERVISED.PRETEXT_TASK == "masking":
             req(str(cfg.MODEL.ARCHITECTURE).lower() == "mae",
                 "SSL masking pretext requires MODEL.ARCHITECTURE == 'mae'")
+            req(0.0 < float(cfg.MODEL.MAE_MASK_RATIO) < 1.0,
+                "MODEL.MAE_MASK_RATIO not in (0, 1) range")
+        if cfg.PROBLEM.SELF_SUPERVISED.PRETEXT_TASK == "crappify":
+            req(str(cfg.MODEL.ARCHITECTURE).lower() != "mae",
+                "MODEL.ARCHITECTURE can not be 'mae' when the SSL pretext task "
+                "is 'crappify' (mae only reconstructs masked tokens)")
+            req(int(cfg.PROBLEM.SELF_SUPERVISED.RESIZING_FACTOR) in (2, 4, 6),
+                "PROBLEM.SELF_SUPERVISED.RESIZING_FACTOR not in [2, 4, 6]")
+            req(0.0 <= float(cfg.PROBLEM.SELF_SUPERVISED.NOISE) <= 1.0,
+                "PROBLEM.SELF_SUPERVISED.NOISE not in [0, 1] range")
     if cfg.PROBLEM.TYPE == "IMAGE_TO_IMAGE":
         i2i = cfg.PROBLEM.IMAGE_TO_IMAGE
         if getattr(i2i, "SEPARATED_DECODERS_PER_HEAD", False):
             req(len(getattr(i2i, "CHANNELS_PER_HEAD_INFO", [])) >= 1,
                 "SEPARATED_DECODERS_PER_HEAD requires CHANNELS_PER_HEAD_INFO")
+        if getattr(i2i, "MULTIPLE_RAW_ONE_TARGET_LOADER", False):
+            req(not cfg.DATA.TRAIN.FILTER_SAMPLES.ENABLE
+                and not cfg.DATA.VAL.FILTER_SAMPLES.ENABLE,
+                "FILTER_SAMPLES can not be enabled together with "
+                "PROBLEM.IMAGE_TO_IMAGE.MULTIPLE_RAW_ONE_TARGET_LOADER "
+                "(samples are whole raw groups, not single images)")
+
+    # -- BMZ export metadata ---------------------------------------------------
+    # (reference: check_bmz_export_fields, check_configuration.py:3550-3560 —
+    # the RDF needs these to build a valid model card)
+    exp = cfg.MODEL.BMZ.EXPORT
+    if exp.ENABLE:
+        req(str(exp.MODEL_NAME) != "", "MODEL.BMZ.EXPORT.MODEL_NAME must be set")
+        req(str(exp.DESCRIPTION) != "", "MODEL.BMZ.EXPORT.DESCRIPTION must be set")
+        req(str(exp.LICENSE) != "", "MODEL.BMZ.EXPORT.LICENSE must be set")
+        req(len(list(exp.TAGS)) > 0, "MODEL.BMZ.EXPORT.TAGS must be set")
+        authors = list(exp.AUTHORS)
+        req(len(authors) > 0 and all(
+            isinstance(a, dict) and "name" in a and "github_user" in a
+            for a in authors),
+            "MODEL.BMZ.EXPORT.AUTHORS must be a non-empty list of dicts with "
+            "'name' and 'github_user' keys")
+        for c in list(exp.CITE):
+            req(isinstance(c, dict) and "text" in c
+                and set(c).issubset({"text", "doi", "url"}),
+                "MODEL.BMZ.EXPORT.CITE entries must be dicts with at least "
+                "'text' (valid keys: text/doi/url)")
+        if str(exp.DOCUMENTATION) != "":
+            req(str(exp.DOCUMENTATION).endswith(".md"),
+                "MODEL.BMZ.EXPORT.DOCUMENTATION file suffix must be .md")
 
     if errors:
         raise ValueError("Invalid configuration:\n  - " + "\n  - ".join(errors))

@@ -138,6 +138,56 @@ def test_safetensors_config_rejected_with_guidance(tmp_path):
     ({"LOSS": {"CONTRAST": {"ENABLE": True}},
       "PROBLEM": {"TYPE": "SUPER_RESOLUTION",
                   "SUPER_RESOLUTION": {"UPSCALING": (2, 2)}}}, "CONTRAST"),
+    # rules ported in the second validator pass (reference
+    # check_configuration.py:1908-3400)
+    ({"TRAIN": {"ENABLE": False}, "TEST": {"ENABLE": True}}, "LOAD_CHECKPOINT"),
+    ({"TRAIN": {"OPTIMIZER": ["ADAMW", "ADAMW"], "LR": [1e-3, 1e-3]}},
+     "no discriminator"),
+    ({"TRAIN": {"OPT_BETAS": [0.9, 0.99, 0.5]}}, "OPT_BETAS"),
+    ({"TRAIN": {"GRADIENT_CLIP_NORM": -1.0}}, "GRADIENT_CLIP_NORM"),
+    ({"TRAIN": {"LR_SCHEDULER": {"NAME": "reduceonplateau",
+                                 "REDUCEONPLATEAU_PATIENCE": 30},
+                "PATIENCE": 10}}, "REDUCEONPLATEAU_PATIENCE"),
+    ({"DATA": {"VAL": {"FROM_TRAIN": True, "SPLIT_TRAIN": 0.0}}}, "SPLIT_TRAIN"),
+    ({"DATA": {"VAL": {"CROSS_VAL": True, "FROM_TRAIN": False}}}, "FROM_TRAIN"),
+    ({"DATA": {"TEST": {"USE_VAL_AS_TEST": True}}}, "USE_VAL_AS_TEST"),
+    ({"PROBLEM": {"TYPE": "SUPER_RESOLUTION",
+                  "SUPER_RESOLUTION": {"UPSCALING": (2, 2)}},
+      "DATA": {"NORMALIZATION": {"TYPE": "zero_mean_unit_variance"}}},
+     "SR workflow"),
+    ({"DATA": {"NORMALIZATION": {"PERC_CLIP": {"ENABLE": True}}}}, "PERC_CLIP"),
+    ({"MODEL": {"UPSAMPLE_LAYER": "nearest"}}, "UPSAMPLE_LAYER"),
+    ({"MODEL": {"CONV_BLOCK_ORDER": "norm_act_conv", "ARCHITECTURE": "unext_v1"}},
+     "pre-activation"),
+    ({"MODEL": {"Z_DOWN": [3, 3]}}, "Z_DOWN"),
+    ({"MODEL": {"ARCHITECTURE": "mae"}}, "SELF_SUPERVISED"),
+    ({"MODEL": {"ARCHITECTURE": "efficientnet_b0"},
+      "PROBLEM": {"TYPE": "CLASSIFICATION", "NDIM": "3D"},
+      "DATA": {"PATCH_SIZE": (16, 64, 64, 1)}}, "2D"),
+    ({"PROBLEM": {"TYPE": "DENOISING"},
+      "DATA": {"TEST": {"LOAD_GT": True}}}, "unsupervised"),
+    ({"PROBLEM": {"TYPE": "SELF_SUPERVISED",
+                  "SELF_SUPERVISED": {"RESIZING_FACTOR": 3}}},
+     "RESIZING_FACTOR"),
+    ({"PROBLEM": {"TYPE": "CLASSIFICATION"},
+      "DATA": {"N_CLASSES": 3},
+      "MODEL": {"ARCHITECTURE": "simple_cnn"},
+      "TRAIN": {"METRICS": ["top-5-accuracy"]}}, "top-5-accuracy"),
+    ({"AUGMENTOR": {"ENABLE": True, "ZOOM_RANGE": [0.01, 1.5]}}, "ZOOM_RANGE"),
+    ({"AUGMENTOR": {"ENABLE": True, "GAMMA_CONTRAST": True}}, "GAMMA_CONTRAST"),
+    ({"TEST": {"POST_PROCESSING": {"REMOVE_CLOSE_POINTS": True,
+                                   "REMOVE_CLOSE_POINTS_RADIUS": 5}},
+      "PROBLEM": {"TYPE": "DETECTION"}}, "RESOLUTION"),
+    ({"TEST": {"DET_POINT_CREATION_FUNCTION": "argmax"},
+      "PROBLEM": {"TYPE": "DETECTION"}}, "DET_POINT_CREATION_FUNCTION"),
+    ({"TEST": {"BY_CHUNKS": {"ENABLE": True, "Z_START": 10, "Z_END": 5}},
+      "PROBLEM": {"NDIM": "3D"},
+      "DATA": {"PATCH_SIZE": (16, 64, 64, 1)}}, "Z_START"),
+    ({"DATA": {"PREPROCESS": {"TEST": True,
+                              "RESIZE": {"ENABLE": True,
+                                         "OUTPUT_SHAPE": [32, 32]}}}},
+     "OUTPUT_SHAPE"),
+    ({"MODEL": {"BMZ": {"EXPORT": {"ENABLE": True}}}}, "MODEL_NAME"),
 ])
 def test_validation_rejects(bad, msg_frag):
     """New cross-field rules ported from the reference validator

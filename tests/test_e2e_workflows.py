@@ -49,6 +49,7 @@ def test_super_resolution_2d(tmp_path):
         "PROBLEM": {"TYPE": "SUPER_RESOLUTION", "NDIM": "2D",
                     "SUPER_RESOLUTION": {"UPSCALING": (2, 2)}},
         "DATA": {"PATCH_SIZE": (16, 16, 1),
+                 "NORMALIZATION": {"TYPE": "div"},
                  "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
                  "VAL": {"SPLIT_TRAIN": 0.2},
                  "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
@@ -261,6 +262,8 @@ def test_reuse_predictions(tmp_path):
 
     cfg2 = dict(cfg)
     cfg2["TRAIN"] = {"ENABLE": False}
+    # test-without-train requires a checkpoint (the first run left one)
+    cfg2["MODEL"] = {**cfg["MODEL"], "LOAD_CHECKPOINT": True}
     cfg2["TEST"] = {"ENABLE": True, "REUSE_PREDICTIONS": True}
     from biapy_tpu._biapy import BiaPy
     job2 = BiaPy(cfg2, result_dir=os.path.join(root, "results"), name="reuse", silent=True)
@@ -425,6 +428,7 @@ def test_super_resolution_3d_onecycle(tmp_path):
         "PROBLEM": {"TYPE": "SUPER_RESOLUTION", "NDIM": "3D",
                     "SUPER_RESOLUTION": {"UPSCALING": (1, 2, 2)}},
         "DATA": {"PATCH_SIZE": (8, 16, 16, 1),
+                 "NORMALIZATION": {"TYPE": "div"},
                  "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
                  "VAL": {"SPLIT_TRAIN": 0.2},
                  "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
@@ -687,6 +691,7 @@ def test_super_resolution_dfcan_crossval(tmp_path):
         "PROBLEM": {"TYPE": "SUPER_RESOLUTION", "NDIM": "2D",
                     "SUPER_RESOLUTION": {"UPSCALING": (2, 2)}},
         "DATA": {"PATCH_SIZE": (16, 16, 1),
+                 "NORMALIZATION": {"TYPE": "div"},
                  "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
                  "VAL": {"CROSS_VAL": True, "CROSS_VAL_NFOLD": 5, "CROSS_VAL_FOLD": 2},
                  "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,

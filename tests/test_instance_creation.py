@@ -229,7 +229,9 @@ def test_cellpose_test_rescale_hooks(tmp_path):
                                      "CELLPOSE": {"DIAMETER": 60.0, "DIAM_MEAN": 30.0}}},
         "DATA": {"PATCH_SIZE": (32, 32, 1),
                  "TEST": {"PATH": str(tmp_path / "x"), "LOAD_GT": False}},
-        "TRAIN": {"ENABLE": False},
+        # TRAIN on (but never run) — a test-only config without a checkpoint
+        # is rejected by validation, and this test only builds the workflow
+        "TRAIN": {"ENABLE": True},
         "TEST": {"ENABLE": True},
     }
     job = BiaPy(cfg, result_dir=str(tmp_path), name="cp", silent=True)
