@@ -303,13 +303,20 @@ class BiaPy:
         embedded; reference: _biapy.py load_workflow_from_model)."""
         return cls(checkpoint_path, **kwargs)
 
-    def export_model_to_bmz(self, output_dir: Optional[str] = None) -> str:
+    def export_model_to_bmz(self, output_dir: Optional[str] = None,
+                            reuse_original_bmz_config: Optional[bool] = None) -> str:
         """Package the trained model as a BioImage-Model-Zoo-style RDF zip
-        (reference: export_model_to_bmz, _biapy.py:1012)."""
+        (reference: export_model_to_bmz, _biapy.py:1012). With
+        MODEL.BMZ.EXPORT.REUSE_BMZ_CONFIG (reference: run_job, _biapy.py:1915)
+        the imported package's model card is carried over."""
         from biapy_tpu.utils.bmz import export_model_to_bmz
 
         self._build_workflow()
-        return export_model_to_bmz(self.workflow, output_dir or self.cfg.PATHS.BMZ_EXPORT_PATH)
+        if reuse_original_bmz_config is None:
+            reuse_original_bmz_config = bool(self.cfg.MODEL.BMZ.EXPORT.REUSE_BMZ_CONFIG)
+        return export_model_to_bmz(
+            self.workflow, output_dir or self.cfg.PATHS.BMZ_EXPORT_PATH,
+            reuse_original_bmz_config=reuse_original_bmz_config)
 
     def run_job(self):
         """train() then test() then optional BMZ export (reference: run_job,

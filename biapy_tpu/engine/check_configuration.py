@@ -886,7 +886,14 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
     # (reference: check_bmz_export_fields, check_configuration.py:3550-3560 —
     # the RDF needs these to build a valid model card)
     exp = cfg.MODEL.BMZ.EXPORT
-    if exp.ENABLE:
+    if exp.ENABLE and exp.REUSE_BMZ_CONFIG:
+        # reusing the imported package's model card requires having imported
+        # one (reference check_configuration.py:3433-3436)
+        req(str(cfg.MODEL.SOURCE).lower() == "bmz",
+            "Seems that you are not loading a BioImage Model Zoo model. Thus, "
+            "you can not activate 'MODEL.BMZ.EXPORT.REUSE_BMZ_CONFIG' as there "
+            "will be nothing to reuse.")
+    if exp.ENABLE and not exp.REUSE_BMZ_CONFIG:
         req(str(exp.MODEL_NAME) != "", "MODEL.BMZ.EXPORT.MODEL_NAME must be set")
         req(str(exp.DESCRIPTION) != "", "MODEL.BMZ.EXPORT.DESCRIPTION must be set")
         req(str(exp.LICENSE) != "", "MODEL.BMZ.EXPORT.LICENSE must be set")
@@ -905,6 +912,13 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
         if str(exp.DOCUMENTATION) != "":
             req(str(exp.DOCUMENTATION).endswith(".md"),
                 "MODEL.BMZ.EXPORT.DOCUMENTATION file suffix must be .md")
+        di = exp.DATASET_INFO
+        req(isinstance(di, (list, tuple)) and len(di) == 1
+            and isinstance(di[0], dict)
+            and set(di[0]).issubset({"name", "doi", "image_modality",
+                                     "dataset_id", "id"}),
+            "MODEL.BMZ.EXPORT.DATASET_INFO must be a list with a single dict "
+            "inside (valid keys: name/doi/image_modality/dataset_id)")
 
     if errors:
         raise ValueError("Invalid configuration:\n  - " + "\n  - ".join(errors))

@@ -317,11 +317,20 @@ def load_bmz_model_weights(source: str, params, batch_stats=None, verbose: bool 
                      f"(found: {list(weights.keys())})")
 
 
-def export_model_to_bmz(workflow, output_dir: str, model_name: Optional[str] = None) -> str:
+def export_model_to_bmz(workflow, output_dir: str, model_name: Optional[str] = None,
+                        reuse_original_bmz_config: bool = False) -> str:
     cfg = workflow.cfg
     workflow._ensure_model_for_test()
     os.makedirs(output_dir, exist_ok=True)
-    name = model_name or (cfg.MODEL.BMZ.EXPORT.MODEL_NAME or workflow.job_identifier)
+
+    # MODEL.BMZ.EXPORT.REUSE_BMZ_CONFIG: a finetuned BMZ import re-exports
+    # under the original package's model card (reference run_job,
+    # _biapy.py:1915; validated to require MODEL.SOURCE == 'bmz')
+    orig: dict = {}
+    if reuse_original_bmz_config:
+        orig = read_bmz_rdf(str(cfg.MODEL.BMZ.SOURCE_MODEL_ID))
+    name = model_name or orig.get("name") \
+        or cfg.MODEL.BMZ.EXPORT.MODEL_NAME or workflow.job_identifier
 
     # -- test tensors: one real forward pass -------------------------------
     import jax.numpy as jnp
@@ -352,9 +361,13 @@ def export_model_to_bmz(workflow, output_dir: str, model_name: Optional[str] = N
     # -- documentation + cover ------------------------------------------------
     exp = cfg.MODEL.BMZ.EXPORT
     doc_src = str(exp.DOCUMENTATION or "")
+    orig_doc = os.path.join(orig["_root"], str(orig.get("documentation") or "")) \
+        if orig.get("documentation") else ""
     if doc_src and os.path.exists(doc_src):
         # user-provided markdown (reference: MODEL.BMZ.EXPORT.DOCUMENTATION)
         doc = open(doc_src).read()
+    elif orig_doc and os.path.isfile(orig_doc):
+        doc = open(orig_doc).read()
     else:
         doc = (f"# {name}\n\nTrained with biapy_tpu {biapy_tpu.__version__} "
                f"({cfg.PROBLEM.TYPE}, {cfg.PROBLEM.NDIM}).\n\n"
@@ -376,18 +389,26 @@ def export_model_to_bmz(workflow, output_dir: str, model_name: Optional[str] = N
         "format_version": "0.5.0",
         "type": "model",
         "name": name,
-        "description": exp.DESCRIPTION or f"biapy_tpu {cfg.PROBLEM.TYPE} model",
         # user-supplied RDF metadata (reference: MODEL.BMZ.EXPORT.*,
-        # export_model_to_bmz _biapy.py:1012)
-        "authors": ([dict(a) if isinstance(a, dict) else {"name": str(a)}
-                     for a in exp.AUTHORS] or [{"name": "biapy_tpu"}]),
-        "license": str(exp.LICENSE or "CC-BY-4.0"),
-        "tags": [str(t) for t in (exp.TAGS or [])] or [
+        # export_model_to_bmz _biapy.py:1012); with REUSE_BMZ_CONFIG the
+        # imported package's card wins — the reference reuse path passes no
+        # bmz_cfg at all (_biapy.py:1915-1916)
+        "description": (orig.get("description") if orig else None)
+        or exp.DESCRIPTION or f"biapy_tpu {cfg.PROBLEM.TYPE} model",
+        "authors": (orig.get("authors") if orig else None)
+        or [dict(a) if isinstance(a, dict) else {"name": str(a)}
+            for a in exp.AUTHORS] or [{"name": "biapy_tpu"}],
+        "license": str((orig.get("license") if orig else None)
+                       or exp.LICENSE or "CC-BY-4.0"),
+        "tags": (orig.get("tags") if orig else None)
+        or [str(t) for t in (exp.TAGS or [])] or [
             str(cfg.PROBLEM.TYPE).lower().replace("_", "-"),
             str(cfg.PROBLEM.NDIM).lower(), str(cfg.MODEL.ARCHITECTURE)],
-        "cite": [dict(c) if isinstance(c, dict) else {"text": str(c)}
-                 for c in (exp.CITE or [])],
-        "version": str(exp.MODEL_VERSION or "0.1.0"),
+        "cite": (orig.get("cite") if orig else None)
+        or [dict(c) if isinstance(c, dict) else {"text": str(c)}
+            for c in (exp.CITE or [])],
+        "version": str((orig.get("version") if orig else None)
+                       or exp.MODEL_VERSION or "0.1.0"),
         "training_data": (
             {"id": exp.DATASET_INFO[0]["id"]}
             if exp.DATASET_INFO and isinstance(exp.DATASET_INFO[0], dict)

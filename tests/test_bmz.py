@@ -181,3 +181,54 @@ def test_torch_state_dict_import_bn_true_registration_order():
     assert float(np.unique(new_stats["bn0"]["mean"])) == 5.0
     assert float(np.unique(new_stats["bn0"]["var"])) == 6.0
     assert float(np.unique(new_params["conv1"]["kernel"])) == 8.0
+
+
+def test_bmz_finetune_reuses_original_model_card(tmp_path):
+    """Import a BMZ package, finetune it, and re-export under the original
+    model card (reference run_checks Test28: 'frank-boar' import, finetune,
+    export with reuse_original_bmz_config; run_job _biapy.py:1915)."""
+    import glob
+    import jax
+
+    from biapy_tpu._biapy import BiaPy
+    from biapy_tpu.utils.bmz import read_bmz_rdf
+
+    root = str(tmp_path)
+    _tiny_data(root)
+
+    # original export with a full model card
+    cfg = _base_cfg(root)
+    cfg["MODEL"]["BMZ"] = {"EXPORT": {
+        "ENABLE": True, "MODEL_NAME": "nucleus-model",
+        "DESCRIPTION": "original card description",
+        "AUTHORS": [{"name": "Ada", "github_user": "ada"}],
+        "TAGS": ["nucleus", "2d"],
+        "CITE": [{"text": "Ada et al.", "doi": "10.1/xyz"}],
+    }}
+    job = BiaPy(cfg, result_dir=root + "/res1", name="orig", silent=True)
+    job.run_job()
+    zpath = glob.glob(root + "/res1/orig/**/nucleus-model.zip", recursive=True)[0]
+    w0 = jax.tree.leaves(job.workflow.state.params)
+
+    # finetune the package and re-export reusing its card
+    cfg2 = _base_cfg(root)
+    cfg2["MODEL"] = {"SOURCE": "bmz", "BMZ": {
+        "SOURCE_MODEL_ID": zpath,
+        "EXPORT": {"ENABLE": True, "REUSE_BMZ_CONFIG": True}}}
+    cfg2["TRAIN"] = {"ENABLE": True, "EPOCHS": 2, "BATCH_SIZE": 2}
+    cfg2["TEST"] = {"ENABLE": True}
+    job2 = BiaPy(cfg2, result_dir=root + "/res2", name="ft", silent=True)
+    job2.run_job()
+
+    # weights actually moved (finetuning happened on the imported weights)
+    w1 = jax.tree.leaves(job2.workflow.state.params)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(w0, w1))
+
+    zpath2 = glob.glob(root + "/res2/ft/**/nucleus-model.zip", recursive=True)
+    assert zpath2, "re-export must carry the original package name"
+    rdf = read_bmz_rdf(zpath2[0])
+    assert rdf["name"] == "nucleus-model"
+    assert rdf["description"] == "original card description"
+    assert rdf["authors"] == [{"name": "Ada", "github_user": "ada"}]
+    assert rdf["tags"] == ["nucleus", "2d"]
+    assert rdf["cite"] == [{"text": "Ada et al.", "doi": "10.1/xyz"}]

@@ -188,6 +188,8 @@ def test_safetensors_config_rejected_with_guidance(tmp_path):
                                          "OUTPUT_SHAPE": [32, 32]}}}},
      "OUTPUT_SHAPE"),
     ({"MODEL": {"BMZ": {"EXPORT": {"ENABLE": True}}}}, "MODEL_NAME"),
+    ({"MODEL": {"BMZ": {"EXPORT": {"ENABLE": True, "REUSE_BMZ_CONFIG": True}}}},
+     "nothing to reuse"),
 ])
 def test_validation_rejects(bad, msg_frag):
     """New cross-field rules ported from the reference validator
