@@ -108,16 +108,38 @@ class BiaPy:
         self.cfg = cfg_holder.get_cfg_defaults()
         self.cfg.merge_from_dict(raw)
         if str(raw.get("MODEL", {}).get("SOURCE", "")).lower() == "bmz":
-            # adapt the config to the BMZ package before validation
-            # (reference: check_bmz_args, models/__init__.py:1119)
+            # adapt the config to the BMZ package before validation: RDF-
+            # derived opts win over the user YAML, each change printed, with
+            # patch size only adopted when non-channel dims differ
+            # (reference: check_bmz_args models/__init__.py:1119 applied in
+            # base_workflow.py:330-357)
             from biapy_tpu.utils.bmz import check_bmz_args
 
-            overrides = check_bmz_args(str(self.cfg.MODEL.BMZ.SOURCE_MODEL_ID), self.cfg)
-            for sect, vals in overrides.items():
-                # user-provided keys win over package-embedded ones
-                vals = {k: v for k, v in vals.items() if k not in raw.get(sect, {})}
-                if vals:
-                    self.cfg.merge_from_dict({sect: vals})
+            preproc, opts, _ = check_bmz_args(
+                str(self.cfg.MODEL.BMZ.SOURCE_MODEL_ID), self.cfg)
+            if preproc and not silent:
+                print("[BMZ] Overriding preprocessing steps to the ones fixed "
+                      f"in BMZ model: {preproc}")
+            option_list: list = []
+            for key, val in opts.items():
+                node = self.cfg
+                for p in key.split("."):
+                    node = node[p]
+                old = node
+
+                def plain(v):
+                    return list(plain(x) for x in v) if isinstance(v, (list, tuple)) else v
+
+                if key == "DATA.PATCH_SIZE":
+                    change = plain(old)[:-1] != plain(val)[:-1]
+                else:
+                    change = plain(old) != plain(val)
+                if change:
+                    if not silent:
+                        print(f"[BMZ] Changed '{key}' from '{old}' to '{val}' "
+                              "as defined in the RDF")
+                    option_list += [key, val]
+            self.cfg.merge_from_list(option_list)
         update_dependencies(self.cfg, self.job_dir, self.job_identifier)
 
         _enable_persistent_compile_cache()
@@ -298,10 +320,34 @@ class BiaPy:
             self.workflow = None
 
     @classmethod
-    def load_workflow_from_model(cls, checkpoint_path: str, **kwargs) -> "BiaPy":
-        """Build a ready-to-infer job from a checkpoint alone (the config is
-        embedded; reference: _biapy.py load_workflow_from_model)."""
-        return cls(checkpoint_path, **kwargs)
+    def load_workflow_from_model(cls, source: str, **kwargs) -> "BiaPy":
+        """Build a ready-to-infer job from a trained model alone, inferring
+        the workflow (reference: _biapy.py load_workflow_from_model:830-882):
+        a ``.ckpt`` checkpoint carries its config embedded; a BMZ package
+        (zip/dir) has its workflow and dimensionality inferred from the RDF
+        via check_bmz_args."""
+        import zipfile
+
+        if isinstance(source, str) and (
+                os.path.isdir(source) or zipfile.is_zipfile(source)):
+            from biapy_tpu.utils.bmz import check_bmz_args
+
+            _, _, workflow_info = check_bmz_args(source)
+            workflow = workflow_info.get("workflow_type")
+            if not workflow:
+                raise ValueError(
+                    f"Could not infer the workflow from the BMZ model '{source}'. "
+                    "Build the configuration explicitly with build_config(...) "
+                    "and pass it to BiaPy(...).")
+            cfg_dict = {
+                "PROBLEM": {"TYPE": workflow, "NDIM": workflow_info.get("ndim", "2D")},
+                "MODEL": {"SOURCE": "bmz", "BMZ": {"SOURCE_MODEL_ID": source}},
+                "TRAIN": {"ENABLE": False},
+                "TEST": {"ENABLE": True},
+                "DATA": {"TEST": {"LOAD_GT": False, "USE_VAL_AS_TEST": False}},
+            }
+            return cls(cfg_dict, **kwargs)
+        return cls(source, **kwargs)
 
     def export_model_to_bmz(self, output_dir: Optional[str] = None,
                             reuse_original_bmz_config: Optional[bool] = None) -> str:

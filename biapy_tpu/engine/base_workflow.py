@@ -206,9 +206,9 @@ class Base_Workflow(metaclass=ABCMeta):
             # BMZ import (reference: build_bmz_model, models/__init__.py:943)
             from biapy_tpu.utils.bmz import load_bmz_model_weights
 
-            params, batch_stats = load_bmz_model_weights(
+            params, batch_stats, self.bmz_torch_map = load_bmz_model_weights(
                 str(self.cfg.MODEL.BMZ.SOURCE_MODEL_ID), params, batch_stats,
-                verbose=self.verbose)
+                verbose=self.verbose, return_map=True)
 
         steps_per_epoch = max(1, getattr(self, "_steps_per_epoch", 100))
         tx, self.plateau = build_optimizer(self.cfg, steps_per_epoch)

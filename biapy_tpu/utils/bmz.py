@@ -6,12 +6,13 @@ rdf.yaml model description, weights, test input/output tensors, cover
 image, documentation, sha256 sums.
 
 This implementation writes a spec-shaped bioimageio RDF (format 0.5) with
-the model weights in biapy_tpu's native msgpack format (declared under
-``weights.keras_hdf5``-style custom key is not allowed, so we use the
-``pytorch_state_dict``-equivalent slot only when a converted state dict is
-available — for now weights ship under ``attachments`` with a clear note;
-torch-format conversion is a tracked gap). The test tensors are real
-forward-pass outputs so a downstream consumer can verify numerics.
+the model weights in biapy_tpu's native msgpack format under
+``attachments``. When the model was imported from torch weights, a
+``weights.pytorch_state_dict`` is additionally exported through the
+recorded torch->flax tensor mapping (original key names and layouts, with
+an agreement self-check), so torch consumers of the source package can
+load the finetuned result. The test tensors are real forward-pass outputs
+so a downstream consumer can verify numerics.
 """
 
 from __future__ import annotations
@@ -67,48 +68,484 @@ def read_bmz_rdf(source: str) -> dict:
     return rdf
 
 
-def check_bmz_args(source: str, cfg) -> dict:
-    """Validate a BMZ package against the current config and return the
-    config overrides it implies (reference: check_bmz_args,
-    models/__init__.py:1119 + compatibility check :1176).
-
-    For biapy_tpu-exported packages the embedded config's MODEL section is
-    returned so the exact architecture is rebuilt; for external packages the
-    user's MODEL section must describe the architecture and only weight
-    loading is attempted."""
-    rdf = read_bmz_rdf(source)
-    if rdf.get("type") != "model":
-        raise ValueError(f"BMZ RDF at {source} is type '{rdf.get('type')}', not 'model'")
-    overrides: dict = {}
-    emb = rdf.get("config", {}).get("biapy_tpu", {}).get("cfg")
-    if emb:
-        if emb.get("PROBLEM", {}).get("TYPE") not in ("", None, cfg.PROBLEM.TYPE):
-            print(f"BMZ package was trained for {emb['PROBLEM']['TYPE']}; "
-                  f"current workflow is {cfg.PROBLEM.TYPE} (weights load anyway)")
-        overrides["MODEL"] = {k: v for k, v in emb.get("MODEL", {}).items() if k != "SOURCE"}
-        overrides["DATA"] = {"PATCH_SIZE": emb.get("DATA", {}).get("PATCH_SIZE",
-                                                                   list(cfg.DATA.PATCH_SIZE))}
-    return overrides
+def _ver_tuple(s: str) -> tuple:
+    """Parse 'maj.min.patch' into an int tuple; unparseable parts stop the
+    parse (enough for the 0.4/0.5 format_version comparisons)."""
+    out = []
+    for part in str(s).split("."):
+        if not part.isdigit():
+            break
+        out.append(int(part))
+    return tuple(out) or (0,)
 
 
-def _torch_tensor_to_flax(t_np: np.ndarray, flax_shape: tuple) -> Optional[np.ndarray]:
-    """Convert one torch tensor to a flax layout if shapes can correspond:
-    convs OI(D)HW -> (D)HWIO, linear (O,I) -> (I,O), 1-D params as-is."""
-    if tuple(t_np.shape) == tuple(flax_shape):
-        return t_np
-    if t_np.ndim >= 3:  # conv kernel
-        perm = tuple(range(2, t_np.ndim)) + (1, 0)
-        c = np.transpose(t_np, perm)
-        if tuple(c.shape) == tuple(flax_shape):
-            return c
-    if t_np.ndim == 2:
-        c = t_np.T
-        if tuple(c.shape) == tuple(flax_shape):
-            return c
+# BiaPy torch architecture callables (and their source-file names) that map
+# 1:1 onto biapy_tpu architectures, so an imported package rebuilds the
+# same network here (reference builds the torch model straight from the RDF
+# callable, load_torch_model via build_bmz_model models/__init__.py:943; the
+# TPU-native equivalent is adopting the architecture into MODEL.* and
+# letting build_model construct the flax twin).
+_BIAPY_ARCH_CALLABLES = {
+    "u_net": "unet",
+    "unet": "unet",
+    "resunet": "resunet",
+    "resunetplusplus": "resunet++",
+    "resunet++": "resunet++",
+    "se_u_net": "seunet",
+    "seunet": "seunet",
+    "resunet_se": "resunet_se",
+    "attention_u_net": "attention_unet",
+    "attention_unet": "attention_unet",
+    "u_next_v1": "unext_v1",
+    "unext_v1": "unext_v1",
+    "u_next_v2": "unext_v2",
+    "unext_v2": "unext_v2",
+    "multiresunet": "multiresunet",
+    "unetr": "unetr",
+}
+
+# BiaPy torch-constructor kwarg -> biapy_tpu config key (the kwargs a
+# BiaPy-exported RDF carries are exactly build_model's args dict,
+# reference models/__init__.py:121-146)
+_BIAPY_KWARG_TO_OPT = {
+    "feature_maps": "MODEL.FEATURE_MAPS",
+    "drop_values": "MODEL.DROPOUT_VALUES",
+    "normalization": "MODEL.NORMALIZATION",
+    "k_size": "MODEL.KERNEL_SIZE",
+    "upsample_layer": "MODEL.UPSAMPLE_LAYER",
+    "yx_down": "MODEL.YX_DOWN",
+    "z_down": "MODEL.Z_DOWN",
+    "isotropy": "MODEL.ISOTROPY",
+    "larger_io": "MODEL.LARGER_IO",
+    "conv_layers": "MODEL.CONV_LAYERS",
+    "cn_layers": "MODEL.CONV_LAYERS",
+    "conv_block_order": "MODEL.CONV_BLOCK_ORDER",
+    "activation": "MODEL.ACTIVATION",
+    "stochastic_depth_prob": "MODEL.CONVNEXT_SD_PROB",
+    "stem_k_size": "MODEL.CONVNEXT_STEM_K_SIZE",
+    "layer_scale": "MODEL.CONVNEXT_LAYER_SCALE",
+    "upsampling_position": "MODEL.UNET_SR_UPSAMPLE_POSITION",
+}
+
+
+def _bmz_weights_spec(manifest: dict) -> dict:
+    w = (manifest.get("weights") or {}).get("pytorch_state_dict")
+    return w if isinstance(w, dict) else {}
+
+
+def _bmz_model_kwargs(weights: dict) -> Optional[dict]:
+    """kwargs live under weights.kwargs (spec 0.4) or
+    weights.architecture.kwargs (spec 0.5) — reference get_bmz_model_kwargs,
+    models/__init__.py:892."""
+    if isinstance(weights.get("kwargs"), dict):
+        return weights["kwargs"]
+    arch = weights.get("architecture")
+    if isinstance(arch, dict) and isinstance(arch.get("kwargs"), dict):
+        return arch["kwargs"]
     return None
 
 
-def import_torch_state_dict(state_dict: dict, params, batch_stats=None):
+def _bmz_arch_name(weights: dict) -> Optional[str]:
+    """Resolve the architecture callable/source of the RDF to a biapy_tpu
+    MODEL.ARCHITECTURE name, or None when unrecognised."""
+    cands = []
+    arch = weights.get("architecture")
+    if isinstance(arch, dict):
+        cands += [arch.get("callable"), arch.get("source")]
+    elif isinstance(arch, str):
+        # spec 0.4: "module.py:Callable"
+        cands += arch.replace(":", " ").split()
+    for c in cands:
+        if not c:
+            continue
+        name = str(c).lower().replace(".py", "")
+        name = name.rsplit(".", 1)[-1].rsplit("/", 1)[-1]
+        if name in _BIAPY_ARCH_CALLABLES:
+            return _BIAPY_ARCH_CALLABLES[name]
+    return None
+
+
+def check_bmz_model_compatibility(model_rdf: dict, workflow_specs: Optional[dict] = None) -> dict:
+    """Check one model's compatibility with this framework from its raw RDF
+    manifest dict — a faithful port of the reference's
+    check_bmz_model_compatibility (models/__init__.py:1176-1606): torch
+    state-dict weights with a single input only; workflow inferred from
+    tags (with the instance-seg channel-code heuristics, including the
+    'representation:' description marker and the CartoCell cyst/3d/
+    fluorescence combo); patch size parsed from spec-0.4 string axes +
+    shape.min or spec-0.5 axis dicts; preprocessing entries mapped onto
+    DATA.NORMALIZATION opts ('name' key below format 0.5.x, 'id' above);
+    postprocessing in kwargs rejected.
+
+    Divergence from the reference: the conda-dependency importability check
+    (models/__init__.py:1575-1603) needs network access, so packages that
+    declare extra dependencies produce a warning in ``reason_message``
+    instead of being rejected.
+
+    Returns {"preproc_info", "error", "reason_message", "opts",
+    "workflow_info"}; ``opts`` maps dotted config keys to values.
+    """
+
+    def g(d, *ks, default=None):
+        cur = d
+        for k in ks:
+            if isinstance(cur, dict) and k in cur:
+                cur = cur[k]
+            else:
+                return default
+        return cur
+
+    preproc_info: list = []
+    opts: dict = {}
+    workflow_info: dict = {}
+
+    def _result(error: bool, reason_message: str = "") -> dict:
+        return {"preproc_info": preproc_info, "error": error,
+                "reason_message": reason_message, "opts": opts,
+                "workflow_info": workflow_info}
+
+    m = g(model_rdf, "raw", "manifest", default=model_rdf) or model_rdf
+    specific_workflow = "all" if workflow_specs is None else workflow_specs["workflow_type"]
+    specific_dims = "all" if workflow_specs is None else workflow_specs["ndim"]
+    ref_classes = "all" if workflow_specs is None else workflow_specs["nclasses"]
+
+    weights = _bmz_weights_spec(m)
+    inputs = g(m, "inputs") or []
+    if not weights:
+        return _result(True, f"[{specific_workflow}] pytorch_state_dict not found in model RDF\n")
+    if not (isinstance(inputs, list) and len(inputs) == 1):
+        return _result(True, f"[{specific_workflow}] Model needs to have a single input.\n")
+
+    model_version = _ver_tuple(g(m, "format_version", default="0.5"))
+
+    model_kwargs = _bmz_model_kwargs(weights)
+    if model_kwargs is None:
+        return _result(True, f"[{specific_workflow}] Couldn't extract kwargs from model description.\n")
+
+    # --------- problem type via tags (reference :1273-1410) ---------
+    tags = g(m, "tags", default=[]) or []
+    if (specific_workflow in ("all", "SEMANTIC_SEG")) and (
+        "semantic-segmentation" in tags
+        or ("segmentation" in tags and "instance-segmentation" not in tags)
+    ):
+        workflow_info["workflow_type"] = "SEMANTIC_SEG"
+        classes = -1
+        for k in ("n_classes", "out_channels", "output_channels", "classes"):
+            if k in model_kwargs:
+                classes = model_kwargs[k]
+                break
+        if isinstance(classes, list):
+            classes = classes[-1]
+        if not isinstance(classes, int):
+            return _result(True, f"[{specific_workflow}] 'DATA.N_CLASSES' not "
+                                 f"extracted. Obtained {classes}. Please check it!\n")
+        if classes == -1 and _bmz_arch_name(weights):
+            # known architecture -> assume the 1-class default
+            classes = 1
+        if classes == -1:
+            return _result(True, f"[{specific_workflow}] Couldn't find the classes "
+                                 "this model is returning so please be aware to match it\n")
+        if ref_classes != "all" and classes > 2 and ref_classes != classes:
+            return _result(True, f"[{specific_workflow}] 'DATA.N_CLASSES' does not "
+                                 "match network's output classes. Please check it!\n")
+        opts["DATA.N_CLASSES"] = max(2, classes)
+    elif specific_workflow in ("all", "INSTANCE_SEG") and "instance-segmentation" in tags:
+        workflow_info["workflow_type"] = "INSTANCE_SEG"
+        channels: object = 2
+        channel_code = ["F", "C"]
+        classes = 2
+        if "out_channels" in model_kwargs:
+            channels = model_kwargs["out_channels"]
+        elif "output_channels" in model_kwargs:
+            channels = model_kwargs["output_channels"]
+        if "biapy" in tags:
+            desc = str(m.get("description", ""))
+            if "representation:" in desc:
+                try:
+                    rep = desc.split("representation:")[1].split("\n")[0].strip().split("+")
+                    channel_code = [x.strip() for x in rep]
+                except Exception:
+                    print(f"[{specific_workflow}] couldn't extract channel "
+                          f"representation from model RDF description: {desc}. "
+                          "Setting the default F+C\n")
+            if "cyst" in tags and "3d" in tags and "fluorescence" in tags:
+                channel_code = ["F", "C", "M"]  # CartoCell models
+            if isinstance(channels, list):
+                if len(channels) == 2:
+                    classes = channels[-1]
+                channels = channels[0]
+        else:
+            if isinstance(channels, list):
+                channels = channels[-1]
+            if channels == 1:
+                channel_code = ["C"]
+            elif channels == 2:
+                channel_code = ["F", "C"]
+            elif channels == 8:
+                channel_code = ["A"]  # wild-whale
+        opts["PROBLEM.INSTANCE_SEG.DATA_CHANNELS"] = channel_code
+        opts["PROBLEM.INSTANCE_SEG.DATA_CHANNEL_WEIGHTS"] = (1,) * len(channel_code)
+        opts["PROBLEM.INSTANCE_SEG.DATA_CHANNELS_LOSSES"] = []
+        opts["PROBLEM.INSTANCE_SEG.TYPE"] = (
+            "synapses" if any(x in channel_code for x in ("F_pre", "F_post", "F_cleft"))
+            else "regular")
+        opts["PROBLEM.INSTANCE_SEG.WATERSHED.SEED_CHANNELS"] = []
+        opts["PROBLEM.INSTANCE_SEG.WATERSHED.TOPOGRAPHIC_SURFACE_CHANNEL"] = ""
+        opts["PROBLEM.INSTANCE_SEG.WATERSHED.GROWTH_MASK_CHANNELS"] = []
+        opts["PROBLEM.INSTANCE_SEG.INSTANCE_CREATION_PROCESS"] = ""
+        opts["PROBLEM.INSTANCE_SEG.DATA_CHANNELS_EXTRA_OPTS"] = [{}]
+        if classes != 2:
+            opts["DATA.N_CLASSES"] = max(2, classes)
+    elif specific_workflow in ("all", "DETECTION") and "detection" in tags:
+        workflow_info["workflow_type"] = "DETECTION"
+    elif specific_workflow in ("all", "DENOISING") and "denoising" in tags:
+        workflow_info["workflow_type"] = "DENOISING"
+    elif specific_workflow in ("all", "SUPER_RESOLUTION") and (
+            "super-resolution" in tags or "superresolution" in tags):
+        workflow_info["workflow_type"] = "SUPER_RESOLUTION"
+    elif specific_workflow in ("all", "SELF_SUPERVISED") and "self-supervision" in tags:
+        workflow_info["workflow_type"] = "SELF_SUPERVISED"
+    elif specific_workflow in ("all", "CLASSIFICATION") and "classification" in tags:
+        workflow_info["workflow_type"] = "CLASSIFICATION"
+    elif specific_workflow in ("all", "IMAGE_TO_IMAGE") and any(
+            t in tags for t in ("pix2pix", "image-reconstruction", "image-to-image",
+                                "image-restoration")):
+        workflow_info["workflow_type"] = "IMAGE_TO_IMAGE"
+    else:
+        return _result(True, f"[{specific_workflow}] no workflow tag recognized in {tags}.\n")
+
+    # --------- axes / patch size (reference :1411-1480) ---------
+    axes_order = g(inputs[0], "axes")
+    input_image_shape: list = []
+    if isinstance(axes_order, str):
+        # spec 0.4: axes as a string, shape as a list or {min, step}
+        shape = inputs[0].get("shape", {})
+        input_image_shape = shape.get("min", []) if isinstance(shape, dict) else list(shape)
+    elif isinstance(axes_order, list):
+        _axes_order = ""
+        for axis in axes_order:
+            atype, aid = axis.get("type"), axis.get("id")
+            if atype == "batch":
+                _axes_order += "b"
+                input_image_shape.append(1)
+            elif atype == "channel" or aid == "channel":
+                _axes_order += "c"
+                input_image_shape.append(1)
+            elif aid:
+                size = axis.get("size")
+                if isinstance(size, int):
+                    input_image_shape.append(size)
+                elif isinstance(size, dict) and "min" in size:
+                    input_image_shape.append(size["min"])
+                _axes_order += str(aid)
+        axes_order = _axes_order
+    if not all(isinstance(x, int) for x in input_image_shape) or len(input_image_shape) < 3:
+        return _result(True, f"[{specific_workflow}] couldn't extract input image "
+                             f"shape from model RDF: {input_image_shape}\n")
+    opts["DATA.PATCH_SIZE"] = tuple(input_image_shape[2:]) + (input_image_shape[1],)
+
+    if axes_order == "bcyx":
+        workflow_info["ndim"] = "2D"
+    elif axes_order == "bczyx":
+        workflow_info["ndim"] = "3D"
+    if "DATA.N_CLASSES" in opts:
+        workflow_info["nclasses"] = opts["DATA.N_CLASSES"]
+
+    if specific_dims == "2D":
+        if axes_order != "bcyx":
+            return _result(True, f"[{specific_workflow}] In a 2D problem the axes "
+                                 f"need to be 'bcyx', found {axes_order}\n")
+        if "2d" not in tags and "3d" in tags:
+            return _result(True, f"[{specific_workflow}] Selected model seems to not be 2D\n")
+    elif specific_dims == "3D":
+        if axes_order != "bczyx":
+            return _result(True, f"[{specific_workflow}] In a 3D problem the axes "
+                                 f"need to be 'bczyx', found {axes_order}\n")
+        if "3d" not in tags and "2d" in tags:
+            return _result(True, f"[{specific_workflow}] Selected model seems to not be 3D\n")
+    elif axes_order not in ("bcyx", "bczyx"):
+        return _result(True, f"[{specific_workflow}] Accepting models only with "
+                             f"['bcyx', 'bczyx'] axis order, found {axes_order}\n")
+
+    # --------- preprocessing -> normalization opts (reference :1487-1566) ---
+    raw_preproc = inputs[0].get("preprocessing")
+    if raw_preproc is not None:
+        key = "id" if model_version > (0, 5, 0) else "name"
+        entries = raw_preproc if isinstance(raw_preproc, list) else [raw_preproc]
+        # drop ensure_dtype float casts (done anyway)
+        entries = [p for p in entries if not (
+            isinstance(p, dict) and p.get(key) == "ensure_dtype"
+            and "float" in str(g(p, "kwargs", "dtype", default="")))]
+        preproc_info.extend(entries)
+        for p in entries:
+            if not isinstance(p, dict) or key not in p:
+                return _result(True, f"[{specific_workflow}] Not recognized "
+                                     f"preprocessing structure found: {p}\n")
+            proc_id = p[key]
+            if proc_id not in ("zero_mean_unit_variance", "fixed_zero_mean_unit_variance",
+                               "scale_range", "scale_linear", "clip"):
+                return _result(True, f"[{specific_workflow}] Not recognized "
+                                     f"preprocessing found: {proc_id}\n")
+            kw = p.get("kwargs", {}) or {}
+            if proc_id in ("zero_mean_unit_variance", "fixed_zero_mean_unit_variance"):
+                if "mean" in kw:
+                    mean, std = kw["mean"], kw["std"]
+                elif "mean" in p:
+                    mean, std = p["mean"], p["std"]
+                else:
+                    mean, std = -1.0, -1.0
+                mean = mean if isinstance(mean, list) else [float(mean)]
+                std = std if isinstance(std, list) else [float(std)]
+                opts["DATA.NORMALIZATION.TYPE"] = "zero_mean_unit_variance"
+                opts["DATA.NORMALIZATION.ZERO_MEAN_UNIT_VAR.MEAN_VAL"] = mean
+                opts["DATA.NORMALIZATION.ZERO_MEAN_UNIT_VAR.STD_VAL"] = std
+            elif proc_id == "scale_linear":
+                opts["DATA.NORMALIZATION.TYPE"] = "div"
+            elif proc_id == "scale_range":
+                opts["DATA.NORMALIZATION.TYPE"] = "scale_range"
+                lo = float(kw.get("min_percentile", 0))
+                hi = float(kw.get("max_percentile", 100))
+                if lo != 0 or hi != 100:
+                    opts["DATA.NORMALIZATION.PERC_CLIP.ENABLE"] = True
+                    opts["DATA.NORMALIZATION.PERC_CLIP.LOWER_PERC"] = lo
+                    opts["DATA.NORMALIZATION.PERC_CLIP.UPPER_PERC"] = hi
+            elif proc_id == "clip":
+                opts["DATA.NORMALIZATION.PERC_CLIP.ENABLE"] = True
+                lo = float(kw.get("min_percentile", 0))
+                hi = float(kw.get("max_percentile", 100))
+                lov = float(kw.get("min_value", -1))
+                hiv = float(kw.get("max_value", -1))
+                if lo != 0 or hi != 100:
+                    opts["DATA.NORMALIZATION.PERC_CLIP.LOWER_PERC"] = lo
+                    opts["DATA.NORMALIZATION.PERC_CLIP.UPPER_PERC"] = hi
+                elif lov != -1 or hiv != -1:
+                    opts["DATA.NORMALIZATION.PERC_CLIP.LOWER_VALUE"] = [lov]
+                    opts["DATA.NORMALIZATION.PERC_CLIP.UPPER_VALUE"] = [hiv]
+
+    if model_kwargs.get("postprocessing") is not None:
+        return _result(True, f"[{specific_workflow}] Currently no postprocessing is "
+                             f"supported. Found: {model_kwargs['postprocessing']}\n")
+
+    msg = ""
+    if weights.get("dependencies"):
+        msg = ("package declares extra dependencies; importability not checked "
+               "(needs network access)")
+    return _result(False, msg)
+
+
+def check_bmz_args(source: str, cfg=None):
+    """Validate a BMZ package and derive the config changes it implies
+    (reference: check_bmz_args, models/__init__.py:1119). Returns
+    ``(preproc_info, opts, workflow_info)`` where ``opts`` maps dotted
+    config keys to the RDF-defined values (applied over the user config,
+    as the reference does via merge_from_list, base_workflow.py:333-355).
+
+    Two sources of opts:
+
+    - biapy_tpu-exported packages embed the full config; its MODEL section
+      (minus checkpoint-loading/BMZ/export knobs, mirroring the keys the
+      reference restores after a checkpoint-config merge,
+      base_workflow.py:318-326) and DATA.PATCH_SIZE are adopted.
+    - external packages go through :func:`check_bmz_model_compatibility`;
+      when the architecture callable is a known BiaPy one, its kwargs are
+      additionally adopted as MODEL.* opts so the flax twin is rebuilt
+      (the reference instantiates the torch callable instead,
+      build_bmz_model models/__init__.py:943).
+    """
+    rdf = read_bmz_rdf(source)
+    if rdf.get("type") != "model":
+        raise ValueError(f"BMZ RDF at {source} is type '{rdf.get('type')}', not 'model'")
+
+    workflow_specs = None
+    if cfg is not None:
+        workflow_specs = {"workflow_type": cfg.PROBLEM.TYPE, "ndim": cfg.PROBLEM.NDIM,
+                          "nclasses": cfg.DATA.N_CLASSES}
+
+    emb = rdf.get("config", {}).get("biapy_tpu", {}).get("cfg")
+    if emb:
+        if cfg is not None and emb.get("PROBLEM", {}).get("TYPE") not in (
+                "", None, cfg.PROBLEM.TYPE):
+            print(f"BMZ package was trained for {emb['PROBLEM']['TYPE']}; "
+                  f"current workflow is {cfg.PROBLEM.TYPE} (weights load anyway)")
+        skip = {"SOURCE", "BMZ", "OUT_CHECKPOINT_FORMAT", "SKIP_UNMATCHED_LAYERS",
+                "LOAD_CHECKPOINT", "LOAD_CHECKPOINT_EPOCH",
+                "ITEMS_TO_LOAD_FROM_CHECKPOINT", "SAVE_CKPT_FREQ",
+                "FREEZE_LAYERS_MATCHING"}
+        opts: dict = {}
+
+        def flatten(prefix, d):
+            for k, v in d.items():
+                if prefix == "MODEL" and k in skip:
+                    continue
+                if isinstance(v, dict):
+                    flatten(f"{prefix}.{k}", v)
+                else:
+                    opts[f"{prefix}.{k}"] = v
+
+        flatten("MODEL", emb.get("MODEL", {}))
+        if emb.get("DATA", {}).get("PATCH_SIZE") is not None:
+            opts["DATA.PATCH_SIZE"] = tuple(emb["DATA"]["PATCH_SIZE"])
+        workflow_info = {"workflow_type": emb.get("PROBLEM", {}).get("TYPE"),
+                         "ndim": emb.get("PROBLEM", {}).get("NDIM", "2D")}
+        return [], opts, workflow_info
+
+    compat = check_bmz_model_compatibility(rdf, workflow_specs)
+    if compat["error"]:
+        raise ValueError(f"Model {source} can not be used in this framework. "
+                         f"Message:\n{compat['reason_message']}\n")
+    if compat["reason_message"]:
+        print(f"[BMZ] {compat['reason_message']}")
+    opts = dict(compat["opts"])
+
+    weights = _bmz_weights_spec(rdf)
+    arch = _bmz_arch_name(weights)
+    if arch:
+        opts["MODEL.ARCHITECTURE"] = arch
+        kwargs = _bmz_model_kwargs(weights) or {}
+        for kw, key in _BIAPY_KWARG_TO_OPT.items():
+            if kw in kwargs:
+                opts[key] = kwargs[kw]
+        wf = compat["workflow_info"].get("workflow_type") or (
+            cfg.PROBLEM.TYPE if cfg is not None else "")
+        if "upsampling_factor" in kwargs and wf == "SUPER_RESOLUTION":
+            opts["PROBLEM.SUPER_RESOLUTION.UPSCALING"] = kwargs["upsampling_factor"]
+    return compat["preproc_info"], opts, compat["workflow_info"]
+
+
+def _torch_tensor_to_flax(t_np: np.ndarray, flax_shape: tuple,
+                          with_kind: bool = False):
+    """Convert one torch tensor to a flax layout if shapes can correspond:
+    convs OI(D)HW -> (D)HWIO, linear (O,I) -> (I,O), 1-D params as-is.
+    With ``with_kind`` returns ``(converted, kind)`` where kind is one of
+    'same'/'conv'/'linear' — recorded at import so an export can invert the
+    exact transform."""
+    out, kind = None, None
+    if tuple(t_np.shape) == tuple(flax_shape):
+        out, kind = t_np, "same"
+    elif t_np.ndim >= 3:  # conv kernel
+        perm = tuple(range(2, t_np.ndim)) + (1, 0)
+        c = np.transpose(t_np, perm)
+        if tuple(c.shape) == tuple(flax_shape):
+            out, kind = c, "conv"
+    if out is None and t_np.ndim == 2:
+        c = t_np.T
+        if tuple(c.shape) == tuple(flax_shape):
+            out, kind = c, "linear"
+    return (out, kind) if with_kind else out
+
+
+def _flax_tensor_to_torch(leaf: np.ndarray, kind: str) -> np.ndarray:
+    """Invert :func:`_torch_tensor_to_flax` for one leaf."""
+    a = np.asarray(leaf)
+    if kind == "conv":
+        return np.transpose(a, (a.ndim - 1, a.ndim - 2) + tuple(range(a.ndim - 2)))
+    if kind == "linear":
+        return a.T
+    return a
+
+
+def import_torch_state_dict(state_dict: dict, params, batch_stats=None,
+                            return_map: bool = False):
     """Map a torch state dict onto a flax param tree (reference analog: BMZ
     pytorch_state_dict import, models/__init__.py:943 build_bmz_model).
 
@@ -129,9 +566,10 @@ def import_torch_state_dict(state_dict: dict, params, batch_stats=None):
        a layout-compatible shape.
     """
     try:
-        return _import_torch_module_matched(state_dict, params, batch_stats)
+        out = _import_torch_module_matched(state_dict, params, batch_stats)
     except ValueError:
-        return _import_torch_ordered(state_dict, params, batch_stats)
+        out = _import_torch_ordered(state_dict, params, batch_stats)
+    return out if return_map else out[:2]
 
 
 def _leaf_key(k) -> str:
@@ -176,25 +614,31 @@ def _import_torch_module_matched(state_dict: dict, params, batch_stats=None):
     used = [False] * len(forder)
     new_leaves: list = [None] * len(leaves)
     mod_map: dict = {}  # torch module -> flax module path
+    tmap: list = []  # per-tensor records for an exact export round trip
     for tm in torder:
         tensors = {n: t for n, t in tmods[tm].items()
                    if n not in ("running_mean", "running_var")}
         wanted = {}
+        names = {}
         for n, t in tensors.items():
             role = flax_role(n, t)
             if role is None:
                 raise ValueError(f"unmappable torch tensor name '{tm}.{n}'")
             wanted[role] = t
+            names[role] = n
         placed = False
         for j, fm in enumerate(forder):
             if used[j] or set(fmods[fm]) != set(wanted):
                 continue
-            conv = {r: _torch_tensor_to_flax(t, leaves[fmods[fm][r]].shape)
+            conv = {r: _torch_tensor_to_flax(t, leaves[fmods[fm][r]].shape,
+                                             with_kind=True)
                     for r, t in wanted.items()}
-            if any(c is None for c in conv.values()):
+            if any(c[0] is None for c in conv.values()):
                 continue
-            for r, c in conv.items():
+            for r, (c, kind) in conv.items():
                 new_leaves[fmods[fm][r]] = c.astype(np.float32)
+                tmap.append({"torch_key": f"{tm}.{names[r]}" if tm else names[r],
+                             "tree": "params", "path": f"{fm}:{r}", "kind": kind})
             used[j] = True
             mod_map[tm] = fm
             placed = True
@@ -225,8 +669,11 @@ def _import_torch_module_matched(state_dict: dict, params, batch_stats=None):
                         raise ValueError(f"BN stat '{tm}.{tname}' {t.shape} != "
                                          f"{s_leaves[i].shape}")
                     s_leaves[i] = t.astype(np.float32)
+                    tmap.append({"torch_key": f"{tm}.{tname}" if tm else tname,
+                                 "tree": "stats", "path": f"{fm}:{fname}",
+                                 "kind": "same"})
         new_stats = jax.tree.unflatten(jax.tree.structure(batch_stats), s_leaves)
-    return new_params, new_stats
+    return new_params, new_stats, tmap
 
 
 def _import_torch_ordered(state_dict: dict, params, batch_stats=None):
@@ -240,7 +687,11 @@ def _import_torch_ordered(state_dict: dict, params, batch_stats=None):
     main_items = [(k, v) for k, v in torch_items if not k.endswith(bn_stats_keys)]
     stat_items = [(k, v) for k, v in torch_items if k.endswith(bn_stats_keys)]
 
-    leaves, treedef = jax.tree.flatten(params)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree.structure(params)
+    leaves = [leaf for _, leaf in flat]
+    paths = [":".join(["/".join(_leaf_key(k) for k in path[:-1]),
+                       _leaf_key(path[-1])]) for path, _ in flat]
     if len(main_items) != len(leaves):
         raise ValueError(f"BMZ torch state dict has {len(main_items)} tensors but "
                          f"the model expects {len(leaves)} parameters")
@@ -250,14 +701,17 @@ def _import_torch_ordered(state_dict: dict, params, batch_stats=None):
     # registration order; shape compatibility restores the correspondence as
     # long as equal-shape parameters appear in the same relative order.
     new_leaves: list = [None] * len(leaves)
+    tmap: list = []
     for k, t in main_items:
         placed = False
         for i, leaf in enumerate(leaves):
             if new_leaves[i] is not None:
                 continue
-            conv = _torch_tensor_to_flax(t, leaf.shape)
+            conv, kind = _torch_tensor_to_flax(t, leaf.shape, with_kind=True)
             if conv is not None:
                 new_leaves[i] = conv.astype(np.float32)
+                tmap.append({"torch_key": k, "tree": "params",
+                             "path": paths[i], "kind": kind})
                 placed = True
                 break
         if not placed:
@@ -267,23 +721,61 @@ def _import_torch_ordered(state_dict: dict, params, batch_stats=None):
 
     new_stats = batch_stats
     if batch_stats and stat_items:
-        s_leaves, s_def = jax.tree.flatten(batch_stats)
+        s_flat = jax.tree_util.tree_flatten_with_path(batch_stats)[0]
+        s_def = jax.tree.structure(batch_stats)
+        s_leaves = [leaf for _, leaf in s_flat]
+        s_paths = [":".join(["/".join(_leaf_key(k) for k in path[:-1]),
+                             _leaf_key(path[-1])]) for path, _ in s_flat]
         if len(stat_items) == len(s_leaves):
             conv_stats = []
-            for (k, t), leaf in zip(stat_items, s_leaves):
+            for (k, t), leaf, sp in zip(stat_items, s_leaves, s_paths):
                 if tuple(t.shape) != tuple(leaf.shape):
                     raise ValueError(f"BN stat '{k}' {t.shape} != {leaf.shape}")
                 conv_stats.append(t.astype(np.float32))
+                tmap.append({"torch_key": k, "tree": "stats", "path": sp,
+                             "kind": "same"})
             new_stats = jax.tree.unflatten(s_def, conv_stats)
-    return new_params, new_stats
+    return new_params, new_stats, tmap
 
 
-def load_bmz_model_weights(source: str, params, batch_stats=None, verbose: bool = True):
+def export_torch_state_dict(params, batch_stats, tmap: list) -> dict:
+    """Write the current (possibly finetuned) flax weights back into the
+    torch state dict shape they were imported from: original key names,
+    original tensor layouts — so a re-exported BMZ package stays loadable by
+    torch consumers of the source package (the reference keeps torch weights
+    natively; this inverse mapping is the TPU-side equivalent)."""
+    import jax
+
+    def index(tree):
+        out = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            ks = [_leaf_key(k) for k in path]
+            out["/".join(ks[:-1]) + ":" + ks[-1]] = leaf
+        return out
+
+    p_idx = index(params)
+    s_idx = index(batch_stats) if batch_stats else {}
+    sd = {}
+    for rec in tmap:
+        leaf = (s_idx if rec["tree"] == "stats" else p_idx).get(rec["path"])
+        if leaf is None:
+            raise ValueError(f"model has no leaf '{rec['path']}' recorded at "
+                             "BMZ import; cannot export a torch state dict")
+        sd[rec["torch_key"]] = _flax_tensor_to_torch(leaf, rec["kind"])
+    return sd
+
+
+def load_bmz_model_weights(source: str, params, batch_stats=None, verbose: bool = True,
+                           return_map: bool = False):
     """Load weights from a BMZ package onto an already-built model
     (reference: build_bmz_model, models/__init__.py:943). Handles:
 
     - biapy_tpu exports (msgpack checkpoint attachment): exact param tree.
     - pytorch_state_dict weights: torch -> flax conversion (U-Net family).
+
+    With ``return_map`` also returns the torch->flax tensor mapping (or
+    None for native checkpoints), consumed by
+    :func:`export_torch_state_dict` at re-export time.
     """
     rdf = read_bmz_rdf(source)
     root = rdf["_root"]
@@ -297,7 +789,8 @@ def load_bmz_model_weights(source: str, params, batch_stats=None, verbose: bool 
             ck = load_checkpoint(os.path.join(root, src))
             if verbose:
                 print(f"BMZ import: biapy_tpu checkpoint {src}")
-            return ck["params"], ck.get("batch_stats") or batch_stats
+            out = (ck["params"], ck.get("batch_stats") or batch_stats)
+            return out + (None,) if return_map else out
 
     weights = rdf.get("weights", {}) or {}
     if "pytorch_state_dict" in weights:
@@ -312,7 +805,8 @@ def load_bmz_model_weights(source: str, params, batch_stats=None, verbose: bool 
         sd = {k: v.numpy() for k, v in sd.items()}
         if verbose:
             print(f"BMZ import: converting pytorch_state_dict ({len(sd)} tensors)")
-        return import_torch_state_dict(sd, params, batch_stats)
+        out = import_torch_state_dict(sd, params, batch_stats, return_map=True)
+        return out if return_map else out[:2]
     raise ValueError(f"BMZ package {source} has no loadable weights "
                      f"(found: {list(weights.keys())})")
 
@@ -357,6 +851,50 @@ def export_model_to_bmz(workflow, output_dir: str, model_name: Optional[str] = N
                       workflow.state.batch_stats,
                       model_build_kwargs=workflow.model_build_kwargs, metric="bmz")
     staging[os.path.basename(ckpt)] = ckpt
+
+    # torch round trip: a model imported from torch weights re-exports a
+    # pytorch_state_dict with the original key names/layouts (and the
+    # original architecture spec, when reusing the source card), so torch
+    # consumers of the source package can load the finetuned result. The
+    # agreement self-check below is what the reference harness greps for
+    # (run_checks.py BMZ_weight_agreement, 'weights.pytorch_state_dict ✔️').
+    rdf_weights = None
+    tmap = getattr(workflow, "bmz_torch_map", None)
+    if tmap:
+        import jax
+        import torch
+
+        sd = export_torch_state_dict(workflow.state.params,
+                                     workflow.state.batch_stats, tmap)
+        wpath = stage("weights.pt",
+                      lambda p: torch.save({k: torch.from_numpy(np.array(v))
+                                            for k, v in sd.items()}, p))
+        spec = {"source": "weights.pt", "sha256": _sha256(wpath)}
+        orig_spec = (orig.get("weights", {}) or {}).get("pytorch_state_dict")
+        if isinstance(orig_spec, dict):
+            for k in ("architecture", "kwargs", "pytorch_version"):
+                if k in orig_spec:
+                    spec[k] = orig_spec[k]
+        rdf_weights = {"pytorch_state_dict": spec}
+
+        # self-check: the exported state dict must land back on the exact
+        # current parameters through the importer
+        back = torch.load(wpath, map_location="cpu", weights_only=True)
+        rp, rs = import_torch_state_dict({k: v.numpy() for k, v in back.items()},
+                                         workflow.state.params,
+                                         workflow.state.batch_stats)
+        ok = all(np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+                 for a, b in zip(jax.tree.leaves(workflow.state.params),
+                                 jax.tree.leaves(rp)))
+        if rs is not None and ok:
+            ok = all(np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+                     for a, b in zip(jax.tree.leaves(workflow.state.batch_stats),
+                                     jax.tree.leaves(rs)))
+        mark = "✔️" if ok else "❌"
+        print(f"[BMZ] weights.pytorch_state_dict agreement after export: {mark}")
+        if not ok:
+            raise ValueError("exported pytorch_state_dict does not reproduce "
+                             "the model weights")
 
     # -- documentation + cover ------------------------------------------------
     exp = cfg.MODEL.BMZ.EXPORT
@@ -419,6 +957,7 @@ def export_model_to_bmz(workflow, output_dir: str, model_name: Optional[str] = N
                     "test_tensor": {"source": "test_input.npy"}}],
         "outputs": [{"id": "output0",
                      "test_tensor": {"source": "test_output.npy"}}],
+        "weights": rdf_weights,
         "attachments": [{"source": os.path.basename(ckpt),
                          "sha256": _sha256(ckpt),
                          "description": "biapy_tpu msgpack checkpoint (config embedded)"}],

@@ -232,3 +232,456 @@ def test_bmz_finetune_reuses_original_model_card(tmp_path):
     assert rdf["authors"] == [{"name": "Ada", "github_user": "ada"}]
     assert rdf["tags"] == ["nucleus", "2d"]
     assert rdf["cite"] == [{"text": "Ada et al.", "doi": "10.1/xyz"}]
+
+
+# ---------------------------------------------------------------------------
+# External (non-biapy_tpu) BMZ packages: RDF compatibility + adaptation
+# (reference: check_bmz_model_compatibility, models/__init__.py:1176-1606)
+# ---------------------------------------------------------------------------
+
+def _manifest_05(tags=("instance-segmentation", "2d", "biapy"), kwargs=None,
+                 preprocessing=None, axes=None, callable_name="ResUNet",
+                 description="desc"):
+    """Spec-0.5-shaped manifest dict (axes as dicts, 'id' preprocessing keys,
+    kwargs under weights.architecture)."""
+    return {
+        "format_version": "0.5.3", "type": "model", "name": "local-blowfish",
+        "description": description, "tags": list(tags),
+        "inputs": [{
+            "id": "input0",
+            "axes": axes or [{"type": "batch"},
+                             {"type": "channel", "channel_names": ["c0"]},
+                             {"id": "y", "size": 64}, {"id": "x", "size": 64}],
+            **({"preprocessing": preprocessing} if preprocessing else {}),
+        }],
+        "outputs": [{"id": "output0"}],
+        "weights": {"pytorch_state_dict": {
+            "source": "weights.pt",
+            "architecture": {"callable": callable_name, "kwargs": kwargs or {}},
+        }},
+    }
+
+
+def _manifest_04(tags=("instance-segmentation", "2d"), kwargs=None,
+                 preprocessing=None, axes="bcyx", shape=None,
+                 architecture="resunet.py:ResUNet"):
+    """Spec-0.4-shaped manifest (string axes + shape.min, 'name'
+    preprocessing keys, kwargs at the weights level)."""
+    return {
+        "format_version": "0.4.10", "type": "model", "name": "local-hiding",
+        "description": "desc", "tags": list(tags),
+        "inputs": [{
+            "name": "input0", "axes": axes,
+            "shape": shape or {"min": [1, 1, 64, 64], "step": [0, 0, 16, 16]},
+            **({"preprocessing": preprocessing} if preprocessing else {}),
+        }],
+        "outputs": [{"name": "output0"}],
+        "weights": {"pytorch_state_dict": {
+            "source": "weights.pt", "architecture": architecture,
+            "kwargs": kwargs or {},
+        }},
+    }
+
+
+def test_compat_spec05_instance_zmuv():
+    """Test26-shaped package: 0.5.3 + zero_mean_unit_variance; instance
+    channel codes default to F+C, patch size from the axis dicts."""
+    from biapy_tpu.utils.bmz import check_bmz_model_compatibility
+
+    m = _manifest_05(
+        kwargs={"out_channels": [2], "feature_maps": [8, 16]},
+        preprocessing=[{"id": "ensure_dtype", "kwargs": {"dtype": "float32"}},
+                       {"id": "zero_mean_unit_variance"}])
+    r = check_bmz_model_compatibility(m, {"workflow_type": "INSTANCE_SEG",
+                                          "ndim": "2D", "nclasses": 2})
+    assert not r["error"], r["reason_message"]
+    assert r["workflow_info"]["workflow_type"] == "INSTANCE_SEG"
+    assert r["workflow_info"]["ndim"] == "2D"
+    assert r["opts"]["DATA.PATCH_SIZE"] == (64, 64, 1)
+    assert r["opts"]["PROBLEM.INSTANCE_SEG.DATA_CHANNELS"] == ["F", "C"]
+    assert r["opts"]["DATA.NORMALIZATION.TYPE"] == "zero_mean_unit_variance"
+    # the float ensure_dtype cast is dropped from preproc_info
+    assert [p.get("id") for p in r["preproc_info"]] == ["zero_mean_unit_variance"]
+
+
+def test_compat_spec04_scale_range_with_percentiles():
+    """Test27-shaped package: 0.4.10 + scale_range with percentile clipping;
+    'name' keys select the preprocessing id."""
+    from biapy_tpu.utils.bmz import check_bmz_model_compatibility
+
+    m = _manifest_04(
+        kwargs={"out_channels": 1},
+        preprocessing=[{"name": "scale_range",
+                        "kwargs": {"min_percentile": 2.0, "max_percentile": 99.8}}])
+    r = check_bmz_model_compatibility(m)
+    assert not r["error"], r["reason_message"]
+    o = r["opts"]
+    assert o["DATA.NORMALIZATION.TYPE"] == "scale_range"
+    assert o["DATA.NORMALIZATION.PERC_CLIP.ENABLE"] is True
+    assert o["DATA.NORMALIZATION.PERC_CLIP.LOWER_PERC"] == 2.0
+    assert o["DATA.NORMALIZATION.PERC_CLIP.UPPER_PERC"] == 99.8
+    # channel code from scalar out_channels == 1 -> ['C']
+    assert o["PROBLEM.INSTANCE_SEG.DATA_CHANNELS"] == ["C"]
+
+
+def test_compat_channel_code_inference():
+    """Instance channel heuristics: description 'representation:' marker,
+    CartoCell cyst/3d/fluorescence combo, 8-channel affinities."""
+    from biapy_tpu.utils.bmz import check_bmz_model_compatibility
+
+    m = _manifest_05(description="stuff\nrepresentation: F + Db\nmore",
+                     kwargs={"out_channels": [2]})
+    r = check_bmz_model_compatibility(m)
+    assert r["opts"]["PROBLEM.INSTANCE_SEG.DATA_CHANNELS"] == ["F", "Db"]
+
+    m = _manifest_05(tags=("instance-segmentation", "3d", "biapy", "cyst", "fluorescence"),
+                     kwargs={"out_channels": [3]},
+                     axes=[{"type": "batch"}, {"type": "channel"},
+                           {"id": "z", "size": 40}, {"id": "y", "size": 64},
+                           {"id": "x", "size": 64}])
+    r = check_bmz_model_compatibility(m)
+    assert not r["error"], r["reason_message"]
+    assert r["opts"]["PROBLEM.INSTANCE_SEG.DATA_CHANNELS"] == ["F", "C", "M"]
+    assert r["opts"]["DATA.PATCH_SIZE"] == (40, 64, 64, 1)
+    assert r["workflow_info"]["ndim"] == "3D"
+
+    m = _manifest_05(tags=("instance-segmentation", "2d"),
+                     kwargs={"out_channels": 8})
+    r = check_bmz_model_compatibility(m)
+    assert r["opts"]["PROBLEM.INSTANCE_SEG.DATA_CHANNELS"] == ["A"]
+
+
+def test_compat_rejections():
+    """Rejection branches: no torch weights, multiple inputs, unknown
+    workflow tag, bad axes, ndim mismatch, postprocessing in kwargs,
+    unknown preprocessing."""
+    from biapy_tpu.utils.bmz import check_bmz_model_compatibility as check
+
+    m = _manifest_05()
+    m["weights"] = {"onnx": {"source": "w.onnx"}}
+    assert check(m)["error"]
+
+    m = _manifest_05()
+    m["inputs"].append(dict(m["inputs"][0]))
+    assert check(m)["error"]
+
+    m = _manifest_05(tags=("something-else",))
+    assert "no workflow tag" in check(m)["reason_message"]
+
+    m = _manifest_05(axes=[{"type": "batch"}, {"type": "channel"},
+                           {"id": "x", "size": 64}])
+    assert check(m)["error"]
+
+    m = _manifest_05()  # 2D package
+    r = check(m, {"workflow_type": "INSTANCE_SEG", "ndim": "3D", "nclasses": 2})
+    assert "need to be 'bczyx'" in r["reason_message"]
+
+    m = _manifest_05(kwargs={"out_channels": [2], "postprocessing": "something"})
+    assert "no postprocessing is supported" in check(m)["reason_message"]
+
+    m = _manifest_05(preprocessing=[{"id": "weird_proc"}])
+    assert "Not recognized preprocessing" in check(m)["reason_message"]
+
+
+def test_compat_semantic_classes():
+    """Semantic branch: classes from kwargs, the known-architecture 1-class
+    fallback, and the class-mismatch rejection."""
+    from biapy_tpu.utils.bmz import check_bmz_model_compatibility as check
+
+    m = _manifest_05(tags=("semantic-segmentation", "2d"),
+                     kwargs={"n_classes": 3})
+    r = check(m)
+    assert not r["error"] and r["opts"]["DATA.N_CLASSES"] == 3
+
+    r = check(m, {"workflow_type": "SEMANTIC_SEG", "ndim": "2D", "nclasses": 2})
+    assert r["error"]  # 3-class model vs 2-class config
+
+    m = _manifest_05(tags=("segmentation", "2d"), kwargs={})  # no class info
+    r = check(m)  # known ResUNet callable -> assume 1 class
+    assert not r["error"] and r["opts"]["DATA.N_CLASSES"] == 2
+
+
+def _flax_to_torch_sd(params, batch_stats=None):
+    """Fabricate a torch-style state dict from a flax tree: module-grouped
+    names (mN.weight/mN.bias), kernels inverse-transposed to OI(D)HW, BN
+    running stats attached to their module."""
+    import jax
+    import torch
+
+    def key(k):
+        return str(getattr(k, "key", getattr(k, "idx", k)))
+
+    def to_torch(name, a):
+        a = np.asarray(a)
+        if name == "kernel":
+            if a.ndim >= 3:
+                a = np.transpose(a, (a.ndim - 1, a.ndim - 2) + tuple(range(a.ndim - 2)))
+            elif a.ndim == 2:
+                a = a.T
+        return torch.from_numpy(np.array(a, copy=True))
+
+    stats = {}
+    if batch_stats:
+        for path, leaf in jax.tree_util.tree_flatten_with_path(batch_stats)[0]:
+            ks = [key(k) for k in path]
+            stats.setdefault("/".join(ks[:-1]), {})[ks[-1]] = leaf
+
+    sd, mods = {}, {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        ks = [key(k) for k in path]
+        mod, name = "/".join(ks[:-1]), ks[-1]
+        if mod not in mods:
+            mods[mod] = f"m{len(mods)}"
+            for tn, fn in (("running_mean", "mean"), ("running_var", "var")):
+                if fn in stats.get(mod, {}):
+                    sd[f"{mods[mod]}.{tn}"] = to_torch("stat", stats[mod][fn])
+        tname = "bias" if name == "bias" else "weight"
+        sd[f"{mods[mod]}.{tname}"] = to_torch(name, leaf)
+    return sd
+
+
+def _write_bmz_package(out_dir, manifest, sd):
+    """Write rdf.yaml + torch weights into a zip, like a downloaded zoo
+    package."""
+    import zipfile
+
+    import torch
+    import yaml
+
+    os.makedirs(out_dir, exist_ok=True)
+    wpath = os.path.join(out_dir, "weights.pt")
+    torch.save(sd, wpath)
+    rpath = os.path.join(out_dir, "rdf.yaml")
+    with open(rpath, "w") as f:
+        yaml.safe_dump(manifest, f, sort_keys=False)
+    zpath = os.path.join(out_dir, f"{manifest['name']}.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.write(rpath, "rdf.yaml")
+        z.write(wpath, "weights.pt")
+    return zpath
+
+
+def _circles(shape, n, rng):
+    lab = np.zeros(shape, np.uint16)
+    img = np.zeros(shape, np.float32)
+    centers = []
+    tries = 0
+    while len(centers) < n and tries < 200:
+        tries += 1
+        cy, cx = rng.integers(12, shape[0] - 12, 2)
+        r = rng.integers(6, 11)
+        if any((cy - y) ** 2 + (cx - x) ** 2 < (r + rr + 3) ** 2 for y, x, rr in centers):
+            continue
+        yy, xx = np.mgrid[: shape[0], : shape[1]]
+        m = ((yy - cy) ** 2 + (xx - cx) ** 2) < r * r
+        lab[m] = len(centers) + 1
+        img += m * 0.7
+        centers.append((cy, cx, r))
+    img += rng.normal(0, 0.08, shape)
+    return (img * 200).clip(0, 255).astype(np.uint8), lab
+
+
+_INST_MODEL = {"ARCHITECTURE": "resunet", "FEATURE_MAPS": [8, 16, 32],
+               "DROPOUT_VALUES": [0.0, 0.0, 0.0], "Z_DOWN": [2, 2, 2],
+               "YX_DOWN": [2, 2, 2], "CONV_LAYERS": [2, 2, 2]}
+
+_INST_KWARGS = {"out_channels": [2], "feature_maps": [8, 16, 32],
+                "drop_values": [0.0, 0.0, 0.0], "z_down": [2, 2, 2],
+                "yx_down": [2, 2, 2], "conv_layers": [2, 2, 2]}
+
+
+@pytest.mark.slow
+def test_external_torch_bmz_import_inference_export(tmp_path):
+    """Reference run_checks Test26 analog, offline: a spec-0.5.3 package with
+    torch weights + zero_mean_unit_variance preprocessing is imported for a
+    test-only 2D instance job; the RDF drives normalization/patch/channels/
+    architecture, the torch weights land exactly, inference matches the
+    source model's quality, and the job re-exports a package."""
+    import glob
+    import jax
+
+    from biapy_tpu._biapy import BiaPy
+
+    rng = np.random.default_rng(21)
+    root = str(tmp_path)
+    for d, n in [("train", 12), ("test", 3)]:
+        os.makedirs(f"{root}/{d}/x"); os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            img, lab = _circles((96, 96), 4, rng)
+            write_tiff(f"{root}/{d}/x/{i:02d}.tif", img)
+            write_tiff(f"{root}/{d}/y/{i:02d}.tif", lab)
+
+    # -- source model: train natively with the normalization the RDF declares
+    cfg = {
+        "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "2D",
+                    "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"]}},
+        "DATA": {"PATCH_SIZE": (64, 64, 1),
+                 "NORMALIZATION": {"TYPE": "zero_mean_unit_variance"},
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y",
+                           "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y",
+                          "IN_MEMORY": True, "LOAD_GT": True, "PADDING": (8, 8)}},
+        "AUGMENTOR": {"ENABLE": True, "VFLIP": True, "HFLIP": True, "ROT90": True},
+        "MODEL": dict(_INST_MODEL),
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3,
+                  "BATCH_SIZE": 8, "EPOCHS": 12},
+        "TEST": {"ENABLE": True, "MATCHING_STATS_THS": [0.3]},
+    }
+    src = BiaPy(cfg, result_dir=root + "/res_src", name="src", silent=True)
+    src.run_job()
+    f1_src = src.workflow.matching_stats[0]["f1"]
+
+    # -- package the trained weights as an external torch BMZ zip
+    sd = _flax_to_torch_sd(src.workflow.state.params, src.workflow.state.batch_stats)
+    manifest = _manifest_05(
+        kwargs=dict(_INST_KWARGS),
+        description="trained locally\nrepresentation: F+C\n",
+        preprocessing=[{"id": "zero_mean_unit_variance"}])
+    zpath = _write_bmz_package(root + "/pkg", manifest, sd)
+
+    # -- import for a test-only job; leave normalization/patch/arch defaults
+    cfg2 = {
+        "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "2D"},
+        "DATA": {"TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y",
+                          "IN_MEMORY": True, "LOAD_GT": True, "PADDING": (8, 8)}},
+        "MODEL": {"SOURCE": "bmz", "BMZ": {"SOURCE_MODEL_ID": zpath,
+                                           "EXPORT": {"ENABLE": True,
+                                                      "REUSE_BMZ_CONFIG": True}}},
+        "TRAIN": {"ENABLE": False},
+        "TEST": {"ENABLE": True, "MATCHING_STATS_THS": [0.3]},
+    }
+    job = BiaPy(cfg2, result_dir=root + "/res_imp", name="imp", silent=True)
+    assert job.cfg.DATA.NORMALIZATION.TYPE == "zero_mean_unit_variance"
+    assert tuple(job.cfg.DATA.PATCH_SIZE) == (64, 64, 1)
+    assert job.cfg.MODEL.ARCHITECTURE == "resunet"
+    assert list(job.cfg.MODEL.FEATURE_MAPS) == [8, 16, 32]
+    assert list(job.cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNELS) == ["F", "C"]
+    job.run_job()
+
+    # weight agreement: torch round trip reproduced every parameter
+    for a, b in zip(jax.tree.leaves(src.workflow.state.params),
+                    jax.tree.leaves(job.workflow.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    f1_imp = job.workflow.matching_stats[0]["f1"]
+    assert f1_imp >= max(0.5, f1_src - 0.05), (f1_src, f1_imp)
+    # re-export produced a package under the original card name, carrying a
+    # torch state dict with the source package's key names/layouts
+    # (run_checks BMZ_weight_agreement: 'weights.pytorch_state_dict ✔️')
+    import zipfile
+
+    import torch
+
+    from biapy_tpu.utils.bmz import read_bmz_rdf
+
+    rezip = glob.glob(root + "/res_imp/imp/**/local-blowfish.zip", recursive=True)
+    assert rezip
+    rdf2 = read_bmz_rdf(rezip[0])
+    assert rdf2["weights"]["pytorch_state_dict"]["source"] == "weights.pt"
+    assert rdf2["weights"]["pytorch_state_dict"]["architecture"]["callable"] == "ResUNet"
+    sd2 = torch.load(os.path.join(rdf2["_root"], "weights.pt"),
+                     map_location="cpu", weights_only=True)
+    assert set(sd2.keys()) == set(sd.keys())
+    for k in sd:
+        np.testing.assert_allclose(sd2[k].numpy(), sd[k].numpy(), atol=1e-6)
+
+
+def test_external_spec04_import_scale_range(tmp_path):
+    """Reference run_checks Test27 analog, offline: a spec-0.4.10 package
+    (string axes, 'name' preprocessing, kwargs at the weights level) adapts
+    the config to scale_range + percentile clip and its torch weights load."""
+    import jax
+    import jax.numpy as jnp
+
+    from biapy_tpu._biapy import BiaPy
+    from biapy_tpu.config.config import Config
+    from biapy_tpu.models import build_model
+
+    root = str(tmp_path)
+    os.makedirs(f"{root}/test/x")
+    rng = np.random.default_rng(3)
+    img, _ = _circles((96, 96), 3, rng)
+    write_tiff(f"{root}/test/x/00.tif", img)
+
+    # random-init source model with the same architecture the RDF declares
+    c = Config(".", "t").get_cfg_defaults()
+    c.merge_from_dict({"MODEL": dict(_INST_MODEL), "DATA": {"PATCH_SIZE": (64, 64, 1)}})
+    model, _ = build_model(c, [1], ["Db"], ["linear"])
+    variables = model.init({"params": jax.random.PRNGKey(7), "dropout": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 1)), train=False)
+    sd = _flax_to_torch_sd(variables["params"], variables.get("batch_stats"))
+
+    kwargs = dict(_INST_KWARGS, out_channels=[1])
+    manifest = _manifest_04(
+        kwargs=kwargs,
+        preprocessing=[{"name": "scale_range",
+                        "kwargs": {"min_percentile": 2.0, "max_percentile": 99.8}}])
+    manifest["description"] = "representation: Db"
+    manifest["tags"].append("biapy")
+    zpath = _write_bmz_package(root + "/pkg", manifest, sd)
+
+    cfg = {
+        "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "2D",
+                    "INSTANCE_SEG": {"DATA_MW_TH_TYPE": "auto"}},
+        "DATA": {"TEST": {"PATH": f"{root}/test/x", "IN_MEMORY": True,
+                          "LOAD_GT": False}},
+        "MODEL": {"SOURCE": "bmz", "BMZ": {"SOURCE_MODEL_ID": zpath}},
+        "TRAIN": {"ENABLE": False},
+        "TEST": {"ENABLE": True},
+    }
+    job = BiaPy(cfg, result_dir=root + "/res", name="imp04", silent=True)
+    assert job.cfg.DATA.NORMALIZATION.TYPE == "scale_range"
+    assert job.cfg.DATA.NORMALIZATION.PERC_CLIP.ENABLE
+    assert job.cfg.DATA.NORMALIZATION.PERC_CLIP.LOWER_PERC == 2.0
+    assert list(job.cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNELS) == ["Db"]
+    job._build_workflow()
+    job.workflow.prepare_model()
+    for a, b in zip(jax.tree.leaves(variables["params"]),
+                    jax.tree.leaves(job.workflow.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_load_workflow_from_bmz_package(tmp_path):
+    """Reference run_checks Test30 analog, offline: a 3D instance package is
+    enough to build a ready-to-infer workflow — type and dimensionality come
+    from the RDF (reference load_workflow_from_model, _biapy.py:830-882)."""
+    import jax
+    import jax.numpy as jnp
+
+    from biapy_tpu._biapy import BiaPy
+    from biapy_tpu.config.config import Config
+    from biapy_tpu.models import build_model
+
+    root = str(tmp_path)
+    model3d = {"ARCHITECTURE": "resunet", "FEATURE_MAPS": [4, 8],
+               "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [1, 2],
+               "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]}
+    c = Config(".", "t").get_cfg_defaults()
+    c.merge_from_dict({"MODEL": model3d, "DATA": {"PATCH_SIZE": (8, 32, 32, 1)},
+                       "PROBLEM": {"NDIM": "3D"}})
+    model, _ = build_model(c, [3], ["F+C+M"], ["sigmoid"] * 3)
+    variables = model.init({"params": jax.random.PRNGKey(5), "dropout": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 8, 32, 32, 1)), train=False)
+    sd = _flax_to_torch_sd(variables["params"], variables.get("batch_stats"))
+
+    manifest = _manifest_05(
+        tags=("instance-segmentation", "3d", "biapy", "cyst", "fluorescence"),
+        kwargs=dict(out_channels=[3], feature_maps=[4, 8], drop_values=[0.0, 0.0],
+                    z_down=[1, 2], yx_down=[2, 2], conv_layers=[2, 2]),
+        axes=[{"type": "batch"}, {"type": "channel"},
+              {"id": "z", "size": 8}, {"id": "y", "size": 32},
+              {"id": "x", "size": 32}])
+    zpath = _write_bmz_package(root + "/pkg", manifest, sd)
+
+    job = BiaPy.load_workflow_from_model(zpath, result_dir=root + "/res",
+                                         name="fromzoo", silent=True)
+    assert job.cfg.PROBLEM.TYPE == "INSTANCE_SEG"
+    assert job.cfg.PROBLEM.NDIM == "3D"
+    assert tuple(job.cfg.DATA.PATCH_SIZE) == (8, 32, 32, 1)
+    # CartoCell tag combo selects the F+C+M representation
+    assert list(job.cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNELS) == ["F", "C", "M"]
+    job._build_workflow()
+    job.workflow.prepare_model()
+    for a, b in zip(jax.tree.leaves(variables["params"]),
+                    jax.tree.leaves(job.workflow.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
