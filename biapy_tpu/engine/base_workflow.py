@@ -41,7 +41,7 @@ from biapy_tpu.engine.schedulers import (
 )
 from biapy_tpu.engine.train_engine import TrainState, make_eval_step, make_predict_fn, make_train_step
 from biapy_tpu.models import build_model
-from biapy_tpu.parallel import get_mesh, is_main_process, shard_batch
+from biapy_tpu.parallel import data_axis_size, get_mesh, is_main_process, shard_batch
 from biapy_tpu.utils.callbacks import EarlyStopping
 from biapy_tpu.utils.misc import (
     JsonLogger,
@@ -92,7 +92,11 @@ class Base_Workflow(metaclass=ABCMeta):
         self.is_3d = cfg.PROBLEM.NDIM == "3D"
         self.nd = 3 if self.is_3d else 2
         self.rng_np = set_seed(cfg.SYSTEM.SEED)
-        self.mesh = get_mesh()
+        # SYSTEM.SPATIAL_PARTITIONS > 1 builds a (data, space) mesh: the
+        # patch's Y axis is GSPMD-sharded so one patch spans several chips'
+        # HBM (TPU-native extension; the reference is DDP-only)
+        self.mesh = get_mesh(spatial=int(getattr(cfg.SYSTEM, "SPATIAL_PARTITIONS", 1)))
+        self.spatial_dim = 2 if self.is_3d else 1  # Y in NDHWC / NHWC
         self.norm_spec = build_norm_dict(cfg)
         self.y_upscaling = [1] * self.nd
 
@@ -274,7 +278,7 @@ class Base_Workflow(metaclass=ABCMeta):
                                gt_as_image=self.gt_as_image,
                                gt_keep_labels=getattr(self, "gt_keep_labels", False))
         bs = int(cfg.TRAIN.BATCH_SIZE)
-        ndev = len(self.mesh.devices.flatten())
+        ndev = data_axis_size(self.mesh)  # global batch tiles the data axis
         gbs = max(bs, ndev) if bs % ndev else bs  # batch must tile the mesh
         if gbs % ndev:
             gbs = int(math.ceil(gbs / ndev) * ndev)
@@ -380,7 +384,7 @@ class Base_Workflow(metaclass=ABCMeta):
                         prof_state.update(on=False, done=True)
                         if self.verbose:
                             print(f"Profiler trace written to {cfg.PATHS.PROFILER}")
-                sb = shard_batch(batch, self.mesh)
+                sb = shard_batch(batch, self.mesh, self.spatial_dim)
                 if contrast_on:
                     sb["pixel_queue"], sb["segment_queue"] = pixel_q, segment_q
                 self.state, mtr = train_step(self.state, sb, key)
@@ -401,7 +405,7 @@ class Base_Workflow(metaclass=ABCMeta):
             if len(val_data) > 0:
                 vals: Dict[str, List[float]] = {}
                 for batch in val_loader:
-                    vb = shard_batch(batch, self.mesh)
+                    vb = shard_batch(batch, self.mesh, self.spatial_dim)
                     if contrast_on:
                         vb["pixel_queue"], vb["segment_queue"] = pixel_q, segment_q
                     mtr = eval_step(self.state, vb)
@@ -544,7 +548,7 @@ class Base_Workflow(metaclass=ABCMeta):
                     out = jnp.concatenate([out, cls], axis=-1)
             return apply_activations(out.astype(jnp.float32), acts, chans, training=False)
 
-        ndev = len(self.mesh.devices.flatten())
+        ndev = data_axis_size(self.mesh)  # global batch tiles the data axis
         bs = batch_size or max(int(cfg.TRAIN.BATCH_SIZE), ndev)
         patch = tuple(cfg.DATA.PATCH_SIZE)[: self.nd]
         ov = tuple(overlap) if overlap is not None else tuple(cfg.DATA.TEST.OVERLAP)
@@ -598,7 +602,7 @@ class Base_Workflow(metaclass=ABCMeta):
         variables = {"params": self.state.params}
         if self.state.batch_stats:
             variables["batch_stats"] = self.state.batch_stats
-        ndev = len(self.mesh.devices.flatten())
+        ndev = data_axis_size(self.mesh)  # global batch tiles the data axis
         bs = batch_size or max(int(self.cfg.TRAIN.BATCH_SIZE), ndev)
         bs = int(math.ceil(bs / ndev) * ndev)
 
@@ -609,7 +613,7 @@ class Base_Workflow(metaclass=ABCMeta):
                 n = len(chunk)
                 if n < bs:
                     chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
-                sb = shard_batch(jnp.asarray(chunk), self.mesh)
+                sb = shard_batch(jnp.asarray(chunk), self.mesh, self.spatial_dim)
                 out = np.asarray(jax.device_get(predict(variables, sb)))
                 outs.append(out[:n])
             return np.concatenate(outs, axis=0)

@@ -51,6 +51,30 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
         f"DATA.PATCH_SIZE must have {want} values ((z,)y,x,c) for {cfg.PROBLEM.NDIM}, got {tuple(ps)}")
     req(all(int(p) > 0 for p in ps), f"DATA.PATCH_SIZE entries must be positive, got {tuple(ps)}")
 
+    # -- spatial partitioning (TPU-native extension) --------------------------
+    sp = int(cfg.SYSTEM.SPATIAL_PARTITIONS)
+    req(sp >= 1, f"SYSTEM.SPATIAL_PARTITIONS must be >= 1, got {sp}")
+    if sp > 1:
+        req(cfg.PROBLEM.TYPE != "CLASSIFICATION",
+            "SYSTEM.SPATIAL_PARTITIONS only applies to image-target workflows "
+            "(classification labels have no spatial axis to shard)")
+        req(not (cfg.PROBLEM.TYPE == "DENOISING"
+                 and str(cfg.MODEL.ARCHITECTURE).lower() == "nafnet"
+                 and bool(cfg.PROBLEM.DENOISING.LOAD_GT_DATA)),
+            "SYSTEM.SPATIAL_PARTITIONS is not supported with the GAN "
+            "(NAFNet + PatchGAN) training path")
+        y_patch = int(ps[1] if is_3d else ps[0])
+        up = 1
+        if cfg.PROBLEM.TYPE == "SUPER_RESOLUTION":
+            ups = cfg.PROBLEM.SUPER_RESOLUTION.UPSCALING
+            up = int(ups[1] if is_3d else ups[0]) if len(ups) else 1
+        req(y_patch % sp == 0,
+            f"SYSTEM.SPATIAL_PARTITIONS={sp} must divide the patch's Y size "
+            f"({y_patch}); the Y axis is the one sharded over the 'space' mesh axis")
+        req((y_patch * up) % sp == 0,
+            f"SYSTEM.SPATIAL_PARTITIONS={sp} must divide the upscaled target "
+            f"Y size ({y_patch * up})")
+
     # -- model --------------------------------------------------------------
     arch = str(cfg.MODEL.ARCHITECTURE).lower()
     src = str(cfg.MODEL.SOURCE).lower()

@@ -19,7 +19,7 @@ import optax
 from flax import struct
 from flax.core import FrozenDict
 
-from biapy_tpu.parallel import batch_sharding, replicated
+from biapy_tpu.parallel import SPACE_AXIS, batch_sharding, replicated
 
 
 class TrainState(struct.PyTreeNode):
@@ -154,8 +154,14 @@ def make_train_step(
         return new_state, metrics
 
     if mesh is not None:
-        bs = batch_sharding(mesh)
         rep = replicated(mesh)
+        if SPACE_AXIS in mesh.axis_names:
+            # spatial partitioning: the batch keeps the committed sharding
+            # placed by shard_batch (image leaves split over 'space')
+            return jax.jit(step, in_shardings=(rep, None, rep),
+                           out_shardings=(rep, rep),
+                           donate_argnums=(0,) if donate else ())
+        bs = batch_sharding(mesh)
         batch_sh = {"x": bs, "y": bs, **{k: rep for k in extra_batch_rep_keys}}
         return jax.jit(
             step,
@@ -185,8 +191,10 @@ def make_eval_step(loss_fn: Callable, metric_fns: Optional[Dict[str, Callable]] 
         return metrics
 
     if mesh is not None:
-        bs = batch_sharding(mesh)
         rep = replicated(mesh)
+        if SPACE_AXIS in mesh.axis_names:
+            return jax.jit(step, in_shardings=(rep, None), out_shardings=rep)
+        bs = batch_sharding(mesh)
         batch_sh = {"x": bs, "y": bs, **{k: rep for k in extra_batch_rep_keys}}
         return jax.jit(step, in_shardings=(rep, batch_sh), out_shardings=rep)
     return jax.jit(step)
@@ -202,7 +210,9 @@ def make_predict_fn(apply_fn: Callable, mesh=None, activations: Optional[Callabl
         return out
 
     if mesh is not None:
-        bs = batch_sharding(mesh)
         rep = replicated(mesh)
+        if SPACE_AXIS in mesh.axis_names:
+            return jax.jit(predict, in_shardings=(rep, None))
+        bs = batch_sharding(mesh)
         return jax.jit(predict, in_shardings=(rep, bs), out_shardings=bs)
     return jax.jit(predict)

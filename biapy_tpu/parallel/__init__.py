@@ -22,6 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
 def initialize_distributed(
@@ -47,15 +48,31 @@ def initialize_distributed(
         )
 
 
-def get_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_names: Sequence[str] = (DATA_AXIS,)) -> Mesh:
-    """1-D data mesh over all devices by default; pass reshaped devices for
-    hybrid layouts (e.g. (hosts, chips) for dp over DCN x ICI)."""
+def get_mesh(devices: Optional[Sequence[jax.Device]] = None,
+             axis_names: Sequence[str] = (DATA_AXIS,), spatial: int = 1) -> Mesh:
+    """1-D data mesh over all devices by default; ``spatial > 1`` builds a
+    2-D ``(data, space)`` mesh instead — the 'space' axis shards the
+    patch's Y dimension under GSPMD (XLA inserts the conv halo exchanges),
+    so one training patch can span several chips' HBM. A TPU-native
+    extension with no reference analog (the torch build is DDP-only)."""
     if devices is None:
         devices = jax.devices()
     dev_arr = np.array(devices)
+    spatial = max(1, int(spatial))
+    if spatial > 1:
+        if len(devices) % spatial:
+            raise ValueError(f"SYSTEM.SPATIAL_PARTITIONS={spatial} must divide "
+                             f"the device count ({len(devices)})")
+        dev_arr = dev_arr.reshape(len(devices) // spatial, spatial)
+        return Mesh(dev_arr, axis_names=(DATA_AXIS, SPACE_AXIS))
     if len(axis_names) > 1:
         raise NotImplementedError("multi-axis meshes are built by callers that need them")
     return Mesh(dev_arr, axis_names=tuple(axis_names))
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    """Devices along the batch axis — what the global batch must tile."""
+    return int(mesh.shape[DATA_AXIS])
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -63,15 +80,42 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def spatial_sharding(mesh: Mesh, spatial_dim: int) -> NamedSharding:
+    """Batch over 'data' + the given array dim over 'space' (the patch's Y:
+    dim 1 in NHWC, dim 2 in NDHWC); trailing dims replicated."""
+    spec = (DATA_AXIS,) + (None,) * (spatial_dim - 1) + (SPACE_AXIS,)
+    return NamedSharding(mesh, P(*spec))
+
+
+def image_sharding(mesh: Mesh, spatial_dim: Optional[int] = None) -> NamedSharding:
+    """Sharding for image-shaped batch entries: spatial when the mesh has a
+    'space' axis, plain data-parallel otherwise."""
+    if spatial_dim is not None and SPACE_AXIS in mesh.axis_names:
+        return spatial_sharding(mesh, spatial_dim)
+    return batch_sharding(mesh)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+def shard_batch(batch: Any, mesh: Mesh, spatial_dim: Optional[int] = None) -> Any:
     """Place a host batch (pytree of numpy arrays) onto the mesh, sharded on
-    the leading axis. Batch size must divide the device count."""
+    the leading axis (batch size must divide the data-axis size). With
+    ``spatial_dim`` on a (data, space) mesh, image-shaped leaves are also
+    sharded along that dim; leaves it doesn't divide stay data-sharded."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if spatial_dim is None or SPACE_AXIS not in mesh.axis_names:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    sp = int(mesh.shape[SPACE_AXIS])
+    ssh = spatial_sharding(mesh, spatial_dim)
+
+    def put(x):
+        ok = (getattr(x, "ndim", 0) > spatial_dim
+              and x.shape[spatial_dim] % sp == 0)
+        return jax.device_put(x, ssh if ok else sh)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
