@@ -64,16 +64,10 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
             "SYSTEM.SPATIAL_PARTITIONS is not supported with the GAN "
             "(NAFNet + PatchGAN) training path")
         y_patch = int(ps[1] if is_3d else ps[0])
-        up = 1
-        if cfg.PROBLEM.TYPE == "SUPER_RESOLUTION":
-            ups = cfg.PROBLEM.SUPER_RESOLUTION.UPSCALING
-            up = int(ups[1] if is_3d else ups[0]) if len(ups) else 1
         req(y_patch % sp == 0,
             f"SYSTEM.SPATIAL_PARTITIONS={sp} must divide the patch's Y size "
-            f"({y_patch}); the Y axis is the one sharded over the 'space' mesh axis")
-        req((y_patch * up) % sp == 0,
-            f"SYSTEM.SPATIAL_PARTITIONS={sp} must divide the upscaled target "
-            f"Y size ({y_patch * up})")
+            f"({y_patch}); the Y axis is the one sharded over the 'space' mesh "
+            "axis (an SR target's upscaled Y is then divisible too)")
 
     # -- model --------------------------------------------------------------
     arch = str(cfg.MODEL.ARCHITECTURE).lower()

@@ -140,13 +140,13 @@ class Classification_Workflow(Base_Workflow):
         import time
 
         from biapy_tpu.engine.train_engine import make_eval_step, make_train_step
-        from biapy_tpu.parallel import shard_batch
+        from biapy_tpu.parallel import data_axis_size, shard_batch
         from biapy_tpu.utils.callbacks import EarlyStopping
         from biapy_tpu.utils.misc import JsonLogger, MetricLogger, save_model
 
         cfg = self.cfg
         train_data, val_data = self._build_loaders()
-        ndev = len(self.mesh.devices.flatten())
+        ndev = data_axis_size(self.mesh)
         gbs = int(math.ceil(max(int(cfg.TRAIN.BATCH_SIZE), ndev) / ndev) * ndev)
         train_loader = BatchLoader(train_data, gbs, shuffle=True, seed=cfg.SYSTEM.SEED)
         val_loader = BatchLoader(val_data, gbs, shuffle=False, seed=cfg.SYSTEM.SEED)

@@ -149,14 +149,14 @@ class Denoising_Workflow(Base_Workflow):
         from biapy_tpu.engine.schedulers import build_optimizer
         from biapy_tpu.models import build_model
         from biapy_tpu.models.nafnet import PatchGANDiscriminator
-        from biapy_tpu.parallel import shard_batch
+        from biapy_tpu.parallel import data_axis_size, shard_batch
         from biapy_tpu.utils.misc import JsonLogger, MetricLogger, save_model
 
         cfg = self.cfg
         train_ds, val_ds = load_and_prepare_train_data(cfg, self.norm_spec)
         train_data = PairDataset(train_ds, cfg, self.norm_spec, augment=True,
                                  gt_as_image=True, seed=cfg.SYSTEM.SEED)
-        ndev = len(self.mesh.devices.flatten())
+        ndev = data_axis_size(self.mesh)
         gbs = int(math.ceil(max(int(cfg.TRAIN.BATCH_SIZE), ndev) / ndev) * ndev)
         loader = BatchLoader(train_data, gbs, shuffle=True, seed=cfg.SYSTEM.SEED)
         self._steps_per_epoch = len(loader)

@@ -87,14 +87,6 @@ def spatial_sharding(mesh: Mesh, spatial_dim: int) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def image_sharding(mesh: Mesh, spatial_dim: Optional[int] = None) -> NamedSharding:
-    """Sharding for image-shaped batch entries: spatial when the mesh has a
-    'space' axis, plain data-parallel otherwise."""
-    if spatial_dim is not None and SPACE_AXIS in mesh.axis_names:
-        return spatial_sharding(mesh, spatial_dim)
-    return batch_sharding(mesh)
-
-
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

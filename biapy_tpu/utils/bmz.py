@@ -69,13 +69,17 @@ def read_bmz_rdf(source: str) -> dict:
 
 
 def _ver_tuple(s: str) -> tuple:
-    """Parse 'maj.min.patch' into an int tuple; unparseable parts stop the
-    parse (enough for the 0.4/0.5 format_version comparisons)."""
+    """Parse 'maj.min.patch' into an int tuple, taking the leading digits of
+    each component so pre-releases compare by their release part
+    ('0.5.3rc1' -> (0, 5, 3), as packaging.Version's release would)."""
+    import re
+
     out = []
     for part in str(s).split("."):
-        if not part.isdigit():
+        m = re.match(r"\d+", part)
+        if not m:
             break
-        out.append(int(part))
+        out.append(int(m.group()))
     return tuple(out) or (0,)
 
 
@@ -102,6 +106,8 @@ _BIAPY_ARCH_CALLABLES = {
     "unext_v2": "unext_v2",
     "multiresunet": "multiresunet",
     "unetr": "unetr",
+    "hrnet": "hrnet",
+    "highresolutionnet": "hrnet",
 }
 
 # BiaPy torch-constructor kwarg -> biapy_tpu config key (the kwargs a
@@ -372,15 +378,14 @@ def check_bmz_model_compatibility(model_rdf: dict, workflow_specs: Optional[dict
     if raw_preproc is not None:
         key = "id" if model_version > (0, 5, 0) else "name"
         entries = raw_preproc if isinstance(raw_preproc, list) else [raw_preproc]
-        # drop ensure_dtype float casts (done anyway)
-        entries = [p for p in entries if not (
-            isinstance(p, dict) and p.get(key) == "ensure_dtype"
-            and "float" in str(g(p, "kwargs", "dtype", default="")))]
+        # keep only entries carrying the version-selected key, minus
+        # ensure_dtype float casts (done anyway) — the reference's filter
+        # loop silently drops key-less entries (models/__init__.py:1492-1499)
+        entries = [p for p in entries if isinstance(p, dict) and key in p
+                   and not (p.get(key) == "ensure_dtype"
+                            and "float" in str(g(p, "kwargs", "dtype", default="")))]
         preproc_info.extend(entries)
         for p in entries:
-            if not isinstance(p, dict) or key not in p:
-                return _result(True, f"[{specific_workflow}] Not recognized "
-                                     f"preprocessing structure found: {p}\n")
             proc_id = p[key]
             if proc_id not in ("zero_mean_unit_variance", "fixed_zero_mean_unit_variance",
                                "scale_range", "scale_linear", "clip"):
@@ -870,11 +875,43 @@ def export_model_to_bmz(workflow, output_dir: str, model_name: Optional[str] = N
                       lambda p: torch.save({k: torch.from_numpy(np.array(v))
                                             for k, v in sd.items()}, p))
         spec = {"source": "weights.pt", "sha256": _sha256(wpath)}
-        orig_spec = (orig.get("weights", {}) or {}).get("pytorch_state_dict")
+        # the torch architecture spec comes from the SOURCE package — the
+        # network is the same whether or not the model card is reused — and
+        # any architecture .py file it references is staged into the new zip
+        # so the package stays self-contained for bioimageio consumers
+        src_rdf = orig
+        if not src_rdf:
+            try:
+                src_rdf = read_bmz_rdf(str(cfg.MODEL.BMZ.SOURCE_MODEL_ID))
+            except Exception as e:  # source moved/deleted since import
+                print(f"[BMZ] source package unavailable for the architecture spec: {e}")
+                src_rdf = {}
+        orig_spec = (src_rdf.get("weights", {}) or {}).get("pytorch_state_dict")
         if isinstance(orig_spec, dict):
-            for k in ("architecture", "kwargs", "pytorch_version"):
+            for k in ("architecture", "kwargs", "architecture_sha256",
+                      "pytorch_version"):
                 if k in orig_spec:
                     spec[k] = orig_spec[k]
+            arch = spec.get("architecture")
+            arch_file = None
+            if isinstance(arch, dict) and arch.get("source"):
+                arch_file = str(arch["source"])
+            elif isinstance(arch, str) and ".py" in arch:
+                arch_file = arch.split(":")[0]
+            if arch_file:
+                src_path = os.path.join(src_rdf.get("_root", ""), arch_file)
+                if os.path.isfile(src_path):
+                    import shutil
+
+                    def copy_arch(p, sp=src_path):
+                        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+                        shutil.copyfile(sp, p)
+
+                    stage(arch_file, copy_arch)
+                else:
+                    print(f"[BMZ] architecture source '{arch_file}' not found "
+                          "in the source package; the exported RDF references "
+                          "it anyway")
         rdf_weights = {"pytorch_state_dict": spec}
 
         # self-check: the exported state dict must land back on the exact

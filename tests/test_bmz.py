@@ -440,9 +440,9 @@ def _flax_to_torch_sd(params, batch_stats=None):
     return sd
 
 
-def _write_bmz_package(out_dir, manifest, sd):
-    """Write rdf.yaml + torch weights into a zip, like a downloaded zoo
-    package."""
+def _write_bmz_package(out_dir, manifest, sd, extra_files=None):
+    """Write rdf.yaml + torch weights (+ any extra files, e.g. the torch
+    architecture source) into a zip, like a downloaded zoo package."""
     import zipfile
 
     import torch
@@ -458,6 +458,8 @@ def _write_bmz_package(out_dir, manifest, sd):
     with zipfile.ZipFile(zpath, "w") as z:
         z.write(rpath, "rdf.yaml")
         z.write(wpath, "weights.pt")
+        for name, content in (extra_files or {}).items():
+            z.writestr(name, content)
     return zpath
 
 
@@ -613,12 +615,13 @@ def test_external_spec04_import_scale_range(tmp_path):
 
     kwargs = dict(_INST_KWARGS, out_channels=[1])
     manifest = _manifest_04(
-        kwargs=kwargs,
+        kwargs=kwargs, architecture="arch.py:ResUNet",
         preprocessing=[{"name": "scale_range",
                         "kwargs": {"min_percentile": 2.0, "max_percentile": 99.8}}])
     manifest["description"] = "representation: Db"
     manifest["tags"].append("biapy")
-    zpath = _write_bmz_package(root + "/pkg", manifest, sd)
+    zpath = _write_bmz_package(root + "/pkg", manifest, sd,
+                               extra_files={"arch.py": "# torch architecture stub\n"})
 
     cfg = {
         "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "2D",
@@ -639,6 +642,49 @@ def test_external_spec04_import_scale_range(tmp_path):
     for a, b in zip(jax.tree.leaves(variables["params"]),
                     jax.tree.leaves(job.workflow.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # export WITHOUT card reuse still carries the source package's torch
+    # architecture spec, and its referenced .py file is staged into the zip
+    from biapy_tpu.utils.bmz import export_model_to_bmz, read_bmz_rdf
+
+    zout = export_model_to_bmz(job.workflow, root + "/bmz_out", model_name="re04")
+    rdf = read_bmz_rdf(zout)
+    spec = rdf["weights"]["pytorch_state_dict"]
+    assert spec["architecture"] == "arch.py:ResUNet"
+    assert os.path.isfile(os.path.join(rdf["_root"], "arch.py"))
+
+
+def test_compat_keyless_preprocessing_filtered():
+    """Entries without the version-selected key are silently dropped (the
+    reference filter, models/__init__.py:1492-1499) — e.g. a 0.5.0 package
+    ('name' era per the reference's strict > comparison) with 'id'-keyed
+    entries imports with no preprocessing adopted; prerelease versions
+    compare by their release part."""
+    from biapy_tpu.utils.bmz import _ver_tuple, check_bmz_model_compatibility
+
+    m = _manifest_05(kwargs={"out_channels": [2]},
+                     preprocessing=[{"id": "zero_mean_unit_variance"}])
+    m["format_version"] = "0.5.0"
+    r = check_bmz_model_compatibility(m)
+    assert not r["error"], r["reason_message"]
+    assert r["preproc_info"] == [] and "DATA.NORMALIZATION.TYPE" not in r["opts"]
+
+    assert _ver_tuple("0.5.3rc1") == (0, 5, 3)
+    m["format_version"] = "0.5.3rc1"
+    r = check_bmz_model_compatibility(m)
+    assert not r["error"] and r["opts"]["DATA.NORMALIZATION.TYPE"] == "zero_mean_unit_variance"
+
+
+def test_compat_hrnet_semantic_one_class_fallback():
+    """A semantic HRNet package with no class kwargs is accepted with the
+    1-class assumption (reference known-architecture list includes hrnet)."""
+    from biapy_tpu.utils.bmz import check_bmz_model_compatibility
+
+    m = _manifest_05(tags=("semantic-segmentation", "2d"), kwargs={},
+                     callable_name="HRNet")
+    r = check_bmz_model_compatibility(m)
+    assert not r["error"], r["reason_message"]
+    assert r["opts"]["DATA.N_CLASSES"] == 2
 
 
 def test_load_workflow_from_bmz_package(tmp_path):
