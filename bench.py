@@ -47,6 +47,22 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
+    # the tunnel chip is shared — a transient 'Unable to initialize backend'
+    # (UNAVAILABLE) just means another tenant holds it. JAX caches backend
+    # init failures in-process, so wait and RE-EXEC for a clean retry.
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        attempt = int(os.environ.get("BIAPY_TPU_BENCH_RETRY", "0"))
+        retriable = "UNAVAILABLE" in str(e) or "Unable to initialize" in str(e)
+        if not retriable or attempt >= 5:
+            raise
+        print(f"TPU backend unavailable (attempt {attempt + 1}/6), "
+              "re-trying in 60s...", file=sys.stderr)
+        time.sleep(60)
+        os.environ["BIAPY_TPU_BENCH_RETRY"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
     from biapy_tpu._biapy import BiaPy
 
     vol_shape = (256, 512, 512)  # ~67M voxels; stand-in for 1024^3 (same kernel shapes)

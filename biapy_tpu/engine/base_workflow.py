@@ -41,7 +41,7 @@ from biapy_tpu.engine.schedulers import (
 )
 from biapy_tpu.engine.train_engine import TrainState, make_eval_step, make_predict_fn, make_train_step
 from biapy_tpu.models import build_model
-from biapy_tpu.parallel import data_axis_size, get_mesh, is_main_process, shard_batch
+from biapy_tpu.parallel import barrier, data_axis_size, get_mesh, is_main_process, shard_batch
 from biapy_tpu.utils.callbacks import EarlyStopping
 from biapy_tpu.utils.misc import (
     JsonLogger,
@@ -452,6 +452,12 @@ class Base_Workflow(metaclass=ABCMeta):
                 print(f"Epoch {epoch} done in {record['time']:.1f}s: "
                       + " ".join(f"{k}={v:.4f}" for k, v in record.items() if isinstance(v, float)))
         tb.close()
+
+        # every rank reloads the best checkpoint below, but only rank 0
+        # writes it — without a barrier a non-zero rank can reload an OLDER
+        # best while rank 0 is still replacing it with the final epoch's
+        # (caught by the real 2-process test: params diverged across ranks)
+        barrier("checkpoints-written")
 
         # reload the best checkpoint for testing (reference: :1244)
         best_path = os.path.join(cfg.PATHS.CHECKPOINT, f"{self.job_identifier}-checkpoint-best.ckpt")

@@ -40,12 +40,18 @@ def initialize_distributed(
         or os.environ.get("SLURM_NTASKS", "1") not in ("", "1")
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
     )
-    if want_dist:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    if want_dist and jax.process_count() <= 1:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError as e:
+            # launcher already initialized the runtime (e.g. a test harness
+            # or notebook that called jax.distributed.initialize itself)
+            if "already initialized" not in str(e):
+                raise
 
 
 def get_mesh(devices: Optional[Sequence[jax.Device]] = None,
@@ -161,6 +167,16 @@ def broadcast_from_main(obj: Any) -> Any:
     from jax.experimental import multihost_utils
 
     return multihost_utils.broadcast_one_to_all(obj)
+
+
+def barrier(name: str = "barrier") -> None:
+    """Block until every process reaches this point (reference analog:
+    dist.barrier, used around rank-0 checkpoint writes — misc.py:389)."""
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
 
 
 def all_gather_objects(obj: Any) -> list:
