@@ -33,7 +33,6 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from biapy_tpu.data.io import open_lazy
-from biapy_tpu.data.patching import compute_patch_grid, extract_patch, spline_window
 from biapy_tpu.data.zarr_store import ZarrArray
 from biapy_tpu.parallel import all_gather_objects, barrier, is_main_process
 
@@ -70,9 +69,11 @@ def tile_grid(vol_shape: Sequence[int], tile_size: Sequence[int], halo: Sequence
 
 def owned_tiles(ci: "ChunkedInference", spatial: Sequence[int]):
     """Tile grid over ``spatial`` plus this rank's round-robin share
-    (shared by the detection/synapse per-tile point extractors)."""
+    (shared by the detection/synapse per-tile point extractors); ownership
+    delegates to the same predicate the predictor uses so the extractors can
+    never disagree with the written tiles."""
     tiles = tile_grid(tuple(spatial), ci.tile_size, ci.halo)
-    return tiles, [(i, t) for i, t in enumerate(tiles) if i % ci.world == ci.rank]
+    return tiles, [(i, t) for i, t in enumerate(tiles) if ci.owns(i)]
 
 
 def core_keep_mask(coords: np.ndarray, tile: Tile, nd: int) -> np.ndarray:
@@ -115,9 +116,13 @@ class ChunkedInference:
         self.rank = rank
         self.world = world
 
+    def owns(self, tile_index: int) -> bool:
+        """Round-robin tile ownership predicate (reference: rank_workload)."""
+        return tile_index % self.world == self.rank
+
     def my_tiles(self, tiles: List[Tile]) -> List[Tile]:
-        """Round-robin tile ownership (reference: rank_workload)."""
-        return [t for i, t in enumerate(tiles) if i % self.world == self.rank]
+        """This rank's round-robin share of the tile grid."""
+        return [t for i, t in enumerate(tiles) if self.owns(i)]
 
     # -- phase 1: raw prediction ---------------------------------------------
     def predict_volume(self, vol_path: str, out_name: str = "raw_pred.zarr",
@@ -152,8 +157,12 @@ class ChunkedInference:
         else:
             z0, z1 = 0, spatial[0]
 
+        # Z-range sub-jobs partition the tile grid by core START: a tile
+        # belongs to the job whose [Z_START, Z_END) contains its core_start,
+        # so ranges that tile the volume give disjoint, complete coverage
+        # (a tile crossing Z_END is finished by the job that started it).
         tiles = tile_grid(spatial, self.tile_size, self.halo)
-        tiles = [t for t in tiles if t.core_start[0] >= z0 and t.core_end[0] <= max(z1, t.core_end[0]) and t.core_start[0] < z1]
+        tiles = [t for t in tiles if z0 <= t.core_start[0] < z1]
         mine = self.my_tiles(tiles)
 
         out_path = os.path.join(self.out_dir, out_name)
@@ -196,43 +205,49 @@ class ChunkedInference:
                 "full-resolution mask (the per-image path rescales, this one "
                 "streams)")
         skipped = 0
-        for ti, t in enumerate(mine):
-            roi_core = None
-            if roi is not None:
-                core_sl = tuple(slice(t.core_start[d], t.core_end[d]) for d in range(self.nd))
-                roi_core = np.asarray(roi[core_sl])
-                while roi_core.ndim > self.nd:  # drop trailing channel axes
-                    roi_core = roi_core[..., 0]
-                roi_core = roi_core > 0
-                if not roi_core.any():
-                    skipped += 1
-                    continue
-                if roi_core.all():
-                    roi_core = None
-            region = tuple(slice(t.halo_start[d], t.halo_end[d]) for d in range(self.nd))
-            block = np.asarray(vol[region]).astype(np.float32)
-            if not has_c:
-                block = block[..., None]
-            from biapy_tpu.data.norm import normalize_image
+        dispatched = 0  # device round-robin keys on DISPATCHED tiles only —
+        # indexing by loop position would starve chips when ROI skips are
+        # periodic (e.g. every other tile empty -> all work on device 0)
+        try:
+            for ti, t in enumerate(mine):
+                roi_core = None
+                if roi is not None:
+                    core_sl = tuple(slice(t.core_start[d], t.core_end[d]) for d in range(self.nd))
+                    roi_core = np.asarray(roi[core_sl])
+                    while roi_core.ndim > self.nd:  # drop trailing channel axes
+                        roi_core = roi_core[..., 0]
+                    roi_core = roi_core > 0
+                    if not roi_core.any():
+                        skipped += 1
+                        continue
+                    if roi_core.all():
+                        roi_core = None
+                region = tuple(slice(t.halo_start[d], t.halo_end[d]) for d in range(self.nd))
+                block = np.asarray(vol[region]).astype(np.float32)
+                if not has_c:
+                    block = block[..., None]
+                from biapy_tpu.data.norm import normalize_image
 
-            block_n, _ = normalize_image(block, self.wf.norm_spec)
-            dev_pred = self.wf.predict_block_on_device(
-                block_n, overlap=self.overlap, padding=self.padding,
-                device=devices[ti % len(devices)], sync=False)
-            if dev_pred is None:
-                drain((t, self._predict_block(block_n), roi_core))
-            else:
-                inflight.append((t, dev_pred, roi_core))
-                if len(inflight) >= len(devices):
-                    drain(inflight.pop(0))
-            if verbose:
-                print(f"[by-chunks] rank {self.rank}: tile {ti + 1}/{len(mine)} dispatched")
-        if skipped and verbose:
-            print(f"[by-chunks] rank {self.rank}: {skipped} tiles outside the ROI skipped")
-        for entry in inflight:
-            drain(entry)
-        if handle is not None:
-            handle.close()
+                block_n, _ = normalize_image(block, self.wf.norm_spec)
+                dev_pred = self.wf.predict_block_on_device(
+                    block_n, overlap=self.overlap, padding=self.padding,
+                    device=devices[dispatched % len(devices)], sync=False)
+                dispatched += 1
+                if dev_pred is None:
+                    drain((t, self._predict_block(block_n), roi_core))
+                else:
+                    inflight.append((t, dev_pred, roi_core))
+                    if len(inflight) >= len(devices):
+                        drain(inflight.pop(0))
+                if verbose:
+                    print(f"[by-chunks] rank {self.rank}: tile {ti + 1}/{len(mine)} dispatched")
+            if skipped and verbose:
+                print(f"[by-chunks] rank {self.rank}: {skipped} tiles outside the ROI skipped")
+            for entry in inflight:
+                drain(entry)
+        finally:
+            if handle is not None:
+                handle.close()
         barrier("chunked_raw_pred")
         return out_path
 
@@ -247,8 +262,6 @@ class ChunkedInference:
             return dev
         from biapy_tpu.data.patching import crop_data_with_overlap, merge_data_with_overlap
 
-        pad = tuple(min(self.padding[d], max(0, (self.patch[d] - block.shape[d]) // 2))
-                    for d in range(self.nd))
         # ensure the block fits at least one patch
         from biapy_tpu.data.patching import pad_to_min_shape
 
@@ -345,10 +358,14 @@ class ChunkedInference:
                 if not both.any():
                     continue
                 pairs, counts = np.unique(np.stack([a[both], b[both]]), axis=1, return_counts=True)
+                # per-label face areas in one counting pass (a per-pair
+                # count_nonzero rescan is O(pairs * face))
+                ua, ca = np.unique(a[a > 0], return_counts=True)
+                ub, cb = np.unique(b[b > 0], return_counts=True)
+                area_a = dict(zip(ua.tolist(), ca.tolist()))
+                area_b = dict(zip(ub.tolist(), cb.tolist()))
                 for (ia, ib), c in zip(pairs.T, counts):
-                    na = np.count_nonzero(a == ia)
-                    nb_ = np.count_nonzero(b == ib)
-                    iou = c / max(na + nb_ - c, 1)
+                    iou = c / max(area_a[int(ia)] + area_b[int(ib)] - c, 1)
                     if iou >= merge_iou_th:
                         edges.append((int(ia), int(ib)))
         barrier("chunked_pass_c")

@@ -82,13 +82,17 @@ def sliding_window_inference(
     spatial = volume.shape[:nd]
     starts_np, ov_px = _grid_starts(spatial, patch, overlap, padding)
     n = len(starts_np)
-    # pad the patch list to a batch multiple; duplicates are harmless — the
-    # blend divides by the accumulated weight, and repeated patches add the
-    # same contribution to both numerator and denominator.
+    # pad the patch list to a batch multiple. Duplicates must contribute
+    # NOTHING: in an overlap band shared with a neighbor, a duplicate would
+    # over-weight the repeated patch ((k*w*y + w'*y_nb)/(k*w + w') != the
+    # true blend), so each patch carries a validity weight zeroed for pads.
     n_pad = (-n) % batch_size
+    valid_np = np.ones(n + n_pad, np.float32)
     if n_pad:
         starts_np = np.concatenate([starts_np, np.repeat(starts_np[-1:], n_pad, axis=0)])
+        valid_np[n:] = 0.0
     starts = jnp.asarray(starts_np.reshape(-1, batch_size, nd))
+    valid = jnp.asarray(valid_np.reshape(-1, batch_size), out_dtype)
 
     core = tuple(patch[d] - 2 * padding[d] for d in range(nd))
     window_np = spline_window(core, ov_px)  # (*core, 1)
@@ -107,7 +111,8 @@ def sliding_window_inference(
         wacc = jnp.zeros(spatial + (1,), out_dtype)
         core_sizes = core
 
-        def body(carry, batch_starts):
+        def body(carry, xs):
+            batch_starts, batch_valid = xs
             acc, wacc = carry
 
             def get_patch(st):
@@ -123,17 +128,18 @@ def sliding_window_inference(
             def upd(i, c):
                 acc, wacc = c
                 st = batch_starts[i]
+                v = batch_valid[i]
                 idx = tuple(st[d] for d in range(nd)) + (0,)
                 cur = jax.lax.dynamic_slice(acc, idx, core_sizes + (out_channels,))
-                acc = jax.lax.dynamic_update_slice(acc, cur + y_core[i], idx)
+                acc = jax.lax.dynamic_update_slice(acc, cur + y_core[i] * v, idx)
                 curw = jax.lax.dynamic_slice(wacc, idx, core_sizes + (1,))
-                wacc = jax.lax.dynamic_update_slice(wacc, curw + window, idx)
+                wacc = jax.lax.dynamic_update_slice(wacc, curw + window * v, idx)
                 return acc, wacc
 
             acc, wacc = jax.lax.fori_loop(0, batch_size, upd, (acc, wacc))
             return (acc, wacc), None
 
-        (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), starts)
+        (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), (starts, valid))
         out = acc / (wacc + 1e-18)
         if any(deficits):
             sl = tuple(slice(d // 2, d // 2 + s) for d, s in zip(deficits, orig_spatial))
@@ -143,25 +149,3 @@ def sliding_window_inference(
         return out
 
     return run(variables, vol_p)
-
-
-def make_sliding_window_fn(
-    apply_fn: Callable,
-    spatial: Sequence[int],
-    in_channels: int,
-    patch: Sequence[int],
-    overlap: Sequence[float],
-    padding: Sequence[int],
-    out_channels: int,
-    batch_size: int = 1,
-    compute_dtype=None,
-):
-    """Pre-bound variant for repeated same-shape volumes (one compile)."""
-
-    def fn(variables, volume):
-        return sliding_window_inference(
-            apply_fn, variables, volume, patch, overlap, padding, out_channels,
-            batch_size=batch_size, compute_dtype=compute_dtype,
-        )
-
-    return fn

@@ -51,3 +51,30 @@ def test_parallel_device_get(streams):
     out2 = parallel_device_get(dev, out=buf, streams=streams)
     assert out2 is buf
     np.testing.assert_allclose(buf, host.astype(np.float64))
+
+
+def _ramp_apply(variables, x):
+    # non-translation-invariant "model": adds an in-patch coordinate ramp,
+    # so overlapping patches DISAGREE at shared voxels and any weight skew
+    # (e.g. over-counted batch-padding duplicates) shifts the blend
+    ramp = jnp.arange(x.shape[1], dtype=x.dtype).reshape(1, -1, 1, 1)
+    return x + 0.1 * ramp
+
+
+@pytest.mark.parametrize("batch_size", [3, 4, 7])
+def test_batch_padding_does_not_skew_blend(batch_size):
+    """When the patch count doesn't divide the batch size, the padded
+    duplicates of the last patch must contribute NOTHING — a duplicate in an
+    overlap band shared with a neighbor would over-weight the repeated patch
+    ((k*w*y + w'*y_nb)/(k*w + w') != the true blend). With a model whose
+    output depends on the in-patch position, the blend is only batch-size-
+    invariant when duplicate weights are zeroed."""
+    rng = np.random.default_rng(1)
+    # 18 with patch 8 gives a clamped (overlapping) last patch per axis
+    vol = jnp.asarray(rng.random((18, 18, 1), np.float32))
+    kw = dict(patch=(8, 8), overlap=(0.0, 0.0), padding=(2, 2), out_channels=1)
+    ref = np.asarray(sliding_window_inference(_ramp_apply, None, vol,
+                                              batch_size=1, **kw))
+    out = np.asarray(sliding_window_inference(_ramp_apply, None, vol,
+                                              batch_size=batch_size, **kw))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
