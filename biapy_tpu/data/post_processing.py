@@ -387,15 +387,23 @@ def instance_properties_csv(labels: np.ndarray, path: str,
 
 
 def filter_instances_by_properties(labels: np.ndarray, props: Sequence[str],
-                                   values: Sequence[float], signs: Sequence[str]) -> np.ndarray:
-    """Remove instances matching the (prop, sign, value) conditions."""
-    measured = measure_instance_properties(labels)
+                                   values: Sequence[float], signs: Sequence[str],
+                                   resolution: Sequence[float] = (1, 1, 1)) -> np.ndarray:
+    """Remove instances matching the (prop, sign, value) conditions. The
+    requested props are passed through as EXTRA_PROPS so derived measures
+    (circularity/sphericity/elongation/physical area) are actually computed
+    — a filter on an unmeasured property would otherwise silently pass."""
+    measured = measure_instance_properties(labels, resolution=resolution,
+                                           extra_props=[str(p) for p in props])
     drop = np.zeros(len(measured["id"]), bool)
     fns = {"gt": np.greater, "lt": np.less, "ge": np.greater_equal, "le": np.less_equal,
            "gte": np.greater_equal, "lte": np.less_equal}
     for p, v, s in zip(props, values, signs):
         if p in measured:
             drop |= fns[s](measured[p], v)
+        else:
+            print(f"WARNING: REMOVE_BY_PROPERTIES property '{p}' cannot be "
+                  f"measured on this {labels.ndim}D image — condition skipped")
     out = labels.copy()
     for lab in measured["id"][drop]:
         out[out == lab] = 0

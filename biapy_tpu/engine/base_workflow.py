@@ -250,7 +250,12 @@ class Base_Workflow(metaclass=ABCMeta):
                                       f"reinitialized ({e})")
                 if ("epoch" in items
                         or self.cfg.MODEL.LOAD_CHECKPOINT_EPOCH == "last_on_train"):
-                    self.start_epoch = int(ck.get("epoch", 0))
+                    # checkpoints record the COMPLETED epoch index, so resume
+                    # starts at the next one (the reference stores epoch+1 at
+                    # save for the same effect, base_workflow.py:1095) — a
+                    # finished run resumes as a no-op instead of re-training
+                    # its final epoch
+                    self.start_epoch = int(ck.get("epoch", -1)) + 1
                 if self.verbose:
                     print(f"Loaded checkpoint {path} (epoch {self.start_epoch})")
             elif self.verbose:
@@ -422,8 +427,18 @@ class Base_Workflow(metaclass=ABCMeta):
                 monitor = str(cfg.TRAIN.CHECKPOINT_MONITOR or "val_loss")
                 if not monitor.startswith("val_"):
                     monitor = "val_" + monitor
-                mon_val = val_metrics.get(monitor, val_loss)
-                score = mon_val if "loss" in monitor else -mon_val
+                if monitor in val_metrics:
+                    mon_val = val_metrics[monitor]
+                    score = mon_val if "loss" in monitor else -mon_val
+                else:
+                    # an absent metric falls back to the loss and must also
+                    # MINIMIZE — negating the loss because the monitor NAME
+                    # isn't 'loss' would freeze 'best' at epoch 0
+                    if epoch == self.start_epoch and self.verbose:
+                        print(f"WARNING: TRAIN.CHECKPOINT_MONITOR '{monitor}' is "
+                              "not among the validation metrics "
+                              f"{sorted(val_metrics)}; monitoring val_loss")
+                    score = val_loss
                 if score < best_val:
                     best_val = score
                     save_model(self.cfg, cfg.PATHS.CHECKPOINT, self.job_identifier,
@@ -580,14 +595,17 @@ class Base_Workflow(metaclass=ABCMeta):
             else jnp.asarray(block_n)  # bf16 halves H2D + HBM for the volume
         if device is not None:
             # tile parallelism across local chips: computation follows the
-            # committed placement of its inputs
+            # committed placement of its inputs. The per-device weight cache
+            # is invalidated whenever self.state is a different OBJECT (an
+            # id()-keyed cache would both leak old device copies and risk a
+            # stale hit when CPython reuses a freed id after finetuning)
             vcache = getattr(self, "_var_device_cache", None)
-            if vcache is None:
-                vcache = self._var_device_cache = {}
-            vd = vcache.get((id(self.state), device))
+            if vcache is None or vcache["state"] is not self.state:
+                vcache = self._var_device_cache = {"state": self.state, "devices": {}}
+            vd = vcache["devices"].get(device)
             if vd is None:
                 vd = jax.device_put(variables, device)
-                vcache[(id(self.state), device)] = vd
+                vcache["devices"][device] = vd
             out = runner(vd, jax.device_put(block_j, device))
         else:
             out = runner(variables, block_j)
@@ -762,6 +780,13 @@ class Base_Workflow(metaclass=ABCMeta):
         if self.verbose:
             print("###############\n#  INFERENCE  #\n###############")
             print(f"Processing {len(ds.sample_list)} test images")
+        if not is_main_process():
+            # the per-image path runs on rank 0 only, like the reference
+            # (base_workflow.py:1519 guards it with is_main_process; only
+            # by-chunks distributes inference) — concurrent ranks would also
+            # race on the same per-image output files
+            barrier("per_image_test")
+            return
         for i, s in enumerate(ds.sample_list):
             f = ds.dataset_info[s.fid]
             img, g = s.img, s.gt
@@ -795,6 +820,7 @@ class Base_Workflow(metaclass=ABCMeta):
             self.process_test_sample(img, g, fname, s)
         self.after_all_images()
         self.print_stats()
+        barrier("per_image_test")  # pairs with the non-main early return
 
     def apply_roi_mask(self, pred: np.ndarray, fname: str) -> np.ndarray:
         """Restrict inference to a region-of-interest mask (reference:
@@ -807,8 +833,19 @@ class Base_Workflow(metaclass=ABCMeta):
 
         path = str(roi_cfg.PATH)
         candidates = list_image_files(path) if os.path.isdir(path) else [path]
-        match = [c for c in candidates if os.path.basename(c) == fname] or candidates[:1]
+        # patch samples carry a '_sample{i}' suffix — strip it for matching
+        base = fname
+        stem, ext = os.path.splitext(fname)
+        if "_sample" in stem:
+            base = stem.rsplit("_sample", 1)[0] + ext
+        match = [c for c in candidates if os.path.basename(c) in (fname, base)]
+        if not match and len(candidates) == 1:
+            match = candidates  # a single mask file serves every volume
         if not match:
+            # same rule as the by-chunks path: never silently apply an
+            # arbitrary mask out of several candidates
+            print(f"WARNING: no ROI mask named {base} in {path} and several "
+                  "candidates exist — skipping the ROI for this image")
             return pred
         roi = read_img_as_ndarray(match[0], is_3d=self.is_3d)
         m = (roi[..., :1] > 0).astype(pred.dtype)

@@ -26,6 +26,7 @@ from biapy_tpu.data.post_processing import (
 from biapy_tpu.data.pre_processing import channels_per_code, labels_into_channels
 from biapy_tpu.engine import metrics as M
 from biapy_tpu.engine.base_workflow import Base_Workflow
+from biapy_tpu.parallel import barrier, is_main_process
 from biapy_tpu.utils.matching import aggregate_matching, matching
 from biapy_tpu.utils.matching import detection_metrics as detection_metrics_for_points
 
@@ -235,7 +236,11 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         gts = list_image_files(gt_dir)
         if not gts:
             raise FileNotFoundError(f"No GT instance label images in {gt_dir}")
-        if not os.path.isdir(out_dir) or len(list_image_files(out_dir)) != len(gts):
+        # rank 0 writes the cache; other ranks wait — concurrent writers
+        # would truncate each other's .npy files mid-read (reference wraps
+        # creation in dist.barrier, instance_seg.py:2890)
+        if (not os.path.isdir(out_dir) or len(list_image_files(out_dir)) != len(gts)) \
+                and is_main_process():
             os.makedirs(out_dir, exist_ok=True)
             if self.verbose:
                 print(f"Creating {self.channel_codes} channel masks for {split} in {out_dir}")
@@ -273,6 +278,7 @@ class Instance_Segmentation_Workflow(Base_Workflow):
 
                 with open(os.path.join(out_dir, "cellpose_diam.json"), "w") as f:
                     json.dump({"median_diameter": float(np.median(diams))}, f)
+        barrier("instance_masks_" + split.lower())
         diam_file = os.path.join(out_dir, "cellpose_diam.json")
         if split == "TRAIN" and os.path.exists(diam_file):
             import json
@@ -314,12 +320,14 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         for p in files:
             base = os.path.splitext(os.path.basename(p))[0] + ".zarr"
             out_path = os.path.join(out_dir, base)
-            if not os.path.exists(os.path.join(out_path, ".zarray")):
+            if (not os.path.exists(os.path.join(out_path, ".zarray"))
+                    and is_main_process()):  # rank 0 compiles; barrier below
                 if self.verbose:
                     print(f"Compiling synapse channels for {p} -> {out_path}")
                 synapse_channel_creation(p, out_path, self.channel_codes,
                                          self.channel_extra_opts, zarr_info=zi,
                                          verbose=self.verbose)
+        barrier("synapse_channels_" + split.lower())
         frozen = self.cfg.is_frozen()
         if frozen:
             self.cfg.defrost()
@@ -341,6 +349,7 @@ class Instance_Segmentation_Workflow(Base_Workflow):
 
     def test(self, image=None, gt=None):
         self.all_matching_stats: List[List[Dict]] = []
+        self._class_ious: List[float] = []  # per-run, like the stats above
         if image is None and self.cfg.DATA.TEST.LOAD_GT:
             # keep raw instance GT for matching; channels not needed at test
             self._instance_gt_dirs = getattr(self, "_instance_gt_dirs", {})
@@ -500,7 +509,9 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         if mp.ENABLE and mp.REMOVE_BY_PROPERTIES.ENABLE:
             from biapy_tpu.data.post_processing import filter_instances_by_properties
 
-            alias = {"area": "size", "npixels": "size", "volume": "size", "circularity": "size"}
+            alias = {"npixels": "size"}  # reference synonym; geometric props
+            # (circularity/sphericity/elongation/area/volume) are measured
+            # for real by filter_instances_by_properties
             for props, values, signs in zip(mp.REMOVE_BY_PROPERTIES.PROPS,
                                             mp.REMOVE_BY_PROPERTIES.VALUES,
                                             mp.REMOVE_BY_PROPERTIES.SIGNS):
@@ -956,12 +967,25 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         min_size = 0
         mp = self.cfg.TEST.POST_PROCESSING.MEASURE_PROPERTIES
         if mp.ENABLE and mp.REMOVE_BY_PROPERTIES.ENABLE:
+            dropped = []
             for props, values, signs in zip(mp.REMOVE_BY_PROPERTIES.PROPS,
                                             mp.REMOVE_BY_PROPERTIES.VALUES,
                                             mp.REMOVE_BY_PROPERTIES.SIGNS):
                 for p, v, s in zip(props, values, signs):
                     if str(p) in ("size", "area", "npixels", "volume") and s in ("lt", "le", "lte"):
                         min_size = max(min_size, int(v))
+                    else:
+                        dropped.append((str(p), str(s), v))
+            if dropped and self.verbose:
+                # by-chunks applies size-minimum filtering globally after the
+                # cross-tile merge; other property rules would need a second
+                # whole-volume measurement pass that is not implemented —
+                # never drop them silently
+                print("WARNING: by-chunks instance filtering only applies "
+                      "'size lt/le' rules after the merge; these "
+                      f"REMOVE_BY_PROPERTIES conditions are NOT applied: {dropped}. "
+                      "Run the per-image path (TEST.BY_CHUNKS.ENABLE=False) or "
+                      "post-process the instances Zarr to filter on them.")
         if "instance_creation" in phases or "instance_merging" in phases:
             inst_path = ci.create_and_merge_instances(
                 raw_path, self._instance_fn_no_size_filter,
@@ -1065,14 +1089,20 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             # is reported by the matching stats instead
             return {}
         off = 0
+        fg_off = b_off = None
         for c, n in zip(self.channel_codes, self.channels_per_output):
-            if c in BINARY_CODES and c != "B":
-                break
             if c == "B":
-                off += n
-                continue
+                b_off = off if b_off is None else b_off
+            elif c in BINARY_CODES and fg_off is None:
+                fg_off = off
             off += n
-        else:
-            off = 0
         gtb = (gt[..., :1] > 0.5).astype(np.float32)
-        return {"iou": float(M.jaccard_index_numpy(gtb, pred[..., off : off + 1]))}
+        if fg_off is not None:
+            p = pred[..., fg_off : fg_off + 1]
+        elif b_off is not None:
+            # B is the BACKGROUND channel (pre_processing: ~fg) — compare its
+            # complement so the IoU measures foreground like every other code
+            p = 1.0 - pred[..., b_off : b_off + 1]
+        else:
+            return {}
+        return {"iou": float(M.jaccard_index_numpy(gtb, p))}

@@ -92,7 +92,10 @@ def test_resume_restores_optimizer_and_epoch(tmp_path):
     job2 = BiaPy(cfg2, result_dir=f"{root}/res", name="rs", silent=True)
     job2._build_workflow()
     job2.workflow.train()
-    assert job2.workflow.start_epoch == 1  # resumed past epoch 0
+    # the checkpoint records the COMPLETED epoch (1, of a 2-epoch run), so
+    # the resume starts at the NEXT one — re-running epoch 1 would double-
+    # train it (the reference stores epoch+1 at save for the same effect)
+    assert job2.workflow.start_epoch == 2
 
 
 def test_safetensors_out_format(tmp_path):

@@ -522,3 +522,20 @@ def test_embedseg_oracle_3d():
     g = jax.grad(lambda p: spatial_emb_loss(p, jnp.asarray(lab), 3, grid_size=gs,
                                             anisotropy=[4.0, 1.0, 1.0]))(jnp.asarray(pred))
     assert bool(jnp.isfinite(g).all())
+
+
+def test_filter_instances_by_geometric_properties():
+    """REMOVE_BY_PROPERTIES on derived measures (circularity) actually
+    measures them — a filter on an unmeasured property used to pass
+    silently (and 'circularity' was aliased to 'size')."""
+    from biapy_tpu.data.post_processing import filter_instances_by_properties
+
+    lab = np.zeros((64, 64), np.int32)
+    yy, xx = np.mgrid[:64, :64]
+    lab[((yy - 16) ** 2 + (xx - 16) ** 2) < 100] = 1  # circle: circularity ~1
+    lab[40:44, 4:60] = 2  # long thin bar: circularity << 0.5
+    out = filter_instances_by_properties(lab, ["circularity"], [0.5], ["lt"])
+    assert set(np.unique(out)) == {0, 1}, "bar removed, circle kept"
+    # size synonym still filters by pixel count
+    out = filter_instances_by_properties(lab, ["area"], [250], ["lt"])
+    assert set(np.unique(out)) == {0, 1}
