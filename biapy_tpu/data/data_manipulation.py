@@ -64,13 +64,25 @@ def scan_multiple_raw_one_target(x_root: str, y_root: Optional[str]) -> List[Tup
 
 
 def _sample_props(img: np.ndarray, gt: Optional[np.ndarray]) -> Dict[str, float]:
+    """Reference formulas (sample_satisfy_conds, data_manipulation.py:2877):
+    target_* are GT-intensity stats; diff is the L1 image/target difference,
+    optionally scaled by the image or target intensity range (here the
+    sample's own range — the reference uses the enclosing image's)."""
     props = {
         "mean": float(img.mean()),
         "min": float(img.min()),
         "max": float(img.max()),
         "foreground": float((gt > 0).mean()) if gt is not None else 0.0,
-        "diff": float(img.max() - img.min()),
     }
+    if gt is not None:
+        props["target_mean"] = float(gt.mean())
+        props["target_min"] = float(gt.min())
+        props["target_max"] = float(gt.max())
+        if gt.shape == img.shape:
+            d = float(np.sum(np.abs(img.astype(np.float64) - gt)))
+            props["diff"] = d
+            props["diff_by_min_max_ratio"] = d * float(img.max() - img.min())
+            props["diff_by_target_min_max_ratio"] = d * float(gt.max() - gt.min())
     return props
 
 
@@ -92,6 +104,9 @@ def filter_samples_by_properties(
     save_num: int = 3,
     by_image: bool = False,
     norm_spec: Optional[Dict] = None,
+    preprocess_cfg=None,
+    crop_shape: Optional[Sequence[int]] = None,
+    reflect: bool = False,
 ) -> BiaPyDataset:
     """Drop samples matching any AND-group of (prop, sign, value) conditions
     (reference: filter_samples_by_properties, data_manipulation.py:2415).
@@ -105,12 +120,18 @@ def filter_samples_by_properties(
     kept = []
     dropped_saved = 0
     file_verdicts: Dict[int, bool] = {}
-    def _decide(img, gt) -> bool:
+    def _decide(img, gt, stats=None) -> bool:
         if norm_spec is not None:
-            img, _ = normalize_image(img, norm_spec)
+            # the file's cached stats, so the measured values match what
+            # training actually sees (fresh per-patch stats can differ by
+            # orders of magnitude for integer data)
+            img, _ = normalize_image(img, norm_spec, stats=stats)
         p = _sample_props(img, gt)
         for group_p, group_v, group_s in zip(props, values, signs):
-            if all(_SIGN_FNS[sg](p[pr], vv) for pr, vv, sg in zip(group_p, group_v, group_s)):
+            vals = [p.get(pr) for pr in group_p]
+            if any(v is None for v in vals):
+                continue  # not measurable on this sample (e.g. diff w/o GT)
+            if all(_SIGN_FNS[sg](v, vv) for v, vv, sg in zip(vals, group_v, group_s)):
                 return True
         return False
 
@@ -134,14 +155,29 @@ def filter_samples_by_properties(
             else:
                 img = read_img_as_ndarray(f.path, is_3d=is_3d, data_path=f.data_path,
                                           axes_order=f.input_axes)
-                if s.coords and not by_image:
-                    img = extract_patch(img, s.coords)
+                gt = None
                 if f.gt_path:
                     gt = read_img_as_ndarray(f.gt_path, is_3d=is_3d, data_path=f.gt_data_path,
                                              axes_order=f.gt_input_axes)
-                    if s.coords and not by_image:
+                # mirror the geometry the patch grid was computed on
+                # (preprocess + reflect pad), else coords select the wrong
+                # region of the raw image
+                if preprocess_cfg is not None:
+                    from biapy_tpu.data.pre_processing import preprocess_image
+
+                    img = preprocess_image(preprocess_cfg, img, is_2d=not is_3d)
+                    if gt is not None:
+                        gt = preprocess_image(preprocess_cfg, gt, is_mask=True,
+                                              only_resize=True, is_2d=not is_3d)
+                if reflect and crop_shape is not None:
+                    img, _ = pad_to_min_shape(img, crop_shape[: img.ndim - 1])
+                    if gt is not None:
+                        gt, _ = pad_to_min_shape(gt, crop_shape[: gt.ndim - 1])
+                if s.coords and not by_image:
+                    img = extract_patch(img, s.coords)
+                    if gt is not None:
                         gt = extract_patch(gt, s.coords)
-        drop = _decide(img, gt)
+        drop = _decide(img, gt, stats=f.norm_stats)
         if by_image:
             file_verdicts[s.fid] = drop
         if not drop:
@@ -369,7 +405,10 @@ def load_and_prepare_train_data(cfg, norm_spec: Optional[Dict] = None,
             save_dir=(cfg.PATHS.FIL_SAMPLES_DIR if cfg.DATA.SAVE_FILTERED_IMAGES else None),
             save_num=int(cfg.DATA.SAVE_FILTERED_IMAGES_NUM),
             by_image=bool(cfg.DATA.FILTER_BY_IMAGE),
-            norm_spec=(norm_spec if fs.NORM_BEFORE else None))
+            norm_spec=(norm_spec if fs.NORM_BEFORE else None),
+            preprocess_cfg=pre if pre.TRAIN else None,
+            crop_shape=crop_shape,
+            reflect=bool(cfg.DATA.REFLECT_TO_COMPLETE_SHAPE) or random_crops)
 
     if not cfg.DATA.VAL.FROM_TRAIN:
         val = build_dataset(
@@ -393,6 +432,12 @@ def load_and_prepare_train_data(cfg, norm_spec: Optional[Dict] = None,
             gt_is_mask=gt_is_mask,
             multiple_raw_one_target=mrot,
         )
+        vfs = cfg.DATA.VAL.FILTER_SAMPLES
+        if vfs.ENABLE:
+            val = filter_samples_by_properties(
+                val, vfs.PROPS, vfs.VALUES, vfs.SIGNS, is_3d,
+                by_image=bool(cfg.DATA.FILTER_BY_IMAGE),
+                norm_spec=(norm_spec if vfs.NORM_BEFORE else None))
     else:
         train, val = split_train_val(
             train,
@@ -413,7 +458,7 @@ def load_and_prepare_test_data(cfg, norm_spec: Optional[Dict] = None,
     use_gt = bool(cfg.DATA.TEST.LOAD_GT)
     if cfg.PROBLEM.TYPE == "INSTANCE_SEG" and str(cfg.PROBLEM.INSTANCE_SEG.TYPE) == "synapses":
         use_gt = False  # synapse GT are CREMI point annotations, not arrays
-    return build_dataset(
+    ds = build_dataset(
         cfg.DATA.TEST.PATH,
         cfg.DATA.TEST.GT_PATH if use_gt else None,
         tuple(cfg.DATA.PATCH_SIZE),
@@ -434,6 +479,13 @@ def load_and_prepare_test_data(cfg, norm_spec: Optional[Dict] = None,
         multiple_raw_one_target=(cfg.PROBLEM.TYPE == "IMAGE_TO_IMAGE"
                                  and bool(cfg.PROBLEM.IMAGE_TO_IMAGE.MULTIPLE_RAW_ONE_TARGET_LOADER)),
     )
+    tfs = cfg.DATA.TEST.FILTER_SAMPLES
+    if tfs.ENABLE:
+        ds = filter_samples_by_properties(
+            ds, tfs.PROPS, tfs.VALUES, tfs.SIGNS, is_3d,
+            by_image=True,  # test samples are whole images
+            norm_spec=(norm_spec if tfs.NORM_BEFORE else None))
+    return ds
 
 
 def prepare_in_memory_test_data(image: np.ndarray, gt: Optional[np.ndarray], is_3d: bool) -> BiaPyDataset:

@@ -87,15 +87,23 @@ class PairDataset:
                 img = read_patch_as_ndarray(f.path, s.coords, is_3d=self.is_3d,
                                             data_path=f.data_path, axes_order=f.input_axes)
                 if f.gt_path:
-                    gt = read_patch_as_ndarray(f.gt_path, s.coords, is_3d=self.is_3d,
+                    gt = read_patch_as_ndarray(f.gt_path, self._gt_coords(s.coords),
+                                               is_3d=self.is_3d,
                                                data_path=f.gt_data_path, axes_order=f.gt_input_axes)
+                if self.cfg.DATA.FORCE_RGB and img.shape[-1] == 1:
+                    img = np.repeat(img, 3, axis=-1)
                 if pre is not None:  # per-patch ops (resize rejected at build)
                     from biapy_tpu.data.pre_processing import preprocess_image
 
                     img = preprocess_image(pre, img, is_2d=not self.is_3d)
                 return img, gt
+            # eager disk-backed sample: mirror EXACTLY the geometry the
+            # dataset build computed its patch grid on (FORCE_RGB, preprocess,
+            # reflect pad) — coords live in that processed space
             img = read_img_as_ndarray(f.path, is_3d=self.is_3d, data_path=f.data_path,
                                       axes_order=f.input_axes)
+            if self.cfg.DATA.FORCE_RGB and img.shape[-1] == 1:
+                img = np.repeat(img, 3, axis=-1)
             gt_full = None
             if f.gt_path:
                 gt_full = read_img_as_ndarray(f.gt_path, is_3d=self.is_3d, data_path=f.gt_data_path,
@@ -107,11 +115,32 @@ class PairDataset:
                 if gt_full is not None:
                     gt_full = preprocess_image(pre, gt_full, is_mask=not self.gt_as_image,
                                                only_resize=True, is_2d=not self.is_3d)
+            if bool(self.cfg.DATA.REFLECT_TO_COMPLETE_SHAPE) or self.random_crop:
+                from biapy_tpu.data.patching import pad_to_min_shape
+
+                img, _ = pad_to_min_shape(img, self.crop_shape[: self.nd])
+                if gt_full is not None:
+                    gt_min = [self.crop_shape[d] * self.y_upscaling[d]
+                              for d in range(self.nd)]
+                    gt_full, _ = pad_to_min_shape(gt_full, gt_min)
             if s.coords is not None:
                 img = extract_patch(img, s.coords)
             if gt_full is not None:
-                gt = extract_patch(gt_full, s.coords) if s.coords is not None else gt_full
+                gt = (extract_patch(gt_full, self._gt_coords(s.coords))
+                      if s.coords is not None else gt_full)
         return img, gt
+
+    def _gt_coords(self, pc):
+        """GT patch coordinates: scaled by y_upscaling (SR targets live in
+        HR space; the in-memory build path scales the same way)."""
+        if all(u == 1 for u in self.y_upscaling):
+            return pc
+        from biapy_tpu.data.patching import PatchCoords
+
+        return PatchCoords(
+            starts=tuple(st * u for st, u in zip(pc.starts, self.y_upscaling)),
+            ends=tuple(en * u for en, u in zip(pc.ends, self.y_upscaling)),
+        )
 
     def _prob_map_cdf(self, idx: int, gt: np.ndarray):
         """Foreground-weighted sampling distribution for random crops
@@ -204,8 +233,16 @@ class PairDataset:
                     img_b, gt_b = self._random_crop(img_b, gt_b, rng, j)
                 img_b, _ = normalize_image(img_b, self.norm_spec,
                                            stats=self.ds.dataset_info[self.ds.sample_list[j].fid].norm_stats)
-                if gt_b is not None and gt_b.dtype.kind != "f":
-                    gt_b = normalize_mask(gt_b, self.n_classes)
+                if gt_b is not None:
+                    # route the partner target exactly like the primary —
+                    # binarizing an image-target (SR/I2I) or instance labels
+                    # would paste a silhouette into the training target
+                    if self.gt_keep_labels:
+                        gt_b = gt_b.astype(np.float32)
+                    elif self.gt_as_image:
+                        gt_b, _ = normalize_image(gt_b.astype(np.float32), self.norm_spec)
+                    elif gt_b.dtype.kind != "f":
+                        gt_b = normalize_mask(gt_b, self.n_classes)
                 img, gt = self.aug.maybe_cutmix(img, gt, img_b, gt_b, rng)
             if getattr(self, "_grid_overlay", False):
                 img = _draw_grid(img)
@@ -278,7 +315,13 @@ class BatchLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
-        return idx[self.rank :: self.world]
+        if self.world > 1:
+            # equal per-rank counts (torch DistributedSampler pads the same
+            # way): unequal shards would desynchronize SPMD collectives
+            per = (len(idx) + self.world - 1) // self.world
+            idx = np.concatenate([idx, idx[: per * self.world - len(idx)]])
+            return idx[self.rank :: self.world]
+        return idx
 
     def _get_one(self, pos_and_idx):
         pos, i = pos_and_idx
@@ -315,10 +358,15 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
+        err: List[BaseException] = []
+
         def producer():
             try:
                 for c in chunks:
                     q.put(self._make_batch(list(c)))
+            except BaseException as e:  # re-raised on the consumer side —
+                # a swallowed error would silently truncate the epoch
+                err.append(e)
             finally:
                 q.put(stop)
 
@@ -330,6 +378,8 @@ class BatchLoader:
                 break
             yield item
         t.join()
+        if err:
+            raise err[0]
 
 
 def _draw_grid(img: np.ndarray, spacing: Optional[int] = None) -> np.ndarray:

@@ -89,7 +89,9 @@ def axis_grid(length: int, patch: int, overlap: float, pad: int) -> AxisGrid:
         )
     ov = 1.0 if overlap == 0 else 1.0 - overlap
     core = patch - 2 * pad
-    step = int(core * ov)
+    # very high overlap can truncate the step to 0 (infinite grid); one pixel
+    # is the densest achievable stride
+    step = max(1, int(core * ov))
     n = max(1, math.ceil(length / step))
     padded = length + 2 * pad
     last = 0 if n == 1 else ((n - 1) * step + patch) - padded

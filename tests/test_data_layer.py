@@ -484,3 +484,132 @@ def test_n5_streams_through_open_lazy(tmp_path):
     arr[:, :, :] = data
     lazy, handle = open_lazy(root, data_path="volumes.raw")
     assert np.allclose(lazy[1:3, 0:4, 2:5], data[1:3, 0:4, 2:5])
+
+
+# --------------------------------------------------- disk-backed geometry
+def _sr_pair_dirs(tmp_path, n=3, lr=32, up=2):
+    from biapy_tpu.data.tiff import write_tiff
+
+    rng = np.random.default_rng(4)
+    xd, yd = tmp_path / "x", tmp_path / "y"
+    xd.mkdir(), yd.mkdir()
+    for i in range(n):
+        lo = rng.integers(0, 255, (lr, lr), np.uint8)
+        hi = np.kron(lo, np.ones((up, up), np.uint8))  # exact HR version
+        write_tiff(str(xd / f"{i}.tif"), lo)
+        write_tiff(str(yd / f"{i}.tif"), hi)
+    return str(xd), str(yd)
+
+
+def test_disk_backed_sr_gt_patch_alignment(tmp_path):
+    """IN_MEMORY=False with y_upscaling: the GT patch must be read at the
+    UPSCALED coordinates — unscaled coords silently selected the wrong HR
+    region (and the wrong size). The disk-backed sample must equal the
+    in-memory one exactly."""
+    from biapy_tpu.config.config import Config, update_dependencies
+    from biapy_tpu.data.data_manipulation import load_and_prepare_train_data
+    from biapy_tpu.data.generators import PairDataset
+
+    xd, yd = _sr_pair_dirs(tmp_path)
+
+    def build(in_memory):
+        c = Config(str(tmp_path), "sr")
+        cfg = c.get_cfg_defaults()
+        cfg.merge_from_dict({
+            "PROBLEM": {"TYPE": "SUPER_RESOLUTION", "NDIM": "2D",
+                        "SUPER_RESOLUTION": {"UPSCALING": (2, 2)}},
+            "DATA": {"PATCH_SIZE": (16, 16, 1),
+                     "NORMALIZATION": {"TYPE": "div"},
+                     "TRAIN": {"PATH": xd, "GT_PATH": yd, "IN_MEMORY": in_memory},
+                     "VAL": {"SPLIT_TRAIN": 0.25}},
+        })
+        update_dependencies(cfg, str(tmp_path), "sr")
+        train, _ = load_and_prepare_train_data(cfg, norm_spec={"type": "div"},
+                                               y_upscaling=(2, 2), gt_is_mask=False)
+        return PairDataset(train, cfg, {"type": "div"}, augment=False,
+                           y_upscaling=(2, 2), gt_as_image=True)
+
+    mem, disk = build(True), build(False)
+    rng = np.random.default_rng(0)
+    for i in range(len(mem)):
+        a = mem.get(i, np.random.default_rng(1))
+        b = disk.get(i, np.random.default_rng(1))
+        assert b["y"].shape == (32, 32, 1), b["y"].shape
+        np.testing.assert_allclose(a["x"], b["x"], atol=1e-6)
+        np.testing.assert_allclose(a["y"], b["y"], atol=1e-6)
+
+
+def test_disk_backed_small_image_random_crop(tmp_path):
+    """EXTRACT_RANDOM_PATCH with IN_MEMORY=False and an image smaller than
+    the patch: the reflect pad applied at dataset build must be re-applied
+    at load, else the crop comes out undersized."""
+    from biapy_tpu.config.config import Config, update_dependencies
+    from biapy_tpu.data.data_manipulation import load_and_prepare_train_data
+    from biapy_tpu.data.generators import PairDataset
+    from biapy_tpu.data.tiff import write_tiff
+
+    xd, yd = tmp_path / "x", tmp_path / "y"
+    xd.mkdir(), yd.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = rng.integers(0, 255, (20, 20), np.uint8)
+        write_tiff(str(xd / f"{i}.tif"), img)
+        write_tiff(str(yd / f"{i}.tif"), (img > 128).astype(np.uint8))
+    c = Config(str(tmp_path), "rc")
+    cfg = c.get_cfg_defaults()
+    cfg.merge_from_dict({
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TRAIN": {"PATH": str(xd), "GT_PATH": str(yd),
+                           "IN_MEMORY": False, "EXTRACT_RANDOM_PATCH": True},
+                 "VAL": {"SPLIT_TRAIN": 0.25}},
+    })
+    update_dependencies(cfg, str(tmp_path), "rc")
+    train, _ = load_and_prepare_train_data(cfg, norm_spec={"type": "div"})
+    pd = PairDataset(train, cfg, {"type": "div"}, augment=False, random_crop=True)
+    item = pd.get(0, np.random.default_rng(3))
+    assert item["x"].shape == (32, 32, 1), item["x"].shape
+    assert item["y"].shape == (32, 32, 1), item["y"].shape
+
+
+def test_loader_propagates_producer_errors(tmp_path):
+    """An exception on the prefetch thread must surface in the training
+    loop, not silently truncate the epoch."""
+    from biapy_tpu.data.generators import BatchLoader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def get(self, idx, rng):
+            if idx >= 4:
+                raise RuntimeError("corrupt sample")
+            return {"x": np.zeros((4, 4, 1), np.float32)}
+
+    loader = BatchLoader(Bad(), 2, shuffle=False, num_workers=1)
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        for _ in loader:
+            pass
+
+
+def test_filter_samples_target_props(tmp_path):
+    """target_mean/target_min/target_max and the diff family are measurable
+    (a validated config crashed with KeyError before)."""
+    from biapy_tpu.data.data_manipulation import _sample_props
+
+    img = np.full((8, 8, 1), 2.0, np.float32)
+    gt = np.full((8, 8, 1), 5.0, np.float32)
+    p = _sample_props(img, gt)
+    assert p["target_mean"] == 5.0 and p["target_min"] == 5.0
+    assert p["diff"] == 3.0 * 64
+    # reference formula: L1 * intensity range
+    assert p["diff_by_min_max_ratio"] == p["diff"] * 0.0
+
+
+def test_axis_grid_extreme_overlap():
+    """overlap -> 1 truncates the stride to 0; the grid must clamp to a
+    1-pixel stride instead of ZeroDivisionError."""
+    from biapy_tpu.data.patching import axis_grid
+
+    g = axis_grid(128, 64, 0.995, 0)
+    assert g.n >= 1 and g.start(1) - g.start(0) == 1
