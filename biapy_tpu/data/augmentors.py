@@ -139,7 +139,6 @@ def elastic(img, mask, rng, alpha=(12, 16), sigma=4.0, mode="constant"):
 # --------------------------------------------------------------------------
 def gaussian_blur(img, rng, sigma=(1.0, 2.0)):
     s = _rand_range(rng, sigma)
-    axes = tuple(range(img.ndim - 1)) if img.ndim == 3 else (1, 2)
     sig = [0.0] * img.ndim
     for ax in ((0, 1) if img.ndim == 3 else (1, 2)):
         sig[ax] = s
@@ -347,14 +346,28 @@ def missing_sections(img, rng, iterations=(10, 30), channel_prob=0.5):
 
 
 def gridmask(img, rng, ratio=0.6, d_range=(0.4, 1.0), rotate=1.0, invert=False):
-    """GridMask occlusion (reference: augmentors.py GridMask)."""
+    """GridMask occlusion (reference: augmentors.py GridMask). ``rotate``
+    caps the random rotation of the grid pattern in degrees * 90 (the
+    reference's rotate=1 -> up to 90deg)."""
     h, w = img.shape[-3:-1]
     d = int(_rand_range(rng, d_range) * min(h, w))
     d = max(2, d)
     keep = int(ratio * d)
-    gy = np.tile((np.arange(h + d) % d) < keep, (1,))[:h]
-    gx = np.tile((np.arange(w + d) % d) < keep, (1,))[:w]
+    # build the grid on a diagonal-sized canvas so a rotated crop has no
+    # blank corners, then rotate and crop the center
+    if rotate:
+        side = int(np.ceil(np.sqrt(h * h + w * w)))
+    else:
+        side = max(h, w)
+    gy = ((np.arange(side + d) % d) < keep)[:side]
+    gx = ((np.arange(side + d) % d) < keep)[:side]
     m = np.outer(gy, gx)
+    if rotate:
+        angle = float(rng.uniform(-90.0, 90.0)) * float(rotate)
+        m = ndimage.rotate(m.astype(np.float32), angle, reshape=False,
+                           order=0) > 0.5
+    y0, x0 = (side - h) // 2, (side - w) // 2
+    m = m[y0:y0 + h, x0:x0 + w]
     if invert:
         m = ~m
     return img * m[..., None].astype(img.dtype) if img.ndim == 3 else img * m[None, ..., None].astype(img.dtype)
@@ -375,8 +388,16 @@ def poisson_noise(img, rng):
     mn, mx = float(x.min()), float(x.max())
     span = max(mx - mn, 1e-8)
     x01 = (x - mn) / span
-    vals = 2 ** np.ceil(np.log2(len(np.unique(x01))))
-    noisy = rng.poisson(x01 * vals) / float(vals)
+    # photon-count domain: quantized data keeps its own level count (the
+    # reference formula); continuous float data — this pipeline augments
+    # AFTER normalization — would see ~one level per pixel and the noise
+    # would vanish, so cap at the uint8-equivalent 256 levels
+    n_levels = len(np.unique(x01))
+    if n_levels >= x01.size // 2:
+        vals = 256.0
+    else:
+        vals = float(2 ** np.ceil(np.log2(max(n_levels, 2))))
+    noisy = rng.poisson(x01 * vals) / vals
     return (noisy * span + mn).astype(img.dtype)
 
 

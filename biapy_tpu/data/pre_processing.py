@@ -35,7 +35,7 @@ def channels_per_code(code: str, extra: Dict, nd: int = 2) -> int:
     if code == "E_seediness":
         return 1
     if code == "R":
-        return int(extra.get("R", {}).get("nrays", 32 if True else 0))
+        return int(extra.get("R", {}).get("nrays", 32))
     if code == "A":
         a = extra.get("A", {})
         n = len(a.get("y_affinities", [1])) + len(a.get("x_affinities", [1]))
@@ -105,8 +105,8 @@ def cellpose_flows(labels: np.ndarray, n_iter: Optional[int] = None) -> np.ndarr
     axis, stacked channels-last. Background = 0.
     """
     nd = labels.ndim
-    heat = np.zeros(labels.shape, np.float64)
     fg = labels > 0
+    g_all = np.zeros(labels.shape + (nd,), np.float64)
     objs = ndimage.find_objects(labels)
     for lab, sl in zip(range(1, len(objs) + 1), objs):
         if sl is None:
@@ -125,17 +125,18 @@ def cellpose_flows(labels: np.ndarray, n_iter: Optional[int] = None) -> np.ndarr
             for d in range(nd):
                 acc += np.roll(h, 1, axis=d) + np.roll(h, -1, axis=d)
             h = (acc / (2 * nd)) * pad
+        # gradient PER INSTANCE on the padded crop, like the reference's
+        # per-instance kernels (_extend_centers_2d/3d) — a global gradient
+        # would mix a touching neighbour's heat field exactly at the
+        # instance-separating boundary, the case flows exist to split
         crop = tuple(slice(1, -1) for _ in range(nd))
-        target = heat[sl]
-        target[sub] = np.log1p(h[crop][sub])
-        heat[sl] = target
-    grads = np.gradient(heat)
-    if nd == 2:
-        g = np.stack(grads, axis=-1)
-    else:
-        g = np.stack(grads, axis=-1)
-    mag = np.sqrt(np.sum(g**2, axis=-1, keepdims=True))
-    g = np.where(mag > 1e-8, g / np.maximum(mag, 1e-8), 0.0)
+        grads = np.gradient(np.log1p(h))
+        gcrop = np.stack([gr[crop] for gr in grads], axis=-1)
+        tgt = g_all[sl]
+        tgt[sub] = gcrop[sub]
+        g_all[sl] = tgt
+    mag = np.sqrt(np.sum(g_all**2, axis=-1, keepdims=True))
+    g = np.where(mag > 1e-8, g_all / np.maximum(mag, 1e-8), 0.0)
     return (g * fg[..., None]).astype(np.float32)
 
 
@@ -199,12 +200,14 @@ def affinities(labels: np.ndarray, extra: Dict) -> np.ndarray:
     nd = labels.ndim
     offsets: List[Tuple[int, int]] = []  # (axis, distance)
     axes_keys = (["z_affinities"] if nd == 3 else []) + ["y_affinities", "x_affinities"]
-    axis_base = 0 if nd == 3 else 0
     for d, key in enumerate(axes_keys):
         dists = a.get(key, [1])
-        if key == "z_affinities" and not dists:
+        if not dists:
+            # an explicitly-empty axis emits no channel — channels_per_code
+            # counts 0 for it, and a stray channel would shift every
+            # downstream slice off by one
             continue
-        for dist in dists or [1]:
+        for dist in dists:
             offsets.append((d, int(dist)))
     chans = []
     for axis, dist in offsets:
@@ -313,7 +316,7 @@ def labels_into_channels(
                 dist = np.zeros(m.shape, np.float32)
                 for d_ in range(nd):
                     c = coords[d_][sl]
-                    dist += (c - (c[m] * 0 + com[d_])) ** 2 * 1.0
+                    dist += (c - (sl[d_].start + com[d_])) ** 2
                 dist = np.sqrt(dist)
                 if bool(opts.get("norm", True)) and dist[m].max() > 0:
                     dist = dist / dist[m].max()
@@ -427,8 +430,12 @@ def resize_image(img: np.ndarray, output_shape: Sequence[int], order: int = 1,
     if clip:
         out = np.clip(out, img.min(), img.max())
     if not preserve_range:
-        rng = float(img.max() - img.min())
-        out = (out - img.min()) / max(rng, 1e-12)
+        # skimage semantics: scale by the DTYPE range (img_as_float), so
+        # inter-image brightness relations survive; per-image min-max would
+        # contrast-stretch each image independently
+        if np.issubdtype(img.dtype, np.integer):
+            info = np.iinfo(img.dtype)
+            out = (out - info.min) / float(info.max - info.min)
     return out.astype(img.dtype if preserve_range else np.float32)
 
 
@@ -533,8 +540,9 @@ def detect_edges(img: np.ndarray, low_threshold=None, high_threshold=None,
     sp = img.shape[:-1]
     planes = img.reshape((-1,) + sp[-2:] + (img.shape[-1],)).astype(np.float32)
     out = np.zeros_like(planes)
-    for i in range(planes.shape[0]):
-        g = planes[i, ..., 0]
+    for i, ci in [(i, ci) for i in range(planes.shape[0])
+                  for ci in range(planes.shape[-1])]:
+        g = planes[i, ..., ci]
         rng = max(float(g.max() - g.min()), 1e-12)
         g = (g - g.min()) / rng
         g = ndimage.gaussian_filter(g, sigma)
@@ -558,7 +566,7 @@ def detect_edges(img: np.ndarray, low_threshold=None, high_threshold=None,
         keep = np.zeros(n + 1, bool)
         keep[np.unique(lab[strong])] = True
         keep[0] = False
-        out[i, ..., 0] = keep[lab].astype(np.float32)
+        out[i, ..., ci] = keep[lab].astype(np.float32)
     out = out.reshape(img.shape)
     if np.issubdtype(img.dtype, np.integer):
         return (out * np.iinfo(img.dtype).max).astype(img.dtype)

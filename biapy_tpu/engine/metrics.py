@@ -101,7 +101,14 @@ def cross_entropy_loss(
         elif class_rebalance == "manual" and class_weights:
             w_bg, w_fg = class_weights[0], class_weights[-1]
             weight = jnp.where(targets > 0.5, w_fg, w_bg)
-        return jnp.mean(bce_with_logits(logits, targets.astype(logits.dtype), weight))
+        bce = bce_with_logits(logits, targets.astype(logits.dtype), weight)
+        if ignore_index is not None:
+            # LOSS.IGNORE_INDEX applies on the binary path too — unlabeled
+            # pixels must not contribute gradient (reference:
+            # CrossEntropyLoss_wrapper ignore_index)
+            valid = (targets != ignore_index).astype(bce.dtype)
+            return jnp.sum(bce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        return jnp.mean(bce)
     cw = jnp.asarray(class_weights) if (class_rebalance == "manual" and class_weights) else None
     return softmax_ce_with_logits(logits, targets, cw, ignore_index)
 
@@ -127,7 +134,15 @@ def dice_ce_loss(
     ce = cross_entropy_loss(logits, targets, num_classes, class_rebalance, class_weights, ignore_index)
     if num_classes > 2 and logits.shape[-1] > 1:
         t1h = jax.nn.one_hot(targets[..., 0].astype(jnp.int32), logits.shape[-1])
+        if ignore_index is not None:
+            t1h = t1h * (targets[..., :1] != ignore_index)
         d = dice_loss(jax.nn.softmax(logits, axis=-1), t1h, apply_sigmoid=False)
+    elif ignore_index is not None:
+        # drop ignored pixels from BOTH dice terms (a zeroed target alone
+        # would still count the prediction in the denominator)
+        valid = (targets != ignore_index).astype(logits.dtype)
+        d = dice_loss(jax.nn.sigmoid(logits) * valid, targets * valid,
+                      apply_sigmoid=False)
     else:
         d = dice_loss(logits, targets)
     return w_dice * d + w_ce * ce
@@ -384,6 +399,10 @@ def jaccard_index(y_pred, y_true, num_classes: int = 2, t: float = 0.5,
     p = jax.nn.sigmoid(y_pred) if apply_activation else y_pred
     pb = p > t
     gb = y_true > 0.5
+    if ignore_index is not None:
+        valid = y_true != ignore_index
+        pb = pb & valid
+        gb = gb & valid
     inter = jnp.sum(pb & gb)
     union = jnp.sum(pb | gb)
     return jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)

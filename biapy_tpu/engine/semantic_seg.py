@@ -56,7 +56,8 @@ class Semantic_Segmentation_Workflow(Base_Workflow):
             self.loss = M.make_contrast_ce_loss(self.loss, nd=self.nd,
                                                 n_classes=n_classes)
         self.train_metrics = {
-            "iou": partial(M.jaccard_index, num_classes=n_classes),
+            "iou": partial(M.jaccard_index, num_classes=n_classes,
+                           ignore_index=ignore),
         }
 
     def metric_calculation(self, pred: np.ndarray, gt: Optional[np.ndarray]) -> Dict[str, float]:

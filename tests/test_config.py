@@ -238,3 +238,24 @@ def test_validation_patch_divisibility():
     # 96 divides cleanly three times
     cfg.merge_from_dict({"DATA": {"PATCH_SIZE": (96, 96, 1)}})
     check_configuration(cfg)
+
+
+def test_binary_ignore_index_masks_loss_and_iou():
+    """LOSS.IGNORE_INDEX is honored on the BINARY (1-logit BCE) path and by
+    the binary IoU — ignored pixels used to contribute gradient/IoU."""
+    import jax.numpy as jnp
+
+    from biapy_tpu.engine.metrics import cross_entropy_loss, jaccard_index
+
+    logits = jnp.full((1, 4, 4, 1), 3.0)  # confident foreground
+    y = jnp.ones((1, 4, 4, 1))
+    y = y.at[0, :2].set(2.0)  # ignore half the image with label 2
+    full = float(cross_entropy_loss(logits, jnp.ones_like(y)))
+    masked = float(cross_entropy_loss(logits, y, ignore_index=2))
+    assert abs(masked - full) < 1e-6  # valid half is all-correct foreground
+
+    # IoU: ignored half predicted fg would otherwise count as false positive
+    y_bad = jnp.zeros((1, 4, 4, 1)).at[0, 2:].set(1.0)
+    y_ign = y_bad.at[0, :2].set(2.0)
+    iou = float(jaccard_index(logits, y_ign, ignore_index=2))
+    assert iou == 1.0, iou

@@ -539,3 +539,40 @@ def test_filter_instances_by_geometric_properties():
     # size synonym still filters by pixel count
     out = filter_instances_by_properties(lab, ["area"], [250], ["lt"])
     assert set(np.unique(out)) == {0, 1}
+
+
+def test_dc_channel_and_empty_affinity_axes():
+    """'Dc' (distance-to-center) compiles (it crashed on a broadcast bug),
+    and an explicitly-empty affinity axis emits no channel so the layout
+    matches channels_per_code."""
+    from biapy_tpu.data.pre_processing import (channels_per_code,
+                                               labels_into_channels)
+
+    lab = np.zeros((16, 20), np.int32)
+    lab[2:8, 2:8] = 1
+    lab[9:15, 10:18] = 2
+    dc = labels_into_channels(lab, ("Dc",))
+    assert dc.shape == (16, 20, 1)
+    assert dc[lab == 0].max() == 0.0
+    assert 0.0 <= dc.min() and dc.max() <= 1.0
+    assert dc[lab > 0].max() > 0.0
+
+    extra = {"A": {"y_affinities": [], "x_affinities": [1, 3]}}
+    a = labels_into_channels(lab, ("A",), extra)
+    assert a.shape[-1] == channels_per_code("A", extra, 2) == 2
+
+
+def test_touching_instance_flows_point_inward():
+    """Cellpose flows at the boundary between two touching instances point
+    toward EACH instance's own center — a global gradient of the shared
+    heat map leaked the neighbour's field across the boundary."""
+    from biapy_tpu.data.pre_processing import cellpose_flows
+
+    lab = np.zeros((20, 20), np.int32)
+    lab[:, :10] = 1
+    lab[:, 10:] = 2
+    g = cellpose_flows(lab)  # (y, x, 2) with (dy, dx)
+    # column 9 belongs to instance 1 (center x~4.5): flow x-component < 0
+    # column 10 belongs to instance 2 (center x~14.5): flow x-component > 0
+    assert np.median(g[5:15, 9, 1]) < 0
+    assert np.median(g[5:15, 10, 1]) > 0
