@@ -78,10 +78,6 @@ def watershed_by_channels(
     growth_mask_channels = list(growth_mask_channels) if growth_mask_channels else []
     growth_mask_channel_ths = list(growth_mask_channel_ths) if growth_mask_channel_ths else []
 
-    fg_chan = chan("F")
-    if fg_chan is None:
-        fg_chan = 1.0 - chan("B") if chan("B") is not None else np.ones(data.shape[:-1], np.float32)
-
     # default seed recipe (reference auto mode): F over th AND C under th
     if not seed_channels:
         seed_channels = [c for c in ("F", "P", "Db", "D") if chan(c) is not None][:1] or ["F"]
@@ -89,8 +85,20 @@ def watershed_by_channels(
             seed_channels.append("C")
         seed_channel_ths = ["auto"] * len(seed_channels)
     if not growth_mask_channels:
-        growth_mask_channels = ["F"]
+        # a background-only representation grows inside 1-B (reference picks
+        # the same complement, instance_seg.py:1216)
+        growth_mask_channels = ["F"] if (chan("F") is not None
+                                         or chan("B") is None) else ["1-B"]
         growth_mask_channel_ths = ["auto"]
+    # a short threshold/radius list silently zip-truncated its channel list;
+    # pad with the last entry (or 'auto') instead
+    seed_channel_ths += ["auto"] * (len(seed_channels) - len(seed_channel_ths))
+    growth_mask_channel_ths += ["auto"] * (len(growth_mask_channels)
+                                           - len(growth_mask_channel_ths))
+    if seed_morph_sequence and len(seed_morph_radius) < len(seed_morph_sequence):
+        last = seed_morph_radius[-1] if seed_morph_radius else 2
+        seed_morph_radius = list(seed_morph_radius) + \
+            [last] * (len(seed_morph_sequence) - len(seed_morph_radius))
 
     seeds_mask = np.ones(data.shape[:-1], bool)
     for code, th in zip(seed_channels, seed_channel_ths):
@@ -114,6 +122,8 @@ def watershed_by_channels(
     growth = np.ones(data.shape[:-1], bool)
     for code, th in zip(growth_mask_channels, growth_mask_channel_ths):
         c = chan(code)
+        if code == "1-B" and chan("B") is not None:
+            c = 1.0 - chan("B")
         if c is None:
             continue
         t = _otsu(c) if (th in ("auto", -1, None)) else float(th)
@@ -130,15 +140,28 @@ def watershed_by_channels(
         if len(small):
             markers[np.isin(markers, small)] = 0
 
-    # topography: prefer a distance channel (invert), else the contour map,
-    # else -EDT of the growth mask.
-    dist = chan("Db") if chan("Db") is not None else chan("D")
-    if dist is not None:
-        topo = -dist.astype(np.float32)
-    elif chan("C") is not None:
-        topo = chan("C").astype(np.float32)
-    else:
-        topo = -ndimage.distance_transform_edt(growth).astype(np.float32)
+    # topography: an explicit TOPOGRAPHIC_SURFACE_CHANNEL wins (distance
+    # channels flood inverted, probability channels as-is); else prefer a
+    # distance channel (invert), else the contour map, else -EDT of the mask
+    topo = None
+    if topo_surface_channel:
+        c = chan(str(topo_surface_channel))
+        if c is not None:
+            inv = str(topo_surface_channel) in ("Db", "D", "Dc", "Dn", "F", "P")
+            topo = (-c if inv else c).astype(np.float32)
+        else:
+            print(f"WARNING: TOPOGRAPHIC_SURFACE_CHANNEL "
+                  f"'{topo_surface_channel}' is not among the predicted "
+                  f"channels {list(channel_codes)}; falling back to the "
+                  "automatic surface")
+    if topo is None:
+        dist = chan("Db") if chan("Db") is not None else chan("D")
+        if dist is not None:
+            topo = -dist.astype(np.float32)
+        elif chan("C") is not None:
+            topo = chan("C").astype(np.float32)
+        else:
+            topo = -ndimage.distance_transform_edt(growth).astype(np.float32)
 
     return watershed(topo, markers, growth)
 
@@ -188,11 +211,8 @@ def peak_local_max(img: np.ndarray, min_distance: int = 1, threshold_abs: float 
     coords = coords[order]
     # greedy min-distance suppression, like peak_local_max's behavior
     if min_distance > 1 and len(coords) > 1:
-        kept: List[np.ndarray] = []
-        for c in coords:
-            if all(np.linalg.norm(c - k) >= min_distance for k in kept):
-                kept.append(c)
-        coords = np.asarray(kept)
+        kept = _greedy_suppress(coords.astype(np.float32), float(min_distance))
+        coords = coords[kept]
     return coords
 
 
@@ -228,6 +248,27 @@ def blob_log(img: np.ndarray, min_sigma: float = 5, max_sigma: float = 10,
     return out[np.argsort(-vals)]
 
 
+def _greedy_suppress(scaled: np.ndarray, radius: float,
+                     labs: Optional[np.ndarray] = None) -> List[int]:
+    """Greedy min-distance suppression in priority order via a cKDTree
+    (the O(n^2) pure-python loop took hours at by-chunks point counts).
+    ``labs``: optional per-point component labels — points only conflict
+    within the same non-zero label."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(scaled)
+    alive = np.ones(len(scaled), bool)
+    kept: List[int] = []
+    for i in range(len(scaled)):
+        if not alive[i]:
+            continue
+        kept.append(i)
+        for j in tree.query_ball_point(scaled[i], radius):
+            if j > i and (labs is None or (labs[i] != 0 and labs[i] == labs[j])):
+                alive[j] = False
+    return kept
+
+
 def remove_close_points(points: np.ndarray, radius: float,
                         resolution: Sequence[float] = (1, 1, 1),
                         classes: Optional[np.ndarray] = None,
@@ -238,11 +279,8 @@ def remove_close_points(points: np.ndarray, radius: float,
     if len(points) == 0:
         return (points, []) if return_keep else points
     res = np.asarray(resolution[: points.shape[1]], np.float32)
-    kept: List[int] = []
     pts = np.asarray(points, np.float32) * res
-    for i in range(len(pts)):
-        if all(np.linalg.norm(pts[i] - pts[j]) >= radius for j in kept):
-            kept.append(i)
+    kept = _greedy_suppress(pts, radius)
     out = np.asarray(points)[kept]
     return (out, kept) if return_keep else out
 
@@ -262,16 +300,7 @@ def remove_close_points_by_mask(points: np.ndarray, radius: float,
                      for p in pts_i])
     res = np.asarray(resolution[: pts_i.shape[1]], np.float32)
     scaled = np.asarray(points, np.float32) * res
-    kept: List[int] = []
-    for i in range(len(scaled)):
-        ok = True
-        for j in kept:
-            if labs[i] != 0 and labs[i] == labs[j] and \
-                    np.linalg.norm(scaled[i] - scaled[j]) < radius:
-                ok = False
-                break
-        if ok:
-            kept.append(i)
+    kept = _greedy_suppress(scaled, radius, labs=labs)
     return np.asarray(points)[kept]
 
 
@@ -344,9 +373,9 @@ def measure_instance_properties(labels: np.ndarray, resolution: Sequence[float] 
         p = np.asarray(perims, np.float64)
         out["surface_area" if nd == 3 else "perimeter"] = p
         s = np.asarray(sizes, np.float64)
-        if nd == 2 and ("circularity" in extras or want_perim):
+        if nd == 2 and "circularity" in extras:
             out["circularity"] = np.where(p > 0, 4 * np.pi * s / np.maximum(p, 1) ** 2, 0.0)
-        if nd == 3 and ("sphericity" in extras or want_perim):
+        if nd == 3 and "sphericity" in extras:
             out["sphericity"] = np.where(
                 p > 0, np.pi ** (1 / 3) * (6 * s) ** (2 / 3) / np.maximum(p, 1), 0.0)
     if "bbox" in extras:
@@ -393,8 +422,16 @@ def filter_instances_by_properties(labels: np.ndarray, props: Sequence[str],
     requested props are passed through as EXTRA_PROPS so derived measures
     (circularity/sphericity/elongation/physical area) are actually computed
     — a filter on an unmeasured property would otherwise silently pass."""
+    # measured keys are dimension-specific (2D area/perimeter/circularity vs
+    # 3D volume/surface_area/sphericity); accept either name for a filter
+    nd3 = labels.ndim == 3
+    alias = ({"area": "volume", "perimeter": "surface_area",
+              "circularity": "sphericity"} if nd3 else
+             {"volume": "area", "surface_area": "perimeter",
+              "sphericity": "circularity"})
+    props = [alias.get(str(p), str(p)) for p in props]
     measured = measure_instance_properties(labels, resolution=resolution,
-                                           extra_props=[str(p) for p in props])
+                                           extra_props=props)
     drop = np.zeros(len(measured["id"]), bool)
     fns = {"gt": np.greater, "lt": np.less, "ge": np.greater_equal, "le": np.less_equal,
            "gte": np.greater_equal, "lte": np.less_equal}

@@ -24,6 +24,15 @@ from biapy_tpu.engine.base_workflow import Base_Workflow
 from biapy_tpu.utils.matching import detection_metrics
 
 
+def _test_resolution(cfg, nd: int):
+    """DATA.TEST.RESOLUTION as an nd-tuple; the unset sentinel (-1) means
+    isotropic voxel units."""
+    res = [float(r) for r in cfg.DATA.TEST.RESOLUTION]
+    if not res or any(r <= 0 for r in res) or len(res) < nd:
+        return (1.0,) * nd
+    return tuple(res[:nd])
+
+
 def read_points_csv(path: str, ndim: int, with_classes: bool = False):
     """Read point coordinates from a CSV (header optional; columns
     (z,)y,x [,class]; reference: detection workflow CSV IO). With
@@ -202,7 +211,7 @@ class Detection_Workflow(Base_Workflow):
         if global_post and pp.REMOVE_CLOSE_POINTS and len(coords):
             coords = remove_close_points(
                 coords, float(pp.REMOVE_CLOSE_POINTS_RADIUS),
-                resolution=list(cfg.DATA.TEST.RESOLUTION) if cfg.DATA.TEST.RESOLUTION else (1,) * self.nd,
+                resolution=_test_resolution(cfg, self.nd),
             )
         return coords
 
@@ -240,6 +249,7 @@ class Detection_Workflow(Base_Workflow):
                                  for p in true_pts], np.int32)
                 pc = self._last_classes
             dm = detection_metrics(true_pts, coords, float(self.cfg.TEST.DET_TOLERANCE),
+                                   resolution=_test_resolution(self.cfg, self.nd),
                                    true_classes=tc, pred_classes=pc)
             m.update({f"det_{k}": float(v) for k, v in dm.items()})
         return m
@@ -365,8 +375,7 @@ class Detection_Workflow(Base_Workflow):
             out_dir = cfg.PATHS.RESULT_DIR.DET_LOCAL_MAX_COORDS_CHECK_POST_PROCESSING
             coords, kept = remove_close_points(
                 coords, float(pp.REMOVE_CLOSE_POINTS_RADIUS),
-                resolution=list(cfg.DATA.TEST.RESOLUTION) if cfg.DATA.TEST.RESOLUTION
-                else (1,) * self.nd,
+                resolution=_test_resolution(cfg, self.nd),
                 return_keep=True,
             )
             if len(classes):
@@ -414,6 +423,7 @@ class Detection_Workflow(Base_Workflow):
                 true_pts, true_cls = read_points_csv(gt_csv, self.nd, with_classes=True)
                 dm = detection_metrics(true_pts, coords.astype(np.float32),
                                        float(cfg.TEST.DET_TOLERANCE),
+                                       resolution=_test_resolution(cfg, self.nd),
                                        true_classes=true_cls if multiclass else None,
                                        pred_classes=classes if multiclass else None)
                 self.metrics_per_test_file.append(

@@ -102,10 +102,9 @@ def flows_to_instances(
     labels = np.zeros(fg.shape, np.int32)
     labels[fg] = seeds[pts]
     # drop tiny fragments
-    if min_size > 0:
-        sizes = np.bincount(labels.reshape(-1))
-        small = np.nonzero(sizes < min_size)[0]
-        labels[np.isin(labels, small) & (labels > 0)] = 0
+    from biapy_tpu.data.post_processing import relabel_sequential, remove_small_instances
+
+    labels = remove_small_instances(labels, min_size)
     # flow-error QC (reference: regenerate flows per mask, drop high-MSE masks)
     if flow_error_th > 0:
         from biapy_tpu.data.pre_processing import cellpose_flows
@@ -118,9 +117,4 @@ def flows_to_instances(
             err = float(np.mean(np.sum((regen[m] - flows[m]) ** 2, axis=-1)))
             if err > flow_error_th:
                 labels[m] = 0
-    # relabel sequential
-    uniq = np.unique(labels)
-    uniq = uniq[uniq > 0]
-    remap = np.zeros(int(labels.max()) + 1, np.int32)
-    remap[uniq] = np.arange(1, len(uniq) + 1, dtype=np.int32)
-    return remap[labels]
+    return relabel_sequential(labels)

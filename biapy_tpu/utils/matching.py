@@ -53,7 +53,19 @@ def matching(
     """Instance matching stats at each IoU threshold (reference:
     matching.py:429). Returns one dict per threshold with tp/fp/fn,
     precision, recall, f1, panoptic_quality, mean_matched_score."""
-    overlap = label_overlap_matrix(y_true, y_pred)
+    # compact non-sequential ids first: raw curated GT labels (e.g. {1,5,9})
+    # would otherwise create phantom zero-pixel instances that inflate
+    # fn/n_true and make matrix indices disagree with the real label values
+    true_ids = np.unique(y_true)
+    true_ids = true_ids[true_ids > 0]
+    pred_ids = np.unique(y_pred)
+    pred_ids = pred_ids[pred_ids > 0]
+    tmap = np.zeros(int(y_true.max()) + 1, np.int64)
+    tmap[true_ids] = np.arange(1, len(true_ids) + 1)
+    pmap = np.zeros(int(y_pred.max()) + 1, np.int64)
+    pmap[pred_ids] = np.arange(1, len(pred_ids) + 1)
+    overlap = label_overlap_matrix(tmap[y_true.reshape(-1).astype(np.int64)],
+                                   pmap[y_pred.reshape(-1).astype(np.int64)])
     scores = _scores(overlap, criterion)[1:, 1:]  # drop background
     n_true, n_pred = scores.shape
     results = []
@@ -83,7 +95,9 @@ def matching(
             "accuracy": tp / (tp + fp + fn) if tp + fp + fn else 0.0,
         }
         if report_matches and n_true and n_pred:
-            r["matched_pairs"] = [(int(t) + 1, int(p) + 1) for t, p in zip(ti[valid], pi[valid])]
+            # report ORIGINAL label values, not compacted matrix indices
+            r["matched_pairs"] = [(int(true_ids[t]), int(pred_ids[p]))
+                                  for t, p in zip(ti[valid], pi[valid])]
             r["matched_scores"] = matched_scores.tolist()
         results.append(r)
     return results

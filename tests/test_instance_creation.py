@@ -576,3 +576,45 @@ def test_touching_instance_flows_point_inward():
     # column 10 belongs to instance 2 (center x~14.5): flow x-component > 0
     assert np.median(g[5:15, 9, 1]) < 0
     assert np.median(g[5:15, 10, 1]) > 0
+
+
+def test_matching_non_sequential_gt_labels():
+    """Curated (gapped) GT label ids must not create phantom instances, and
+    matched_pairs must report the ORIGINAL label values."""
+    from biapy_tpu.utils.matching import matching
+
+    gt = np.zeros((20, 20), np.int32)
+    gt[2:8, 2:8] = 5
+    gt[12:18, 12:18] = 9
+    pred = np.zeros_like(gt)
+    pred[2:8, 2:8] = 1
+    pred[12:18, 12:18] = 2
+    r = matching(gt, pred, thresh=[0.5], report_matches=True)[0]
+    assert r["n_true"] == 2 and r["fn"] == 0 and r["tp"] == 2, r
+    assert sorted(r["matched_pairs"]) == [(5, 1), (9, 2)], r["matched_pairs"]
+
+
+def test_watershed_topo_channel_and_background_growth():
+    """TOPOGRAPHIC_SURFACE_CHANNEL is honored and a B-only representation
+    grows inside 1-B instead of flooding the whole image."""
+    from biapy_tpu.data.post_processing import watershed_by_channels
+
+    # two blobs encoded as background probability (B)
+    b = np.ones((32, 32), np.float32)
+    b[4:14, 4:14] = 0.0
+    b[18:28, 18:28] = 0.0
+    p = np.zeros_like(b)
+    p[8:10, 8:10] = 1.0
+    p[22:24, 22:24] = 1.0
+    data = np.stack([b, p], axis=-1)
+    lab = watershed_by_channels(data, ["B", "P"], seed_channels=["P"],
+                                seed_channel_ths=["auto"])
+    assert lab[0, 0] == 0, "background must stay unlabeled (growth = 1-B)"
+    ids = set(np.unique(lab)) - {0}
+    assert len(ids) == 2, np.unique(lab)
+
+    # explicit topo channel: accepted without touching the result validity
+    lab2 = watershed_by_channels(data, ["B", "P"], seed_channels=["P"],
+                                 seed_channel_ths=["auto"],
+                                 topo_surface_channel="P")
+    assert set(np.unique(lab2)) - {0} == ids
