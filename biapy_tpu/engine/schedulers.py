@@ -19,31 +19,42 @@ from typing import Any, Dict, List, Optional, Sequence
 import optax
 
 
-def build_schedule(cfg, lr: float, steps_per_epoch: int):
-    """Return (optax schedule or float, host_plateau_controller or None)."""
+def _min_lr(sch, head: int) -> float:
+    """MIN_LR indexed per optimizer head (reference: engine/__init__.py:82)."""
+    v = sch.MIN_LR
+    if isinstance(v, (list, tuple)):
+        v = v[min(head, len(v) - 1)] if len(v) else -1.0
+    return float(v)
+
+
+def build_schedule(cfg, lr: float, steps_per_epoch: int, head: int = 0):
+    """Return (schedule-or-float, plateau controller or None, warmup steps).
+    The warmup-step count is consumed by build_optimizer for the plateau
+    variant, whose lr is a host-mutable scalar rather than a schedule."""
     sch = cfg.TRAIN.LR_SCHEDULER
     name = (sch.NAME or "").lower()
     epochs = cfg.TRAIN.EPOCHS
     if not name:
-        return lr, None
+        return lr, None, 0
     if name == "warmupcosine":
-        min_lr = sch.MIN_LR[0] if isinstance(sch.MIN_LR, (list, tuple)) else sch.MIN_LR
+        min_lr = _min_lr(sch, head)
         warm_e = sch.WARMUP_COSINE_DECAY_EPOCHS
         warm_steps = max(1, warm_e * steps_per_epoch)
         total = max(warm_steps + 1, epochs * steps_per_epoch)
         return (
             optax.warmup_cosine_decay_schedule(
-                init_value=float(min_lr) if min_lr != -1.0 else 0.0,
+                init_value=min_lr if min_lr != -1.0 else 0.0,
                 peak_value=lr,
                 warmup_steps=warm_steps,
                 decay_steps=total,
-                end_value=float(min_lr) if min_lr != -1.0 else 0.0,
+                end_value=min_lr if min_lr != -1.0 else 0.0,
             ),
             None,
+            0,
         )
     if name == "onecycle":
         total = max(2, epochs * steps_per_epoch)
-        return optax.cosine_onecycle_schedule(transition_steps=total, peak_value=lr), None
+        return optax.cosine_onecycle_schedule(transition_steps=total, peak_value=lr), None, 0
     if name in ("reduceonplateau", "warmupreduceonplateau"):
         warm = 0
         if name == "warmupreduceonplateau":
@@ -51,13 +62,10 @@ def build_schedule(cfg, lr: float, steps_per_epoch: int):
         ctrl = PlateauController(
             factor=float(sch.REDUCEONPLATEAU_FACTOR),
             patience=int(sch.REDUCEONPLATEAU_PATIENCE),
-            min_lr=float(sch.MIN_LR[0] if isinstance(sch.MIN_LR, (list, tuple)) else sch.MIN_LR),
+            min_lr=_min_lr(sch, head),
             base_lr=lr,
         )
-        if warm:
-            schedule = optax.linear_schedule(init_value=0.0, end_value=1.0, transition_steps=warm)
-            ctrl.warmup_schedule = schedule
-        return lr, ctrl
+        return lr, ctrl, warm
     raise ValueError(f"Unknown LR scheduler: {name}")
 
 
@@ -72,11 +80,12 @@ class PlateauController:
         self.lr = base_lr
         self.best = float("inf")
         self.bad_epochs = 0
-        self.warmup_schedule = None
 
     def step(self, val_loss: float) -> float:
-        """Update with the epoch's validation loss; returns the current lr."""
-        if val_loss < self.best - 1e-12:
+        """Update with the epoch's validation loss; returns the current lr.
+        Improvement uses torch ReduceLROnPlateau's default RELATIVE
+        threshold (1e-4): noise-level drifts must not reset patience."""
+        if val_loss < self.best * (1 - 1e-4):
             self.best = val_loss
             self.bad_epochs = 0
         else:
@@ -98,21 +107,43 @@ def build_optimizer(cfg, steps_per_epoch: int, head: int = 0):
         betas = betas[min(head, len(betas) - 1)]
     b1, b2 = (betas[0], betas[1]) if betas and len(betas) >= 2 else (0.9, 0.999)
 
-    schedule, plateau = build_schedule(cfg, lr, steps_per_epoch)
+    schedule, plateau, warm_steps = build_schedule(cfg, lr, steps_per_epoch, head)
     if plateau is not None:
         # lr is a mutable hyperparam the host scales after validation.
         schedule = lr
 
+    # TRAIN.W_DECAY reaches EVERY optimizer like the reference's timm
+    # create_optimizer_v2 (engine/__init__.py:66): decoupled for ADAMW,
+    # classic L2-in-grad for ADAM/SGD (torch semantics)
     if name == "ADAMW":
-        opt_fn = lambda learning_rate: optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=wd)
+        opt_fn = lambda learning_rate, b1=b1: optax.adamw(
+            learning_rate, b1=b1, b2=b2, weight_decay=wd)
     elif name == "ADAM":
-        opt_fn = lambda learning_rate: optax.adam(learning_rate, b1=b1, b2=b2)
+        opt_fn = lambda learning_rate, b1=b1: optax.chain(
+            optax.add_decayed_weights(wd) if wd else optax.identity(),
+            optax.adam(learning_rate, b1=b1, b2=b2))
     elif name == "SGD":
-        opt_fn = lambda learning_rate: optax.sgd(learning_rate, momentum=0.9)
+        # reference builds SGD with nesterov=True (engine/__init__.py:66)
+        opt_fn = lambda learning_rate, b1=b1: optax.chain(
+            optax.add_decayed_weights(wd) if wd else optax.identity(),
+            optax.sgd(learning_rate, momentum=0.9, nesterov=True))
     else:
         raise ValueError(f"Unknown optimizer: {name} (expected SGD/ADAM/ADAMW)")
 
-    tx = optax.inject_hyperparams(opt_fn)(learning_rate=schedule)
+    inject_kwargs = {"learning_rate": schedule}
+    if (cfg.TRAIN.LR_SCHEDULER.NAME or "").lower() == "onecycle" and name != "SGD":
+        # torch OneCycleLR also cycles momentum in antiphase with the LR
+        # (cycle_momentum default): beta1 0.95 -> 0.85 at peak -> 0.95
+        lr_sched = schedule
+        inject_kwargs["b1"] = lambda step: 0.95 - 0.10 * lr_sched(step) / max(lr, 1e-12)
+    tx = optax.inject_hyperparams(opt_fn)(**inject_kwargs)
+    if plateau is not None and warm_steps:
+        # per-iteration warmup for warmupreduceonplateau (reference ramps
+        # 0 -> LR over the first epochs, warmup_reduce_on_plateau.py +
+        # train_engine.py:113): scale the UPDATES by a 0->1 ramp so the
+        # host-mutable plateau lr stays a plain scalar
+        ramp = optax.linear_schedule(0.0, 1.0, warm_steps)
+        tx = optax.chain(tx, optax.scale_by_schedule(ramp))
     clip = float(cfg.TRAIN.GRADIENT_CLIP_NORM or 0.0)
     if clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)

@@ -55,10 +55,12 @@ class Conv(nn.Module):
         nd = len(ks)
         in_f = x.shape[-1] // self.feature_group_count
         kernel = self.param("kernel", self.kernel_init, ks + (in_f, self.features))
-        strides = tuple(self.strides) if self.strides is not None else (1,) * nd
-        if isinstance(strides, int):
-            strides = (strides,) * nd
-        dil = tuple(self.kernel_dilation) if self.kernel_dilation is not None else (1,) * nd
+        st = self.strides
+        strides = ((st,) * nd if isinstance(st, int)
+                   else tuple(st) if st is not None else (1,) * nd)
+        kd = self.kernel_dilation
+        dil = ((kd,) * nd if isinstance(kd, int)
+               else tuple(kd) if kd is not None else (1,) * nd)
 
         y = None
         if x.ndim == 5:
@@ -106,7 +108,9 @@ class ConvTranspose(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ks = tuple(self.kernel_size)
         nd = len(ks)
-        strides = tuple(self.strides) if self.strides is not None else (1,) * nd
+        st = self.strides
+        strides = ((st,) * nd if isinstance(st, int)
+                   else tuple(st) if st is not None else (1,) * nd)
         kernel = self.param("kernel", self.kernel_init, ks + (x.shape[-1], self.features))
         if ks == strides and self.padding == "SAME":
             cin, co = x.shape[-1], self.features
@@ -563,6 +567,9 @@ class ProjectionHead(nn.Module):
         one = (1,) * ndim
         in_ch = x.shape[-1]
         h = Conv(in_ch, kernel_size=one, kernel_init=KERNEL_INIT)(x)
+        # reference convmlp head interposes SyncBatchNorm before the ReLU
+        # (heads.py:202-207); flax BN is sync by construction under GSPMD
+        h = nn.BatchNorm(use_running_average=not train)(h)
         h = nn.relu(h)
         h = Conv(self.proj_dim, kernel_size=one, kernel_init=KERNEL_INIT)(h)
         norm = jnp.linalg.norm(h, axis=-1, keepdims=True)
@@ -578,7 +585,9 @@ def max_pool(x, window: Sequence[int]):
 def avg_pool(x, window: Sequence[int]):
     w = (1,) + tuple(window) + (1,)
     summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, w, w, "VALID")
-    return summed / float(jnp.prod(jnp.array(window)))
+    import math
+
+    return summed / float(math.prod(window))
 
 
 def get_decoder_feature_maps(feature_maps, num_decoders: int, divide: bool):

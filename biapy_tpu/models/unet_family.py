@@ -23,10 +23,10 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from biapy_tpu.models.blocks import Conv, ConvTranspose
-
 from biapy_tpu.models.blocks import (
     KERNEL_INIT,
+    Conv,
+    ConvTranspose,
     ConvBlock,
     Norm,
     ProjectionHead,
@@ -171,7 +171,8 @@ class UNetFamily(nn.Module):
             h = Conv(dec_fm[0], kernel_size=aniso_kernel(3, self.ndim, True), padding="SAME",
                         kernel_init=KERNEL_INIT)(feats[0])
             h = Norm(self.normalization)(h, train)
-            h = nn.Dropout(0.10, deterministic=not train)(h)
+            h = nn.Dropout(0.10, deterministic=not train,
+                           broadcast_dims=tuple(range(1, 1 + self.ndim)))(h)
             out["pred"] = Conv(self.output_channels[0], kernel_size=one, use_bias=False,
                                   kernel_init=KERNEL_INIT)(h)
             out["embed"] = ProjectionHead(self.contrast_proj_dim)(feats[0], train)

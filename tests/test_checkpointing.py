@@ -135,3 +135,49 @@ def test_strict_load_raises_on_mismatch(tmp_path):
     job3 = BiaPy(cfg2, result_dir=f"{root}/res", name="sk", silent=True)
     job3._build_workflow()
     job3.workflow.prepare_model()  # lenient: loads what matches
+
+
+def test_scheduler_semantics():
+    """warmupreduceonplateau actually warms up (updates scale 0 -> 1),
+    ADAM honors TRAIN.W_DECAY as L2-in-grad like the reference's timm
+    optimizers, and the plateau controller uses torch's RELATIVE
+    improvement threshold."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from biapy_tpu.config.config import Config
+    from biapy_tpu.engine.schedulers import PlateauController, build_optimizer
+
+    c = Config(".", "t").get_cfg_defaults()
+    c.merge_from_dict({"TRAIN": {"OPTIMIZER": ["SGD"], "LR": [0.1],
+                                 "LR_SCHEDULER": {"NAME": "warmupreduceonplateau",
+                                                  "WARMUP_COSINE_DECAY_EPOCHS": 2,
+                                                  "REDUCEONPLATEAU_FACTOR": 0.5,
+                                                  "REDUCEONPLATEAU_PATIENCE": 2,
+                                                  "MIN_LR": [1e-6]}}})
+    tx, plateau = build_optimizer(c, steps_per_epoch=5)  # 10 warmup steps
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    g = {"w": jnp.ones((3,))}
+    up0, state = tx.update(g, state, params)
+    up1, state = tx.update(g, state, params)
+    # first update is fully suppressed by the 0->1 ramp; later ones grow
+    assert float(jnp.abs(up0["w"]).max()) < 1e-8
+    assert float(jnp.abs(up1["w"]).max()) > 0
+
+    # ADAM + W_DECAY: zero gradients still shrink weights via the L2 term
+    c2 = Config(".", "t").get_cfg_defaults()
+    c2.merge_from_dict({"TRAIN": {"OPTIMIZER": ["ADAM"], "LR": [0.1],
+                                  "W_DECAY": 1e-2}})
+    tx2, _ = build_optimizer(c2, steps_per_epoch=5)
+    s2 = tx2.init(params)
+    zero = {"w": jnp.zeros((3,))}
+    up, _ = tx2.update(zero, s2, params)
+    assert float(jnp.abs(up["w"]).max()) > 0, "W_DECAY ignored for ADAM"
+
+    # plateau: noise-level improvement must NOT reset patience
+    ctrl = PlateauController(factor=0.5, patience=1, min_lr=0.0, base_lr=1.0)
+    ctrl.step(0.5)
+    ctrl.step(0.5 - 1e-9)  # below absolute eps, above relative threshold
+    lr = ctrl.step(0.5 - 2e-9)
+    assert lr == 0.5, f"relative threshold not applied: {lr}"
