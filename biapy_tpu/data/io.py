@@ -27,7 +27,8 @@ SUPPORTED_EXTS = TIFF_EXTS + H5_EXTS + ZARR_EXTS + PNG_EXTS + NPY_EXTS + NIFTI_E
 
 
 def _is_nifti(path: str) -> bool:
-    return path.endswith(".nii") or path.endswith(".nii.gz")
+    p = path.lower()  # the file lister matches case-insensitively too
+    return p.endswith(".nii") or p.endswith(".nii.gz")
 
 
 def _norm_inner_path(data_path: str) -> str:
@@ -87,7 +88,10 @@ def imread(path: str, data_path: Optional[str] = None) -> np.ndarray:
 
         with h5py.File(path, "r") as f:
             return _first_h5_dataset(f, data_path)[...]
-    if ext in ZARR_EXTS or os.path.isdir(path) and os.path.exists(os.path.join(path, ".zarray")):
+    if ext in ZARR_EXTS or (os.path.isdir(path) and (
+            os.path.exists(os.path.join(path, ".zarray"))
+            or os.path.exists(os.path.join(path, ".zgroup"))
+            or os.path.exists(os.path.join(path, "attributes.json")))):
         return np.asarray(_first_zarr_array(open_zarr(path), data_path))
     if ext in NPY_EXTS:
         return np.load(path)
@@ -113,6 +117,7 @@ def open_lazy(path: str, data_path: Optional[str] = None):
         return _first_h5_dataset(f, data_path), f
     if ext in ZARR_EXTS or (os.path.isdir(path) and (
             os.path.exists(os.path.join(path, ".zarray"))
+            or os.path.exists(os.path.join(path, ".zgroup"))
             or os.path.exists(os.path.join(path, "attributes.json")))):
         return _first_zarr_array(open_zarr(path), data_path), None
     # Non-chunked formats: read fully.
@@ -244,6 +249,9 @@ def read_patch_lazy(path: str, starts, ends, is_3d: bool = False,
     return ensure_channels_last(np.asarray(region), nd, axes_order=order)
 
 
+_LAZY_SHAPE_CACHE: dict = {}
+
+
 def read_patch_as_ndarray(path: str, coords, is_3d: bool = False,
                           data_path: Optional[str] = None,
                           axes_order: Optional[str] = None,
@@ -251,7 +259,16 @@ def read_patch_as_ndarray(path: str, coords, is_3d: bool = False,
     """Lazy patch read honoring out-of-bounds ``PatchCoords`` (negative
     starts / ends beyond the volume): the in-bounds region is read from disk
     and the overhang is filled by padding, matching ``extract_patch``."""
-    shape, _ = lazy_image_shape(path, is_3d=is_3d, data_path=data_path, axes_order=axes_order)
+    # the logical shape is constant per file — cache it so the training
+    # hot loop doesn't open/parse every chunked file twice per patch
+    key = (path, data_path, is_3d, axes_order)
+    shape = _LAZY_SHAPE_CACHE.get(key)
+    if shape is None:
+        shape, _ = lazy_image_shape(path, is_3d=is_3d, data_path=data_path,
+                                    axes_order=axes_order)
+        if len(_LAZY_SHAPE_CACHE) > 4096:
+            _LAZY_SHAPE_CACHE.clear()
+        _LAZY_SHAPE_CACHE[key] = shape
     nd = 3 if is_3d else 2
     starts, ends, pads = [], [], []
     for d in range(nd):
@@ -282,11 +299,22 @@ def imwrite(path: str, data: np.ndarray, data_path: Optional[str] = None) -> Non
         import h5py
 
         with h5py.File(path, "w") as f:
-            f.create_dataset(data_path or "data", data=data, compression="gzip")
+            # same dot->slash normalization imread applies, so a
+            # write/read round trip with equal data_path succeeds
+            f.create_dataset(_norm_inner_path(data_path) if data_path else "data",
+                             data=data, compression="gzip")
         return
     if ext in ZARR_EXTS:
+        target = path
+        if data_path:
+            target = os.path.join(path, *_norm_inner_path(data_path).split("/"))
+            os.makedirs(path, exist_ok=True)
+            zg = os.path.join(path, ".zgroup")
+            if not os.path.exists(zg):
+                with open(zg, "w") as f:
+                    f.write('{"zarr_format": 2}')
         arr = ZarrArray.create(
-            path,
+            target,
             shape=data.shape,
             chunks=tuple(min(s, 256) for s in data.shape),
             dtype=data.dtype,

@@ -27,6 +27,24 @@ import numpy as np
 from scipy import ndimage
 
 
+def affinity_offsets(extra: Dict, nd: int) -> List[Tuple[int, int]]:
+    """Single source of truth for the 'A' block: (axis, distance) pairs in
+    grouped-by-axis order (z first in 3D). Each axis list defaults to [1]
+    (the reference defaults all three to [1], affinity_channel_names
+    pre_processing.py:987); an explicitly-empty list emits no channel for
+    that axis. Shared by the target compiler, channels_per_code and the
+    TTA spec so they can never drift apart."""
+    a = extra.get("A", {})
+    keys = (["z_affinities"] if nd == 3 else []) + ["y_affinities", "x_affinities"]
+    out: List[Tuple[int, int]] = []
+    for d, key in enumerate(keys):
+        dists = a.get(key, [1])
+        if not dists:
+            continue
+        out.extend((d, int(x)) for x in dists)
+    return out
+
+
 def channels_per_code(code: str, extra: Dict, nd: int = 2) -> int:
     if code == "E":
         return 2 * nd + 1
@@ -37,10 +55,7 @@ def channels_per_code(code: str, extra: Dict, nd: int = 2) -> int:
     if code == "R":
         return int(extra.get("R", {}).get("nrays", 32))
     if code == "A":
-        a = extra.get("A", {})
-        n = len(a.get("y_affinities", [1])) + len(a.get("x_affinities", [1]))
-        n += len(a.get("z_affinities", [])) if a.get("z_affinities") else 0
-        return n
+        return len(affinity_offsets(extra, nd))
     return 1
 
 
@@ -196,19 +211,8 @@ def radial_distances(labels: np.ndarray, nrays: int = 32) -> np.ndarray:
 def affinities(labels: np.ndarray, extra: Dict) -> np.ndarray:
     """Affinity channels: 1 where the voxel and its offset neighbour share an
     instance (reference: util.py:588 seg2aff_pni)."""
-    a = extra.get("A", {})
     nd = labels.ndim
-    offsets: List[Tuple[int, int]] = []  # (axis, distance)
-    axes_keys = (["z_affinities"] if nd == 3 else []) + ["y_affinities", "x_affinities"]
-    for d, key in enumerate(axes_keys):
-        dists = a.get(key, [1])
-        if not dists:
-            # an explicitly-empty axis emits no channel — channels_per_code
-            # counts 0 for it, and a stray channel would shift every
-            # downstream slice off by one
-            continue
-        for dist in dists:
-            offsets.append((d, int(dist)))
+    offsets = affinity_offsets(extra, nd)  # (axis, distance)
     chans = []
     for axis, dist in offsets:
         shifted = np.roll(labels, -dist, axis=axis)

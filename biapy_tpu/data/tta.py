@@ -125,13 +125,44 @@ class ScalarChannels(ChannelGroup):
 @dataclass
 class VectorChannels(ChannelGroup):
     """Channels = per-axis vector components, ordered like the spatial axes
-    (e.g. (Gz, Gv, Gh) -> axes (z, y, x))."""
+    (e.g. (Gz, Gv, Gh) -> axes (z, y, x)). ``signed=False`` for per-axis
+    magnitudes (e.g. EmbedSeg sigmas): components permute with the axes but
+    never change sign under flips."""
+
+    signed: bool = True
 
     def remap(self, pred: np.ndarray, t: AxisTransform) -> None:
         inv = t.inverse()
         comps = pred[..., list(self.channels)]
-        comps = inv.transform_vector_components(comps)
+        if self.signed:
+            comps = inv.transform_vector_components(comps)
+        else:
+            comps = comps[..., list(inv.perm)]
         pred[..., list(self.channels)] = comps
+
+
+@dataclass
+class PartialVectorChannels(ChannelGroup):
+    """Vector components covering only SOME spatial axes (e.g. H+V without
+    Z in 3D — a combination validation allows): transforms mixing covered
+    and uncovered axes are dropped from the ensemble; the rest permute and
+    sign-flip like full vectors. Treating these as scalars would average
+    +g against -g under flips and null the offsets."""
+
+    axes: Tuple[int, ...] = ()
+
+    def supports(self, t: AxisTransform) -> bool:
+        return all(t.perm[ax] in self.axes for ax in self.axes)
+
+    def remap(self, pred: np.ndarray, t: AxisTransform) -> None:
+        inv = t.inverse()
+        chan_of = dict(zip(self.axes, self.channels))
+        orig = {ax: pred[..., chan_of[ax]].copy() for ax in self.axes}
+        for ax in self.axes:
+            v = orig[inv.perm[ax]]
+            if inv.flips[ax]:
+                v = -v
+            pred[..., chan_of[ax]] = v
 
 
 @dataclass
@@ -244,14 +275,25 @@ def build_tta_spec(channel_codes: Sequence[str], channels_per_code: Sequence[int
         elif code == "R":
             groups.append(RayChannels(chans))
         elif code == "A":
-            a = extra.get("A", {})
-            offsets: List[Tuple[int, int]] = []
-            keys = (["z_affinities"] if ndim == 3 else []) + ["y_affinities", "x_affinities"]
-            base_axis = 0
-            for d, key in enumerate(keys):
-                for dist in (a.get(key) or [1]):
-                    offsets.append((d if ndim == 3 else d, int(dist)))
-            groups.append(AffinityChannels(chans, offsets=tuple(offsets)))
+            from biapy_tpu.data.pre_processing import affinity_offsets
+
+            # the SAME enumeration the compiler/channel counter use — a
+            # divergent default here shifted every (axis, dist) pairing
+            groups.append(AffinityChannels(
+                chans, offsets=tuple(affinity_offsets(extra, ndim))))
+        elif code.startswith("E"):
+            # EmbedSeg: offsets are spatial vectors, sigmas are per-axis
+            # magnitudes (permute, never sign-flip), seediness is a scalar
+            if code == "E":
+                groups.append(VectorChannels(chans[:ndim]))
+                groups.append(VectorChannels(chans[ndim:2 * ndim], signed=False))
+                scalars.extend(chans[2 * ndim:])
+            elif code == "E_offset":
+                groups.append(VectorChannels(chans))
+            elif code == "E_sigma":
+                groups.append(VectorChannels(chans, signed=False))
+            else:
+                scalars.extend(chans)
         else:
             scalars.extend(chans)
         off += n
@@ -261,7 +303,9 @@ def build_tta_spec(channel_codes: Sequence[str], channels_per_code: Sequence[int
                 ordered = tuple(fam[d] for d in range(ndim))
                 groups.append(VectorChannels(ordered))
             else:
-                scalars.extend(fam.values())
+                axes = tuple(sorted(fam))
+                groups.append(PartialVectorChannels(
+                    tuple(fam[a] for a in axes), axes=axes))
     if scalars:
         groups.insert(0, ScalarChannels(tuple(sorted(scalars))))
     return TTASpec(ndim=ndim, n_channels=off, groups=groups)

@@ -96,8 +96,24 @@ class ZarrArray:
         overwrite: bool = False,
         dimension_separator: str = ".",
     ) -> "ZarrArray":
-        if os.path.exists(os.path.join(path, ".zarray")) and not overwrite:
-            return ZarrArray(path, mode="r+")
+        if os.path.exists(os.path.join(path, ".zarray")):
+            if not overwrite:
+                existing = ZarrArray(path, mode="r+")
+                if (tuple(existing.shape) != tuple(int(s) for s in shape)
+                        or np.dtype(existing.dtype) != np.dtype(dtype)):
+                    # silently reusing a mismatched array would clip writes
+                    # to the old shape and keep stale chunk data
+                    raise ValueError(
+                        f"Zarr array at {path} already exists with shape "
+                        f"{tuple(existing.shape)}/dtype {existing.dtype}, "
+                        f"but shape {tuple(shape)}/dtype {np.dtype(dtype)} "
+                        "was requested — pass overwrite=True or remove it")
+                return existing
+            # overwrite: drop stale chunk files from the previous array —
+            # a different chunk grid would otherwise read them back as data
+            import shutil
+
+            shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
         dt = np.dtype(dtype)
         meta = {

@@ -77,8 +77,11 @@ def save_model(
     if opt_state is not None:
         try:
             tree["opt_state"] = serialization.to_state_dict(opt_state)
-        except Exception:
-            pass
+        except Exception as e:
+            # a checkpoint without optimizer state silently restarts adam
+            # moments/schedules on resume — say so
+            print(f"WARNING: optimizer state could not be serialized and is "
+                  f"NOT in the checkpoint (resume will reinitialize it): {e}")
     blob = serialization.msgpack_serialize(tree)
     fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".part")
     with os.fdopen(fd, "wb") as f:

@@ -152,3 +152,50 @@ def test_augmentation_group_levels():
     # flips level really contains only flips (no axis permutations)
     for t in build_axis_transform_group(2, level="flips"):
         assert tuple(t.perm) == (0, 1)
+
+
+def test_partial_hover_family_3d():
+    """H+V without Z in 3D (a combination validation allows) keeps vector
+    semantics over the covered axes: transforms mixing y/x with z are
+    dropped, the rest permute/sign-flip — treating the pair as scalars
+    averaged +g against -g and nulled the offsets."""
+    labels = _spheres3d() if "_spheres3d" in dir() else None
+    if labels is None:
+        rng = np.random.default_rng(3)
+        labels = np.zeros((12, 32, 32), np.int32)
+        labels[3:9, 4:14, 4:14] = 1
+        labels[3:9, 18:28, 18:28] = 2
+    _run_oracle(["F", "H", "V"], labels)
+
+
+def test_embedseg_offsets_equivariant():
+    """EmbedSeg offset/sigma/seed channels under the full orientation group:
+    a perfect equivariant model ensembles back to its identity prediction
+    (offsets are vectors, sigmas permute without sign flips, seed scalar)."""
+    from biapy_tpu.data.pre_processing import channels_per_code
+    from biapy_tpu.data.tta import build_tta_spec, ensemble_predictions
+
+    shape = (32, 32)
+    nd = 2
+
+    def pred_fn(img):
+        # marker object in the (transformed) input: offsets point to its
+        # center of mass; sigmas are its PER-AXIS SPREAD (flip-invariant,
+        # transpose-covariant, like real per-axis variances); seed radial
+        a = img[..., 0]
+        idx = np.argwhere(a > 0)
+        c = idx.mean(axis=0)
+        ext = idx.max(axis=0) - idx.min(axis=0) + 1
+        coords = np.indices(a.shape).astype(np.float32)
+        offs = [(c[d] - coords[d]) / shape[d] for d in range(nd)]
+        sig = [np.full(a.shape, ext[d] / shape[d], np.float32) for d in range(nd)]
+        r2 = sum((coords[d] - c[d]) ** 2 for d in range(nd))
+        seed = np.exp(-r2 / 50.0)
+        return np.stack(offs + sig + [seed], axis=-1)
+
+    img = np.zeros(shape + (1,), np.float32)
+    img[8:14, 18:30, 0] = 1.0  # anisotropic marker: spreads 6 (y) x 12 (x)
+    spec = build_tta_spec(["E"], [channels_per_code("E", {}, nd)], nd, {})
+    ref = pred_fn(img)
+    out = ensemble_predictions(pred_fn, img, spec=spec)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
