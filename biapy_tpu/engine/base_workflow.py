@@ -135,6 +135,18 @@ class Base_Workflow(metaclass=ABCMeta):
         """Per-image test metrics on stitched predictions."""
         return {}
 
+    def restoration_metric_calculation(self, pred, gt) -> Dict[str, float]:
+        """Shared per-image metrics for image-target workflows (SR / SSL /
+        denoising): TEST.METRICS restoration metrics on the normalized GT
+        (reference: check_configuration.py:1277 defaults psnr/mae/mse/ssim)."""
+        if gt is None:
+            return {}
+        from biapy_tpu.data.norm import normalize_image
+        from biapy_tpu.engine import metrics as _M
+
+        g, _ = normalize_image(gt.astype("float32"), self.norm_spec)
+        return _M.restoration_test_metrics(pred, g, self.cfg.TEST.METRICS)
+
     def after_merge_patches(self, pred: np.ndarray, sample, fname: str) -> None:
         """Post-hook on the stitched prediction (reference: :2389)."""
 

@@ -38,9 +38,9 @@ def n2v_manipulate(
     target = img.copy()
 
     # stratified sampling: one candidate per grid cell of size box
-    box = max(2, int(round(np.sqrt(100.0 / perc_pix)))) if nd == 2 else max(
-        2, int(round((1000.0 / perc_pix) ** (1 / 3)))
-    )
+    # the reference uses round(sqrt(100/perc)) for BOTH 2D and 3D
+    # (denoising.py:1013) — a cube-root 3D box manipulated ~2x more voxels
+    box = max(2, int(round(np.sqrt(100.0 / perc_pix))))
     grids = [np.arange(0, s, box) for s in spatial]
     coords = np.meshgrid(*grids, indexing="ij")
     offsets = [rng.integers(0, box, c.shape) for c in coords]
@@ -52,11 +52,22 @@ def n2v_manipulate(
         out[..., c][idx] = vals
         mask[..., c][idx] = 1.0
     if struct_mask and nd >= 2:
-        # extend the mask along x around each manipulated pixel (structN2V)
-        ext = mask.copy()
-        for dx in range(-2, 3):
-            ext = np.maximum(ext, np.roll(mask, dx, axis=nd - 1))
-        mask = ext
+        # structN2V blinds the +-4 x-neighbours IN THE INPUT with random
+        # uniform values in [-2, 2) (reference apply_structN2Vmask,
+        # denoising.py:915-980, default 1x11 mask with center/end zeros);
+        # the LOSS mask stays at the manipulated centers. Extending the
+        # loss mask instead (the old behavior) left the structured noise
+        # visible and trained the identity at those pixels.
+        w = spatial[nd - 1]
+        for c in range(img.shape[-1]):
+            for dx in (-4, -3, -2, -1, 1, 2, 3, 4):
+                x = idx[nd - 1] + dx
+                ok = (x >= 0) & (x < w)  # clip INSIDE bounds, never wrap or
+                # collapse onto the center pixel
+                if not ok.any():
+                    continue
+                nb = tuple(ax[ok] for ax in idx[: nd - 1]) + (x[ok],)
+                out[..., c][nb] = rng.random(int(ok.sum())) * 4 - 2
     return out, target, mask
 
 
@@ -67,12 +78,34 @@ def _manipulated_values(ch: np.ndarray, idx, rng, manipulator: str, radius: int)
     if manipulator.startswith("normal_additive"):
         return ch[idx] + rng.normal(0, ch.std(), n)
     # neighbourhood-based manipulators
-    neigh_idx = []
-    for d in range(nd):
-        off = rng.integers(-radius, radius + 1, n)
-        if "withoutCP" in manipulator and d == 0:
-            off = np.where(off == 0, 1, off)
-        neigh_idx.append(np.clip(idx[d] + off, 0, spatial[d] - 1))
+    def sample_neigh():
+        cols = []
+        for d in range(nd):
+            off = rng.integers(-radius, radius + 1, n)
+            cols.append(np.clip(idx[d] + off, 0, spatial[d] - 1))
+        return cols
+
+    neigh_idx = sample_neigh()
+    if "withoutCP" in manipulator:
+        # resample coordinates that landed ON the center (after clipping!)
+        # until every neighbour differs somewhere — the reference's
+        # random_neighbor loop (denoising.py:551); forcing one axis off-zero
+        # both skipped valid neighbours and let border clipping feed the
+        # center value back in
+        for _ in range(16):
+            same = np.ones(n, bool)
+            for d in range(nd):
+                same &= neigh_idx[d] == idx[d]
+            if not same.any():
+                break
+            redraw = sample_neigh()
+            for d in range(nd):
+                neigh_idx[d] = np.where(same, redraw[d], neigh_idx[d])
+        else:
+            for d in range(nd):  # guaranteed off-center fallback
+                neigh_idx[d] = np.where(same & (idx[d] > 0), idx[d] - 1,
+                                        np.where(same, idx[d] + 1, neigh_idx[d]))
+                same &= neigh_idx[d] == idx[d]
     neigh_vals = ch[tuple(neigh_idx)]
     if manipulator.startswith(("uniform", "normal_withCP", "normal_withoutCP")):
         return neigh_vals
@@ -206,16 +239,11 @@ class Denoising_Workflow(Base_Workflow):
         self.state = TrainState.create(self.model.apply, gstate.g_params,
                                        optax_identity(), gstate.g_batch_stats)
 
+    def metric_calculation(self, pred, gt):
+        return self.restoration_metric_calculation(pred, gt)
+
 
 def optax_identity():
     import optax
 
     return optax.identity()
-
-    def metric_calculation(self, pred, gt):
-        if gt is None:
-            return {}
-        from biapy_tpu.data.norm import normalize_image
-
-        g, _ = normalize_image(gt.astype("float32"), self.norm_spec)
-        return M.restoration_test_metrics(pred, g, self.cfg.TEST.METRICS)

@@ -24,6 +24,19 @@ from biapy_tpu.engine.base_workflow import Base_Workflow
 from biapy_tpu.utils.matching import detection_metrics
 
 
+def _filter_bbox(points: np.ndarray, box, shape, nd: int) -> np.ndarray:
+    """Drop points within the DET_IGNORE_POINTS_OUTSIDE_BOX border margin."""
+    box = list(box or [])
+    if not box or not len(points):
+        return points
+    keep = np.ones(len(points), bool)
+    for d in range(min(nd, len(box))):
+        m = int(box[d])
+        if m > 0:
+            keep &= (points[:, d] >= m) & (points[:, d] <= max(shape[d] - m, 0))
+    return points[keep]
+
+
 def _test_resolution(cfg, nd: int):
     """DATA.TEST.RESOLUTION as an nd-tuple; the unset sentinel (-1) means
     isotropic voxel units."""
@@ -34,24 +47,49 @@ def _test_resolution(cfg, nd: int):
 
 
 def read_points_csv(path: str, ndim: int, with_classes: bool = False):
-    """Read point coordinates from a CSV (header optional; columns
-    (z,)y,x [,class]; reference: detection workflow CSV IO). With
-    ``with_classes`` also returns the per-point class column (defaulting
-    to 1 when absent)."""
-    pts, cls = [], []
+    """Read point coordinates from a CSV. A header with 'axis-0'/'axis-1'/
+    'axis-2' (and 'class') columns selects by NAME — pandas-style exports
+    carry a leading unnamed index column that positional parsing silently
+    misread as the first coordinate (the reference reads df['axis-0'] by
+    name, detection.py:660). Headerless files fall back to positional
+    (z,)y,x [,class]. With ``with_classes`` also returns the per-point class
+    column (defaulting to 1 when absent)."""
     with open(path) as f:
-        for row in csv.reader(f):
-            if not row:
-                continue
-            try:
+        rows = [r for r in csv.reader(f) if r]
+    if not rows:
+        coords = np.zeros((0, ndim), np.float32)
+        return (coords, np.zeros(0, np.int32)) if with_classes else coords
+
+    axis_names = [f"axis-{d}" for d in range(ndim)]
+    header = rows[0]
+    col_idx = None
+    if any(h.strip().lower() in axis_names for h in header):
+        names = [h.strip().lower() for h in header]
+        col_idx = [names.index(a) for a in axis_names if a in names]
+        if len(col_idx) != ndim:
+            raise ValueError(f"CSV {path} names only {len(col_idx)} of the "
+                             f"{ndim} coordinate columns {axis_names}")
+        cls_idx = names.index("class") if "class" in names else None
+        body = rows[1:]
+    else:
+        body = rows
+        cls_idx = ndim
+
+    pts, cls = [], []
+    for row in body:
+        try:
+            if col_idx is not None:
+                vals = [float(row[i]) for i in col_idx]
+            else:
                 vals = [float(v) for v in row[:ndim]]
-            except ValueError:
-                continue  # header
-            pts.append(vals)
-            try:
-                cls.append(float(row[ndim]) if len(row) > ndim else 1.0)
-            except ValueError:
-                cls.append(1.0)
+        except ValueError:
+            continue  # headerless-mode header line
+        pts.append(vals)
+        try:
+            cls.append(float(row[cls_idx]) if cls_idx is not None
+                       and cls_idx < len(row) else 1.0)
+        except (ValueError, TypeError):
+            cls.append(1.0)
     coords = np.asarray(pts, dtype=np.float32).reshape(-1, ndim)
     if with_classes:
         return coords, np.asarray(cls, np.int32).reshape(-1)
@@ -199,14 +237,7 @@ class Detection_Workflow(Base_Workflow):
         # drop points within a fixed margin of the image border (reference:
         # TEST.DET_IGNORE_POINTS_OUTSIDE_BOX, detection.py:699)
         box = list(cfg.TEST.DET_IGNORE_POINTS_OUTSIDE_BOX or []) if global_post else []
-        if box and len(coords):
-            keep = np.ones(len(coords), bool)
-            for d in range(min(self.nd, len(box))):
-                m = int(box[d])
-                if m > 0:
-                    keep &= (coords[:, d] >= m) & \
-                            (coords[:, d] <= max(heatmap.shape[d] - m, 0))
-            coords = coords[keep]
+        coords = _filter_bbox(coords, box, heatmap.shape, self.nd)
         pp = cfg.TEST.POST_PROCESSING
         if global_post and pp.REMOVE_CLOSE_POINTS and len(coords):
             coords = remove_close_points(
@@ -242,6 +273,13 @@ class Detection_Workflow(Base_Workflow):
         self._last_classes = self._point_classes(pred, coords)
         if gt is not None:
             true_pts = points_from_mask(gt[..., 0])
+            # the border-box filter must apply to BOTH sets — filtering only
+            # predictions turned every border GT point into a guaranteed
+            # false negative (reference passes bbox_to_consider into
+            # detection_metrics, detection.py:698-752)
+            true_pts = _filter_bbox(true_pts,
+                                    self.cfg.TEST.DET_IGNORE_POINTS_OUTSIDE_BOX,
+                                    gt.shape, self.nd)
             tc = pc = None
             if getattr(self, "separated_class_channel", False) and gt.shape[-1] >= 2:
                 lim = np.asarray(gt.shape[: self.nd]) - 1
@@ -421,6 +459,16 @@ class Detection_Workflow(Base_Workflow):
                       "candidates — skipping metrics for this volume")
             if gt_csv:
                 true_pts, true_cls = read_points_csv(gt_csv, self.nd, with_classes=True)
+                keep_box = list(cfg.TEST.DET_IGNORE_POINTS_OUTSIDE_BOX or [])
+                if keep_box and len(true_pts):
+                    before = len(true_pts)
+                    keep = np.ones(before, bool)
+                    for d in range(min(self.nd, len(keep_box))):
+                        mg = int(keep_box[d])
+                        if mg > 0:
+                            keep &= ((true_pts[:, d] >= mg)
+                                     & (true_pts[:, d] <= max(spatial[d] - mg, 0)))
+                    true_pts, true_cls = true_pts[keep], true_cls[keep]
                 dm = detection_metrics(true_pts, coords.astype(np.float32),
                                        float(cfg.TEST.DET_TOLERANCE),
                                        resolution=_test_resolution(cfg, self.nd),

@@ -23,12 +23,20 @@ from biapy_tpu.engine.base_workflow import Base_Workflow
 def crappify(img: np.ndarray, resizing_factor: float, noise_level: float,
              rng: np.random.Generator) -> np.ndarray:
     """Downsample + gaussian noise degradation (reference:
-    pre_processing.py crappify)."""
+    pre_processing.py:3390 crappify): each axis shrinks by
+    sqrt(resizing_factor) (a straight 1/factor per axis was a much harder
+    4x-fewer-pixels task in 2D), and the noise is added to the FULL-RES
+    image before downsampling, with std = noise_level * max(img) (reference
+    add_gaussian_noise:3494), not a post-downsample relative std."""
     nd = img.ndim - 1
-    zoom = [1.0 / resizing_factor] * nd + [1.0]
-    small = ndimage.zoom(img, zoom, order=1)
     if noise_level > 0:
-        small = small + rng.normal(0, noise_level * max(small.std(), 1e-6), small.shape)
+        # std = noise_level * max (reference add_gaussian_noise:3494);
+        # guard for normalized data whose max can be <= 0 (zmuv dark patch)
+        std = noise_level * max(abs(float(img.max())), 1e-6)
+        img = img + rng.normal(0, std, img.shape)
+    shrink = 1.0 / np.sqrt(resizing_factor)
+    zoom = [shrink] * nd + [1.0]
+    small = ndimage.zoom(img, zoom, order=1)
     back = ndimage.zoom(small, [img.shape[d] / small.shape[d] for d in range(img.ndim)], order=1)
     return back.astype(np.float32)
 
@@ -57,14 +65,25 @@ class Self_supervised_Workflow(Base_Workflow):
             self.train_metrics = {}
         else:
             ltype = (self.cfg.LOSS.TYPE or "MAE").upper()
+            w = list(self.cfg.LOSS.WEIGHTS) if self.cfg.LOSS.WEIGHTS else [0.5, 0.5]
 
             def unwrap(out):
                 return out["pred"] if isinstance(out, dict) else out
 
+            # the same SR-style loss family the reference SSL workflow
+            # accepts — an unknown type must error, not silently become MAE
             if ltype == "MSE":
                 self.loss = lambda out, y: M.mse_metric(unwrap(out), y)
-            else:
+            elif ltype == "MAE":
                 self.loss = lambda out, y: M.mae_metric(unwrap(out), y)
+            elif ltype == "SSIM":
+                self.loss = lambda out, y: M.ssim_loss(unwrap(out), y)
+            elif ltype == "W_MAE_SSIM":
+                self.loss = lambda out, y: M.w_mae_ssim_loss(unwrap(out), y, w[0], w[1])
+            elif ltype == "W_MSE_SSIM":
+                self.loss = lambda out, y: M.w_mse_ssim_loss(unwrap(out), y, w[0], w[1])
+            else:
+                raise ValueError(f"Unsupported LOSS.TYPE for SSL crappify: {ltype}")
             self.train_metrics = {"psnr": lambda out, y: M.psnr_metric(unwrap(out), y)}
 
     def prepare_targets_fn(self):
@@ -90,9 +109,4 @@ class Self_supervised_Workflow(Base_Workflow):
         return make_predict_fn(apply_mae, mesh=self.mesh)
 
     def metric_calculation(self, pred, gt):
-        if gt is None:
-            return {}
-        from biapy_tpu.data.norm import normalize_image
-
-        g, _ = normalize_image(gt.astype("float32"), self.norm_spec)
-        return M.restoration_test_metrics(pred, g, self.cfg.TEST.METRICS)
+        return self.restoration_metric_calculation(pred, gt)

@@ -48,11 +48,4 @@ class Super_resolution_Workflow(Base_Workflow):
         self.train_metrics = M.build_restoration_train_metrics(self.cfg.TRAIN.METRICS, unwrap)
 
     def metric_calculation(self, pred, gt):
-        if gt is None:
-            return {}
-        from biapy_tpu.data.norm import normalize_image
-
-        g, _ = normalize_image(gt.astype("float32"), self.norm_spec)
-        # TEST.METRICS selects which restoration metrics to report
-        # (reference: check_configuration.py:1277 defaults psnr/mae/mse/ssim)
-        return M.restoration_test_metrics(pred, g, self.cfg.TEST.METRICS)
+        return self.restoration_metric_calculation(pred, gt)

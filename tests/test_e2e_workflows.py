@@ -827,3 +827,18 @@ def test_classification_efficientnet_resize(tmp_path):
     }
     job = _run(cfg, root, "cls_eff")
     assert job.workflow.stats["accuracy"] > 0.7, job.workflow.stats
+
+
+def test_restoration_metric_calculation_bound():
+    """The denoising/SR/SSL per-image metrics share one implementation and
+    are BOUND as class methods — the denoising override was once stranded
+    as unreachable module-level code and test metrics silently vanished."""
+    from biapy_tpu.engine.base_workflow import Base_Workflow
+    from biapy_tpu.engine.denoising import Denoising_Workflow
+    from biapy_tpu.engine.self_supervised import Self_supervised_Workflow
+    from biapy_tpu.engine.super_resolution import Super_resolution_Workflow
+
+    assert "restoration_metric_calculation" in Base_Workflow.__dict__
+    for cls in (Denoising_Workflow, Self_supervised_Workflow,
+                Super_resolution_Workflow):
+        assert "metric_calculation" in cls.__dict__, cls.__name__
