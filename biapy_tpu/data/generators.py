@@ -220,7 +220,14 @@ class PairDataset:
         img, _ = normalize_image(img, self.norm_spec, stats=f.norm_stats)
         if gt is not None:
             if self.gt_keep_labels:
-                gt = gt.astype(np.float32)
+                # compact crop-local ids to 1..n: the EmbedSeg loss iterates
+                # a FIXED id range under jit, so raw on-disk ids (possibly in
+                # the hundreds) would fall outside it and go unsupervised
+                u = np.unique(gt)
+                u = u[u > 0]
+                remap = np.zeros(int(gt.max()) + 1, np.float32)
+                remap[u.astype(np.int64)] = np.arange(1, len(u) + 1, dtype=np.float32)
+                gt = remap[gt.astype(np.int64)]
             elif self.gt_as_image:
                 gt, _ = normalize_image(gt.astype(np.float32), self.norm_spec)
             elif gt.dtype.kind != "f":

@@ -61,16 +61,28 @@ def stardist_nms_2d(
     rasterized in acceptance order (earlier = higher probability wins pixel
     ties).
     """
+    from scipy import ndimage
+
     h, w = prob.shape
-    cand = np.argwhere(prob[::grid_step, ::grid_step] > prob_threshold) * grid_step
+    # candidates are LOCAL MAXIMA of the probability map (like the
+    # reference's maximum_filter peak picking) — taking every above-
+    # threshold pixel let bright instances consume the candidate cap with
+    # duplicates while dim instances got no candidate at all
+    sub = prob[::grid_step, ::grid_step]
+    peaks = (sub == ndimage.maximum_filter(sub, size=3)) & (sub > prob_threshold)
+    cand = np.argwhere(peaks) * grid_step
     if len(cand) == 0:
         return np.zeros((h, w), np.int32)
     scores = prob[cand[:, 0], cand[:, 1]]
-    order = np.argsort(-scores)[:max_candidates]
+    order = np.argsort(-scores)
+    if max_candidates and len(order) > max_candidates:
+        print(f"WARNING: stardist NMS capped {len(order)} peak candidates "
+              f"at {max_candidates}")
+        order = order[:max_candidates]
     cand = cand[order]
 
     labels = np.zeros((h, w), np.int32)
-    accepted_masks: List[np.ndarray] = []
+    accepted: List[tuple] = []  # (local bool mask, (y0, x0)) — bbox-local
     next_id = 0
     for c in cand:
         d = rays[c[0], c[1]]
@@ -78,17 +90,21 @@ def stardist_nms_2d(
         area = int(m.sum())
         if area < 4:
             continue
+        ys, xs = np.nonzero(m)
+        y0, y1 = int(ys.min()), int(ys.max()) + 1
+        x0, x1 = int(xs.min()), int(xs.max()) + 1
+        local = m[y0:y1, x0:x1]
         ok = True
-        for am in accepted_masks:
-            inter = int((m & am).sum())
-            if inter and inter / (area + int(am.sum()) - inter) > iou_threshold:
+        for am, (ay0, ax0) in accepted:
+            iou = _bbox_iou_masks(local, (y0, x0), am, (ay0, ax0))
+            if iou > iou_threshold:
                 ok = False
                 break
         if not ok:
             continue
         next_id += 1
         labels[m & (labels == 0)] = next_id
-        accepted_masks.append(m)
+        accepted.append((local, (y0, x0)))
     return labels
 
 
@@ -151,11 +167,21 @@ def stardist_nms_3d(
     shape = prob.shape
     ray_dirs = generate_rays(rays.shape[-1], 3).astype(np.float64)
     g = max(1, int(grid_step))
-    cand = np.argwhere(prob[::g, ::g, ::g] > prob_threshold) * g
+    from scipy import ndimage as _ndi
+
+    # local-maxima peaks, like 2D (every above-threshold voxel exhausted the
+    # candidate cap on duplicates of bright instances)
+    sub = prob[::g, ::g, ::g]
+    peaks = (sub == _ndi.maximum_filter(sub, size=3)) & (sub > prob_threshold)
+    cand = np.argwhere(peaks) * g
     if len(cand) == 0:
         return np.zeros(shape, np.int32)
     scores = prob[tuple(cand.T)]
-    order = np.argsort(-scores)[:max_candidates]
+    order = np.argsort(-scores)
+    if max_candidates and len(order) > max_candidates:
+        print(f"WARNING: stardist NMS capped {len(order)} peak candidates "
+              f"at {max_candidates}")
+        order = order[:max_candidates]
     cand = cand[order]
 
     labels = np.zeros(shape, np.int32)

@@ -82,7 +82,7 @@ def spatial_emb_loss(
     pred: jnp.ndarray,
     instance_labels: jnp.ndarray,
     nd: int,
-    max_instances: int = 32,
+    max_instances: int = 64,
     w_fg: float = 1.0,
     w_inst: float = 1.0,
     w_var: float = 10.0,
@@ -97,7 +97,10 @@ def spatial_emb_loss(
     sigmas, seediness logit. ``instance_labels``: (...,) int map
     (0 = background). A leading batch axis (pred.ndim == nd + 2) is vmapped
     and averaged. ``w_fg`` weights the foreground seed regression
-    (channel_weights[0]); ``anisotropy`` is the (z, y, x) voxel spacing;
+    (channel_weights[0]); instance ids must be CROP-LOCAL and compact
+    (1..n <= max_instances) — the generator's gt_keep_labels path relabels
+    each crop so raw on-disk ids never exceed the jit-fixed id range;
+    ``anisotropy`` is the (z, y, x) voxel spacing;
     ``center_mode`` 'centroid' or 'medoid' (approximated inside jit as the
     masked pixel closest to the centroid — exact for convex instances,
     avoiding the reference's O(N^2) cdist, metrics.py:2475)."""
@@ -142,11 +145,16 @@ def spatial_emb_loss(
         # sigma stats on raw values; variance term detaches the mean
         # (reference: metrics.py:2556)
         s_mean = jnp.sum(flat_sigr * m[:, None], axis=0) / jnp.maximum(cnt, 1.0)
+        # reference: torch.mean over the (n_sigma, N) tensor = sum/(nd*N)
+        # (metrics.py:2556) — dividing by N alone made w_var effectively
+        # nd x larger than configured
         var = jnp.sum(jnp.sum((flat_sigr - jax.lax.stop_gradient(s_mean)) ** 2, -1) * m) \
-            / jnp.maximum(cnt, 1.0)
+            / jnp.maximum(cnt * nd, 1.0)
         # precision-form gaussian membership (reference: metrics.py:2560);
-        # clip the exponent so a runaway sigma head cannot overflow f32
-        s = jnp.exp(jnp.clip(s_mean * 10.0, -8.0, 8.0))
+        # clip ONLY against f32 overflow (exp overflows near 88) — a tight
+        # clip froze the sigma head at its init (exponent ~10) and capped
+        # how sharp proposals can get
+        s = jnp.exp(jnp.clip(s_mean * 10.0, -40.0, 40.0))
         dist2 = jnp.sum((flat_emb - center) ** 2 * s, axis=-1)
         phi = jnp.exp(-dist2)
         inst = lovasz_hinge_flat(2.0 * phi - 1.0, m, jnp.ones_like(m, bool))
@@ -224,7 +232,7 @@ def embedseg_cluster(
             break
         center = emb_m[i]
         unclustered[i] = False
-        s = np.exp(np.clip(sig_m[i] * 10.0, -8.0, 8.0))
+        s = np.exp(np.clip(sig_m[i] * 10.0, -40.0, 40.0))
         phi = np.exp(-np.sum((emb_m - center) ** 2 * s, axis=-1))
         proposal = phi > 0.5
         psum = int(proposal.sum())

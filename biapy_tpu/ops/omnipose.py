@@ -46,20 +46,18 @@ def _shift(arr: np.ndarray, off) -> np.ndarray:
 
 
 def _eikonal_group_solve(mins, f: float) -> np.ndarray:
-    """Solve the isotropic eikonal quadratic given per-axis-pair directional
-    minima ``mins`` (k, ...) and step ``f`` — the standard fast-marching
-    update, incremental over sorted inputs."""
-    k = mins.shape[0]
+    """Solve the 2-input eikonal quadratic over the two smallest per-pixel
+    pair minima (the reference's _update is exactly this d==2 case,
+    omnipose_core.py:137 — its groups feed only two pairs in 2D; in 3D we
+    take the two SMALLEST pairs rather than the reference's first-two, the
+    algorithmically consistent choice)."""
+    if mins.shape[0] == 1:
+        return mins[0] + f
     a = np.sort(mins, axis=0)
-    sol = a[0] + f
-    for m in range(2, k + 1):
-        s1 = a[:m].sum(axis=0)
-        s2 = (a[:m] ** 2).sum(axis=0)
-        disc = s1 * s1 - m * (s2 - f * f)
-        cand = (s1 + np.sqrt(np.clip(disc, 0, None))) / m
-        use = (disc >= 0) & (cand >= a[m - 1])
-        sol = np.where(use, cand, sol)
-    return sol
+    a0, a1 = a[0], a[1]
+    sum_a = a0 + a1
+    sum_a2 = a0 * a0 + a1 * a1
+    return 0.5 * (sum_a + np.sqrt(np.clip(sum_a * sum_a - 2 * (sum_a2 - f * f), 0, None)))
 
 
 def smooth_distance(labels: np.ndarray, n_iter: int = 60, eps: float = 1e-3) -> np.ndarray:
@@ -71,36 +69,47 @@ def smooth_distance(labels: np.ndarray, n_iter: int = 60, eps: float = 1e-3) -> 
         return np.zeros(labels.shape, np.float32)
     nd = labels.ndim
     groups = _offset_groups(nd)
-    # same-label neighbour masks + shifted views are recomputed per sweep on
-    # the dense grid; T is clamped to 0 outside the instance
+    # same-label neighbour masks are label-dependent only — hoist them out
+    # of the sweep loop (recomputing them doubled the cost of the hottest
+    # loop in training-target generation)
+    same_of = {}
+    pair_offs = []
+    for f, offs in groups:
+        seen = set()
+        pairs = []
+        for o in offs:
+            if tuple(-np.array(o)) in seen:
+                continue
+            seen.add(tuple(o))
+            om = tuple(-x for x in o)
+            same_of.setdefault(o, _shift(labels, o) == labels)
+            same_of.setdefault(om, _shift(labels, om) == labels)
+            pairs.append((o, om))
+        pair_offs.append((f, pairs, offs))
     T = fg.astype(np.float32)
     prev = T
     for t in range(n_iter):
         phi = np.ones_like(T)
-        for f, offs in groups:
-            pairs = []
-            seen = set()
-            for o in offs:
-                if tuple(-np.array(o)) in seen:
-                    continue
-                seen.add(tuple(o))
-                same_p = _shift(labels, o) == labels
-                same_m = _shift(labels, tuple(-x for x in o)) == labels
-                vp = np.where(same_p, _shift(T, o), 0.0)
-                vm = np.where(same_m, _shift(T, tuple(-x for x in o)), 0.0)
-                pairs.append(np.minimum(vp, vm))
-            phi *= _eikonal_group_solve(np.stack(pairs), f)
+        for f, pairs, _ in pair_offs:
+            mins = []
+            for o, om in pairs:
+                vp = np.where(same_of[o], _shift(T, o), 0.0)
+                vm = np.where(same_of[om], _shift(T, om), 0.0)
+                mins.append(np.minimum(vp, vm))
+            phi *= _eikonal_group_solve(np.stack(mins), f)
         T = np.where(fg, phi ** (1.0 / len(groups)), 0.0)
         if t == 0:
-            # Omnipose's one-time initial neighbour-mean smoothing
+            # Omnipose's one-time initial smoothing: a FIXED 1/3^nd divisor
+            # over the full stencil (center contributes 0), reference
+            # _iterate Tn.mean(axis=0) — a same-label-count divisor gave
+            # boundary pixels systematically larger values
             acc = np.zeros_like(T)
-            cnt = np.zeros_like(T)
-            for f, offs in groups:
+            n_steps = 3 ** nd
+            for f, _, offs in pair_offs:
                 for o in offs:
-                    same = _shift(labels, o) == labels
-                    acc += np.where(same, _shift(T, o), 0.0)
-                    cnt += same
-            T = np.where(fg, acc / np.maximum(cnt, 1), 0.0)
+                    acc += np.where(same_of.setdefault(o, _shift(labels, o) == labels),
+                                    _shift(T, o), 0.0)
+            T = np.where(fg, acc / n_steps, 0.0)
         if t % 10 == 9 and float(np.mean((T - prev) ** 2)) < eps:
             break
         prev = T
@@ -134,6 +143,20 @@ def omnipose_flows(labels: np.ndarray, n_iter: int = 60) -> Tuple[np.ndarray, np
         comps += acc
         n_axes += 1
     mu = comps / max(1, n_axes)
+    mu *= fg[..., None]
+    # neighbour smoothing weighted by |mu_neigh . mu_central| (reference
+    # _gradient, omnipose_core.py:205-218) — the raw stencil gradient is
+    # noisier at boundaries/skeletons
+    wsum = np.zeros(labels.shape, np.float32)
+    out = np.zeros_like(mu)
+    for f, offs in groups:
+        for o in offs:
+            same = _shift(labels, o) == labels
+            mu_n = np.stack([_shift(mu[..., d], o) for d in range(nd)], axis=-1)
+            w = np.abs(np.sum(mu_n * mu, axis=-1)) * same
+            out += mu_n * w[..., None]
+            wsum += w
+    mu = np.where(wsum[..., None] > 0, out / np.maximum(wsum[..., None], 1e-12), mu)
     mu *= fg[..., None]
     return T, mu.astype(np.float32)
 
@@ -238,14 +261,15 @@ def _remove_bad_flow_masks(labels: np.ndarray, flows: np.ndarray, th: float) -> 
     """Drop masks whose regenerated flow disagrees with the prediction
     (reference: _remove_bad_flow_masks, omnipose_core.py:493)."""
     _, mu = omnipose_flows(labels, n_iter=30)
-    # compare unit directions over each mask
-    pred = flows / np.maximum(np.sqrt((flows ** 2).sum(-1, keepdims=True)), 1e-8)
-    ref = mu / np.maximum(np.sqrt((mu ** 2).sum(-1, keepdims=True)), 1e-8)
-    err = ((pred - ref) ** 2).sum(-1)
+    # reference _flow_error (omnipose_core.py:480): per-mask MSE between the
+    # regenerated flow and the prediction, summed over components, against
+    # the raw threshold — the old unit-direction metric with th*4 only
+    # removed masks whose mean angular error exceeded ~78 degrees
+    err = ((flows - mu) ** 2).sum(-1)
     bad = []
     for lb in range(1, int(labels.max()) + 1):
         m = labels == lb
-        if m.any() and float(err[m].mean()) > th * 4:
+        if m.any() and float(err[m].mean()) > th:
             bad.append(lb)
     if bad:
         labels = labels.copy()
