@@ -603,8 +603,12 @@ class Base_Workflow(metaclass=ABCMeta):
                 out_channels=sum(chans), batch_size=bs, out_dtype=out_dt,
                 out_splits=splits, pad_mode=pad_mode))
             cache[key] = runner
-        block_j = jnp.asarray(block_n.astype(np.float32), jnp.bfloat16) if reduce_mem \
-            else jnp.asarray(block_n)  # bf16 halves H2D + HBM for the volume
+        # Zero host-side dtype work: a bfloat16 block ships as a pure memcpy
+        # and anything else ships in its native width and casts ON DEVICE —
+        # two host astype passes over a 100+ MB slab cost more than the wider
+        # H2D, and the device cast overlaps earlier slabs' compute. (bf16
+        # still halves HBM for the volume under REDUCE_MEMORY.)
+        block_j = block_n
         if device is not None:
             # tile parallelism across local chips: computation follows the
             # committed placement of its inputs. The per-device weight cache
@@ -618,9 +622,15 @@ class Base_Workflow(metaclass=ABCMeta):
             if vd is None:
                 vd = jax.device_put(variables, device)
                 vcache["devices"][device] = vd
-            out = runner(vd, jax.device_put(block_j, device))
+            blk = jax.device_put(block_j, device)
+            if reduce_mem and blk.dtype != jnp.bfloat16:
+                blk = blk.astype(jnp.bfloat16)  # runs on `device` (committed)
+            out = runner(vd, blk)
         else:
-            out = runner(variables, block_j)
+            blk = jnp.asarray(block_j)
+            if reduce_mem and blk.dtype != jnp.bfloat16:
+                blk = blk.astype(jnp.bfloat16)
+            out = runner(variables, blk)
         if not sync:
             return out
         if splits is not None:
