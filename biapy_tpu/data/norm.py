@@ -127,7 +127,23 @@ def normalize_image(
     elif ntype != "none":
         raise ValueError(f"Unknown normalization type: {ntype}")
 
+    # Honor the spec's output width: under TEST.REDUCE_MEMORY the test norm
+    # spec asks for bfloat16 so blocks ship half-width over H2D and the
+    # device-side cast is a no-op (reference analog: float16 normalization
+    # under the same flag, base_workflow.py:181,385). Stats stay float32.
+    out_dt = spec.get("out_dtype", "float32")
+    if out_dt not in ("float32", np.float32):
+        out = out.astype(_np_dtype(out_dt))
     return out, stats
+
+
+def _np_dtype(name):
+    """Resolve a dtype name to numpy, including 'bfloat16' via ml_dtypes."""
+    if str(name) == "bfloat16":
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(name)
 
 
 def denormalize(img: np.ndarray, stats: Dict[str, Any]) -> np.ndarray:

@@ -98,6 +98,12 @@ class Base_Workflow(metaclass=ABCMeta):
         self.mesh = get_mesh(spatial=int(getattr(cfg.SYSTEM, "SPATIAL_PARTITIONS", 1)))
         self.spatial_dim = 2 if self.is_3d else 1  # Y in NDHWC / NHWC
         self.norm_spec = build_norm_dict(cfg)
+        # test-time norm spec: half-width blocks under TEST.REDUCE_MEMORY so
+        # H2D ships bf16 and the device cast in predict_block_on_device is a
+        # no-op (reference: float16 under the same flag, base_workflow.py:181)
+        self.test_norm_spec = dict(self.norm_spec)
+        if bool(cfg.TEST.REDUCE_MEMORY):
+            self.test_norm_spec["out_dtype"] = "bfloat16"
         self.y_upscaling = [1] * self.nd
 
         # workflow contract (defaults first — the hooks below may override)
@@ -589,8 +595,8 @@ class Base_Workflow(metaclass=ABCMeta):
         # cache the jitted stitch per geometry — a fresh trace per block would
         # recompile (~30s on the tunnel) for every tile/image
         splits = tuple(tuple(s) for s in out_splits) if out_splits is not None else None
-        key = (tuple(block_n.shape), ov, pad, bs, reduce_mem, splits,
-               bool(cfg.DATA.TEST.MEDIAN_PADDING))
+        key = (tuple(block_n.shape), str(block_n.dtype), ov, pad, bs,
+               reduce_mem, splits, bool(cfg.DATA.TEST.MEDIAN_PADDING))
         cache = getattr(self, "_stitch_cache", None)
         if cache is None:
             cache = self._stitch_cache = {}
@@ -718,7 +724,7 @@ class Base_Workflow(metaclass=ABCMeta):
             return {"pred": merged}
 
         img, gt = self.before_test_sample(img, gt, fname)
-        img_n, stats = normalize_image(img, self.norm_spec)
+        img_n, stats = normalize_image(img, self.test_norm_spec)
 
         if cfg.TEST.FULL_IMG and not self.is_3d:
             # whole-image forward (reference: TEST.FULL_IMG / after_full_image,

@@ -228,7 +228,8 @@ class ChunkedInference:
                     block = block[..., None]
                 from biapy_tpu.data.norm import normalize_image
 
-                block_n, _ = normalize_image(block, self.wf.norm_spec)
+                block_n, _ = normalize_image(
+                    block, getattr(self.wf, "test_norm_spec", self.wf.norm_spec))
                 dev_pred = self.wf.predict_block_on_device(
                     block_n, overlap=self.overlap, padding=self.padding,
                     device=devices[dispatched % len(devices)], sync=False)

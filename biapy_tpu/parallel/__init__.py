@@ -151,14 +151,6 @@ def device_count() -> int:
     return jax.device_count()
 
 
-def barrier(name: str = "barrier") -> None:
-    """Cross-host barrier (reference: dist.barrier). No-op single-host."""
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices(name)
-
-
 def broadcast_from_main(obj: Any) -> Any:
     """Host-side object broadcast over DCN (reference analog:
     dist.broadcast_object_list; used by the chunked instance merge)."""

@@ -123,6 +123,21 @@ def test_norm_zmuv_and_reuse():
     assert np.allclose(out2, expected, atol=1e-5)
 
 
+def test_norm_bfloat16_out_dtype():
+    # TEST.REDUCE_MEMORY plumbs out_dtype=bfloat16 into the test norm spec so
+    # by-chunks blocks ship half-width over H2D (ref base_workflow.py:181)
+    import ml_dtypes
+
+    img = RNG.integers(0, 255, (16, 16, 1)).astype(np.uint8)
+    out, stats = normalize_image(img, {"type": "div", "percentile_clip": False, "out_dtype": "bfloat16"})
+    assert out.dtype == np.dtype(ml_dtypes.bfloat16)
+    assert float(np.asarray(out, np.float32).max()) <= 1.0
+    # stats are float32 and denormalize recovers within bf16 precision
+    back = denormalize(out, stats)
+    assert back.dtype == np.uint8
+    assert np.abs(back.astype(np.int32) - img.astype(np.int32)).max() <= 1
+
+
 def test_norm_percentile_clip():
     img = np.concatenate([np.zeros((99, 1, 1)), np.full((1, 1, 1), 1e6)]).astype(np.float32)
     out, stats = normalize_image(

@@ -78,3 +78,36 @@ def test_batch_padding_does_not_skew_blend(batch_size):
     out = np.asarray(sliding_window_inference(_ramp_apply, None, vol,
                                               batch_size=batch_size, **kw))
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_reduce_memory_bf16_block_through_device_path(tmp_path):
+    """TEST.REDUCE_MEMORY plumbs bfloat16 into the test norm spec so the
+    block ships half-width and predict_block_on_device's device cast is a
+    no-op (ADVICE r1; reference: float16 norm under the same flag,
+    base_workflow.py:181,385)."""
+    import ml_dtypes
+
+    from biapy_tpu.config.config import Config
+    from biapy_tpu.data.norm import normalize_image
+    from biapy_tpu.engine.semantic_seg import Semantic_Segmentation_Workflow
+
+    c = Config(".", "t")
+    cfg = c.get_cfg_defaults()
+    cfg.merge_from_dict({
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TRAIN": {"PATH": str(tmp_path), "GT_PATH": str(tmp_path)},
+                 "TEST": {"PATH": str(tmp_path), "PADDING": (4, 4)}},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16],
+                  "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [2, 2],
+                  "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TEST": {"ENABLE": True, "REDUCE_MEMORY": True},
+    })
+    wf = Semantic_Segmentation_Workflow(cfg, "t", verbose=False)
+    assert wf.test_norm_spec["out_dtype"] == "bfloat16"
+    img = np.random.default_rng(0).integers(0, 255, (64, 64, 1)).astype(np.uint8)
+    img_n, _ = normalize_image(img, wf.test_norm_spec)
+    assert img_n.dtype == np.dtype(ml_dtypes.bfloat16)
+    out = wf.predict_block_on_device(img_n, overlap=(0.0, 0.0), padding=(4, 4))
+    assert out is not None and out.dtype == np.float32
+    assert out.shape == (64, 64, 1) and np.isfinite(out).all()
