@@ -341,19 +341,34 @@ def build_dataset(
 def split_train_val(
     ds: BiaPyDataset, val_split: float, seed: int, shuffle: bool = True,
     cross_val: bool = False, cross_val_nsplits: int = 5, cross_val_fold: int = 1,
+    stratify_by_class: bool = False,
 ) -> Tuple[BiaPyDataset, BiaPyDataset]:
     """Fraction split or k-fold split over SAMPLES (reference:
-    load_and_prepare_train_data val handling)."""
+    load_and_prepare_train_data val handling).
+
+    ``stratify_by_class``: classification k-fold stratifies by the
+    folder-derived ``class_num`` so imbalanced label sets keep their class
+    ratios per fold (reference: StratifiedKFold over
+    ``[x.class_num for x in dataset_info]``, data_manipulation.py:1606)."""
     n = len(ds.sample_list)
     idx = np.arange(n)
     rng = np.random.default_rng(seed)
     if shuffle:
         rng.shuffle(idx)
     if cross_val:
-        fold_size = math.ceil(n / cross_val_nsplits)
-        lo = (cross_val_fold - 1) * fold_size
-        hi = min(n, lo + fold_size)
-        val_idx = set(idx[lo:hi].tolist())
+        labels = np.array([ds.dataset_info[s.fid].class_num for s in ds.sample_list])
+        if stratify_by_class and (labels >= 0).all() and len(set(labels.tolist())) > 1:
+            from sklearn.model_selection import StratifiedKFold
+
+            skf = StratifiedKFold(n_splits=cross_val_nsplits, shuffle=shuffle,
+                                  random_state=seed if shuffle else None)
+            splits = list(skf.split(np.zeros(n), labels))
+            val_idx = set(splits[cross_val_fold - 1][1].tolist())
+        else:
+            fold_size = math.ceil(n / cross_val_nsplits)
+            lo = (cross_val_fold - 1) * fold_size
+            hi = min(n, lo + fold_size)
+            val_idx = set(idx[lo:hi].tolist())
     else:
         n_val = int(round(n * val_split))
         val_idx = set(idx[:n_val].tolist())
@@ -446,6 +461,7 @@ def load_and_prepare_train_data(cfg, norm_spec: Optional[Dict] = None,
             cross_val=bool(cfg.DATA.VAL.CROSS_VAL),
             cross_val_nsplits=int(cfg.DATA.VAL.CROSS_VAL_NFOLD),
             cross_val_fold=int(cfg.DATA.VAL.CROSS_VAL_FOLD),
+            stratify_by_class=(cfg.PROBLEM.TYPE == "CLASSIFICATION"),
         )
     return train, val
 

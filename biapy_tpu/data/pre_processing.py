@@ -388,7 +388,12 @@ def create_detection_masks(points: np.ndarray, shape: Sequence[int],
     cls = (np.asarray(classes).reshape(-1) if classes is not None
            else np.ones(len(points)))
     for i, p in enumerate(np.asarray(points, dtype=int)):
-        idx = tuple(np.clip(p[d], 0, shape[d] - 1) for d in range(nd))
+        # points outside the image are skipped, not clipped (reference
+        # pre_processing.py create_detection_masks: "Skip if center point is
+        # outside array boundaries")
+        if any(p[d] < 0 or p[d] >= shape[d] for d in range(nd)):
+            continue
+        idx = tuple(int(p[d]) for d in range(nd))
         pts[idx] = True
         if cls_map is not None:
             cls_map[idx] = float(cls[i]) if i < len(cls) else 1.0

@@ -193,17 +193,11 @@ class Base_Workflow(metaclass=ABCMeta):
                     "environment — download the STUNet checkpoint for variant "
                     f"'{self.cfg.MODEL.STUNET.VARIANT}' elsewhere and set this "
                     "key to the local .pth/.pt file path.")
-            import torch
+            from biapy_tpu.models.stunet import load_stunet_pretrained
 
-            from biapy_tpu.utils.bmz import import_torch_state_dict
-
-            sd = torch.load(str(stu_pre), map_location="cpu", weights_only=True)
-            if hasattr(sd, "state_dict"):
-                sd = sd.state_dict()
-            sd = {k: v.numpy() for k, v in sd.items()}
-            params, batch_stats = import_torch_state_dict(sd, params, batch_stats)
-            if self.verbose:
-                print(f"Loaded STUNet pretrained weights from {stu_pre}")
+            params, _ = load_stunet_pretrained(
+                str(stu_pre), params, variant=str(self.cfg.MODEL.STUNET.VARIANT),
+                verbose=self.verbose)
 
         wsrc = str(self.cfg.MODEL.VIT_PRETRAINED_WEIGHTS)
         if wsrc and "sam3_vit" in (str(self.cfg.MODEL.VIT_MODEL).lower(),
@@ -313,6 +307,22 @@ class Base_Workflow(metaclass=ABCMeta):
                                  shuffle=bool(cfg.AUGMENTOR.SHUFFLE_VAL_DATA_EACH_EPOCH),
                                  seed=cfg.SYSTEM.SEED)
         self._steps_per_epoch = len(train_loader)
+
+        # DATA.VAL.DIST_EVAL (reference: generators/__init__.py:489-503):
+        # True = fast padded eval — the ragged final batch is filled with
+        # duplicate samples so every step tiles the mesh (the reference pads
+        # the DistributedSampler the same way and warns); False = exact eval —
+        # the ragged batch is evaluated per sample (each real sample
+        # replicated across the batch, so its metric is unbiased) and batch
+        # metrics combine by true sample count.
+        dist_eval = bool(cfg.DATA.VAL.DIST_EVAL)
+        n_val_full, n_val_rem = divmod(len(val_data), gbs) if gbs else (0, 0)
+        if dist_eval and n_val_rem and self.verbose:
+            print("Warning: Enabling distributed evaluation with an eval "
+                  "dataset not divisible by the global batch. This will "
+                  "slightly alter validation results as extra duplicate "
+                  "entries are added to achieve equal num of samples per "
+                  "device. Set DATA.VAL.DIST_EVAL=False for exact metrics.")
 
         # runtime self-checks (reference: DATA.CHECK_GENERATORS dumps
         # generator output, generators/__init__.py:884; AUGMENTOR.AUG_SAMPLES
@@ -427,14 +437,28 @@ class Base_Workflow(metaclass=ABCMeta):
             # validation
             if len(val_data) > 0:
                 vals: Dict[str, List[float]] = {}
-                for batch in val_loader:
-                    vb = shard_batch(batch, self.mesh, self.spatial_dim)
+                wsum: List[float] = []
+
+                def _eval_one(b, weight):
+                    vb = shard_batch(b, self.mesh, self.spatial_dim)
                     if contrast_on:
                         vb["pixel_queue"], vb["segment_queue"] = pixel_q, segment_q
                     mtr = eval_step(self.state, vb)
                     for k, v in mtr.items():
                         vals.setdefault(k, []).append(float(v))
-                val_metrics = {("val_" + k): float(np.mean(v)) for k, v in vals.items()}
+                    wsum.append(weight)
+
+                for bi, batch in enumerate(val_loader):
+                    if not dist_eval and n_val_rem and bi == n_val_full:
+                        # exact eval of the ragged batch: each real sample
+                        # replicated over the whole batch => its own metric
+                        for j in range(n_val_rem):
+                            _eval_one({k: np.repeat(v[j:j + 1], gbs, axis=0)
+                                       for k, v in batch.items()}, 1.0)
+                    else:
+                        _eval_one(batch, float(gbs))
+                val_metrics = {("val_" + k): float(np.average(v, weights=wsum))
+                               for k, v in vals.items()}
                 record.update(val_metrics)
                 val_loss = val_metrics["val_loss"]
                 if self.plateau is not None:

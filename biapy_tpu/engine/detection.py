@@ -159,9 +159,13 @@ class Detection_Workflow(Base_Workflow):
             dil = list(self.cfg.PROBLEM.DETECTION.CENTRAL_POINT_DILATION)
             if len(dil) == 1:
                 dil = dil * self.nd
+            check_points = bool(self.cfg.PROBLEM.DETECTION.CHECK_POINTS_CREATED)
             for xp, cp in zip(xs, csvs):
                 img = read_img_as_ndarray(xp, is_3d=self.is_3d)
                 pts, pt_cls = read_points_csv(cp, self.nd, with_classes=True)
+                if check_points:
+                    self._check_created_points(pts, img.shape[: self.nd], dil,
+                                               os.path.basename(cp), mask_dir)
                 mask = create_detection_masks(pts, img.shape[: self.nd], dilation=dil,
                                               classes=pt_cls, n_classes=self.n_classes)
                 save_tif(mask[None].astype(np.uint8),
@@ -172,6 +176,44 @@ class Detection_Workflow(Base_Workflow):
         self.cfg.DATA[split].GT_PATH = mask_dir
         if frozen:
             self.cfg.freeze()
+
+    def _check_created_points(self, pts: np.ndarray, shape, dil, csv_name: str,
+                              out_dir: str):
+        """PROBLEM.DETECTION.CHECK_POINTS_CREATED: sanity-check the GT point
+        list while compiling point masks (reference: config.py:521 "Whether
+        to check the points created"). Flags (a) points outside the image —
+        these are skipped by mask creation — and (b) point pairs closer than
+        the dilation footprint, whose blobs fuse into one in the mask. Writes
+        ``<csv>_point_check.csv`` next to the masks when anything is found."""
+        pts = np.asarray(pts, dtype=float)
+        rows = []
+        if len(pts):
+            oob = [(i, p) for i, p in enumerate(pts)
+                   if any(p[d] < 0 or p[d] >= shape[d] for d in range(self.nd))]
+            for i, p in oob:
+                rows.append([int(i), *[int(v) for v in p], "out_of_bounds"])
+            # pairs within the dilation footprint fuse into one blob
+            from scipy.spatial import cKDTree
+
+            r = float(max(dil)) * 2.0 + 1.0
+            tree = cKDTree(pts)
+            for i, j in sorted(tree.query_pairs(r)):
+                rows.append([int(i), *[int(v) for v in pts[i]],
+                             f"within_dilation_of_point_{int(j)}"])
+        if rows:
+            import csv as _csv
+
+            hdr = ["point_id"] + [f"axis-{d}" for d in range(self.nd)] + ["issue"]
+            rpt = os.path.join(out_dir, os.path.splitext(csv_name)[0] + "_point_check.csv")
+            with open(rpt, "w", newline="") as f:
+                w = _csv.writer(f)
+                w.writerow(hdr)
+                w.writerows(rows)
+            if self.verbose:
+                n_oob = sum(1 for r in rows if r[-1] == "out_of_bounds")
+                print(f"WARNING: {csv_name}: {n_oob} out-of-bounds point(s) "
+                      f"(skipped) and {len(rows) - n_oob} too-close pair "
+                      f"flag(s); report: {rpt}")
 
     def train(self):
         self._prepare_detection_masks("TRAIN")

@@ -111,3 +111,105 @@ class STUNet(nn.Module):
         if class_outs:
             out["class"] = jnp.concatenate(class_outs, axis=-1)
         return out["pred"] if len(out) == 1 else out
+
+
+def load_stunet_pretrained(source: str, params, variant: str = "base",
+                           verbose: bool = False):
+    """Map a local OrgMIM/STUNet torch checkpoint's ENCODER onto the flax
+    params (reference: load_stunet_pretrained_encoder_from_ckpt,
+    stunet.py:481 and the build_stunet pretrained download :571-589 — the
+    reference downloads from HF; this environment has no egress, so only a
+    local file is accepted, selected via MODEL.STUNET.PRETRAINED).
+
+    OrgMIM checkpoints store tensors under ``checkpoint['model_weights']``
+    with keys like ``encoder.sp_cnn.conv_blocks_context.{stage}.{i}.conv1.
+    weight``; the reference keeps only ``encoder`` keys, strips up to
+    ``sp_cnn.``, and loads strict=False (encoder-only — decoder/head keep
+    their init). Plain BiaPy STUNet state dicts (``conv_blocks_context.*``
+    directly) load the same way.
+
+    Returns ``(new_params, n_loaded)``; raises if no encoder tensor maps.
+    """
+    import os
+
+    import numpy as np
+
+    if not os.path.exists(source):
+        raise FileNotFoundError(
+            f"STUNet weights '{source}' not found. No network access here: "
+            "download the OrgMIM checkpoint for this variant elsewhere and "
+            "set MODEL.STUNET.PRETRAINED to the local file path.")
+    import torch
+
+    if source.endswith(".safetensors"):
+        from safetensors.torch import load_file  # pragma: no cover
+
+        sd = load_file(source)
+    else:
+        try:
+            sd = torch.load(source, map_location="cpu", weights_only=True)
+        except Exception:
+            sd = torch.load(source, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    # OrgMIM/lightning wrappers
+    for wrap in ("model_weights", "state_dict", "model"):
+        if isinstance(sd, dict) and isinstance(sd.get(wrap), dict):
+            sd = sd[wrap]
+    sd = {k: v for k, v in sd.items() if hasattr(v, "shape")}
+    if any("encoder" in k for k in sd):
+        # reference parity: keep encoder keys, strip up to 'sp_cnn.'
+        sd = {k.split("sp_cnn.")[-1]: v for k, v in sd.items() if "encoder" in k}
+        sd = {(k[len("encoder."):] if k.startswith("encoder.") else k): v
+              for k, v in sd.items()}
+
+    depth = list(VARIANTS[variant.lower()]["depth"])
+    # torch module -> flax submodule/param-role inside BasicResBlock
+    mod_map = {
+        "conv1": ("Conv_0", {"weight": "kernel", "bias": "bias"}),
+        "norm1": ("GroupNorm_0", {"weight": "scale", "bias": "bias"}),
+        "conv2": ("Conv_1", {"weight": "kernel", "bias": "bias"}),
+        "norm2": ("GroupNorm_1", {"weight": "scale", "bias": "bias"}),
+        "conv3": ("Conv_2", {"weight": "kernel", "bias": "bias"}),
+    }
+
+    import jax
+
+    new = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
+    n_loaded = 0
+    skipped = []
+    for k, v in sd.items():
+        parts = k.split(".")
+        if parts[0] != "conv_blocks_context" or len(parts) != 5:
+            skipped.append(k)
+            continue
+        stage, blk, mod, p = int(parts[1]), int(parts[2]), parts[3], parts[4]
+        if mod not in mod_map or p not in mod_map[mod][1]:
+            skipped.append(k)
+            continue
+        flax_block = f"BasicResBlock_{sum(depth[:stage]) + blk}"
+        sub, role = mod_map[mod][0], mod_map[mod][1][p]
+        w = np.asarray(v.float() if hasattr(v, "float") else v, np.float32)
+        if role == "kernel":
+            # torch (O, I, *k) -> flax (*k, I, O)
+            w = np.transpose(w, tuple(range(2, w.ndim)) + (1, 0))
+        try:
+            node = new[flax_block][sub]
+        except KeyError as e:
+            raise ValueError(f"{k}: no flax param {flax_block}/{sub} — "
+                             f"wrong MODEL.STUNET.VARIANT '{variant}'?") from e
+        if tuple(node[role].shape) != tuple(w.shape):
+            raise ValueError(f"{k}: shape {w.shape} vs flax "
+                             f"{flax_block}/{sub}/{role} {node[role].shape} — "
+                             f"wrong MODEL.STUNET.VARIANT '{variant}'?")
+        node[role] = w
+        n_loaded += 1
+    if n_loaded == 0:
+        raise ValueError(
+            f"no STUNet encoder tensors found in {source} "
+            f"(first keys: {list(sd)[:5]})")
+    if verbose:
+        print(f"[STUNet] Pretrained encoder loaded: {n_loaded} tensors"
+              + (f"; {len(skipped)} non-encoder tensors ignored "
+                 "(strict=False parity)" if skipped else ""))
+    return new, n_loaded

@@ -628,3 +628,49 @@ def test_axis_grid_extreme_overlap():
 
     g = axis_grid(128, 64, 0.995, 0)
     assert g.n >= 1 and g.start(1) - g.start(0) == 1
+
+
+def test_stratified_kfold_classification_split():
+    """Classification k-fold stratifies by class_num so an imbalanced label
+    set keeps its class ratio in every fold (reference: StratifiedKFold,
+    data_manipulation.py:1606)."""
+    from biapy_tpu.data.data_manipulation import split_train_val
+    from biapy_tpu.data.dataset import BiaPyDataset, DataSample, DatasetFile
+
+    # 40 samples of class 0, 10 of class 1 (4:1 imbalance)
+    ds = BiaPyDataset()
+    for i in range(50):
+        c = 0 if i < 40 else 1
+        ds.dataset_info.append(DatasetFile(path=f"img{i}.tif", class_num=c))
+        ds.sample_list.append(DataSample(fid=i))
+
+    for fold in range(1, 6):
+        _, val = split_train_val(ds, 0.0, seed=42, cross_val=True,
+                                 cross_val_nsplits=5, cross_val_fold=fold,
+                                 stratify_by_class=True)
+        counts = {0: 0, 1: 0}
+        for s in val.sample_list:
+            counts[val.dataset_info[s.fid].class_num] += 1
+        # every fold of 10 must hold exactly 8 class-0 and 2 class-1 samples
+        assert counts == {0: 8, 1: 2}, counts
+
+    # folds must partition the sample set (disjoint, covering)
+    seen = set()
+    for fold in range(1, 6):
+        _, val = split_train_val(ds, 0.0, seed=42, cross_val=True,
+                                 cross_val_nsplits=5, cross_val_fold=fold,
+                                 stratify_by_class=True)
+        ids = {id(s) for s in val.sample_list}
+        assert not (seen & ids)
+        seen |= ids
+    assert len(seen) == 50
+
+    # unstratified path still works for unlabeled datasets
+    ds2 = BiaPyDataset()
+    for i in range(10):
+        ds2.dataset_info.append(DatasetFile(path=f"u{i}.tif"))
+        ds2.sample_list.append(DataSample(fid=i))
+    tr, va = split_train_val(ds2, 0.0, seed=0, cross_val=True,
+                             cross_val_nsplits=5, cross_val_fold=1,
+                             stratify_by_class=True)
+    assert len(va) == 2 and len(tr) == 8
