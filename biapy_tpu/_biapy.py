@@ -90,6 +90,7 @@ class BiaPy:
         gpu: Optional[str] = None,
         dist_backend: str = "ici",
         silent: bool = False,
+        check_data_paths: bool = True,
         **kwargs,
     ):
         self.job_identifier = name
@@ -144,7 +145,9 @@ class BiaPy:
 
         _enable_persistent_compile_cache()
         initialize_distributed()
-        check_configuration(self.cfg, self.job_identifier)
+        self._check_data_paths = bool(check_data_paths)
+        check_configuration(self.cfg, self.job_identifier,
+                            check_data_paths=check_data_paths)
 
         self._silent = silent
         self._tee_handles = None
@@ -313,7 +316,8 @@ class BiaPy:
             self.cfg.defrost()
         self.cfg.merge_from_dict(convert_old_model_cfg_to_current_version(new_cfg, verbose=False))
         update_dependencies(self.cfg, self.job_dir, self.job_identifier)
-        check_configuration(self.cfg, self.job_identifier)
+        check_configuration(self.cfg, self.job_identifier,
+                            check_data_paths=getattr(self, '_check_data_paths', True))
         if was_frozen:
             self.cfg.freeze()
         if reset_workflow:
@@ -346,7 +350,11 @@ class BiaPy:
                 "TEST": {"ENABLE": True},
                 "DATA": {"TEST": {"LOAD_GT": False, "USE_VAL_AS_TEST": False}},
             }
+            # no data configured yet — the workflow is fed via predict() or a
+            # later update_config, so path existence is not checked here
+            kwargs.setdefault("check_data_paths", False)
             return cls(cfg_dict, **kwargs)
+        kwargs.setdefault("check_data_paths", False)
         return cls(source, **kwargs)
 
     def export_model_to_bmz(self, output_dir: Optional[str] = None,

@@ -151,7 +151,25 @@ class Base_Workflow(metaclass=ABCMeta):
         from biapy_tpu.engine import metrics as _M
 
         g, _ = normalize_image(gt.astype("float32"), self.norm_spec)
+        self._update_perceptual(pred, g)
         return _M.restoration_test_metrics(pred, g, self.cfg.TEST.METRICS)
+
+    def _update_perceptual(self, pred, gt_norm) -> None:
+        """Accumulate the set-level TEST.METRICS (fid / is / lpips) for this
+        image; computed once in print_stats (reference: torchmetrics
+        ``update`` per image + end-of-test ``compute``, image_to_image.py:
+        355-371). No-op unless TEST.METRICS asks for them."""
+        names = [str(n).lower() for n in (self.cfg.TEST.METRICS or [])]
+        if not any(n in ("fid", "is", "lpips") for n in names):
+            return
+        if self._perceptual is None:
+            from biapy_tpu.engine.perceptual import PerceptualMetricsAccumulator
+
+            mw = self.cfg.TEST.METRIC_WEIGHTS
+            self._perceptual = PerceptualMetricsAccumulator(
+                names, inception_path=str(mw.INCEPTION),
+                lpips_path=str(mw.LPIPS))
+        self._perceptual.update(pred, gt_norm)
 
     def after_merge_patches(self, pred: np.ndarray, sample, fname: str) -> None:
         """Post-hook on the stitched prediction (reference: :2389)."""
@@ -217,6 +235,16 @@ class Base_Workflow(metaclass=ABCMeta):
                 params = loaded
             if self.verbose:
                 print(f"Loaded SAM3 encoder weights from {wsrc}")
+
+        if str(self.cfg.MODEL.SOURCE).lower() == "torchvision":
+            # torchvision import from a LOCAL state dict (reference downloads
+            # DEFAULT weights, build_torchvision_model models/__init__.py:1609)
+            from biapy_tpu.models.efficientnet import load_torchvision_efficientnet
+
+            params, batch_stats, _ = load_torchvision_efficientnet(
+                str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params, batch_stats,
+                variant=str(self.cfg.MODEL.TORCHVISION_MODEL_NAME).lower(),
+                verbose=self.verbose)
 
         if str(self.cfg.MODEL.SOURCE).lower() == "bmz":
             # BMZ import (reference: build_bmz_model, models/__init__.py:943)
@@ -814,6 +842,7 @@ class Base_Workflow(metaclass=ABCMeta):
         cfg = self.cfg
         self._predictions = []
         self.metrics_per_test_file = []
+        self._perceptual = None
         self._ensure_model_for_test()
         if image is None and cfg.TEST.BY_CHUNKS.ENABLE and self.is_3d:
             self.process_test_by_chunks()
@@ -986,6 +1015,12 @@ class Base_Workflow(metaclass=ABCMeta):
         agg = {k: float(np.mean([m[k] for m in self.metrics_per_test_file])) for k in keys}
         for k, v in agg.items():
             print(f"Test {k} (per image): {v:.6f}")
+        if self._perceptual is not None:
+            # set-level metrics computed once over the whole test set
+            # (reference: FID/IS/LPIPS compute at end, image_to_image.py)
+            for k, v in self._perceptual.compute().items():
+                print(f"Test {k} (whole set): {v:.6f}")
+                agg[k] = v
         self.stats = agg
         if self.save_to_disk:
             import csv

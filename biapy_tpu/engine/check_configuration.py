@@ -9,6 +9,8 @@ It grows with each workflow vertical; every check mirrors a reference rule.
 
 from __future__ import annotations
 
+import os
+
 from typing import List
 
 VALID_WORKFLOWS = [
@@ -28,7 +30,12 @@ INSTANCE_CHANNEL_CODES = ["F", "B", "M", "P", "C", "H", "V", "Z", "Gh", "Gv", "G
                           "Db", "Dc", "Dn", "D", "R", "T", "A", "E", "We"]
 
 
-def check_configuration(cfg, job_identifier: str = "job") -> None:
+def check_configuration(cfg, job_identifier: str = "job",
+                        check_data_paths: bool = False) -> None:
+    """Validate ``cfg``. ``check_data_paths=True`` additionally verifies that
+    every configured data directory / checkpoint file exists (the reference's
+    ``check_data_paths`` parameter, check_configuration.py:23); the API layer
+    passes True, direct template validation passes False."""
     errors: List[str] = []
 
     def req(cond: bool, msg: str):
@@ -75,12 +82,32 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
     req(src in ("biapy", "bmz", "torchvision"),
         f"MODEL.SOURCE must be one of ['biapy','bmz','torchvision'], got {cfg.MODEL.SOURCE}")
     if src == "torchvision":
-        raise ValueError(
-            "MODEL.SOURCE='torchvision' needs the torchvision package, which is "
-            "not available in this TPU environment (no torchvision, no network "
-            "egress). Use MODEL.SOURCE='biapy' — the zoo covers the same "
-            "families (efficientnet/simple_cnn for classification) — or import "
-            "a BMZ package via MODEL.SOURCE='bmz'.")
+        # supported subset: the torchvision families with a first-party Flax
+        # equivalent, loading a LOCAL state dict (the reference downloads
+        # DEFAULT weights and supports any torchvision name,
+        # build_torchvision_model models/__init__.py:1609 — impossible
+        # without the package or egress)
+        tv_supported = tuple(f"efficientnet_b{i}" for i in range(8))
+        tv_name = str(cfg.MODEL.TORCHVISION_MODEL_NAME).lower()
+        req(tv_name in tv_supported,
+            f"MODEL.SOURCE='torchvision': TORCHVISION_MODEL_NAME '{tv_name}' "
+            "is not supported in this TPU environment (no torchvision "
+            "package). Supported names map onto first-party Flax "
+            f"equivalents: {list(tv_supported)}. For other families use "
+            "MODEL.SOURCE='biapy' or import a BMZ package via "
+            "MODEL.SOURCE='bmz'.")
+        req(cfg.PROBLEM.TYPE == "CLASSIFICATION",
+            "MODEL.SOURCE='torchvision' with an efficientnet is a "
+            "classification model (reference: build_torchvision_model "
+            "classification branch)")
+        req(cfg.PROBLEM.NDIM == "2D",
+            "torchvision models are 2D (reference: build_torchvision_model)")
+        tw = str(cfg.MODEL.TORCHVISION_WEIGHTS)
+        req(bool(tw) and os.path.exists(tw),
+            "MODEL.SOURCE='torchvision' loads pretrained weights and this "
+            "environment has no network egress: download the torchvision "
+            f"{tv_name} state dict elsewhere and set "
+            f"MODEL.TORCHVISION_WEIGHTS to the local file (got '{tw}')")
     if src == "bmz":
         req(str(cfg.MODEL.BMZ.SOURCE_MODEL_ID) != "",
             "MODEL.BMZ.SOURCE_MODEL_ID must point at a BMZ package (zip/dir) when MODEL.SOURCE='bmz'")
@@ -95,14 +122,52 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
                 "(unless dropout is all zeros)")
             req(len(cfg.MODEL.FEATURE_MAPS) <= len(cfg.MODEL.Z_DOWN) + 1,
                 "MODEL.Z_DOWN needs one value per downsampling level")
+        # per-workflow architecture whitelists (reference
+        # check_configuration.py:2860-3008)
+        _UNETS = ("unet", "resunet", "resunet++", "seunet", "resunet_se",
+                  "attention_unet", "multiresunet", "unetr", "unext_v1",
+                  "unext_v2", "stunet")
+        _SR_FAMILY = ("edsr", "rcan", "dfcan", "wdsr")
         if cfg.PROBLEM.TYPE == "CLASSIFICATION":
             req(arch in ("simple_cnn", "vit") or "efficientnet" in arch,
                 f"Classification supports simple_cnn/ViT/efficientnet, got {arch}")
-        if cfg.PROBLEM.TYPE == "SUPER_RESOLUTION":
-            req(arch in ("edsr", "rcan", "wdsr", "dfcan", "unet", "resunet", "seunet",
-                         "attention_unet", "multiresunet", "unetr", "resunet_se",
-                         "resunet++", "unext_v1", "unext_v2"),
+        elif cfg.PROBLEM.TYPE == "SUPER_RESOLUTION":
+            req(arch in _SR_FAMILY + ("unet", "resunet", "seunet",
+                                      "attention_unet", "multiresunet", "resunet_se",
+                                      "resunet++", "unext_v1", "unext_v2"),
                 f"Model {arch} is not a super-resolution model")
+            req(str(cfg.MODEL.UNET_SR_UPSAMPLE_POSITION) in ("pre", "post"),
+                "MODEL.UNET_SR_UPSAMPLE_POSITION not in ['pre', 'post']")
+        elif cfg.PROBLEM.TYPE in ("INSTANCE_SEG", "DETECTION"):
+            req(arch in _UNETS or "hrnet" in arch,
+                f"Architectures available for {cfg.PROBLEM.TYPE} are the U-Net "
+                f"family / unetr / hrnet / stunet, got '{arch}' "
+                "(reference check_configuration.py:2860)")
+        elif cfg.PROBLEM.TYPE == "SEMANTIC_SEG":
+            req(arch in _UNETS + _SR_FAMILY or "hrnet" in arch,
+                f"Architectures available for SEMANTIC_SEG are the U-Net family "
+                f"/ unetr / hrnet / stunet / SR family, got '{arch}'")
+        elif cfg.PROBLEM.TYPE == "DENOISING":
+            req(arch in _UNETS + ("nafnet",) or "hrnet" in arch,
+                f"Architectures available for DENOISING are the U-Net family / "
+                f"unetr / hrnet / stunet / nafnet, got '{arch}'")
+        elif cfg.PROBLEM.TYPE == "IMAGE_TO_IMAGE":
+            req(arch in _UNETS + _SR_FAMILY or "hrnet" in arch,
+                f"Architectures available for IMAGE_TO_IMAGE are the U-Net "
+                f"family / unetr / hrnet / stunet / SR family, got '{arch}'")
+        elif cfg.PROBLEM.TYPE == "SELF_SUPERVISED":
+            req(arch in _UNETS + _SR_FAMILY + ("vit", "mae") or "hrnet" in arch,
+                f"SELF_SUPERVISED models available are the U-Net family / unetr "
+                f"/ vit / mae / hrnet / stunet / SR family, got '{arch}'")
+        # NOTE: the reference also enforces len(MODEL.FEATURE_MAPS) > 2
+        # (check_configuration.py:2611); intentionally relaxed here — the
+        # Flax U-Nets support 2 levels and tiny test configs rely on it
+        # (docs/VALIDATION_AUDIT.md).
+        if arch in ("vit", "unetr", "mae"):
+            dv = list(cfg.MODEL.DROPOUT_VALUES)
+            req(len(dv) == 1 or all(float(x) == 0 for x in dv),
+                "MODEL.DROPOUT_VALUES must be a list with a single value for "
+                "vit/mae/unetr (reference check_configuration.py:2622)")
 
     # -- train ---------------------------------------------------------------
     if cfg.TRAIN.ENABLE:
@@ -149,6 +214,17 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
             req(len(min_lr) in (1, len(cfg.TRAIN.OPTIMIZER)),
                 "'TRAIN.LR_SCHEDULER.MIN_LR' must have length 1 or match "
                 "'TRAIN.OPTIMIZER' length")
+        if sch in ("reduceonplateau", "warmupcosine"):
+            # (reference check_configuration.py:3257-3269)
+            req(isinstance(min_lr, (list, tuple))
+                and not all(float(x) == -1.0 for x in min_lr),
+                "'TRAIN.LR_SCHEDULER.MIN_LR' needs to be set when "
+                "'TRAIN.LR_SCHEDULER.NAME' is between "
+                "['reduceonplateau', 'warmupcosine']")
+        if sch == "warmupcosine":
+            req(int(cfg.TRAIN.LR_SCHEDULER.WARMUP_COSINE_DECAY_EPOCHS) != -1,
+                "'TRAIN.LR_SCHEDULER.WARMUP_COSINE_DECAY_EPOCHS' needs to be "
+                "set when 'TRAIN.LR_SCHEDULER.NAME' is 'warmupcosine'")
         if sch in ("reduceonplateau", "warmupreduceonplateau"):
             req(int(cfg.TRAIN.LR_SCHEDULER.REDUCEONPLATEAU_PATIENCE) > 0,
                 "'TRAIN.LR_SCHEDULER.REDUCEONPLATEAU_PATIENCE' needs to be set "
@@ -215,26 +291,62 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
     if cfg.MODEL.SOURCE == "biapy":
         if arch in ("vit", "mae", "unetr"):
             preset = str(cfg.MODEL.UNETR_VIT_MODEL if arch == "unetr" else cfg.MODEL.VIT_MODEL).lower()
+            _vit_models = ("custom", "vit_base_patch16", "vit_large_patch16",
+                           "vit_huge_patch14", "sam3_vit")
+            req(preset in _vit_models,
+                f"MODEL.{'UNETR_VIT_MODEL' if arch == 'unetr' else 'VIT_MODEL'} "
+                f"needs to be in {list(_vit_models)}, got '{preset}'")
             if preset == "custom":
                 req(int(cfg.MODEL.VIT_EMBED_DIM) % int(cfg.MODEL.VIT_NUM_HEADS) == 0,
                     "MODEL.VIT_EMBED_DIM must be divisible by MODEL.VIT_NUM_HEADS")
+                if arch == "unetr":
+                    # UNETR's decoder doubles resolution per level (reference
+                    # check_configuration.py:3037)
+                    tok = int(cfg.MODEL.VIT_TOKEN_SIZE)
+                    req(tok >= 2 and (tok & (tok - 1)) == 0,
+                        "UNETR's token size needs to be a power of two greater "
+                        f"than one, got MODEL.VIT_TOKEN_SIZE={tok}")
             if preset == "sam3_vit":
                 req(not is_3d, "sam3_vit backbones are 2D only (pretrained weights are 2D)")
                 tok = 16 if arch == "unetr" else 14
                 req(int(ps[0]) % tok == 0,
                     f"DATA.PATCH_SIZE must be a multiple of {tok} with the sam3_vit backbone "
                     f"(reference: check_configuration.py:3050), got {ps[0]}")
-        if arch in ("edsr", "rcan", "wdsr", "dfcan", "nafnet"):
+                if str(cfg.MODEL.VIT_PRETRAINED_WEIGHTS) != "":
+                    req(int(ps[-1]) in (1, 3),
+                        "SAM3's pretrained weights can only be loaded with 1 or "
+                        "3 input channels (reference check_configuration.py:3068)"
+                        f" — DATA.PATCH_SIZE has {ps[-1]}")
+            elif str(cfg.MODEL.VIT_PRETRAINED_WEIGHTS) != "":
+                req(False,
+                    "MODEL.VIT_PRETRAINED_WEIGHTS can only be used when the ViT "
+                    "backbone is 'sam3_vit' (the only one with pretrained "
+                    f"weights available); got backbone '{preset}'")
+        elif str(cfg.MODEL.VIT_PRETRAINED_WEIGHTS) != "":
+            req(False,
+                "MODEL.VIT_PRETRAINED_WEIGHTS can only be used with the 'vit' "
+                f"and 'unetr' architectures, but MODEL.ARCHITECTURE is '{arch}'")
+        if arch in ("edsr", "wdsr", "nafnet"):
+            # reference 3D availability list (check_configuration.py:2531):
+            # rcan and dfcan ARE 3D-capable; edsr/wdsr/nafnet are not
             req(not is_3d, f"{arch} is a 2D architecture (reference parity)")
         if arch == "nafnet":
             d_arch = str(cfg.MODEL.NAFNET.ARCHITECTURE_D).lower()
             req(d_arch in ("", "patchgan"),
                 f"MODEL.NAFNET.ARCHITECTURE_D must be '' or 'patchgan' "
                 f"(the reference builds only PatchGAN discriminators), got '{d_arch}'")
-            req(float(cfg.LOSS.CYCLEGAN.ALPHA_PERCEPTUAL) == 0.0,
-                "LOSS.CYCLEGAN.ALPHA_PERCEPTUAL needs pretrained VGG features; "
-                "this environment has no network egress to download them — "
-                "set it to 0 (the reference default)")
+            if float(cfg.LOSS.CYCLEGAN.ALPHA_PERCEPTUAL) > 0.0:
+                # the reference downloads torchvision vgg16 (metrics.py:2593);
+                # no egress here, so a local state-dict path is required
+                import os as _os
+
+                w = str(cfg.LOSS.CYCLEGAN.PERCEPTUAL_WEIGHTS)
+                req(bool(w) and _os.path.exists(w),
+                    "LOSS.CYCLEGAN.ALPHA_PERCEPTUAL > 0 needs pretrained VGG16 "
+                    "features and this environment has no network egress: "
+                    "download the torchvision vgg16 state dict elsewhere and "
+                    "set LOSS.CYCLEGAN.PERCEPTUAL_WEIGHTS to the local file "
+                    f"(got '{w}')")
         if "hrnet" in arch:
             v = arch.replace("hrnet", "") or str(cfg.MODEL.HRNET.VARIANT).lstrip("wW")
             req(str(v) in ("18", "32", "48", "64") or v == "",
@@ -282,6 +394,32 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
             req(len(set(sp)) == 1,
                 f"'{arch}' needs the same size in every spatial dimension of "
                 f"DATA.PATCH_SIZE (e.g. (80,80,80,1)), got {tuple(ps)}")
+        # one decoder per head: supported archs + incompatibilities
+        # (reference check_configuration.py:2765-2828)
+        _SEP_DEC_ARCHS = ("unet", "resunet", "resunet++", "seunet", "resunet_se",
+                          "attention_unet", "unext_v1", "unext_v2")
+        for wf_name, node in (("INSTANCE_SEG", cfg.PROBLEM.INSTANCE_SEG),
+                              ("DETECTION", cfg.PROBLEM.DETECTION),
+                              ("IMAGE_TO_IMAGE", cfg.PROBLEM.IMAGE_TO_IMAGE)):
+            if not (node.SEPARATED_DECODERS_PER_HEAD
+                    and cfg.PROBLEM.TYPE == wf_name):
+                continue
+            req(arch in _SEP_DEC_ARCHS,
+                f"PROBLEM.{wf_name}.SEPARATED_DECODERS_PER_HEAD is only "
+                f"supported by {list(_SEP_DEC_ARCHS)}; '{arch}' does not "
+                "support it")
+            req(not cfg.LOSS.CONTRAST.ENABLE,
+                "LOSS.CONTRAST.ENABLE can not be True when "
+                f"PROBLEM.{wf_name}.SEPARATED_DECODERS_PER_HEAD is True")
+            if wf_name == "DETECTION":
+                req(int(cfg.DATA.N_CLASSES) > 2,
+                    "PROBLEM.DETECTION.SEPARATED_DECODERS_PER_HEAD can only be "
+                    "True when DATA.N_CLASSES is greater than 2 (the class "
+                    "head is the second decoder)")
+        if cfg.PROBLEM.TYPE in ("SEMANTIC_SEG", "DETECTION") \
+                and not cfg.MODEL.LOAD_CHECKPOINT:
+            req(int(cfg.DATA.N_CLASSES) >= 2,
+                "DATA.N_CLASSES needs to be greater or equal 2 (binary case)")
         if int(cfg.DATA.N_CLASSES) > 2:
             req(cfg.PROBLEM.TYPE in ("SEMANTIC_SEG", "INSTANCE_SEG", "DETECTION",
                                      "CLASSIFICATION", "IMAGE_TO_IMAGE"),
@@ -327,6 +465,11 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
                 "MODEL.HRNET.BLOCK_TYPE must be BASIC/BOTTLENECK/CONVNEXT_V1/CONVNEXT_V2")
             req(str(cfg.MODEL.HRNET.HEAD_TYPE) in ("OCR", "ASPP", "PSP", "FCN"),
                 "MODEL.HRNET.HEAD_TYPE must be OCR/ASPP/PSP/FCN")
+            req(not (is_3d and str(cfg.MODEL.HRNET.HEAD_TYPE) == "OCR"),
+                "'OCR' head is not available for 3D HRNet models — choose "
+                "ASPP, PSP or FCN (reference check_configuration.py:3162)")
+        req(str(cfg.MODEL.OUT_CHECKPOINT_FORMAT) in ("pth", "safetensors"),
+            "MODEL.OUT_CHECKPOINT_FORMAT not in ['pth', 'safetensors']")
 
     # testing without training needs a model to load
     # (reference check_configuration.py:3187)
@@ -399,6 +542,9 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
                 f"AUGMENTOR.{k} values not in [{lo}, {hi}] range")
         req(str(aug.E_MODE) in ("constant", "nearest", "reflect", "wrap"),
             "AUGMENTOR.E_MODE not in ['constant', 'nearest', 'reflect', 'wrap']")
+        req(str(aug.AFFINE_MODE) in ("constant", "reflect", "wrap", "symmetric"),
+            "AUGMENTOR.AFFINE_MODE needs to be in "
+            "['constant', 'reflect', 'wrap', 'symmetric']")
         req(0.0 <= float(aug.GRID_RATIO) <= 1.0, "AUGMENTOR.GRID_RATIO not in [0, 1] range")
         req(all(0.0 <= float(v) <= 1.0 for v in aug.GRID_D_RANGE),
             "AUGMENTOR.GRID_D_RANGE values not in [0, 1] range")
@@ -446,6 +592,58 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
                 f"{prep.MATCH_HISTOGRAM.REFERENCE_PATH}")
 
     # -- test -----------------------------------------------------------------
+    # TRAIN/TEST.METRICS name validation (reference:
+    # check_configuration.py:1248-1292)
+    if cfg.PROBLEM.TYPE == "DENOISING":
+        # (reference check_configuration.py:1293-1305 — mae/mse only)
+        for m in list(cfg.TRAIN.METRICS) + list(cfg.TEST.METRICS):
+            req(str(m).lower() in ("mae", "mse"),
+                f"TRAIN/TEST.METRICS options are ['mae', 'mse'] in "
+                f"DENOISING, got '{m}'")
+    elif cfg.PROBLEM.TYPE in ("SUPER_RESOLUTION", "IMAGE_TO_IMAGE",
+                              "SELF_SUPERVISED"):
+        for m in list(cfg.TRAIN.METRICS):
+            req(str(m).lower() in ("psnr", "mae", "mse", "ssim"),
+                f"TRAIN.METRICS options are psnr/mae/mse/ssim for "
+                f"{cfg.PROBLEM.TYPE}, got '{m}'")
+        for m in list(cfg.TEST.METRICS):
+            ml = str(m).lower()
+            req(ml in ("psnr", "mae", "mse", "ssim", "fid", "is", "lpips"),
+                f"TEST.METRICS options are psnr/mae/mse/ssim/fid/is/lpips "
+                f"for {cfg.PROBLEM.TYPE}, got '{m}'")
+            if ml in ("fid", "is", "lpips"):
+                # reference: 2D only (check_configuration.py:1289-1291);
+                # weights must come from a local file (no egress)
+                import os as _os
+
+                req(cfg.PROBLEM.NDIM == "2D",
+                    "IS, FID and LPIPS metrics can only be measured when "
+                    "PROBLEM.NDIM == '2D'")
+                key = "LPIPS" if ml == "lpips" else "INCEPTION"
+                w = str(cfg.TEST.METRIC_WEIGHTS[key])
+                req(bool(w) and _os.path.exists(w),
+                    f"TEST.METRICS '{m}' needs a pretrained "
+                    f"{'LPIPS (squeeze)' if ml == 'lpips' else 'Inception-v3'} "
+                    "net and this environment has no network egress: "
+                    "download the torch state dict elsewhere and set "
+                    f"TEST.METRIC_WEIGHTS.{key} to the local file "
+                    f"(got '{w}')")
+    elif cfg.PROBLEM.TYPE in ("SEMANTIC_SEG", "INSTANCE_SEG", "DETECTION"):
+        for m in list(cfg.TRAIN.METRICS) + list(cfg.TEST.METRICS):
+            req(str(m).lower() == "iou",
+                f"TRAIN/TEST.METRICS must be 'iou' for {cfg.PROBLEM.TYPE}, got '{m}'")
+    elif cfg.PROBLEM.TYPE == "CLASSIFICATION":
+        for m in list(cfg.TRAIN.METRICS):
+            req(str(m).lower() in ("accuracy", "top-5-accuracy"),
+                "TRAIN.METRICS options are ['accuracy', 'top-5-accuracy'] "
+                f"in CLASSIFICATION, got '{m}'")
+        for m in list(cfg.TEST.METRICS):
+            req(str(m).lower() == "accuracy",
+                f"TEST.METRICS option is 'accuracy' in CLASSIFICATION, got '{m}'")
+        if "top-5-accuracy" in [str(m).lower() for m in cfg.TRAIN.METRICS]:
+            req(int(cfg.DATA.N_CLASSES) >= 5,
+                "'top-5-accuracy' can only be used when DATA.N_CLASSES >= 5")
+
     if cfg.TEST.ENABLE:
         if cfg.DATA.TEST.ROI_MASK.ENABLE:
             req(str(cfg.DATA.TEST.ROI_MASK.PATH) != "",
@@ -484,36 +682,6 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
                 req(0.0 < float(t) < 1.0, f"TEST.MATCHING_STATS_THS values must be in (0,1), got {t}")
         req(str(cfg.TEST.AUGMENTATION_MODE).lower() in ("", "mean", "min", "max"),
             f"TEST.AUGMENTATION_MODE must be mean/min/max, got {cfg.TEST.AUGMENTATION_MODE}")
-        # TRAIN/TEST.METRICS name validation (reference:
-        # check_configuration.py:1248-1292)
-        if cfg.PROBLEM.TYPE in ("SUPER_RESOLUTION", "IMAGE_TO_IMAGE",
-                                "SELF_SUPERVISED", "DENOISING"):
-            for m in list(cfg.TRAIN.METRICS):
-                req(str(m).lower() in ("psnr", "mae", "mse", "ssim"),
-                    f"TRAIN.METRICS options are psnr/mae/mse/ssim for "
-                    f"{cfg.PROBLEM.TYPE}, got '{m}'")
-            for m in list(cfg.TEST.METRICS):
-                req(str(m).lower() not in ("fid", "is", "lpips"),
-                    f"TEST.METRICS '{m}' needs pretrained Inception/LPIPS nets; "
-                    "no network egress in this environment")
-                req(str(m).lower() in ("psnr", "mae", "mse", "ssim"),
-                    f"TEST.METRICS options are psnr/mae/mse/ssim for "
-                    f"{cfg.PROBLEM.TYPE}, got '{m}'")
-        elif cfg.PROBLEM.TYPE in ("SEMANTIC_SEG", "INSTANCE_SEG", "DETECTION"):
-            for m in list(cfg.TRAIN.METRICS) + list(cfg.TEST.METRICS):
-                req(str(m).lower() == "iou",
-                    f"TRAIN/TEST.METRICS must be 'iou' for {cfg.PROBLEM.TYPE}, got '{m}'")
-        elif cfg.PROBLEM.TYPE == "CLASSIFICATION":
-            for m in list(cfg.TRAIN.METRICS):
-                req(str(m).lower() in ("accuracy", "top-5-accuracy"),
-                    "TRAIN.METRICS options are ['accuracy', 'top-5-accuracy'] "
-                    f"in CLASSIFICATION, got '{m}'")
-            for m in list(cfg.TEST.METRICS):
-                req(str(m).lower() == "accuracy",
-                    f"TEST.METRICS option is 'accuracy' in CLASSIFICATION, got '{m}'")
-            if "top-5-accuracy" in [str(m).lower() for m in cfg.TRAIN.METRICS]:
-                req(int(cfg.DATA.N_CLASSES) >= 5,
-                    "'top-5-accuracy' can only be used when DATA.N_CLASSES >= 5")
         req(str(cfg.TEST.AUGMENTATION_GROUP).lower() in ("", "auto", "full", "flips", "none"),
             f"TEST.AUGMENTATION_GROUP must be auto/full/flips/none, got "
             f"{cfg.TEST.AUGMENTATION_GROUP}")
@@ -531,10 +699,30 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
             fdil = list(pp.DET_WATERSHED_FIRST_DILATION)
             req(len(fdil) in (0, nd),
                 f"DET_WATERSHED_FIRST_DILATION needs {nd} values for {cfg.PROBLEM.NDIM}")
+            req(all(int(y) != -1 for y in fdil),
+                "Please set TEST.POST_PROCESSING.DET_WATERSHED_FIRST_DILATION "
+                "when using TEST.POST_PROCESSING.DET_WATERSHED")
+            # the donut detector measures circularity/sphericity per instance,
+            # so the measurement+filter pass must be on (reference
+            # check_configuration.py:1847-1864)
+            mp = pp.MEASURE_PROPERTIES
+            req(bool(mp.ENABLE) and bool(mp.REMOVE_BY_PROPERTIES.ENABLE),
+                "TEST.POST_PROCESSING.MEASURE_PROPERTIES.ENABLE and "
+                "MEASURE_PROPERTIES.REMOVE_BY_PROPERTIES.ENABLE need to be set "
+                "when TEST.POST_PROCESSING.DET_WATERSHED is enabled")
+            for lprop in list(mp.REMOVE_BY_PROPERTIES.PROPS):
+                ok = (isinstance(lprop, (list, tuple)) and len(lprop) == 1
+                      and str(lprop[0]) in ("circularity", "sphericity"))
+                req(ok,
+                    "With TEST.POST_PROCESSING.DET_WATERSHED enabled, "
+                    "REMOVE_BY_PROPERTIES.PROPS must be single-property "
+                    "conditions on 'circularity' or 'sphericity'")
             dc = [int(c) for c in pp.DET_WATERSHED_DONUTS_CLASSES]
             if dc and dc != [-1]:
                 req(len(dc) <= int(cfg.DATA.N_CLASSES) and max(dc) <= int(cfg.DATA.N_CLASSES),
                     "DET_WATERSHED_DONUTS_CLASSES entries must be class ids <= DATA.N_CLASSES")
+                req(dc == list(range(min(dc), min(dc) + len(dc))),
+                    "DET_WATERSHED_DONUTS_CLASSES must be consecutive, e.g. [1,2,3,4]")
                 req(len(list(pp.DET_WATERSHED_DONUTS_PATCH)) == nd,
                     f"DET_WATERSHED_DONUTS_PATCH needs {nd} values")
         if int(pp.REPARE_LARGE_BLOBS_SIZE) != -1:
@@ -555,6 +743,27 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
                     f"MEDIAN_FILTER_AXIS options are xy/yx/zy/yz/zx/xz/z, got '{f}'")
                 req("z" not in str(f) or is_3d or cfg.TEST.ANALIZE_2D_IMGS_AS_3D_STACK,
                     "z-axis median filtering in 2D needs TEST.ANALIZE_2D_IMGS_AS_3D_STACK")
+        if pp.MEASURE_PROPERTIES.ENABLE and list(pp.MEASURE_PROPERTIES.EXTRA_PROPS):
+            # regionprops attribute vocabulary (reference
+            # check_configuration.py:1055-1070)
+            _VALID_REGIONPROPS = {
+                "area", "area_bbox", "area_convex", "area_filled",
+                "axis_major_length", "axis_minor_length", "bbox", "centroid",
+                "centroid_local", "centroid_weighted", "centroid_weighted_local",
+                "coords_scaled", "coords", "eccentricity",
+                "equivalent_diameter_area", "euler_number", "extent",
+                "feret_diameter_max", "image", "image_convex", "image_filled",
+                "image_intensity", "inertia_tensor", "inertia_tensor_eigvals",
+                "intensity_max", "intensity_mean", "intensity_min",
+                "intensity_std", "label", "moments", "moments_central",
+                "moments_hu", "moments_normalized", "moments_weighted",
+                "moments_weighted_central", "moments_weighted_hu",
+                "moments_weighted_normalized", "num_pixels", "orientation",
+                "perimeter", "perimeter_crofton", "slice", "solidity",
+            }
+            bad = set(map(str, pp.MEASURE_PROPERTIES.EXTRA_PROPS)) - _VALID_REGIONPROPS
+            req(not bad,
+                f"Invalid MEASURE_PROPERTIES.EXTRA_PROPS found: {sorted(bad)}")
         if pp.MEASURE_PROPERTIES.ENABLE and pp.MEASURE_PROPERTIES.REMOVE_BY_PROPERTIES.ENABLE:
             rp = pp.MEASURE_PROPERTIES.REMOVE_BY_PROPERTIES
             req(cfg.PROBLEM.TYPE in ("INSTANCE_SEG", "DETECTION"),
@@ -718,9 +927,13 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
                 "F": {"erosion", "dilation"}, "B": {"erosion", "dilation"},
                 "P": {"erosion", "dilation", "type"},
                 "C": {"mode"},
-                "Z": {"norm", "act", "dilation", "mask_values"},
-                "V": {"norm", "act", "dilation", "mask_values"},
-                "H": {"norm", "act", "dilation", "mask_values"},
+                # regular type: only norm/act ('mask_values' is no longer
+                # accepted — foreground masking is derived automatically;
+                # reference check_configuration.py:498-501); synapses type
+                # additionally takes 'dilation' (validated in synapses branch)
+                "Z": {"norm", "act"},
+                "V": {"norm", "act"},
+                "H": {"norm", "act"},
                 "Gv": {"gradient_type"}, "Gh": {"gradient_type"}, "Gz": {"gradient_type"},
                 "Db": {"val_type", "act", "mask_values"},
                 "Dc": {"type", "norm", "mask_values"},
@@ -735,6 +948,18 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
             extra_list = list(cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNELS_EXTRA_OPTS)
             opts_map = extra_list[0] if extra_list else {}
             if isinstance(opts_map, dict):
+                # grouped channels (H/V/Z and Gv/Gh/Gz) share settings: opts
+                # may be configured on only one of each group, or must be
+                # identical (reference check_configuration.py:485-530)
+                for group in (("Z", "V", "H"), ("Gz", "Gv", "Gh")):
+                    with_opts = [c for c in group if c in opts_map]
+                    if len(with_opts) > 1:
+                        vals = [opts_map[c] for c in with_opts]
+                        req(all(v == vals[0] for v in vals[1:]),
+                            "DATA_CHANNELS_EXTRA_OPTS contains conflicting "
+                            f"options for channels of the {'/'.join(group)} "
+                            "group — these channels always share the same "
+                            "settings; configure only one of them")
                 for key, val in opts_map.items():
                     req(str(key) in cset or str(key) in INSTANCE_CHANNEL_CODES
                         or str(key).startswith("E"),
@@ -783,24 +1008,111 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
                     "SEPARATED_DECODERS_PER_HEAD needs CHANNELS_PER_HEAD_INFO with at "
                     "least 2 entries (reference check_configuration.py:787)")
             proc = str(cfg.PROBLEM.INSTANCE_SEG.INSTANCE_CREATION_PROCESS).lower()
-            req(proc in ("", "watershed", "flow_tracking", "gradient_tracking", "omnipose",
-                         "stardist", "nms", "embedseg"),
+            # reference canonical names (check_configuration.py:1493) plus our
+            # accepted aliases (flow_tracking/gradient_tracking = gradient-flow,
+            # nms = stardist, embedseg = embeddings)
+            req(proc in ("", "watershed", "flow_tracking", "gradient_tracking",
+                         "omnipose", "stardist", "nms", "embedseg", "embeddings",
+                         "gradient-flow", "agglomeration"),
                 f"Unknown INSTANCE_CREATION_PROCESS: {proc}")
-            if proc in ("flow_tracking", "gradient_tracking", "omnipose"):
+            req(proc != "agglomeration",
+                "INSTANCE_CREATION_PROCESS 'agglomeration' is not implemented "
+                "(reference parity: NotImplementedError, "
+                "check_configuration.py:1597)")
+            cset_noaux = set(chans) - {"I", "We"}
+            # E (embeddings) and A (affinities) are whole representations that
+            # must stand alone (reference check_configuration.py:135-138)
+            if "E" in cset_noaux or any(str(c).startswith("E_") for c in cset_noaux):
+                req(cset_noaux <= {"E", "E_offset", "E_sigma", "E_seediness"},
+                    "'E' representation can only be used alone")
+            if "A" in cset_noaux:
+                req(cset_noaux == {"A"}, "'A' representation can only be used alone")
+            if proc in ("flow_tracking", "gradient_tracking", "omnipose",
+                        "gradient-flow"):
                 req(any(c in ("Gv", "Gh", "Gz") for c in chans),
                     f"{proc} needs flow channels (Gv/Gh/Gz) in DATA_CHANNELS, got {list(chans)}")
+                # the flow set must come with a foreground/distance source
+                # (reference check_configuration.py:1542-1549)
+                req(cset_noaux - {"Gv", "Gh", "Gz"} <= {"Db", "F"}
+                    and len(cset_noaux - {"Gv", "Gh", "Gz"}) == 1,
+                    "gradient-flow channels must be exactly "
+                    "{'Db'|'F', 'Gv', 'Gh'(, 'Gz' in 3D)}, got "
+                    f"{sorted(cset_noaux)}")
             if proc in ("stardist", "nms"):
                 req("R" in chans, f"StarDist NMS needs the 'R' ray channel, got {list(chans)}")
+                req(cset_noaux == {"Db", "R"},
+                    "'Db' and 'R' channels must be used (and only those) when "
+                    "INSTANCE_CREATION_PROCESS is 'stardist' (reference "
+                    "check_configuration.py:1535-1538)")
+            if proc in ("embedseg", "embeddings"):
+                req("E" in cset_noaux
+                    or {"E_offset", "E_sigma", "E_seediness"} <= cset_noaux,
+                    "'embeddings' instance creation needs the 'E' channel "
+                    "representation (E_offset/E_sigma/E_seediness)")
+            if proc == "watershed":
+                # representation channels of other processes are meaningless
+                # under watershed (reference check_configuration.py:1551-1553)
+                for c in ("R", "Gv", "Gh", "E", "E_offset", "E_sigma",
+                          "E_seediness"):
+                    req(c not in cset_noaux,
+                        f"'{c}' channel can not be used when "
+                        "INSTANCE_CREATION_PROCESS is 'watershed'")
             ws = cfg.PROBLEM.INSTANCE_SEG.WATERSHED
             for sel in list(ws.SEED_CHANNELS) + list(ws.GROWTH_MASK_CHANNELS):
                 req(str(sel) in [str(c) for c in chans] or sel in ("", None),
                     f"Watershed channel '{sel}' is not among DATA_CHANNELS {list(chans)}")
+            req(all(str(c) in ("F", "B", "C", "Db", "Dc", "Dn", "D", "A", "P", "M")
+                    for c in ws.GROWTH_MASK_CHANNELS),
+                "WATERSHED.GROWTH_MASK_CHANNELS can only contain "
+                "F/B/C/Db/Dc/Dn/D/A channels (reference "
+                "check_configuration.py:1576)")
+            for th in list(ws.SEED_CHANNELS_THRESH) + list(ws.GROWTH_MASK_CHANNELS_THRESH):
+                if str(th) != "auto":
+                    try:
+                        float(th)
+                    except (TypeError, ValueError):
+                        req(False,
+                            "WATERSHED SEED/GROWTH_MASK_CHANNELS_THRESH values "
+                            "can only be 'auto' or a float")
+            # either side may be empty (the engine fills channel defaults per
+            # representation and 'auto' thresholds; the reference prefills
+            # them in check_configuration instead) — when the user sets BOTH,
+            # the lengths must agree
+            req(not (list(ws.SEED_CHANNELS) and list(ws.SEED_CHANNELS_THRESH))
+                or len(ws.SEED_CHANNELS) == len(ws.SEED_CHANNELS_THRESH),
+                "WATERSHED.SEED_CHANNELS and SEED_CHANNELS_THRESH must have "
+                "the same length")
+            req(not (list(ws.GROWTH_MASK_CHANNELS)
+                     and list(ws.GROWTH_MASK_CHANNELS_THRESH))
+                or len(ws.GROWTH_MASK_CHANNELS) == len(ws.GROWTH_MASK_CHANNELS_THRESH),
+                "WATERSHED.GROWTH_MASK_CHANNELS and GROWTH_MASK_CHANNELS_THRESH "
+                "must have the same length")
+            if ws.BY_2D_SLICES:
+                req(is_3d or cfg.TEST.ANALIZE_2D_IMGS_AS_3D_STACK,
+                    "WATERSHED.BY_2D_SLICES can only be activated when "
+                    "PROBLEM.NDIM == 3D or in 2D with "
+                    "TEST.ANALIZE_2D_IMGS_AS_3D_STACK (reference "
+                    "check_configuration.py:1801)")
             for op in ws.SEED_MORPH_SEQUENCE:
                 req(str(op) in ("dilate", "erode"),
                     "WATERSHED.SEED_MORPH_SEQUENCE entries must be 'dilate'/'erode'")
             req(len(ws.SEED_MORPH_SEQUENCE) == len(ws.SEED_MORPH_RADIUS),
                 "WATERSHED.SEED_MORPH_SEQUENCE and SEED_MORPH_RADIUS must have "
                 "the same length")
+            # per-channel loss weights: one per non-auxiliary channel (+1 for
+            # the class head when N_CLASSES > 2); the (1,1) default broadcasts
+            # (reference check_configuration.py:931-945, 1745-1756)
+            n_weighted = len([c for c in chans if c not in ("We", "I")])
+            if int(cfg.DATA.N_CLASSES) > 2:
+                n_weighted += 1
+            dw = list(cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNEL_WEIGHTS)
+            if not any(str(c).startswith("E") for c in chans) \
+                    and dw not in ([1, 1], [1]):
+                req(len(dw) == n_weighted,
+                    "PROBLEM.INSTANCE_SEG.DATA_CHANNEL_WEIGHTS needs to be of "
+                    "the same length as the channels selected in DATA_CHANNELS "
+                    f"(expected {n_weighted}, got {len(dw)}; one more weight "
+                    "when DATA.N_CLASSES > 2)")
             if ws.ERODE_AND_DILATE_GROWTH_MASK:
                 req(any(c in ("F", "B", "C", "D", "M") for c in chans),
                     "WATERSHED.ERODE_AND_DILATE_GROWTH_MASK needs one of F/B/C/D/M")
@@ -817,6 +1129,15 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
                     req(str(op) in ("dilation", "erosion", "fill_holes", "clear_border",
                                     "remove_small_objects", "remove_big_objects"),
                         f"Unknown INSTANCE_REFINEMENT operation '{op}'")
+                    if str(op) in ("dilation", "erosion"):
+                        # int >= 1 or per-axis list (reference
+                        # check_configuration.py:1767-1775)
+                        ok = (isinstance(value, int) and value >= 1) or (
+                            isinstance(value, (list, tuple)) and len(value) == nd
+                            and all(isinstance(v, int) and v >= 1 for v in value))
+                        req(ok,
+                            f"INSTANCE_REFINEMENT value for '{op}' must be an "
+                            f"int >= 1 or a list of {nd} ints >= 1")
                     if str(op) in ("remove_small_objects", "remove_big_objects"):
                         req(isinstance(value, int) and value >= 1,
                             f"INSTANCE_REFINEMENT value for '{op}' must be an int >= 1")
@@ -840,10 +1161,29 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
     if cfg.PROBLEM.TYPE == "DETECTION":
         req(all(int(d) >= 0 for d in cfg.PROBLEM.DETECTION.CENTRAL_POINT_DILATION),
             "PROBLEM.DETECTION.CENTRAL_POINT_DILATION values must be >= 0")
+        # a single value broadcasts to every spatial axis; otherwise the
+        # length must match (reference check_configuration.py:1828-1837)
+        req(len(cfg.PROBLEM.DETECTION.CENTRAL_POINT_DILATION) in (1, nd),
+            f"PROBLEM.DETECTION.CENTRAL_POINT_DILATION needs to be a list of "
+            f"{nd} ints (or one int, broadcast) in a {cfg.PROBLEM.NDIM} problem")
         req(float(cfg.TEST.DET_TOLERANCE) > 0, "TEST.DET_TOLERANCE must be > 0")
+        req(str(cfg.TEST.DET_TH_TYPE) in ("manual", "auto"),
+            "TEST.DET_TH_TYPE must be one of ['manual', 'auto']")
         req(str(cfg.TEST.DET_POINT_CREATION_FUNCTION) in ("peak_local_max", "blob_log"),
             "TEST.DET_POINT_CREATION_FUNCTION must be one of "
             "['peak_local_max', 'blob_log']")
+        box = list(cfg.TEST.DET_IGNORE_POINTS_OUTSIDE_BOX)
+        if box:
+            req(all(int(x) > 0 for x in box),
+                "TEST.DET_IGNORE_POINTS_OUTSIDE_BOX needs to be a list of "
+                "positive integers")
+            req(len(box) == nd,
+                f"TEST.DET_IGNORE_POINTS_OUTSIDE_BOX needs to be of {nd} dimension")
+        if int(cfg.DATA.N_CLASSES) > 2:
+            req(len(cfg.PROBLEM.DETECTION.DATA_CHANNEL_WEIGHTS) == 2,
+                "When DATA.N_CLASSES > 2, PROBLEM.DETECTION.DATA_CHANNEL_WEIGHTS "
+                "needs two weights: one for the background and one for the "
+                "foreground")
     if cfg.TEST.POST_PROCESSING.REMOVE_CLOSE_POINTS:
         req(int(cfg.TEST.POST_PROCESSING.REMOVE_CLOSE_POINTS_RADIUS) > 0,
             "TEST.POST_PROCESSING.REMOVE_CLOSE_POINTS_RADIUS needs to be set "
@@ -855,6 +1195,13 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
             "physical units)")
     if cfg.PROBLEM.TYPE == "DENOISING":
         n2v = cfg.PROBLEM.DENOISING
+        if n2v.LOAD_GT_DATA or str(cfg.LOSS.TYPE).upper() == "CYCLEGAN":
+            # (reference check_configuration.py:1947-1955)
+            req(bool(cfg.DATA.TRAIN.GT_PATH)
+                or bool(cfg.DATA.TRAIN.INPUT_ZARR_MULTIPLE_DATA)
+                or not cfg.TRAIN.ENABLE,
+                "Supervised denoising (CYCLEGAN or LOAD_GT_DATA=True) requires "
+                "ground truth: DATA.TRAIN.GT_PATH must be provided")
         if not n2v.LOAD_GT_DATA:  # Noise2Void
             req(not cfg.DATA.TEST.LOAD_GT,
                 "Noise2Void denoising is unsupervised — there is no ground "
@@ -878,8 +1225,11 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
         if cfg.PROBLEM.SELF_SUPERVISED.PRETEXT_TASK == "masking":
             req(str(cfg.MODEL.ARCHITECTURE).lower() == "mae",
                 "SSL masking pretext requires MODEL.ARCHITECTURE == 'mae'")
-            req(0.0 < float(cfg.MODEL.MAE_MASK_RATIO) < 1.0,
-                "MODEL.MAE_MASK_RATIO not in (0, 1) range")
+            req(str(cfg.MODEL.MAE_MASK_TYPE) in ("random", "grid"),
+                "MODEL.MAE_MASK_TYPE needs to be in ['random', 'grid']")
+            if str(cfg.MODEL.MAE_MASK_TYPE) == "random":
+                req(0.0 < float(cfg.MODEL.MAE_MASK_RATIO) < 1.0,
+                    "MODEL.MAE_MASK_RATIO not in (0, 1) range")
         if cfg.PROBLEM.SELF_SUPERVISED.PRETEXT_TASK == "crappify":
             req(str(cfg.MODEL.ARCHITECTURE).lower() != "mae",
                 "MODEL.ARCHITECTURE can not be 'mae' when the SSL pretext task "
@@ -893,12 +1243,105 @@ def check_configuration(cfg, job_identifier: str = "job") -> None:
         if getattr(i2i, "SEPARATED_DECODERS_PER_HEAD", False):
             req(len(getattr(i2i, "CHANNELS_PER_HEAD_INFO", [])) >= 1,
                 "SEPARATED_DECODERS_PER_HEAD requires CHANNELS_PER_HEAD_INFO")
+        if list(i2i.CHANNELS_PER_HEAD_INFO):
+            # (reference check_configuration.py:2089-2094)
+            req(sum(int(c) for c in i2i.CHANNELS_PER_HEAD_INFO)
+                == int(i2i.OUTPUT_CHANNELS),
+                "The sum of PROBLEM.IMAGE_TO_IMAGE.CHANNELS_PER_HEAD_INFO "
+                f"({sum(int(c) for c in i2i.CHANNELS_PER_HEAD_INFO)}) needs to "
+                "equal PROBLEM.IMAGE_TO_IMAGE.OUTPUT_CHANNELS "
+                f"({i2i.OUTPUT_CHANNELS})")
         if getattr(i2i, "MULTIPLE_RAW_ONE_TARGET_LOADER", False):
             req(not cfg.DATA.TRAIN.FILTER_SAMPLES.ENABLE
                 and not cfg.DATA.VAL.FILTER_SAMPLES.ENABLE,
                 "FILTER_SAMPLES can not be enabled together with "
                 "PROBLEM.IMAGE_TO_IMAGE.MULTIPLE_RAW_ONE_TARGET_LOADER "
                 "(samples are whole raw groups, not single images)")
+
+    # -- zarr multiple-data sources --------------------------------------------
+    # (reference: the per-split required-path rules, check_configuration.py:
+    # 2180-2260 and 2331-2368)
+    _zarr_splits = [("TRAIN", cfg.TRAIN.ENABLE), ("VAL", cfg.TRAIN.ENABLE),
+                    ("TEST", cfg.TEST.ENABLE)]
+    for split, active in _zarr_splits:
+        node = cfg.DATA[split]
+        if not (active and node.INPUT_ZARR_MULTIPLE_DATA):
+            continue
+        req(is_3d,
+            f"DATA.{split}.INPUT_ZARR_MULTIPLE_DATA is only implemented in 3D "
+            "workflows")
+        req(str(node.INPUT_ZARR_MULTIPLE_DATA_RAW_PATH) != "",
+            f"DATA.{split}.INPUT_ZARR_MULTIPLE_DATA_RAW_PATH needs to be set "
+            f"when DATA.{split}.INPUT_ZARR_MULTIPLE_DATA is used")
+        needs_gt = split != "TEST" or bool(cfg.DATA.TEST.LOAD_GT)
+        if not needs_gt:
+            continue
+        if cfg.PROBLEM.TYPE == "INSTANCE_SEG" \
+                and str(cfg.PROBLEM.INSTANCE_SEG.TYPE) == "synapses":
+            for key in ("ID", "PARTNERS", "LOCATIONS", "RESOLUTION"):
+                req(str(node[f"INPUT_ZARR_MULTIPLE_DATA_{key}_PATH"]) != "",
+                    f"DATA.{split}.INPUT_ZARR_MULTIPLE_DATA_{key}_PATH needs "
+                    f"to be set when DATA.{split}.INPUT_ZARR_MULTIPLE_DATA is "
+                    "used and PROBLEM.INSTANCE_SEG.TYPE == 'synapses'")
+        else:
+            req(str(node.INPUT_ZARR_MULTIPLE_DATA_GT_PATH) != "",
+                f"DATA.{split}.INPUT_ZARR_MULTIPLE_DATA_GT_PATH needs to be "
+                f"set when DATA.{split}.INPUT_ZARR_MULTIPLE_DATA is used")
+
+    # -- data path existence ---------------------------------------------------
+    # (reference check_configuration.py:2160-2297, gated on check_data_paths)
+    if check_data_paths:
+        _no_gt_workflows = ("DENOISING", "CLASSIFICATION", "SELF_SUPERVISED")
+        if cfg.TRAIN.ENABLE:
+            req(os.path.exists(str(cfg.DATA.TRAIN.PATH)),
+                f"Train data dir not found: {cfg.DATA.TRAIN.PATH}")
+            if cfg.PROBLEM.TYPE not in _no_gt_workflows \
+                    and not cfg.DATA.TRAIN.INPUT_ZARR_MULTIPLE_DATA \
+                    and not (cfg.PROBLEM.TYPE == "DENOISING"):
+                req(os.path.exists(str(cfg.DATA.TRAIN.GT_PATH)),
+                    f"Train mask data dir not found: {cfg.DATA.TRAIN.GT_PATH}")
+            if not cfg.DATA.VAL.FROM_TRAIN:
+                req(os.path.exists(str(cfg.DATA.VAL.PATH)),
+                    f"Validation data dir not found: {cfg.DATA.VAL.PATH}")
+                if cfg.PROBLEM.TYPE not in _no_gt_workflows \
+                        and not cfg.DATA.VAL.INPUT_ZARR_MULTIPLE_DATA:
+                    req(os.path.exists(str(cfg.DATA.VAL.GT_PATH)),
+                        f"Validation mask data dir not found: {cfg.DATA.VAL.GT_PATH}")
+        if cfg.TEST.ENABLE and not cfg.DATA.TEST.USE_VAL_AS_TEST:
+            req(os.path.exists(str(cfg.DATA.TEST.PATH)),
+                f"Test data not found: {cfg.DATA.TEST.PATH}")
+            if cfg.DATA.TEST.LOAD_GT \
+                    and cfg.PROBLEM.TYPE not in ("CLASSIFICATION", "SELF_SUPERVISED") \
+                    and not cfg.DATA.TEST.INPUT_ZARR_MULTIPLE_DATA:
+                req(os.path.exists(str(cfg.DATA.TEST.GT_PATH)),
+                    f"Test data mask not found: {cfg.DATA.TEST.GT_PATH}")
+            if cfg.PROBLEM.TYPE == "CLASSIFICATION" \
+                    and os.path.isdir(str(cfg.DATA.TEST.PATH)):
+                # class folders must match N_CLASSES (reference
+                # check_configuration.py:2271-2291)
+                classes = sorted(
+                    d for d in os.listdir(str(cfg.DATA.TEST.PATH))
+                    if os.path.isdir(os.path.join(str(cfg.DATA.TEST.PATH), d)))
+                req(len(classes) >= 1,
+                    f"There is no folder/class for test in {cfg.DATA.TEST.PATH}")
+                expected = int(cfg.DATA.N_CLASSES) if cfg.DATA.TEST.LOAD_GT else 1
+                req(not classes or len(classes) == expected,
+                    f"Found {len(classes)} classes for test (folders: "
+                    f"{classes}) but expected {expected} "
+                    f"({'DATA.N_CLASSES' if cfg.DATA.TEST.LOAD_GT else 'a single folder, as DATA.TEST.LOAD_GT is False'})")
+        if cfg.TEST.ENABLE and cfg.DATA.TEST.ROI_MASK.ENABLE \
+                and str(cfg.DATA.TEST.ROI_MASK.PATH):
+            req(os.path.exists(str(cfg.DATA.TEST.ROI_MASK.PATH)),
+                f"DATA.TEST.ROI_MASK.PATH not found: {cfg.DATA.TEST.ROI_MASK.PATH}")
+
+    # REMOVE_CLOSE_POINTS radius is in physical units, so the resolution must
+    # be fully specified (reference check_configuration.py:3439-3448)
+    if cfg.TEST.POST_PROCESSING.REMOVE_CLOSE_POINTS:
+        tres_ = [float(r) for r in cfg.DATA.TEST.RESOLUTION]
+        if tres_ and tres_ != [-1.0]:
+            req(len(tres_) == nd,
+                f"DATA.TEST.RESOLUTION must match in length to {nd}, the "
+                "number of dimensions, when using REMOVE_CLOSE_POINTS")
 
     # -- BMZ export metadata ---------------------------------------------------
     # (reference: check_bmz_export_fields, check_configuration.py:3550-3560 —

@@ -207,9 +207,18 @@ class Denoising_Workflow(Base_Workflow):
         g_tx, _ = build_optimizer(cfg, self._steps_per_epoch, head=0)
         d_tx, _ = build_optimizer(cfg, self._steps_per_epoch, head=1)
         gan = cfg.LOSS.CYCLEGAN
+        perc_fn = None
+        if float(gan.ALPHA_PERCEPTUAL) > 0:
+            # VGG16 perceptual term from a local state dict (reference
+            # downloads torchvision vgg16, metrics.py:2593)
+            from biapy_tpu.engine.perceptual import VGGPerceptualLoss
+
+            perc_fn = VGGPerceptualLoss(str(gan.PERCEPTUAL_WEIGHTS))
         gan_step = make_gan_train_step(
             lambda_gan=float(gan.LAMBDA_GAN), lambda_recon=float(gan.LAMBDA_RECON),
-            gamma_ssim=float(gan.GAMMA_SSIM), delta_mse=float(gan.DELTA_MSE), mesh=self.mesh,
+            gamma_ssim=float(gan.GAMMA_SSIM), delta_mse=float(gan.DELTA_MSE),
+            alpha_perceptual=float(gan.ALPHA_PERCEPTUAL), perceptual_fn=perc_fn,
+            mesh=self.mesh,
         )
         gstate = GANTrainState.create(self.model.apply, g_vars, g_tx, disc.apply, d_vars, d_tx)
         key = jax.random.PRNGKey(cfg.SYSTEM.SEED)

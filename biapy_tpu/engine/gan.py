@@ -64,11 +64,16 @@ def make_gan_train_step(
     lambda_recon: float = 10.0,
     gamma_ssim: float = 1.0,
     delta_mse: float = 0.0,
+    alpha_perceptual: float = 0.0,
+    perceptual_fn: Callable = None,
     mesh=None,
 ):
     """LSGAN objective (reference: CycleGAN_loss usage): D minimizes
     MSE(D(real),1)+MSE(D(fake),0); G minimizes lambda_gan*MSE(D(fake),1) +
-    lambda_recon*L1 + gamma_ssim*(1-SSIM) + delta_mse*MSE."""
+    lambda_recon*L1 + gamma_ssim*(1-SSIM) + delta_mse*MSE +
+    alpha_perceptual*VGG(fake, y) (the reference's CycleGanLoss VGG16
+    relu3_3 term, metrics.py:2593,2668; ``perceptual_fn`` is a
+    differentiable jit-friendly feature distance, engine/perceptual.py)."""
 
     def step(state: GANTrainState, batch: Dict[str, jnp.ndarray], rng):
         x, y = batch["x"], batch["y"]
@@ -89,6 +94,8 @@ def make_gan_train_step(
                 loss = loss + gamma_ssim * M.ssim_loss(fake, y)
             if delta_mse > 0:
                 loss = loss + delta_mse * M.mse_metric(fake, y)
+            if alpha_perceptual > 0 and perceptual_fn is not None:
+                loss = loss + alpha_perceptual * perceptual_fn(fake, y)
             return loss, (fake, new_gbs)
 
         (g_loss, (fake, new_gbs)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)

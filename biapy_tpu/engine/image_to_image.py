@@ -66,11 +66,7 @@ class Image_to_Image_Workflow(Base_Workflow):
         return target_fn
 
     def metric_calculation(self, pred, gt):
-        if gt is None:
-            return {}
-        from biapy_tpu.data.norm import normalize_image
-
-        g, _ = normalize_image(gt.astype("float32"), self.norm_spec)
         # TEST.METRICS selects which restoration metrics to report
-        # (reference: check_configuration.py:1277 defaults psnr/mae/mse/ssim)
-        return M.restoration_test_metrics(pred, g, self.cfg.TEST.METRICS)
+        # (reference: check_configuration.py:1277 defaults psnr/mae/mse/ssim;
+        # fid/is/lpips accumulate set-level via _update_perceptual)
+        return self.restoration_metric_calculation(pred, gt)

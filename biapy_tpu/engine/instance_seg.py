@@ -431,7 +431,7 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         process = str(cfg.PROBLEM.INSTANCE_SEG.INSTANCE_CREATION_PROCESS or "").lower()
         has_flows = any(c in FLOW_CODES for c in self.channel_codes)
         has_rays = "R" in self.channel_codes
-        if getattr(self, "embedseg_mode", False) or process == "embedseg":
+        if getattr(self, "embedseg_mode", False) or process in ("embedseg", "embeddings"):
             from biapy_tpu.ops.embedseg import embedseg_cluster
 
             es = cfg.PROBLEM.INSTANCE_SEG.EMBEDSEG
@@ -443,7 +443,11 @@ class Instance_Segmentation_Workflow(Base_Workflow):
                 min_unclustered_sum=int(es.MIN_UNCLUSTERED_SUM),
                 grid_size=self._embedseg_grid_size(),
                 anisotropy=self._embedseg_anisotropy())
-        if process in ("flow_tracking", "gradient_tracking") or (not process and has_flows):
+        # "gradient-flow" is the reference's canonical name
+        # (check_configuration.py:1495); flow_tracking/gradient_tracking are
+        # accepted aliases
+        if process in ("flow_tracking", "gradient_tracking", "gradient-flow") \
+                or (not process and has_flows):
             return self._instances_from_flows(pred)
         if process in ("stardist", "nms") or (not process and has_rays):
             return self._instances_from_rays(pred)

@@ -658,7 +658,6 @@ def restoration_test_metrics(pred: np.ndarray, gt_norm: np.ndarray, cfg_names) -
                                             jnp.asarray(gt_norm, jnp.float32)[None],
                                             data_range=rng_))
         elif n in ("fid", "is", "lpips"):
-            raise ValueError(
-                f"TEST.METRICS '{n}' needs pretrained Inception/LPIPS networks; "
-                "this environment has no network egress to download them")
+            pass  # set-level metrics: accumulated per image and computed
+            # once over the whole test set (engine/perceptual.py)
     return out

@@ -18,6 +18,12 @@ UNET_FAMILY = ("unet", "resunet", "resunet++", "seunet", "resunet_se", "attentio
 def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
                 head_activations: List[str]) -> Tuple[object, Dict]:
     arch = str(cfg.MODEL.ARCHITECTURE).lower()
+    if str(cfg.MODEL.SOURCE).lower() == "torchvision":
+        # reference: build_torchvision_model ignores MODEL.ARCHITECTURE and
+        # builds MODEL.TORCHVISION_MODEL_NAME (models/__init__.py:1609); the
+        # supported subset maps onto the first-party Flax equivalents and
+        # prepare_model loads the local state dict
+        arch = str(cfg.MODEL.TORCHVISION_MODEL_NAME).lower()
     ndim = 3 if cfg.PROBLEM.NDIM == "3D" else 2
 
     if arch in UNET_FAMILY or arch in ("unext_v1", "unext_v2"):

@@ -117,3 +117,113 @@ class EfficientNet(nn.Module):
         h = jnp.mean(h, axis=(1, 2))
         h = nn.Dropout(dropout, deterministic=not train)(h)
         return {"class": nn.Dense(self.n_classes, kernel_init=KERNEL_INIT)(h)}
+
+
+def torchvision_key_map(variant: str):
+    """The exact correspondence between torchvision's ``efficientnet_b*``
+    state-dict keys and this Flax module's parameter tree, in model order.
+
+    Returns ``(param_assigns, stats_assigns)``: lists of
+    ``(flax_path_tuple, torch_key, transform)`` with transform one of
+    ``conv`` (OIHW→HWIO), ``dense`` (transpose), ``id``.
+
+    Reference analog: build_torchvision_model loads the torchvision module
+    with DEFAULT weights (models/__init__.py:1609); here the same tensors
+    arrive from a LOCAL ``torch.save``d state dict.
+    """
+    wm, dm, _ = _VARIANTS[variant]
+    pa, sa = [], []
+
+    def conv(fpath, tkey, bias=False):
+        pa.append((fpath + ("kernel",), tkey + ".weight", "conv"))
+        if bias:
+            pa.append((fpath + ("bias",), tkey + ".bias", "id"))
+
+    def bnorm(fpath, tprefix):
+        pa.append((fpath + ("scale",), tprefix + ".weight", "id"))
+        pa.append((fpath + ("bias",), tprefix + ".bias", "id"))
+        sa.append((fpath + ("mean",), tprefix + ".running_mean", "id"))
+        sa.append((fpath + ("var",), tprefix + ".running_var", "id"))
+
+    conv(("Conv_0",), "features.0.0")
+    bnorm(("BatchNorm_0",), "features.0.1")
+    bi = 0
+    for feat, (expand, _ch, layers, _stride, _kernel) in enumerate(_STAGES, start=1):
+        for li in range(int(math.ceil(layers * dm))):
+            m, t = f"MBConv_{bi}", f"features.{feat}.{li}.block"
+            j = ci = bni = 0
+            if expand != 1:
+                conv((m, f"Conv_{ci}"), f"{t}.{j}.0")
+                bnorm((m, f"BatchNorm_{bni}"), f"{t}.{j}.1")
+                ci, bni, j = ci + 1, bni + 1, j + 1
+            conv((m, f"Conv_{ci}"), f"{t}.{j}.0")  # depthwise
+            bnorm((m, f"BatchNorm_{bni}"), f"{t}.{j}.1")
+            ci, bni, j = ci + 1, bni + 1, j + 1
+            conv((m, f"Conv_{ci}"), f"{t}.{j}.fc1", bias=True)  # SE reduce
+            conv((m, f"Conv_{ci + 1}"), f"{t}.{j}.fc2", bias=True)  # SE expand
+            ci, j = ci + 2, j + 1
+            conv((m, f"Conv_{ci}"), f"{t}.{j}.0")  # project
+            bnorm((m, f"BatchNorm_{bni}"), f"{t}.{j}.1")
+            bi += 1
+    head = len(_STAGES) + 1
+    conv(("Conv_1",), f"features.{head}.0")
+    bnorm(("BatchNorm_1",), f"features.{head}.1")
+    # classifier loads only when class counts match (reference: head replaced
+    # + finetuning warning otherwise, models/__init__.py:1712-1737)
+    pa.append((("Dense_0", "kernel"), "classifier.1.weight", "dense"))
+    pa.append((("Dense_0", "bias"), "classifier.1.bias", "id"))
+    return pa, sa
+
+
+def load_torchvision_efficientnet(path: str, params, batch_stats,
+                                  variant: str = "efficientnet_b0",
+                                  verbose: bool = False):
+    """Load a LOCAL torchvision ``efficientnet_b*`` state dict onto the Flax
+    params. Returns ``(params, batch_stats, n_loaded)``. The classifier head
+    is skipped (with the reference's finetuning warning) when DATA.N_CLASSES
+    differs from the checkpoint's class count."""
+    import numpy as np
+    import torch
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = {k: np.asarray(v.detach() if hasattr(v, "detach") else v)
+          for k, v in sd.items() if not k.endswith("num_batches_tracked")}
+    pa, sa = torchvision_key_map(variant)
+
+    def place(tree, assigns, used):
+        flat = {k: np.asarray(v) for k, v in flatten_dict(tree).items()}
+        for fpath, tkey, tf in assigns:
+            if tkey not in sd:
+                raise ValueError(
+                    f"torchvision efficientnet state dict at '{path}' is "
+                    f"missing key '{tkey}' — is it a torchvision "
+                    f"{variant} state dict?")
+            a = sd[tkey]
+            if tf == "conv":
+                a = a.transpose(2, 3, 1, 0)
+            elif tf == "dense":
+                a = a.T
+            if fpath not in flat:
+                raise ValueError(f"internal: flax path {fpath} not in tree")
+            if flat[fpath].shape != a.shape:
+                if fpath[0] == "Dense_0":  # replaced head (class-count change)
+                    print(f"WARNING: Model's head changed from {a.shape} to "
+                          f"{flat[fpath].shape} so a finetunning is required "
+                          "to have good results")
+                    continue
+                raise ValueError(
+                    f"shape mismatch at {'.'.join(fpath)}: checkpoint "
+                    f"{a.shape} vs model {flat[fpath].shape} — wrong "
+                    f"TORCHVISION_MODEL_NAME variant?")
+            flat[fpath] = a.astype(np.float32)
+            used.append(tkey)
+        return unflatten_dict(flat)
+
+    used: list = []
+    new_params = place(params, pa, used)
+    new_stats = place(batch_stats, sa, used) if batch_stats else batch_stats
+    if verbose:
+        print(f"Loaded {len(used)} tensors from torchvision {variant} "
+              f"state dict {path}")
+    return new_params, new_stats, len(used)

@@ -218,6 +218,199 @@ def test_validation_rejects(bad, msg_frag):
         assert msg_frag in str(e), str(e)
 
 
+@pytest.mark.parametrize("bad,msg_frag", [
+    # round-2 audit pass (docs/VALIDATION_AUDIT.md; reference
+    # check_configuration.py sections noted per rule)
+    # -- instance seg (ref:135-138, 1493-1597, 1745, 1801) --
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["A", "F"]}},
+      "DATA": {"PATCH_SIZE": (8, 64, 64, 1)},
+      "_3d": True}, "'A' representation"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"],
+                                   "INSTANCE_CREATION_PROCESS": "agglomeration"}}},
+     "agglomeration"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C", "R"],
+                                   "INSTANCE_CREATION_PROCESS": "stardist"}}},
+     "'Db' and 'R'"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["B", "Gv", "Gh"],
+                                   "INSTANCE_CREATION_PROCESS": "gradient-flow"}}},
+     "gradient-flow channels"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C", "R"],
+                                   "INSTANCE_CREATION_PROCESS": "watershed"}}},
+     "can not be used when"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"],
+                                   "WATERSHED": {"GROWTH_MASK_CHANNELS": ["T"],
+                                                 "GROWTH_MASK_CHANNELS_THRESH": ["auto"],
+                                                 "SEED_CHANNELS": ["F"],
+                                                 "SEED_CHANNELS_THRESH": ["auto"]}}}},
+     "GROWTH_MASK_CHANNELS"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"],
+                                   "WATERSHED": {"SEED_CHANNELS": ["F"],
+                                                 "SEED_CHANNELS_THRESH": ["high"]}}}},
+     "'auto' or a float"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"],
+                                   "WATERSHED": {"BY_2D_SLICES": True}}}},
+     "BY_2D_SLICES"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"],
+                                   "DATA_CHANNEL_WEIGHTS": [1, 1, 1]}}},
+     "DATA_CHANNEL_WEIGHTS"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C", "H", "V"],
+                                   "DATA_CHANNELS_EXTRA_OPTS": [
+                                       {"H": {"act": "tanh"},
+                                        "V": {"act": "linear"}}]}}},
+     "share the same settings"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"]}},
+      "TEST": {"POST_PROCESSING": {"INSTANCE_REFINEMENT": {
+          "ENABLE": True, "OPERATIONS": ["dilation"], "VALUES": [0]}}}},
+     "dilation"),
+    # -- detection (ref:1828-1901) --
+    ({"PROBLEM": {"TYPE": "DETECTION",
+                  "DETECTION": {"CENTRAL_POINT_DILATION": [2, 2, 2]}}},
+     "CENTRAL_POINT_DILATION"),
+    ({"PROBLEM": {"TYPE": "DETECTION"}, "TEST": {"DET_TH_TYPE": "fuzzy"}},
+     "DET_TH_TYPE"),
+    ({"PROBLEM": {"TYPE": "DETECTION"},
+      "TEST": {"DET_IGNORE_POINTS_OUTSIDE_BOX": [10, 10, 10]}},
+     "DET_IGNORE_POINTS_OUTSIDE_BOX"),
+    ({"PROBLEM": {"TYPE": "DETECTION"}, "DATA": {"N_CLASSES": 3},
+      "PROBLEM_EXTRA": {"DETECTION": {"DATA_CHANNEL_WEIGHTS": [1, 1, 1]}}},
+     "DATA_CHANNEL_WEIGHTS"),
+    ({"PROBLEM": {"TYPE": "DETECTION"},
+      "TEST": {"POST_PROCESSING": {"DET_WATERSHED": True,
+                                   "DET_WATERSHED_FIRST_DILATION": [2, 2]}}},
+     "MEASURE_PROPERTIES"),
+    # -- SSL / denoising / i2i (ref:1926-2094) --
+    ({"PROBLEM": {"TYPE": "SELF_SUPERVISED",
+                  "SELF_SUPERVISED": {"PRETEXT_TASK": "masking"}},
+      "MODEL": {"ARCHITECTURE": "mae", "MAE_MASK_TYPE": "checker"}},
+     "MAE_MASK_TYPE"),
+    ({"PROBLEM": {"TYPE": "DENOISING", "DENOISING": {"LOAD_GT_DATA": True}},
+      "DATA": {"TRAIN": {"GT_PATH": ""}}},
+     "Supervised denoising"),
+    ({"PROBLEM": {"TYPE": "DENOISING"}, "TRAIN": {"METRICS": ["psnr"]}},
+     "mae"),
+    ({"PROBLEM": {"TYPE": "IMAGE_TO_IMAGE",
+                  "IMAGE_TO_IMAGE": {"CHANNELS_PER_HEAD_INFO": [1, 2],
+                                     "OUTPUT_CHANNELS": 2}}},
+     "CHANNELS_PER_HEAD_INFO"),
+    # -- model section (ref:2860-3188) --
+    ({"PROBLEM": {"TYPE": "DENOISING"}, "MODEL": {"ARCHITECTURE": "edsr"}},
+     "DENOISING"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"]}},
+      "MODEL": {"ARCHITECTURE": "nafnet"}}, "INSTANCE_SEG"),
+    ({"MODEL": {"ARCHITECTURE": "vit", "DROPOUT_VALUES": [0.1, 0.2]},
+      "PROBLEM": {"TYPE": "CLASSIFICATION"}}, "DROPOUT_VALUES"),
+    ({"MODEL": {"ARCHITECTURE": "unetr", "UNETR_VIT_MODEL": "custom",
+                "VIT_TOKEN_SIZE": 12}}, "power of two"),
+    ({"MODEL": {"ARCHITECTURE": "unetr", "UNETR_VIT_MODEL": "resnet"}},
+     "UNETR_VIT_MODEL"),
+    ({"MODEL": {"ARCHITECTURE": "unet",
+                "VIT_PRETRAINED_WEIGHTS": "/tmp/w.pt"}},
+     "VIT_PRETRAINED_WEIGHTS"),
+    ({"MODEL": {"ARCHITECTURE": "vit", "VIT_MODEL": "vit_base_patch16",
+                "VIT_PRETRAINED_WEIGHTS": "/tmp/w.pt"},
+      "PROBLEM": {"TYPE": "CLASSIFICATION"}}, "sam3_vit"),
+    ({"MODEL": {"ARCHITECTURE": "hrnet32",
+                "HRNET": {"HEAD_TYPE": "OCR"}},
+      "PROBLEM": {"NDIM": "3D"},
+      "DATA": {"PATCH_SIZE": (16, 64, 64, 1)}}, "OCR"),
+    ({"MODEL": {"OUT_CHECKPOINT_FORMAT": "ckpt"}}, "OUT_CHECKPOINT_FORMAT"),
+    ({"PROBLEM": {"TYPE": "DETECTION",
+                  "DETECTION": {"SEPARATED_DECODERS_PER_HEAD": True}}},
+     "N_CLASSES"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"],
+                                   "SEPARATED_DECODERS_PER_HEAD": True,
+                                   "CHANNELS_PER_HEAD_INFO": [1, 1]}},
+      "MODEL": {"ARCHITECTURE": "multiresunet"}},
+     "SEPARATED_DECODERS_PER_HEAD"),
+    # -- scheduler / augmentor / misc (ref:3240-3355) --
+    ({"TRAIN": {"LR_SCHEDULER": {"NAME": "warmupcosine",
+                                 "WARMUP_COSINE_DECAY_EPOCHS": -1,
+                                 "MIN_LR": [1e-5]},
+                "EPOCHS": 10}}, "WARMUP_COSINE_DECAY_EPOCHS"),
+    ({"TRAIN": {"LR_SCHEDULER": {"NAME": "warmupcosine",
+                                 "WARMUP_COSINE_DECAY_EPOCHS": 2,
+                                 "MIN_LR": [-1.0]},
+                "EPOCHS": 10}}, "MIN_LR"),
+    ({"AUGMENTOR": {"ENABLE": True, "AFFINE_MODE": "mirror"}}, "AFFINE_MODE"),
+    ({"TEST": {"POST_PROCESSING": {"MEASURE_PROPERTIES": {
+        "ENABLE": True, "EXTRA_PROPS": ["area", "banana"]}}},
+      "PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"]}}},
+     "EXTRA_PROPS"),
+    ({"DATA": {"TRAIN": {"INPUT_ZARR_MULTIPLE_DATA": True}},
+      "PROBLEM": {"NDIM": "3D"}, "_patch4": True},
+     "INPUT_ZARR_MULTIPLE_DATA_RAW_PATH"),
+])
+def test_validation_rejects_round2(bad, msg_frag):
+    from biapy_tpu.config.config import get_cfg_defaults
+    from biapy_tpu.engine.check_configuration import check_configuration
+
+    cfg = get_cfg_defaults()
+    is3d = bad.pop("_3d", False) or bad.get("PROBLEM", {}).get("NDIM") == "3D"
+    if bad.pop("_patch4", False):
+        is3d = True
+    extra_problem = bad.pop("PROBLEM_EXTRA", None)
+    base = {"PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "3D" if is3d else "2D"},
+            "DATA": {"PATCH_SIZE": (16, 64, 64, 1) if is3d else (64, 64, 1)},
+            "TRAIN": {"ENABLE": True}, "TEST": {"ENABLE": True}}
+
+    def deep(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                deep(dst[k], v)
+            else:
+                dst[k] = v
+    deep(base, bad)
+    if extra_problem:
+        deep(base["PROBLEM"], extra_problem)
+    cfg.merge_from_dict(base)
+    with pytest.raises(ValueError, match="Invalid configuration"):
+        check_configuration(cfg)
+    try:
+        check_configuration(cfg)
+    except ValueError as e:
+        assert msg_frag in str(e), str(e)
+
+
+def test_validation_data_paths(tmp_path):
+    """check_data_paths=True verifies data dirs exist (reference
+    check_configuration.py:2160-2297; the API layer passes True)."""
+    from biapy_tpu.config.config import get_cfg_defaults
+    from biapy_tpu.engine.check_configuration import check_configuration
+
+    def build(train_path, gt_path):
+        cfg = get_cfg_defaults()
+        cfg.merge_from_dict({
+            "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
+            "DATA": {"PATCH_SIZE": (64, 64, 1),
+                     "TRAIN": {"PATH": train_path, "GT_PATH": gt_path}},
+            "TRAIN": {"ENABLE": True}})
+        return cfg
+
+    # without the flag: no path checks (template validation mode)
+    check_configuration(build("/nonexistent/x", "/nonexistent/y"))
+    with pytest.raises(ValueError, match="Train data dir not found"):
+        check_configuration(build("/nonexistent/x", "/nonexistent/y"),
+                            check_data_paths=True)
+    ok = str(tmp_path)
+    with pytest.raises(ValueError, match="Train mask data dir not found"):
+        check_configuration(build(ok, "/nonexistent/y"), check_data_paths=True)
+    check_configuration(build(ok, ok), check_data_paths=True)
+
+
 def test_validation_patch_divisibility():
     """U-Net family patch-vs-downsampling divisibility (reference
     check_configuration.py:3091-3155)."""

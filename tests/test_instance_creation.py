@@ -228,6 +228,8 @@ def test_cellpose_test_rescale_hooks(tmp_path):
                     "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "Gv", "Gh"],
                                      "CELLPOSE": {"DIAMETER": 60.0, "DIAM_MEAN": 30.0}}},
         "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "TRAIN": {"PATH": str(tmp_path / "x"),
+                           "GT_PATH": str(tmp_path / "x")},
                  "TEST": {"PATH": str(tmp_path / "x"), "LOAD_GT": False}},
         # TRAIN on (but never run) — a test-only config without a checkpoint
         # is rejected by validation, and this test only builds the workflow

@@ -23,23 +23,63 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_train_and_by_chunks(tmp_path):
+_WORKER2 = os.path.join(os.path.dirname(__file__), "_mp_worker2.py")
+
+
+def _run_two_ranks(args, tmp_path, timeout=800):
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_COMPILATION_CACHE_DIR")}
     procs = [subprocess.Popen(
-        [sys.executable, _WORKER, str(r), str(port), str(tmp_path)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
-        for r in (0, 1)]
+        [sys.executable] + args(r, port), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, env=env) for r in (0, 1)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=800)
+        out, _ = p.communicate(timeout=timeout)
         outs.append(out)
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{out[-4000:]}"
         assert f"MPWORKER_OK rank={r}" in out, out[-2000:]
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_train_and_by_chunks(tmp_path):
+    outs = _run_two_ranks(
+        lambda r, port: [_WORKER, str(r), str(port), str(tmp_path)], tmp_path)
     # both ranks reached the same parameters (digest printed by the worker)
+    d0 = outs[0].split("digest=")[1].split()[0]
+    d1 = outs[1].split("digest=")[1].split()[0]
+    assert d0 == d1, (d0, d1)
+
+
+@pytest.mark.slow
+def test_two_process_allgather_ragged_payloads(tmp_path):
+    """all_gather_objects with multi-MB vs tiny payloads, swapped roles, and
+    empty objects (round-1 VERDICT #10)."""
+    _run_two_ranks(
+        lambda r, port: [_WORKER2, "gather", str(r), str(port), str(tmp_path)],
+        tmp_path, timeout=300)
+
+
+@pytest.mark.slow
+def test_two_process_instance_merge_ragged_edges(tmp_path):
+    """5-pass distributed instance merge where the boundary-edge lists are
+    heavily asymmetric across ranks; oracle = whole-volume labeling."""
+    outs = _run_two_ranks(
+        lambda r, port: [_WORKER2, "merge", str(r), str(port), str(tmp_path)],
+        tmp_path, timeout=600)
+    for out in outs:
+        assert "digest=5" in out, out[-1000:]  # 5 merged instances
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_resume(tmp_path):
+    """Resume a distributed training job from its checkpoint: start_epoch
+    advances and parameters stay in sync across processes."""
+    outs = _run_two_ranks(
+        lambda r, port: [_WORKER2, "resume", str(r), str(port), str(tmp_path)],
+        tmp_path)
     d0 = outs[0].split("digest=")[1].split()[0]
     d1 = outs[1].split("digest=")[1].split()[0]
     assert d0 == d1, (d0, d1)

@@ -1,0 +1,217 @@
+"""MODEL.SOURCE='torchvision': local torchvision efficientnet state-dict
+import onto the first-party Flax EfficientNet (reference:
+build_torchvision_model, models/__init__.py:1609 — downloads DEFAULT weights;
+here they come from a LOCAL file, like the BMZ/STUNet/SAM3 loaders).
+
+No torchvision in this environment, so the fixture is a synthetic state dict
+emitted in the exact torchvision key format from the flax tree's shapes —
+this pins the name mapping and every transpose."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+
+def _synth_torchvision_sd(variant="efficientnet_b0", n_classes=1000, seed=0):
+    """Build a torchvision-format efficientnet state dict whose values encode
+    their own key index, so placement is verifiable tensor by tensor."""
+    import torch
+
+    from biapy_tpu.models.efficientnet import EfficientNet, torchvision_key_map
+
+    net = EfficientNet(variant=variant, n_classes=n_classes)
+    variables = net.init(jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3)))
+    from flax.traverse_util import flatten_dict
+
+    pflat = flatten_dict(variables["params"])
+    sflat = flatten_dict(variables.get("batch_stats", {}))
+    pa, sa = torchvision_key_map(variant)
+    sd = {}
+    for i, (fpath, tkey, tf) in enumerate(pa + sa):
+        src = pflat if (fpath, tkey, tf) in pa else sflat
+        shape = np.shape(src[fpath])
+        a = np.full(shape, float(i + 1), np.float32)
+        if tf == "conv":
+            a = a.transpose(3, 2, 0, 1)
+        elif tf == "dense":
+            a = a.T
+        sd[tkey] = torch.from_numpy(np.ascontiguousarray(a))
+    return sd, variables
+
+
+def test_key_map_matches_torchvision_format():
+    """Spot-check the emitted key names against torchvision's real layout."""
+    from biapy_tpu.models.efficientnet import torchvision_key_map
+
+    pa, sa = torchvision_key_map("efficientnet_b0")
+    keys = {t for _, t, _ in pa} | {t for _, t, _ in sa}
+    # stem / head / classifier
+    assert "features.0.0.weight" in keys
+    assert "features.0.1.running_mean" in keys
+    assert "features.8.0.weight" in keys
+    assert "classifier.1.weight" in keys
+    # first block has no expand conv: block.0 is the depthwise stack
+    assert "features.1.0.block.0.0.weight" in keys
+    assert "features.1.0.block.1.fc1.weight" in keys  # SE
+    assert "features.1.0.block.2.0.weight" in keys  # project
+    assert "features.1.0.block.3.0.weight" not in keys
+    # expanded blocks: expand / depthwise / SE / project
+    assert "features.2.0.block.0.0.weight" in keys
+    assert "features.2.0.block.1.0.weight" in keys
+    assert "features.2.0.block.2.fc1.weight" in keys
+    assert "features.2.0.block.3.0.weight" in keys
+    # b0 has 16 MBConv blocks
+    mb = {p[0] for p, _, _ in pa if p[0].startswith("MBConv_")}
+    assert mb == {f"MBConv_{i}" for i in range(16)}
+
+
+def test_load_torchvision_efficientnet_bit_exact(tmp_path):
+    import torch
+
+    from biapy_tpu.models.efficientnet import (EfficientNet,
+                                               load_torchvision_efficientnet,
+                                               torchvision_key_map)
+    from flax.traverse_util import flatten_dict
+
+    sd, variables = _synth_torchvision_sd(n_classes=1000)
+    p = str(tmp_path / "effb0.pth")
+    torch.save(sd, p)
+
+    params, stats, n = load_torchvision_efficientnet(
+        p, variables["params"], variables.get("batch_stats", {}),
+        variant="efficientnet_b0")
+    pa, sa = torchvision_key_map("efficientnet_b0")
+    assert n == len(pa) + len(sa)
+    pflat = flatten_dict(params)
+    sflat = flatten_dict(stats)
+    # every tensor landed in the right slot with the right transpose:
+    # value i+1 at assignment index i
+    for i, (fpath, tkey, tf) in enumerate(pa + sa):
+        tgt = pflat if (fpath, tkey, tf) in pa else sflat
+        got = np.asarray(tgt[fpath])
+        assert np.all(got == float(i + 1)), (fpath, tkey)
+    # model runs with the loaded weights
+    net = EfficientNet(variant="efficientnet_b0", n_classes=1000)
+    out = net.apply({"params": params, "batch_stats": stats},
+                    jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out["class"].shape == (1, 1000)
+
+
+def test_load_torchvision_head_replaced(tmp_path, capsys):
+    """n_classes != 1000 -> backbone loads, classifier skipped with the
+    reference's finetuning warning (models/__init__.py:1712)."""
+    import torch
+
+    from biapy_tpu.models.efficientnet import (EfficientNet,
+                                               load_torchvision_efficientnet)
+
+    sd, _ = _synth_torchvision_sd(n_classes=1000)
+    p = str(tmp_path / "effb0.pth")
+    torch.save(sd, p)
+
+    net = EfficientNet(variant="efficientnet_b0", n_classes=3)
+    variables = net.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    before = np.asarray(variables["params"]["Dense_0"]["kernel"])
+    params, stats, n = load_torchvision_efficientnet(
+        p, variables["params"], variables.get("batch_stats", {}),
+        variant="efficientnet_b0")
+    assert "finetunning is required" in capsys.readouterr().out
+    # head untouched, backbone loaded
+    assert np.array_equal(np.asarray(params["Dense_0"]["kernel"]), before)
+    assert float(np.unique(np.asarray(params["Conv_0"]["kernel"]))) == 1.0
+
+
+def test_missing_key_rejected(tmp_path):
+    import torch
+
+    from biapy_tpu.models.efficientnet import (EfficientNet,
+                                               load_torchvision_efficientnet)
+
+    sd, variables = _synth_torchvision_sd()
+    del sd["features.3.0.block.1.0.weight"]
+    p = str(tmp_path / "bad.pth")
+    torch.save(sd, p)
+    with pytest.raises(ValueError, match="missing key"):
+        load_torchvision_efficientnet(p, variables["params"],
+                                      variables.get("batch_stats", {}))
+
+
+def test_torchvision_source_validation(tmp_path):
+    from biapy_tpu.config.config import get_cfg_defaults
+    from biapy_tpu.engine.check_configuration import check_configuration
+
+    def cfg_with(**model):
+        cfg = get_cfg_defaults()
+        cfg.merge_from_dict({
+            "PROBLEM": {"TYPE": model.pop("problem", "CLASSIFICATION"),
+                        "NDIM": model.pop("ndim", "2D")},
+            "DATA": {"PATCH_SIZE": [64, 64, 3], "N_CLASSES": 3,
+                     "TRAIN": {"PATH": "/tmp/x"}},
+            "MODEL": {"SOURCE": "torchvision", **model},
+            "TRAIN": {"ENABLE": True},
+        })
+        return cfg
+
+    w = str(tmp_path / "effb0.pth")
+    open(w, "w").close()
+    # unsupported torchvision family
+    with pytest.raises(Exception, match="not supported"):
+        check_configuration(cfg_with(TORCHVISION_MODEL_NAME="resnet50",
+                                     TORCHVISION_WEIGHTS=w))
+    # missing local weights
+    with pytest.raises(Exception, match="TORCHVISION_WEIGHTS"):
+        check_configuration(cfg_with(TORCHVISION_MODEL_NAME="efficientnet_b0"))
+    # wrong workflow
+    with pytest.raises(Exception, match="classification"):
+        check_configuration(cfg_with(TORCHVISION_MODEL_NAME="efficientnet_b0",
+                                     TORCHVISION_WEIGHTS=w,
+                                     problem="SEMANTIC_SEG"))
+    # ok
+    check_configuration(cfg_with(TORCHVISION_MODEL_NAME="efficientnet_b0",
+                                 TORCHVISION_WEIGHTS=w))
+
+
+@pytest.mark.slow
+def test_torchvision_classification_e2e(tmp_path):
+    """Classification e2e with MODEL.SOURCE='torchvision' (reference Test
+    analog: torchvision classification jobs in run_checks.py)."""
+    import os
+
+    import torch
+
+    from biapy_tpu._biapy import BiaPy
+    from biapy_tpu.data.tiff import write_tiff
+
+    sd, _ = _synth_torchvision_sd(n_classes=1000)
+    wpath = str(tmp_path / "effb0.pth")
+    torch.save(sd, wpath)
+
+    rng = np.random.default_rng(5)
+    root = str(tmp_path)
+    for split, n in [("train", 8), ("test", 4)]:
+        for cls in ("0", "1"):
+            os.makedirs(f"{root}/{split}/{cls}", exist_ok=True)
+            for i in range(n):
+                base = 40 if cls == "0" else 180
+                img = (rng.random((64, 64, 3)) * 40 + base).astype(np.uint8)
+                write_tiff(f"{root}/{split}/{cls}/{i}.tif", img)
+    cfg = {
+        "PROBLEM": {"TYPE": "CLASSIFICATION", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (64, 64, 3), "N_CLASSES": 2,
+                 "TRAIN": {"PATH": f"{root}/train", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.25},
+                 "TEST": {"PATH": f"{root}/test", "IN_MEMORY": True,
+                          "LOAD_GT": True}},
+        "MODEL": {"SOURCE": "torchvision",
+                  "TORCHVISION_MODEL_NAME": "efficientnet_b0",
+                  "TORCHVISION_WEIGHTS": wpath},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3,
+                  "BATCH_SIZE": 4, "EPOCHS": 1},
+        "TEST": {"ENABLE": True},
+    }
+    job = BiaPy(cfg, result_dir=os.path.join(root, "results"), name="tvcls",
+                silent=True)
+    job.run_job()
+    assert "accuracy" in job.workflow.stats
