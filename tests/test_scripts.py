@@ -266,6 +266,45 @@ def test_calculate_instance_and_similarity_metrics(tmp_path):
     assert "psnr" in out.lower()
 
 
+def test_lightmycell_data_preparation(tmp_path):
+    from biapy_tpu.data.tiff import write_tiff
+
+    study = tmp_path / "in" / "Study_1"
+    study.mkdir(parents=True)
+    img = np.zeros((16, 16), np.uint8)
+    # acquisition prefix "Study_1_BF_img1": BF transmitted-light source +
+    # Actin fluorescence target share the prefix
+    write_tiff(str(study / "Study_1_BF_img1_Actin.tif"), img + 9)
+    write_tiff(str(study / "Study_1_BF_img1_x.tif"), img + 3)
+    run_script("lightmycell_data_preparation", "--input", tmp_path / "in",
+               "--output", tmp_path / "out", "--organelle", "Actin")
+    root = tmp_path / "out" / "Actin"
+    assert (root / "y").is_dir() and (root / "x").is_dir()
+    assert any((root / "y").rglob("*.tif"))
+    assert any((root / "x").rglob("*.tif"))
+
+
+def test_change_dataset_id_bmz_models(tmp_path):
+    import yaml
+    import zipfile
+
+    (tmp_path / "in").mkdir()
+    with zipfile.ZipFile(tmp_path / "in" / "model_mito.zip", "w") as z:
+        z.writestr("rdf.yaml", yaml.safe_dump({"name": "m", "type": "model"}))
+        z.writestr("weights.pt", b"xx")
+    with zipfile.ZipFile(tmp_path / "in" / "other.zip", "w") as z:
+        z.writestr("rdf.yaml", yaml.safe_dump({"name": "o"}))
+    run_script("change_dataset_id_bmz_models", "--input_dir", tmp_path / "in",
+               "--output_dir", tmp_path / "out", "--matching_str", "mito",
+               "--id_to_set", "sublime-pizza")
+    outs = os.listdir(tmp_path / "out")
+    assert outs == ["model_mito.zip"]  # only the matching zip rewritten
+    with zipfile.ZipFile(tmp_path / "out" / "model_mito.zip") as z:
+        rdf = yaml.safe_load(z.read("rdf.yaml"))
+        assert rdf["training_data"] == {"id": "sublime-pizza"}
+        assert z.read("weights.pt") == b"xx"  # other members preserved
+
+
 def test_detection_plots_and_pr_plot(tmp_path):
     from biapy_tpu.data.tiff import write_tiff
 
