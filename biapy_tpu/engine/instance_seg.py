@@ -898,7 +898,13 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             fg = pred[..., fg_sl][..., 0] > 0.5
         else:
             fg = np.linalg.norm(flows, axis=-1) > 0.3
-        suppressed = str(self.cfg.PROBLEM.INSTANCE_SEG.INSTANCE_CREATION_PROCESS).lower() == "omnipose"
+        # Omnipose is selected either by our process alias 'omnipose' or, in
+        # the reference's convention, by gradient_type 'omnipose' under the
+        # canonical 'gradient-flow' process (check_configuration.py:712)
+        suppressed = (
+            str(self.cfg.PROBLEM.INSTANCE_SEG.INSTANCE_CREATION_PROCESS).lower() == "omnipose"
+            or str(self.channel_extra_opts.get("Gv", {})
+                   .get("gradient_type", "cellpose")) == "omnipose")
         db_sl = self._channel_slice("Db")
         db_opts = self.channel_extra_opts.get("Db", {})
         if suppressed and db_sl is not None and str(db_opts.get("val_type", "")) == "omnipose":
