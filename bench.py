@@ -311,12 +311,16 @@ def main():
         state = twf.state
         for _ in range(2):  # compile + settle
             state, m = step(state, sb, key)
-        jax.block_until_ready(m)
+        float(m["loss"])
         n_steps = 10
         t0 = time.time()
         for _ in range(n_steps):
             state, m = step(state, sb, key)
-        jax.block_until_ready(m)
+        # force a HOST READ of the final loss: with donated state the output
+        # buffers alias the inputs and block_until_ready can report ready
+        # before the async chain actually finishes (measured: it under-times
+        # by >50x); a D2H of the value cannot start before the compute ends
+        float(m["loss"])
         train_pps = n_steps / (time.time() - t0)
         extra["train_patches_per_sec"] = round(train_pps, 2)
         extra["train_vs_baseline"] = round(

@@ -22,6 +22,14 @@ Strategies, picked per shape at trace time (all static):
   tests keep bit-identical reference numerics, and for strided/dilated/
   grouped convs).
 
+Training: the decomposition autodiffs through plain jax ops, and its
+backward (z-shifted batched 2D conv-transposes) keeps the same MXU-friendly
+tiling — measured on the full bench train step (3D ResUNet fm 32/64/128,
+128^3 bf16, fwd+loss+bwd+adamw, chain-forced timing on v5e): as2d 9.9 it/s
+vs native-XLA conv3d 3.8 it/s (2.6x) vs the Pallas forward kernel 4.8 it/s
+(its backward falls to the generic transpose — keep Pallas opt-in and
+inference-oriented).
+
 Reference analog: the reference's conv hot path is torch/cudnn
 (biapy/models/blocks.py ConvBlock:25); this module is the TPU-first
 replacement for that library dispatch.
