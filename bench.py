@@ -146,14 +146,18 @@ def main():
         return job.workflow
 
     rng = np.random.default_rng(0)
-    # REDUCE_MEMORY: hold the normalized volume in bfloat16 on the host (the
-    # reference stores fp16 under the same flag) — every slab then ships to
-    # the chip as a pure memcpy with half the H2D bytes, and the hot loop
-    # never pays a host-side dtype pass (measured: two astype passes over a
-    # 135 MB slab cost more than the whole slab's MXU time)
-    import ml_dtypes as _mld
+    # The volume is RAW uint8 — what EM data actually is on disk — and
+    # normalization runs ON DEVICE (norm_stats path): each slab ships as a
+    # 1-byte/voxel memcpy (half the bytes of pre-normalized bf16, a quarter
+    # of f32) and the uint8->f32->clip->affine->bf16 chain fuses into one
+    # elementwise kernel ahead of the stitch. This is the PRODUCT by-chunks
+    # path (engine/chunked.py computes per-tile stats on the raw bytes and
+    # ships raw).
+    vol_np = rng.integers(0, 256, size=vol_shape + (1,), dtype=np.uint8)
 
-    vol_np = rng.random(vol_shape + (1,), dtype=np.float32).astype(_mld.bfloat16)
+    from biapy_tpu.data.norm import compute_norm_stats
+
+    norm_spec = {"type": "div", "percentile_clip": False, "out_dtype": "float32"}
 
     def slab_view(z0, z1):
         h0, h1 = max(0, z0 - halo), min(vol_shape[0], z1 + halo)
@@ -197,9 +201,10 @@ def main():
 
         for k, (z0, z1) in enumerate(slab_bounds):
             sp = splits_for(z0, z1)
+            slab = slab_view(z0, z1)
             chunks = wf.predict_block_on_device(
-                slab_view(z0, z1), device=devices[k % len(devices)], sync=False,
-                out_splits=sp)
+                slab, device=devices[k % len(devices)], sync=False,
+                out_splits=sp, norm_stats=compute_norm_stats(slab, norm_spec))
             for (c0, _), chunk in zip(sp, chunks):
                 t = threading.Thread(target=pull, args=(z0 + c0 - halo, chunk))
                 t.start()
@@ -269,9 +274,10 @@ def main():
         outs = []
         for k, (z0, z1) in enumerate(slab_bounds):
             sp = splits_for(z0, z1)
+            slab = slab_view(z0, z1)
             outs.extend(wf.predict_block_on_device(
-                slab_view(z0, z1), device=devices[k % len(devices)], sync=False,
-                out_splits=sp))
+                slab, device=devices[k % len(devices)], sync=False,
+                out_splits=sp, norm_stats=compute_norm_stats(slab, norm_spec)))
         jax.block_until_ready(outs)
 
     run_compute_only()  # warm (compiled already; first run absorbs layout)

@@ -146,6 +146,99 @@ def _np_dtype(name):
     return np.dtype(name)
 
 
+def compute_norm_stats(img: np.ndarray, spec: Dict[str, Any]) -> Dict[str, Any]:
+    """Compute the normalization stats of ``normalize_image`` WITHOUT
+    materializing the normalized float copy.
+
+    Used by the by-chunks device-normalization path: the host reads the raw
+    (usually uint8/uint16) block, computes the per-channel stats here, and
+    ships the raw bytes to the chip where cast + clip + affine fuse into one
+    elementwise kernel (half/quarter the H2D bytes of a pre-normalized
+    block on the bandwidth-capped transports this framework targets).
+    The returned dict is interchangeable with ``normalize_image``'s stats:
+    passing it back to ``normalize_image(img, spec, stats)`` reproduces the
+    host-normalized block bit-for-bit (module tests pin this).
+    """
+    assert img.ndim >= 3, "expected channels-last image (y,x,c) or (z,y,x,c)"
+    c = img.shape[-1]
+    ntype = spec["type"]
+    stats: Dict[str, Any] = {"type": ntype, "orig_dtype": str(img.dtype),
+                             "channels": [{} for _ in range(c)]}
+    clip = bool(spec.get("percentile_clip"))
+    if clip:
+        low_v = _per_channel(img, spec.get("lower_value"))
+        up_v = _per_channel(img, spec.get("upper_value"))
+        for ci in range(c):
+            ch = img[..., ci]
+            lo = low_v[ci] if low_v else float(np.percentile(ch, spec.get("lower_perc", 2.0)))
+            hi = up_v[ci] if up_v else float(np.percentile(ch, spec.get("upper_perc", 98.0)))
+            stats["channels"][ci]["clip_low"] = lo
+            stats["channels"][ci]["clip_high"] = hi
+    if ntype in ("div", "scale_range"):
+        for ci in range(c):
+            ch = img[..., ci]
+            s = stats["channels"][ci]
+            cmin, cmax = float(ch.min()), float(ch.max())
+            if clip:
+                # clipping is monotonic: min/max of the clipped data are the
+                # clipped min/max — no clipped copy needed
+                cmin = float(np.clip(cmin, s["clip_low"], s["clip_high"]))
+                cmax = float(np.clip(cmax, s["clip_low"], s["clip_high"]))
+            if ntype == "scale_range":
+                s["min"], s["max"] = cmin, cmax
+            else:
+                if cmin == 0.0 and cmax == 1.0:
+                    s["min"], s["max"] = 0.0, 1.0
+                else:
+                    s["min"] = 0.0
+                    s["max"] = 65535.0 if cmax > 255 else 255.0
+    elif ntype in ("zero_mean_unit_var", "zero_mean_unit_variance"):
+        mean_v = _per_channel(img, spec.get("mean"))
+        std_v = _per_channel(img, spec.get("std"))
+        for ci in range(c):
+            s = stats["channels"][ci]
+            if mean_v and std_v:
+                s["mean"], s["std"] = mean_v[ci], std_v[ci]
+                continue
+            ch = img[..., ci]
+            if clip:
+                # mean/std are over the clipped values: match
+                # normalize_image's float32 pipeline exactly
+                ch = np.clip(ch.astype(np.float32),
+                             s["clip_low"], s["clip_high"])
+            elif ch.dtype != np.float32:
+                ch = ch.astype(np.float32)
+            s["mean"] = mean_v[ci] if mean_v else float(ch.mean())
+            s["std"] = std_v[ci] if std_v else float(ch.std())
+    elif ntype != "none":
+        raise ValueError(f"Unknown normalization type: {ntype}")
+    return stats
+
+
+def stats_to_affine(stats: Dict[str, Any]):
+    """Flatten a stats dict into per-channel ``(lo, hi, sub, div)`` float32
+    arrays so the device applies ``(clip(x, lo, hi) - sub) / div`` — the
+    exact ``normalize_image`` value transform — inside the jitted program.
+    Channels without clipping get ±inf bounds (the fused clip is free)."""
+    chans = stats["channels"]
+    c = len(chans)
+    lo = np.full(c, -np.inf, np.float32)
+    hi = np.full(c, np.inf, np.float32)
+    sub = np.zeros(c, np.float32)
+    div = np.ones(c, np.float32)
+    ntype = stats["type"]
+    for ci, s in enumerate(chans):
+        if "clip_low" in s:
+            lo[ci], hi[ci] = s["clip_low"], s["clip_high"]
+        if ntype in ("div", "scale_range"):
+            sub[ci] = s["min"]
+            div[ci] = max(s["max"] - s["min"], 1e-6)
+        elif ntype in ("zero_mean_unit_var", "zero_mean_unit_variance"):
+            sub[ci] = s["mean"]
+            div[ci] = max(s["std"], 1e-6)
+    return lo, hi, sub, div
+
+
 def denormalize(img: np.ndarray, stats: Dict[str, Any]) -> np.ndarray:
     """Invert ``normalize_image`` (reference: undo_image_norm, norm.py:634).
 

@@ -590,14 +590,22 @@ class Base_Workflow(metaclass=ABCMeta):
                                 overlap: Optional[Sequence[float]] = None,
                                 padding: Optional[Sequence[int]] = None,
                                 device=None, sync: bool = True,
-                                out_splits=None) -> Optional[np.ndarray]:
+                                out_splits=None,
+                                norm_stats=None) -> Optional[np.ndarray]:
         """Whole-block sliding-window inference as ONE jitted program: the
         block lives in HBM, a lax.scan walks the patch grid, the model runs
         on the MXU (bf16 when TEST.REDUCE_MEMORY) and spline-blended patches
         scatter-add into the output — host transfers are one block in, one
         result out (vs the reference's per-patch GPU round-trips). Returns
         None when the device path doesn't apply (TTA on) so callers fall
-        back to the host crop/merge path."""
+        back to the host crop/merge path.
+
+        ``norm_stats`` (a ``compute_norm_stats`` dict) moves normalization
+        INTO the jitted program: the caller ships the RAW block (uint8 EM
+        data travels at 1 byte/voxel instead of 2–4 pre-normalized) and the
+        device fuses cast + clip + affine into one elementwise kernel ahead
+        of the stitch. The transform is exactly ``normalize_image``'s
+        (reference norm.py:38) with the same per-channel stats."""
         if self.cfg.TEST.AUGMENTATION:
             return None  # representation-aware TTA runs on the host path
         # workflows with exotic forward logic (e.g. SSL/MAE masking) keep
@@ -647,8 +655,9 @@ class Base_Workflow(metaclass=ABCMeta):
         # cache the jitted stitch per geometry — a fresh trace per block would
         # recompile (~30s on the tunnel) for every tile/image
         splits = tuple(tuple(s) for s in out_splits) if out_splits is not None else None
+        dev_norm = norm_stats is not None
         key = (tuple(block_n.shape), str(block_n.dtype), ov, pad, bs,
-               reduce_mem, splits, bool(cfg.DATA.TEST.MEDIAN_PADDING))
+               reduce_mem, splits, bool(cfg.DATA.TEST.MEDIAN_PADDING), dev_norm)
         cache = getattr(self, "_stitch_cache", None)
         if cache is None:
             cache = self._stitch_cache = {}
@@ -656,16 +665,40 @@ class Base_Workflow(metaclass=ABCMeta):
         if runner is None:
             out_dt = jnp.bfloat16 if reduce_mem else jnp.float32
             pad_mode = "median" if cfg.DATA.TEST.MEDIAN_PADDING else "reflect"
-            runner = jax.jit(lambda v, vol: sliding_window_inference(
-                apply_fn, v, vol, patch, ov, pad,
-                out_channels=sum(chans), batch_size=bs, out_dtype=out_dt,
-                out_splits=splits, pad_mode=pad_mode))
+            if dev_norm:
+                # normalization stats travel as runtime (C,)-arrays — new
+                # tiles with different stats reuse the compiled program. The
+                # uint8->f32->clip->affine->bf16 chain fuses into a single
+                # elementwise kernel; the volume is stored in HBM already at
+                # the compute width.
+                vol_dt = jnp.bfloat16 if reduce_mem else jnp.float32
+
+                def _run(v, vol, lo, hi, sub, div):
+                    x = jnp.clip(vol.astype(jnp.float32), lo, hi)
+                    x = ((x - sub) / div).astype(vol_dt)
+                    return sliding_window_inference(
+                        apply_fn, v, x, patch, ov, pad,
+                        out_channels=sum(chans), batch_size=bs, out_dtype=out_dt,
+                        out_splits=splits, pad_mode=pad_mode)
+
+                runner = jax.jit(_run)
+            else:
+                runner = jax.jit(lambda v, vol: sliding_window_inference(
+                    apply_fn, v, vol, patch, ov, pad,
+                    out_channels=sum(chans), batch_size=bs, out_dtype=out_dt,
+                    out_splits=splits, pad_mode=pad_mode))
             cache[key] = runner
         # Zero host-side dtype work: a bfloat16 block ships as a pure memcpy
         # and anything else ships in its native width and casts ON DEVICE —
         # two host astype passes over a 100+ MB slab cost more than the wider
         # H2D, and the device cast overlaps earlier slabs' compute. (bf16
         # still halves HBM for the volume under REDUCE_MEMORY.)
+        if dev_norm:
+            from biapy_tpu.data.norm import stats_to_affine
+
+            norm_args = tuple(jnp.asarray(a) for a in stats_to_affine(norm_stats))
+        else:
+            norm_args = ()
         block_j = block_n
         if device is not None:
             # tile parallelism across local chips: computation follows the
@@ -681,14 +714,18 @@ class Base_Workflow(metaclass=ABCMeta):
                 vd = jax.device_put(variables, device)
                 vcache["devices"][device] = vd
             blk = jax.device_put(block_j, device)
-            if reduce_mem and blk.dtype != jnp.bfloat16:
+            if not dev_norm and reduce_mem and blk.dtype != jnp.bfloat16:
                 blk = blk.astype(jnp.bfloat16)  # runs on `device` (committed)
-            out = runner(vd, blk)
+            if dev_norm:
+                na = tuple(jax.device_put(a, device) for a in norm_args)
+                out = runner(vd, blk, *na)
+            else:
+                out = runner(vd, blk)
         else:
             blk = jnp.asarray(block_j)
-            if reduce_mem and blk.dtype != jnp.bfloat16:
+            if not dev_norm and reduce_mem and blk.dtype != jnp.bfloat16:
                 blk = blk.astype(jnp.bfloat16)
-            out = runner(variables, blk)
+            out = runner(variables, blk, *norm_args)
         if not sync:
             return out
         if splits is not None:
@@ -776,9 +813,20 @@ class Base_Workflow(metaclass=ABCMeta):
             return {"pred": merged}
 
         img, gt = self.before_test_sample(img, gt, fname)
-        img_n, stats = normalize_image(img, self.test_norm_spec)
+        # Stats from the raw bytes; the device path ships the RAW image and
+        # normalizes inside the jitted program (cast+clip+affine fuse into
+        # one kernel — uint8 travels at 1 byte/voxel). Host fallbacks
+        # (TTA/SR/FULL_IMG) normalize lazily with the same stats.
+        from biapy_tpu.data.norm import compute_norm_stats
+
+        stats = compute_norm_stats(img, self.test_norm_spec)
+        img_n = None
+
+        def _norm():
+            return normalize_image(img, self.test_norm_spec, stats=stats)[0]
 
         if cfg.TEST.FULL_IMG and not self.is_3d:
+            img_n = _norm()
             # whole-image forward (reference: TEST.FULL_IMG / after_full_image,
             # base_workflow.py:2401): pad to a stride-safe multiple, one pass.
             mult = 64
@@ -804,9 +852,13 @@ class Base_Workflow(metaclass=ABCMeta):
         merged = None
         if all(u == 1 for u in up):
             # fast path: the whole image stitches in one jitted program on
-            # the device (ops/stitch.py); TTA/SR fall back to host crop/merge
-            merged = self.predict_block_on_device(img_n, overlap=ov, padding=pad)
+            # the device (ops/stitch.py), normalization included — the raw
+            # image ships narrow; TTA/SR fall back to host crop/merge
+            merged = self.predict_block_on_device(img, overlap=ov, padding=pad,
+                                                  norm_stats=stats)
         if merged is None:
+            if img_n is None:
+                img_n = _norm()
             patches, _ = crop_data_with_overlap(
                 img_n[None], crop_shape, overlap=ov, padding=pad,
                 pad_type="median" if cfg.DATA.TEST.MEDIAN_PADDING else "reflect")

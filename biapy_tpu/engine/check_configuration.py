@@ -984,6 +984,44 @@ def check_configuration(cfg, job_identifier: str = "job",
                         req(cset == {"Db"},
                             "'Db' must be the only channel when val_type is "
                             "'discretize'")
+                    # fine-grained value checks (reference typed asserts,
+                    # check_configuration.py:1615-1695)
+                    if isinstance(val, dict):
+                        if str(key) == "Db" and "val_type" in val:
+                            req(str(val["val_type"]) in ("raw", "norm",
+                                                         "discretize", "omnipose"),
+                                "Db val_type must be raw/norm/discretize/omnipose")
+                        if str(key) in ("P", "Dc") and "type" in val:
+                            req(str(val["type"]) in ("centroid", "skeleton"),
+                                f"'{key}' type must be 'centroid' or 'skeleton'")
+                        if str(key) == "R" and "nrays" in val:
+                            req(isinstance(val["nrays"], int) and val["nrays"] >= 1,
+                                "R nrays must be an int >= 1")
+                        if str(key) == "T" and "thickness" in val:
+                            req(isinstance(val["thickness"], int)
+                                and val["thickness"] >= 1,
+                                "T thickness must be an int >= 1")
+                        if str(key).startswith("E") and "center_mode" in val:
+                            req(str(val["center_mode"]) in ("medoid", "centroid"),
+                                "E center_mode must be 'medoid' or 'centroid'")
+                        if str(key) == "A":
+                            affs = (("z_affinities", "y_affinities", "x_affinities")
+                                    if is_3d else ("y_affinities", "x_affinities"))
+                            lens = []
+                            for ax in affs:
+                                if ax in val:
+                                    ok = (isinstance(val[ax], (list, tuple))
+                                          and all(isinstance(v, int) and v > 0
+                                                  for v in val[ax]))
+                                    req(ok, f"A {ax} must be a list of "
+                                        "positive ints")
+                                    lens.append(len(val[ax]))
+                            req(len(set(lens)) <= 1,
+                                "A affinity lists must have the same length")
+                            if "widen_borders" in val:
+                                req(isinstance(val["widen_borders"], int)
+                                    and val["widen_borders"] >= 0,
+                                    "A widen_borders must be an int >= 0")
             losses = list(cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNELS_LOSSES)
             if losses:
                 req(len(losses) == len([c for c in chans if c not in ("We", "I")]),

@@ -223,18 +223,28 @@ class ChunkedInference:
                     if roi_core.all():
                         roi_core = None
                 region = tuple(slice(t.halo_start[d], t.halo_end[d]) for d in range(self.nd))
-                block = np.asarray(vol[region]).astype(np.float32)
+                block = np.asarray(vol[region])
                 if not has_c:
                     block = block[..., None]
-                from biapy_tpu.data.norm import normalize_image
+                from biapy_tpu.data.norm import compute_norm_stats, normalize_image
 
-                block_n, _ = normalize_image(
-                    block, getattr(self.wf, "test_norm_spec", self.wf.norm_spec))
+                # Normalization runs ON DEVICE: the host computes the
+                # per-tile stats from the raw bytes (one narrow-dtype read)
+                # and ships the block in its storage dtype — uint8 EM data
+                # travels at 1 byte/voxel, a quarter of the old
+                # host-normalized float32 (reference normalizes per patch on
+                # host, chunked_test_pair_data_generator.py:524).
+                spec = getattr(self.wf, "test_norm_spec", self.wf.norm_spec)
+                stats = compute_norm_stats(block, spec)
                 dev_pred = self.wf.predict_block_on_device(
-                    block_n, overlap=self.overlap, padding=self.padding,
-                    device=devices[dispatched % len(devices)], sync=False)
+                    block, overlap=self.overlap, padding=self.padding,
+                    device=devices[dispatched % len(devices)], sync=False,
+                    norm_stats=stats)
                 dispatched += 1
                 if dev_pred is None:
+                    # host (TTA) fallback: same stats -> identical values
+                    block_n, _ = normalize_image(
+                        block.astype(np.float32), spec, stats=stats)
                     drain((t, self._predict_block(block_n), roi_core))
                 else:
                     inflight.append((t, dev_pred, roi_core))

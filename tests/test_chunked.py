@@ -326,7 +326,7 @@ def test_by_chunks_roi_skips_tiles(tmp_path):
             self.calls = 0
 
         def predict_block_on_device(self, block, overlap=None, padding=None,
-                                    device=None, sync=False):
+                                    device=None, sync=False, norm_stats=None):
             self.calls += 1
             return block
 
@@ -403,7 +403,7 @@ def test_by_chunks_axes_order_cyx(tmp_path):
         norm_spec = {"type": "none", "percentile_clip": False, "out_dtype": "float32"}
 
         def predict_block_on_device(self, block, overlap=None, padding=None,
-                                    device=None, sync=False):
+                                    device=None, sync=False, norm_stats=None):
             return block
 
     rng = np.random.default_rng(1)
@@ -475,7 +475,7 @@ def test_by_chunks_default_axes_channels_last(tmp_path):
         norm_spec = {"type": "none", "percentile_clip": False, "out_dtype": "float32"}
 
         def predict_block_on_device(self, block, overlap=None, padding=None,
-                                    device=None, sync=False):
+                                    device=None, sync=False, norm_stats=None):
             return block
 
     rng = np.random.default_rng(2)

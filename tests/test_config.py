@@ -1,4 +1,5 @@
 import glob
+import os
 
 import pytest
 import yaml
@@ -87,6 +88,27 @@ def test_all_reference_templates_merge(template):
         with pytest.raises(ValueError, match="not divisible"):
             check_configuration(cfg, "run1")
         return
+    check_configuration(cfg, "run1")
+
+
+OWN_TEMPLATES = sorted(glob.glob(
+    os.path.join(os.path.dirname(__file__), "..", "templates", "**", "*.yaml"),
+    recursive=True))
+
+
+@pytest.mark.parametrize("template", OWN_TEMPLATES,
+                         ids=lambda t: t.split("templates/")[-1])
+def test_shipped_templates_validate(template):
+    """Every starter template this repo ships must merge and pass full
+    validation — they are the first thing a new user runs."""
+    from biapy_tpu.config.config import update_dependencies
+    from biapy_tpu.engine.check_configuration import check_configuration
+
+    assert OWN_TEMPLATES, "templates/ must ship starter configs"
+    cfg = get_cfg_defaults("/tmp/job", "run1")
+    raw = yaml.safe_load(open(template)) or {}
+    cfg.merge_from_dict(convert_old_model_cfg_to_current_version(raw))
+    update_dependencies(cfg, "/tmp/job", "run1")
     check_configuration(cfg, "run1")
 
 
@@ -353,6 +375,44 @@ def test_validation_rejects(bad, msg_frag):
     ({"DATA": {"TRAIN": {"INPUT_ZARR_MULTIPLE_DATA": True}},
       "PROBLEM": {"NDIM": "3D"}, "_patch4": True},
      "INPUT_ZARR_MULTIPLE_DATA_RAW_PATH"),
+    # -- extra-opts fine-grained value checks (ref:1615-1695) --
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["Db"],
+                                   "DATA_CHANNELS_EXTRA_OPTS": [
+                                       {"Db": {"val_type": "banana"}}]}}},
+     "val_type"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "P"],
+                                   "DATA_CHANNELS_EXTRA_OPTS": [
+                                       {"P": {"type": "corner"}}]}}},
+     "'centroid' or 'skeleton'"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["Db", "R"],
+                                   "DATA_CHANNELS_EXTRA_OPTS": [
+                                       {"R": {"nrays": 0}}]}}},
+     "nrays"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C", "T"],
+                                   "DATA_CHANNELS_EXTRA_OPTS": [
+                                       {"T": {"thickness": 0}}]}}},
+     "thickness"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["E_offset"],
+                                   "DATA_CHANNELS_EXTRA_OPTS": [
+                                       {"E_offset": {"center_mode": "corner"}}]}}},
+     "center_mode"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "3D",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["A"],
+                                   "DATA_CHANNELS_EXTRA_OPTS": [
+                                       {"A": {"z_affinities": [1, 2],
+                                              "y_affinities": [1, 2],
+                                              "x_affinities": [1]}}]}},
+      "_3d": True}, "same length"),
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "3D",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["A"],
+                                   "DATA_CHANNELS_EXTRA_OPTS": [
+                                       {"A": {"widen_borders": -2}}]}},
+      "_3d": True}, "widen_borders"),
 ])
 def test_validation_rejects_round2(bad, msg_frag):
     from biapy_tpu.config.config import get_cfg_defaults

@@ -148,6 +148,42 @@ def test_norm_percentile_clip():
     assert stats["channels"][0]["clip_high"] < 1e6
 
 
+@pytest.mark.parametrize("ntype", ["div", "scale_range", "zero_mean_unit_var"])
+@pytest.mark.parametrize("clip", [False, True])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_compute_norm_stats_matches_normalize_image(ntype, clip, dtype):
+    """The raw-bytes stats pass (device-side normalization, by-chunks path)
+    must produce the exact stats normalize_image computes on the float copy,
+    and applying the flattened affine must reproduce normalize_image's
+    values (so shipping raw + on-device clip/affine is numerically the
+    host-normalized block)."""
+    from biapy_tpu.data.norm import compute_norm_stats, stats_to_affine
+
+    rng = np.random.default_rng(3)
+    hi = 255 if dtype == np.uint8 else 60000
+    img = rng.integers(0, hi, (20, 24, 2)).astype(dtype)
+    spec = {"type": ntype, "percentile_clip": clip, "out_dtype": "float32"}
+    if clip:
+        spec.update({"lower_perc": 2.0, "upper_perc": 98.0,
+                     "lower_value": None, "upper_value": None})
+
+    ref_out, ref_stats = normalize_image(img, spec)
+    stats = compute_norm_stats(img, spec)
+    for cs, rs in zip(stats["channels"], ref_stats["channels"]):
+        assert set(cs) == set(rs)
+        for k in cs:
+            np.testing.assert_allclose(cs[k], rs[k], rtol=1e-5, atol=1e-5)
+
+    # reusing the raw-pass stats in normalize_image reproduces the block
+    out2, _ = normalize_image(img, spec, stats=stats)
+    np.testing.assert_allclose(out2, ref_out, rtol=1e-5, atol=1e-6)
+
+    # the flattened affine IS the value transform
+    lo, hi_a, sub, div = stats_to_affine(stats)
+    man = (np.clip(img.astype(np.float32), lo, hi_a) - sub) / div
+    np.testing.assert_allclose(man, ref_out, rtol=1e-5, atol=1e-6)
+
+
 def test_normalize_mask():
     m = np.zeros((8, 8, 1), dtype=np.uint8)
     m[2:4] = 255

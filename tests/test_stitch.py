@@ -80,6 +80,40 @@ def test_batch_padding_does_not_skew_blend(batch_size):
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
+def test_device_norm_matches_host_norm(tmp_path):
+    """predict_block_on_device(raw, norm_stats=...) — the by-chunks path
+    that ships raw uint8 and normalizes inside the jitted program — must
+    equal the host-normalized float path (same stats, same transform)."""
+    from biapy_tpu.config.config import Config
+    from biapy_tpu.data.norm import compute_norm_stats, normalize_image
+    from biapy_tpu.engine.semantic_seg import Semantic_Segmentation_Workflow
+
+    c = Config(".", "t")
+    cfg = c.get_cfg_defaults()
+    cfg.merge_from_dict({
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (32, 32, 1),
+                 "NORMALIZATION": {"TYPE": "zero_mean_unit_var"},
+                 "TRAIN": {"PATH": str(tmp_path), "GT_PATH": str(tmp_path)},
+                 "TEST": {"PATH": str(tmp_path), "PADDING": (4, 4)}},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16],
+                  "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [2, 2],
+                  "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},
+        "TEST": {"ENABLE": True, "REDUCE_MEMORY": False},
+    })
+    wf = Semantic_Segmentation_Workflow(cfg, "t", verbose=False)
+    raw = np.random.default_rng(5).integers(0, 255, (64, 64, 1)).astype(np.uint8)
+    spec = wf.test_norm_spec
+    stats = compute_norm_stats(raw, spec)
+
+    img_n, _ = normalize_image(raw, spec, stats=stats)
+    host = wf.predict_block_on_device(img_n, overlap=(0.0, 0.0), padding=(4, 4))
+    dev = wf.predict_block_on_device(raw, overlap=(0.0, 0.0), padding=(4, 4),
+                                     norm_stats=stats)
+    assert dev is not None and host is not None
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
+
+
 def test_reduce_memory_bf16_block_through_device_path(tmp_path):
     """TEST.REDUCE_MEMORY plumbs bfloat16 into the test norm spec so the
     block ships half-width and predict_block_on_device's device cast is a
