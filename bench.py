@@ -102,22 +102,36 @@ def main():
     # from big to small and fall back on ResourceExhausted.
     candidates = [(128, 276, 276), (128, 276, 148), (128, 148, 148),
                   (128, 128, 128)]
+    env_patch = None
     if os.environ.get("BIAPY_TPU_BENCH_PATCH"):
-        candidates = [tuple(int(v) for v in
-                            os.environ["BIAPY_TPU_BENCH_PATCH"].split(","))] + candidates
+        env_patch = tuple(int(v) for v in
+                          os.environ["BIAPY_TPU_BENCH_PATCH"].split(","))
     # a geometry that measured successfully on this machine before is the
     # best first guess — its probe succeeds in one compile; contended-chip
-    # probe timeouts otherwise burn minutes before any measurement
+    # probe timeouts otherwise burn minutes before any measurement. A
+    # geometry that recently FAILED here (OOM/timeout on the shared chip)
+    # is skipped for 48h: each failing probe costs up to 5 min of wall
+    # clock, and the HBM squat that killed it rarely clears between runs.
     geom_cache = os.path.join(cache, "bench_geom.json")
+    geom_state = {}
     try:
         with open(geom_cache) as f:
-            prev = tuple(json.load(f)["patch"])
+            geom_state = json.load(f)
+        prev = tuple(geom_state.get("patch", ()))
         if prev in candidates[:-1]:
             # never pin the smallest: a one-off contended run must not lock
             # future runs out of the larger geometries
             candidates = [prev] + [c for c in candidates if c != prev]
+        now = time.time()
+        stale = [tuple(p) for p, ts in geom_state.get("failed", [])
+                 if now - ts < 48 * 3600]
+        candidates = [c for c in candidates
+                      if c not in stale or c == candidates[-1]]
     except (OSError, ValueError, KeyError):
         pass
+    if env_patch is not None:
+        # an explicit request always probes first, recent failure or not
+        candidates = [env_patch] + [c for c in candidates if c != env_patch]
 
     def build(patch):
         cfg = {
@@ -232,26 +246,37 @@ def main():
     import subprocess
 
     wf = None
+    failed = [[list(p), ts] for p, ts in geom_state.get("failed", [])]
     for patch in candidates:
         if patch == candidates[-1]:
             break  # smallest always fits; don't pay a probe for it
+        oom = False
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__),
                                 "--probe", ",".join(map(str, patch))],
                                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
                                timeout=int(os.environ.get("BIAPY_TPU_PROBE_TIMEOUT", "300")))
             ok = r.returncode == 0
+            oom = r.returncode == 3
         except subprocess.TimeoutExpired:
             ok = False  # hung compile/transfer counts as unusable
         if ok:
             break
-        print(f"patch={patch} unusable (OOM/timeout), falling back", file=sys.stderr)
+        if oom:
+            # only a REAL ResourceExhausted is remembered — a timeout may
+            # just be host-CPU contention slowing the compile and must not
+            # blacklist a good geometry for later solo runs
+            failed = [f for f in failed if tuple(f[0]) != patch]
+            failed.append([list(patch), time.time()])
+        print(f"patch={patch} unusable ({'OOM' if oom else 'timeout'}), "
+              "falling back", file=sys.stderr)
     # candidates are ordered big->small; a smaller geometry never OOMs after
-    # a bigger one failed, so remember the winner for the next run's probe
+    # a bigger one failed, so remember the winner (and the recent failures,
+    # which are skipped for 48h) for the next run's probe
     print(f"bench geometry: patch={patch}", file=sys.stderr)
     try:
         with open(geom_cache, "w") as f:
-            json.dump({"patch": list(patch)}, f)
+            json.dump({"patch": list(patch), "failed": failed}, f)
     except OSError:
         pass
     wf = build(patch)
