@@ -195,11 +195,12 @@ def main():
     n_streams = int(os.environ.get("BIAPY_TPU_D2H_STREAMS", "32"))
 
     def splits_for(z0, z1):
-        # halo-cropped, chunked INSIDE the jitted program: each chunk is its
-        # own output buffer, so D2H threads can pull slab k while slab k+1
-        # computes (a post-hoc device slice would queue behind that compute)
+        # chunked INSIDE the jitted program: each chunk is its own output
+        # buffer, so D2H threads can pull slab k while slab k+1 computes (a
+        # post-hoc device slice would queue behind that compute). The slab is
+        # pre_padded in z, so the output extent IS the core — no halo offset.
         core = z1 - z0
-        b = np.linspace(halo, halo + core, n_streams + 1).astype(int)
+        b = np.linspace(0, core, n_streams + 1).astype(int)
         return [(int(b[i]), int(b[i + 1])) for i in range(n_streams) if b[i] < b[i + 1]]
 
     def run_once(wf):
@@ -218,9 +219,10 @@ def main():
             slab = slab_view(z0, z1)
             chunks = wf.predict_block_on_device(
                 slab, device=devices[k % len(devices)], sync=False,
-                out_splits=sp, norm_stats=compute_norm_stats(slab, norm_spec))
+                out_splits=sp, norm_stats=compute_norm_stats(slab, norm_spec),
+                pre_padded=(True, False, False))
             for (c0, _), chunk in zip(sp, chunks):
-                t = threading.Thread(target=pull, args=(z0 + c0 - halo, chunk))
+                t = threading.Thread(target=pull, args=(z0 + c0, chunk))
                 t.start()
                 drains.append(t)
         for t in drains:
@@ -302,7 +304,8 @@ def main():
             slab = slab_view(z0, z1)
             outs.extend(wf.predict_block_on_device(
                 slab, device=devices[k % len(devices)], sync=False,
-                out_splits=sp, norm_stats=compute_norm_stats(slab, norm_spec)))
+                out_splits=sp, norm_stats=compute_norm_stats(slab, norm_spec),
+                pre_padded=(True, False, False)))
         jax.block_until_ready(outs)
 
     run_compute_only()  # warm (compiled already; first run absorbs layout)
