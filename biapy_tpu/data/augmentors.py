@@ -92,13 +92,16 @@ def affine_2d(
     return img_out, mask_out
 
 
-def rot90(img, mask, rng):
-    k = int(rng.integers(1, 4))
+def rot90_k(img, mask, k: int):
     axes = (-3, -2)
     img = np.rot90(img, k, axes=axes).copy()
     if mask is not None:
         mask = np.rot90(mask, k, axes=axes).copy()
     return img, mask
+
+
+def rot90(img, mask, rng):
+    return rot90_k(img, mask, int(rng.integers(1, 4)))
 
 
 def flip(img, mask, axis: int):
@@ -466,20 +469,41 @@ class AugmentorPipeline:
     into a single resampling, config.py:1104-1110).
     """
 
-    def __init__(self, cfg, ndim: int = 2):
+    def __init__(self, cfg, ndim: int = 2, channel_handler=None):
         self.a = cfg.AUGMENTOR
         self.ndim = ndim
+        # TrainChannelHandler (data/tta.py): representation-aware geometric
+        # handling of compiled instance channels — exact remap for flips /
+        # rot90, regeneration from the carried label column for resampling
+        # transforms (reference: pair_base_data_generator.py:1567).
+        self.handler = channel_handler
+
+    def _mask_geom(self, mask, t, needs_regen: bool) -> bool:
+        """Fix mask channel CONTENTS after orthogonal transform ``t`` was
+        applied spatially. Returns the updated needs_regen flag."""
+        h = self.handler
+        if h is None or mask is None:
+            return needs_regen
+        if h.supports(t):
+            h.remap_forward(mask, t)
+            return needs_regen
+        return True  # e.g. 3D rays under rot90: only regeneration is exact
 
     def __call__(self, img, mask, rng: np.random.Generator):
         a = self.a
         if not a.ENABLE:
             return img, mask
+        h = self.handler
+        needs_regen = False
+        affine_mode = (h.affine_mode if h is not None and h.affine_mode
+                       else a.AFFINE_MODE)
 
         # -- composed affine pass -------------------------------------------
         zoom = rot = shear = shift = None
         if a.ZOOM and rng.random() < a.ZOOM_PROB:
             if self.ndim == 3 and a.ZOOM_IN_Z:
                 img, mask = zoom_3d_z(img, mask, rng, a.ZOOM_RANGE)
+                needs_regen = mask is not None
             else:
                 f = _rand_range(rng, a.ZOOM_RANGE)
                 zoom = (f, f)
@@ -491,18 +515,41 @@ class AugmentorPipeline:
             s = _rand_range(rng, a.SHIFT_RANGE)
             shift = (s * rng.choice([-1, 1]), s * rng.choice([-1, 1]))
         if any(v is not None for v in (zoom, rot, shear, shift)):
-            img, mask = affine_2d(img, mask, rng, zoom, rot, shear, shift, a.AFFINE_MODE)
+            img, mask = affine_2d(img, mask, rng, zoom, rot, shear, shift, affine_mode)
+            needs_regen = mask is not None
 
         if a.ROT90 and rng.random() < a.ROT90_PROB:
-            img, mask = rot90(img, mask, rng)
+            k = int(rng.integers(1, 4))
+            img, mask = rot90_k(img, mask, k)
+            if h is not None and mask is not None:
+                from biapy_tpu.data.tta import rot90_transform
+
+                needs_regen = self._mask_geom(
+                    mask, rot90_transform(k, self.ndim), needs_regen)
         if a.VFLIP and rng.random() < a.VFLIP_PROB:
             img, mask = flip(img, mask, -3)
+            if h is not None and mask is not None:
+                from biapy_tpu.data.tta import flip_transform
+
+                needs_regen = self._mask_geom(
+                    mask, flip_transform(self.ndim - 2, self.ndim), needs_regen)
         if a.HFLIP and rng.random() < a.HFLIP_PROB:
             img, mask = flip(img, mask, -2)
+            if h is not None and mask is not None:
+                from biapy_tpu.data.tta import flip_transform
+
+                needs_regen = self._mask_geom(
+                    mask, flip_transform(self.ndim - 1, self.ndim), needs_regen)
         if self.ndim == 3 and a.ZFLIP and rng.random() < a.ZFLIP_PROB:
             img, mask = flip(img, mask, 0)
+            if h is not None and mask is not None:
+                from biapy_tpu.data.tta import flip_transform
+
+                needs_regen = self._mask_geom(
+                    mask, flip_transform(0, self.ndim), needs_regen)
         if a.ELASTIC and rng.random() < a.ELASTIC_PROB:
             img, mask = elastic(img, mask, rng, a.E_ALPHA, a.E_SIGMA, a.E_MODE)
+            needs_regen = needs_regen or mask is not None
 
         # -- image-only ops ----------------------------------------------------
         if a.G_BLUR and rng.random() < a.G_BLUR_PROB:
@@ -522,12 +569,14 @@ class AugmentorPipeline:
         if a.CUTOUT and rng.random() < a.CUTOUT_PROB:
             img, mask = cutout(img, mask, rng, a.COUT_NB_ITERATIONS, a.COUT_SIZE,
                                a.COUT_CVAL, a.COUT_APPLY_TO_MASK)
+            needs_regen = needs_regen or (a.COUT_APPLY_TO_MASK and mask is not None)
         if a.CUTBLUR and rng.random() < a.CUTBLUR_PROB:
             img = cutblur(img, rng, a.CBLUR_SIZE, a.CBLUR_DOWN_RANGE, a.CBLUR_INSIDE)
         if a.CUTNOISE and rng.random() < a.CUTNOISE_PROB:
             img = cutnoise(img, rng, a.CNOISE_SCALE, a.CNOISE_NB_ITERATIONS, a.CNOISE_SIZE)
         if self.ndim == 3 and a.MISALIGNMENT and rng.random() < a.MISALIGNMENT_PROB:
             img, mask = misalignment(img, mask, rng, a.MS_DISPLACEMENT, a.MS_ROTATE_RATIO)
+            needs_regen = needs_regen or mask is not None
         if self.ndim == 3 and a.MISSING_SECTIONS and rng.random() < a.MISSING_SECTIONS_PROB:
             img = missing_sections(img, rng, a.MISSP_ITERATIONS, a.MISSP_CHANNEL_PB)
         if a.GRAYSCALE and rng.random() < a.GRAYSCALE_PROB:
@@ -547,6 +596,8 @@ class AugmentorPipeline:
             img = pepper(img, rng, a.PEPPER_AMOUNT)
         if a.SALT_AND_PEPPER and rng.random() < a.SALT_AND_PEPPER_PROB:
             img = salt_and_pepper(img, rng, a.SALT_AND_PEPPER_AMOUNT, a.SALT_AND_PEPPER_PROP)
+        if needs_regen and h is not None and mask is not None and h.can_regen:
+            mask = h.regen(np.ascontiguousarray(mask, dtype=np.float32))
         return img, mask
 
     @property
@@ -555,5 +606,11 @@ class AugmentorPipeline:
 
     def maybe_cutmix(self, img_a, mask_a, img_b, mask_b, rng):
         if self.a.CUTMIX and rng.random() < self.a.CUTMIX_PROB:
-            return cutmix(img_a, img_b, mask_a, mask_b, rng, self.a.CMIX_SIZE)
+            img_a, mask_a = cutmix(img_a, img_b, mask_a, mask_b, rng, self.a.CMIX_SIZE)
+            # the pasted box severs instance channels at its border —
+            # recompile from the combined label column (reference regenerates
+            # after every transform, pair_base_data_generator.py:1567)
+            h = self.handler
+            if h is not None and mask_a is not None and h.can_regen:
+                mask_a = h.regen(np.ascontiguousarray(mask_a, dtype=np.float32))
         return img_a, mask_a

@@ -49,6 +49,7 @@ class PairDataset:
         seed: int = 0,
         gt_as_image: bool = False,
         gt_keep_labels: bool = False,
+        channel_handler=None,
     ):
         self.ds = ds
         self.cfg = cfg
@@ -56,7 +57,14 @@ class PairDataset:
         self.nd = 3 if self.is_3d else 2
         self.crop_shape = tuple(cfg.DATA.PATCH_SIZE)
         self.norm_spec = norm_spec
-        self.aug = AugmentorPipeline(cfg, self.nd) if augment else None
+        # TrainChannelHandler (data/tta.py): instance workflows compile GT
+        # channels with the raw label column appended; geometric augmentation
+        # remaps/regenerates the representation channels and the label column
+        # is stripped before the batch leaves (reference drops its virtual
+        # 'I' channel in __getitem__, pair_base_data_generator.py:1183).
+        self.channel_handler = channel_handler
+        self.aug = (AugmentorPipeline(cfg, self.nd, channel_handler=channel_handler)
+                    if augment else None)
         self.random_crop = random_crop
         self.target_fn = target_fn
         self.n_classes = n_classes
@@ -254,6 +262,9 @@ class PairDataset:
             if getattr(self, "_grid_overlay", False):
                 img = _draw_grid(img)
             img, gt = self.aug(img, gt, rng)
+        ch = self.channel_handler
+        if gt is not None and ch is not None and ch.label_col is not None:
+            gt = np.delete(gt, ch.label_col, axis=-1)
         if self.target_fn is not None:
             x, y = self.target_fn(img, gt, rng)
         else:

@@ -310,18 +310,21 @@ class Base_Workflow(metaclass=ABCMeta):
                                                        gt_is_mask=not self.gt_as_image)
         n_classes = int(cfg.DATA.N_CLASSES)
         target_fn = self.prepare_targets_fn()
+        ch_handler = getattr(self, "aug_channel_handler", None)
         train_data = PairDataset(train_ds, cfg, self.norm_spec, augment=True,
                                  random_crop=bool(cfg.DATA.TRAIN.EXTRACT_RANDOM_PATCH),
                                  target_fn=target_fn, n_classes=n_classes,
                                  y_upscaling=self.y_upscaling, seed=cfg.SYSTEM.SEED,
                                  gt_as_image=self.gt_as_image,
-                                 gt_keep_labels=getattr(self, "gt_keep_labels", False))
+                                 gt_keep_labels=getattr(self, "gt_keep_labels", False),
+                                 channel_handler=ch_handler)
         val_data = PairDataset(val_ds, cfg, self.norm_spec, augment=False,
                                random_crop=bool(cfg.DATA.TRAIN.EXTRACT_RANDOM_PATCH),
                                target_fn=target_fn, n_classes=n_classes,
                                y_upscaling=self.y_upscaling, seed=cfg.SYSTEM.SEED,
                                gt_as_image=self.gt_as_image,
-                               gt_keep_labels=getattr(self, "gt_keep_labels", False))
+                               gt_keep_labels=getattr(self, "gt_keep_labels", False),
+                               channel_handler=ch_handler)
         bs = int(cfg.TRAIN.BATCH_SIZE)
         ndev = data_axis_size(self.mesh)  # global batch tiles the data axis
         gbs = max(bs, ndev) if bs % ndev else bs  # batch must tile the mesh
@@ -591,7 +594,8 @@ class Base_Workflow(metaclass=ABCMeta):
                                 padding: Optional[Sequence[int]] = None,
                                 device=None, sync: bool = True,
                                 out_splits=None,
-                                norm_stats=None) -> Optional[np.ndarray]:
+                                norm_stats=None,
+                                pre_padded=False) -> Optional[np.ndarray]:
         """Whole-block sliding-window inference as ONE jitted program: the
         block lives in HBM, a lax.scan walks the patch grid, the model runs
         on the MXU (bf16 when TEST.REDUCE_MEMORY) and spline-blended patches
@@ -656,8 +660,12 @@ class Base_Workflow(metaclass=ABCMeta):
         # recompile (~30s on the tunnel) for every tile/image
         splits = tuple(tuple(s) for s in out_splits) if out_splits is not None else None
         dev_norm = norm_stats is not None
+        ppad = (tuple(bool(v) for v in pre_padded)
+                if isinstance(pre_padded, (tuple, list))
+                else (bool(pre_padded),) * self.nd)
         key = (tuple(block_n.shape), str(block_n.dtype), ov, pad, bs,
-               reduce_mem, splits, bool(cfg.DATA.TEST.MEDIAN_PADDING), dev_norm)
+               reduce_mem, splits, bool(cfg.DATA.TEST.MEDIAN_PADDING), dev_norm,
+               ppad)
         cache = getattr(self, "_stitch_cache", None)
         if cache is None:
             cache = self._stitch_cache = {}
@@ -679,14 +687,14 @@ class Base_Workflow(metaclass=ABCMeta):
                     return sliding_window_inference(
                         apply_fn, v, x, patch, ov, pad,
                         out_channels=sum(chans), batch_size=bs, out_dtype=out_dt,
-                        out_splits=splits, pad_mode=pad_mode)
+                        out_splits=splits, pad_mode=pad_mode, pre_padded=ppad)
 
                 runner = jax.jit(_run)
             else:
                 runner = jax.jit(lambda v, vol: sliding_window_inference(
                     apply_fn, v, vol, patch, ov, pad,
                     out_channels=sum(chans), batch_size=bs, out_dtype=out_dt,
-                    out_splits=splits, pad_mode=pad_mode))
+                    out_splits=splits, pad_mode=pad_mode, pre_padded=ppad))
             cache[key] = runner
         # Zero host-side dtype work: a bfloat16 block ships as a pure memcpy
         # and anything else ships in its native width and casts ON DEVICE —

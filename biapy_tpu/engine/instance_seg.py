@@ -230,17 +230,31 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         from biapy_tpu.data.io import list_image_files, read_img_as_ndarray, save_tif
         from biapy_tpu.data.tiff import read_tiff
 
+        import json
+
         node = self.cfg.DATA[split]
         gt_dir = str(node.GT_PATH)
         out_dir = str(node.INSTANCE_CHANNELS_MASK_DIR)
         gts = list_image_files(gt_dir)
         if not gts:
             raise FileNotFoundError(f"No GT instance label images in {gt_dir}")
+        # cache format contract: recompile when the channel spec changed or
+        # the cache predates the appended label column (meta absent)
+        meta_path = os.path.join(out_dir, "_channels_meta.json")
+        meta_want = {"codes": list(self.channel_codes), "label_col_appended": True,
+                     "n_class_channels": int(getattr(self, "n_class_channels", 0))}
+        meta_ok = False
+        if os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    meta_ok = json.load(f) == meta_want
+            except Exception:
+                meta_ok = False
         # rank 0 writes the cache; other ranks wait — concurrent writers
         # would truncate each other's .npy files mid-read (reference wraps
         # creation in dist.barrier, instance_seg.py:2890)
-        if (not os.path.isdir(out_dir) or len(list_image_files(out_dir)) != len(gts)) \
-                and is_main_process():
+        if (not os.path.isdir(out_dir) or len(list_image_files(out_dir)) != len(gts)
+                or not meta_ok) and is_main_process():
             os.makedirs(out_dir, exist_ok=True)
             if self.verbose:
                 print(f"Creating {self.channel_codes} channel masks for {split} in {out_dir}")
@@ -267,22 +281,27 @@ class Instance_Segmentation_Workflow(Base_Workflow):
                 chans = labels_into_channels(lab, self.channel_codes, self.channel_extra_opts)
                 if class_map is not None:
                     chans = np.concatenate([chans, class_map], axis=-1)
+                # append the raw instance-label column so train-time geometric
+                # augmentation can regenerate geometry-derived channels from
+                # the warped labels (the reference's virtual 'I' channel,
+                # pair_base_data_generator.py:553-658); stripped in
+                # PairDataset.get before the batch leaves
+                chans = np.concatenate([chans, lab.astype(np.float32)], axis=-1)
                 # .npy keeps arbitrary channel counts unambiguous (a 2D
                 # many-channel TIFF is indistinguishable from a z-stack)
                 base = os.path.splitext(os.path.basename(p))[0]
                 np.save(os.path.join(out_dir, base + ".npy"), chans.astype(np.float32))
+            with open(meta_path, "w") as f:
+                json.dump(meta_want, f)
             if compute_diam and diams:
                 # cache the training median diameter next to the channels
                 # (reference: cellpose diameter stats cache, pre_processing.py:67)
-                import json
-
                 with open(os.path.join(out_dir, "cellpose_diam.json"), "w") as f:
                     json.dump({"median_diameter": float(np.median(diams))}, f)
         barrier("instance_masks_" + split.lower())
+        self._build_aug_channel_handler()
         diam_file = os.path.join(out_dir, "cellpose_diam.json")
         if split == "TRAIN" and os.path.exists(diam_file):
-            import json
-
             with open(diam_file) as f:
                 self.cellpose_diameter = float(json.load(f)["median_diameter"])
         frozen = self.cfg.is_frozen()
@@ -294,6 +313,23 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         self.cfg.DATA[split].GT_PATH = out_dir
         if frozen:
             self.cfg.freeze()
+
+    def _build_aug_channel_handler(self):
+        """Representation-aware train augmentation spec (VERDICT r2 #3).
+
+        Orthogonal transforms get the exact TTA-group remap (vectors
+        permute/sign-flip, rays permute, affinities follow their axis);
+        resampling transforms regenerate geometry-derived columns from the
+        appended label column exactly like the reference
+        (pair_base_data_generator.py:1567 -> labels_into_channels).
+        """
+        if getattr(self, "aug_channel_handler", None) is not None:
+            return
+        from biapy_tpu.data.tta import build_train_channel_handler
+
+        self.aug_channel_handler = build_train_channel_handler(
+            self.channel_codes, self.nd, self.channel_extra_opts,
+            n_class_channels=int(getattr(self, "n_class_channels", 0) or 0))
 
     def _prepare_synapse_data(self, split: str):
         """Compile + cache synapse channel zarrs from CREMI point annotations
