@@ -145,10 +145,10 @@ def sliding_window_inference(
     # DATA.REFLECT_TO_COMPLETE_SHAPE (pad_to_shape, data_manipulation.py:3126)
     deficits = [max(0, min_core[d] - orig_spatial[d]) for d in range(nd)]
     if any(deficits):
-        if any(d and p for d, p in zip(deficits, pp)):
-            raise ValueError(
-                f"pre_padded axes must carry at least one full patch core; "
-                f"volume {volume.shape[:nd]}, patch {patch}, padding {padding}")
+        # a deficit on a pre_padded axis reflect-extends OUTSIDE the real
+        # halo: the halo shifts inward with the core, the grid covers the
+        # extended core, and the same crop recovers the real core (e.g. the
+        # bench's tail z-slab: core 40 + 2x10 real halo, patch core 108)
         pw = [(d // 2, d - d // 2) for d in deficits] + [(0, 0)]
         volume = jnp.pad(volume, pw, **pad_kw)
     spatial = tuple(volume.shape[d] - (2 * padding[d] if pp[d] else 0)

@@ -203,3 +203,22 @@ def test_pre_padded_grid_covers_core_only():
 
     g = axis_grid(12, 16, 0.0, 2)  # core = 12 -> n = 1
     assert g.n == 1
+
+
+def test_pre_padded_axis_shorter_than_patch_core():
+    """A pre_padded slab whose core is shorter than the patch core (the
+    bench's tail z-slab: core 40 + 2x10 real halo vs patch core 108)
+    reflect-extends OUTSIDE the real halo and still returns the exact
+    core extent."""
+    rng = np.random.default_rng(5)
+    vol = rng.random((60, 64, 64, 1), np.float32)
+
+    def ident(variables, x):
+        return x
+
+    out = np.asarray(sliding_window_inference(
+        ident, None, jnp.asarray(vol), patch=(128, 48, 48),
+        overlap=(0.0, 0.0, 0.0), padding=(10, 10, 10), out_channels=1,
+        batch_size=1, pre_padded=(True, False, False)))
+    assert out.shape == (40, 64, 64, 1)
+    np.testing.assert_allclose(out, vol[10:50], atol=1e-5)
