@@ -348,9 +348,11 @@ def check_configuration(cfg, job_identifier: str = "job",
                     "set LOSS.CYCLEGAN.PERCEPTUAL_WEIGHTS to the local file "
                     f"(got '{w}')")
         if "hrnet" in arch:
+            # reference check_configuration.py:2660 accepts W18/W32/W48/W64
+            # plus 'custom' (NUM_STAGES/NUM_MODULES/... spec)
             v = arch.replace("hrnet", "") or str(cfg.MODEL.HRNET.VARIANT).lstrip("wW")
-            req(str(v) in ("18", "32", "48", "64") or v == "",
-                f"HRNet variant must be one of 18/32/48/64, got '{v}'")
+            req(str(v) in ("18", "32", "48", "64", "custom") or v == "",
+                f"HRNet variant must be one of 18/32/48/64/custom, got '{v}'")
         if arch == "stunet":
             req(str(cfg.MODEL.STUNET.VARIANT).lower() in ("small", "base", "large", "huge"),
                 f"MODEL.STUNET.VARIANT must be small/base/large/huge, got {cfg.MODEL.STUNET.VARIANT}")

@@ -189,12 +189,20 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
     if "hrnet" in arch:
         from biapy_tpu.models.hrnet import HRNet
 
+        if str(cfg.MODEL.HRNET.HEAD_TYPE) != "FCN" and len(output_channels) > 2:
+            # reference hrnet.py:542-543
+            raise ValueError(
+                "MODEL.HRNET.HEAD_TYPE other than 'FCN' supports at most two "
+                "outputs (main + class head); this workflow needs "
+                f"{len(output_channels)}")
         variant = arch.replace("hrnet", "") or str(cfg.MODEL.HRNET.VARIANT).lower().lstrip("w")
         kwargs = dict(
             ndim=ndim,
             variant=variant,
             output_channels=tuple(output_channels),
             normalization=cfg.MODEL.NORMALIZATION or "bn",
+            block_type=str(cfg.MODEL.HRNET.BLOCK_TYPE),
+            head_type=str(cfg.MODEL.HRNET.HEAD_TYPE),
             contrast=bool(cfg.LOSS.CONTRAST.ENABLE),
             contrast_proj_dim=int(cfg.LOSS.CONTRAST.PROJ_DIM),
         )

@@ -72,12 +72,31 @@ class Bottleneck(nn.Module):
         return nn.relu(h + x)
 
 
+def _branch_block(block_type: str, features: int, norm: str):
+    """Branch building block by MODEL.HRNET.BLOCK_TYPE (reference:
+    hrnet.py:551 blocks_dict). ConvNeXt blocks are pure residuals (no
+    channel projection), matching the reference's use inside branches whose
+    channels the transition already set."""
+    bt = str(block_type).upper()
+    if bt == "BOTTLENECK":
+        # ``features`` is the expanded branch width (= NUM_CHANNELS x 4,
+        # reference hrnet.py:638); HRBottleneck's internal width is the base
+        return Bottleneck(max(1, features // 4), norm)
+    if bt in ("CONVNEXT_V1", "CONVNEXT_V2"):
+        from biapy_tpu.models.blocks import ConvNeXtBlockV1, ConvNeXtBlockV2
+
+        cls = ConvNeXtBlockV1 if bt == "CONVNEXT_V1" else ConvNeXtBlockV2
+        return cls(features)
+    return BasicBlock(features, norm)
+
+
 class HRModule(nn.Module):
     """Parallel branches + full exchange fusion (reference: hrnet.py:41)."""
 
     channels: Sequence[int]
     num_blocks: int = 4
     norm: str = "bn"
+    block_type: str = "BASIC"
 
     @nn.compact
     def __call__(self, xs: List[jnp.ndarray], train: bool = False) -> List[jnp.ndarray]:
@@ -87,7 +106,7 @@ class HRModule(nn.Module):
         for i in range(n):
             h = xs[i]
             for _ in range(self.num_blocks):
-                h = BasicBlock(self.channels[i], self.norm)(h, train)
+                h = _branch_block(self.block_type, self.channels[i], self.norm)(h, train)
             ys.append(h)
         # fusion: every output i sums contributions from every branch j
         fused = []
@@ -123,6 +142,8 @@ class HRNet(nn.Module):
     num_stages: int = 3
     num_modules: Sequence[int] = (1, 4, 3)
     num_blocks: int = 4
+    block_type: str = "BASIC"    # BASIC | BOTTLENECK | CONVNEXT_V1 | CONVNEXT_V2
+    head_type: str = "FCN"       # FCN | ASPP | PSP | OCR
     contrast: bool = False
     contrast_proj_dim: int = 256
 
@@ -130,6 +151,9 @@ class HRNet(nn.Module):
     def __call__(self, x, train: bool = False):
         nd = self.ndim
         c = int(self.variant) if str(self.variant).isdigit() else 32
+        # branch width = NUM_CHANNELS x block.expansion (reference
+        # hrnet.py:638); BOTTLENECK expands x4, everything else x1
+        expansion = 4 if str(self.block_type).upper() == "BOTTLENECK" else 1
         norm = self.normalization or "bn"
         full_spatial = x.shape[1:-1]
 
@@ -145,7 +169,7 @@ class HRNet(nn.Module):
 
         branches = [h]
         for stage in range(self.num_stages):
-            chans = [c * (2**k) for k in range(stage + 2)]
+            chans = [c * (2**k) * expansion for k in range(stage + 2)]
             # transition: adapt existing branches, create the new lowest one
             new_branches = []
             for i, ch in enumerate(chans):
@@ -163,15 +187,40 @@ class HRNet(nn.Module):
                     new_branches.append(b)
             branches = new_branches
             for _ in range(self.num_modules[min(stage, len(self.num_modules) - 1)]):
-                branches = HRModule(tuple(chans), self.num_blocks, norm)(branches, train)
+                branches = HRModule(tuple(chans), self.num_blocks, norm,
+                                    self.block_type)(branches, train)
 
-        # head: upsample everything to the finest branch, concat, FCN
+        # head: upsample everything to the finest branch, concat
         target = branches[0].shape[1:-1]
         ups = [branches[0]] + [_resize_to(b, target) for b in branches[1:]]
         feat = jnp.concatenate(ups, axis=-1)
-        feat = Conv(feat.shape[-1], kernel_size=(1,) * nd, use_bias=False,
-                       kernel_init=KERNEL_INIT)(feat)
-        feat = nn.relu(Norm(norm)(feat, train))
+        fused = feat  # the contrastive embed projects the RAW concat
+        # (reference hrnet.py:728: proj_head on head_in_channels)
+
+        # HEAD_TYPE dispatch (reference: hrnet.py:675-725). ASPP/PSP/OCR
+        # refine the fused features to 256 dims; the reference emits those
+        # 256 features directly as "pred" (heads.py OCRHead returns
+        # ocr_feats with no classifier — an output that can never match
+        # output_channels); here the refined features go through the same
+        # per-output 1-convs as FCN so every head type yields usable logits.
+        ht = str(self.head_type).upper()
+        if ht == "ASPP":
+            from biapy_tpu.models.heads import ASPP
+
+            feat = ASPP(256, norm=norm)(feat, train)
+        elif ht == "PSP":
+            from biapy_tpu.models.heads import PSP
+
+            feat = PSP(256, norm=norm)(feat, train)
+        elif ht == "OCR":
+            from biapy_tpu.models.heads import OCRHead
+
+            feat = OCRHead(256, num_classes=int(self.output_channels[0]),
+                           norm=norm)(feat, train)
+        else:  # FCN
+            feat = Conv(feat.shape[-1], kernel_size=(1,) * nd, use_bias=False,
+                        kernel_init=KERNEL_INIT)(feat)
+            feat = nn.relu(Norm(norm)(feat, train))
 
         out: Dict = {}
         one = (1,) * nd
@@ -184,7 +233,7 @@ class HRNet(nn.Module):
         if class_outs:
             out["class"] = jnp.concatenate(class_outs, axis=-1)
         if self.contrast:
-            out["embed"] = ProjectionHead(self.contrast_proj_dim)(feat, train)
+            out["embed"] = ProjectionHead(self.contrast_proj_dim)(fused, train)
         return out["pred"] if len(out) == 1 else out
 
 

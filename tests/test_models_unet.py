@@ -242,3 +242,70 @@ def test_efficientnet_builds_and_forwards():
     out = m.apply(v, np.zeros((2, 64, 64, 3), np.float32), train=False)
     out = out["class"] if isinstance(out, dict) else out
     assert out.shape == (2, 4)
+
+
+@pytest.mark.parametrize("head", ["FCN", "ASPP", "PSP", "OCR"])
+def test_hrnet_head_types(head):
+    """Every accepted MODEL.HRNET.HEAD_TYPE must change the graph (VERDICT
+    r2 #4; reference hrnet.py:675-725) and still emit output_channels
+    logits at full resolution."""
+    from biapy_tpu.models.hrnet import HRNet
+
+    m = HRNet(ndim=2, variant="18", output_channels=(3,), num_stages=1,
+              num_modules=(1,), num_blocks=1, head_type=head)
+    x = jnp.zeros((1, 32, 32, 1))
+    v = m.init(RNGS, x, train=False)
+    assert m.apply(v, x, train=False).shape == (1, 32, 32, 3)
+    names = {k for k in jax.tree_util.tree_leaves_with_path(v["params"])
+             for k in [jax.tree_util.keystr(k[0])]}
+    joined = " ".join(sorted(names))
+    if head == "OCR":
+        assert "OCRHead_0" in joined
+    elif head == "PSP":
+        assert "PSP_0" in joined
+    elif head == "ASPP":
+        assert "ASPP_0" in joined
+    else:
+        assert "OCRHead" not in joined and "PSP_0" not in joined
+
+
+@pytest.mark.parametrize("head", ["ASPP", "PSP"])
+def test_hrnet_head_types_3d(head):
+    from biapy_tpu.models.hrnet import HRNet
+
+    m = HRNet(ndim=3, variant="18", output_channels=(2,), num_stages=1,
+              num_modules=(1,), num_blocks=1, head_type=head)
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    v = m.init(RNGS, x, train=False)
+    assert m.apply(v, x, train=False).shape == (1, 16, 16, 16, 2)
+
+
+@pytest.mark.parametrize("bt", ["BOTTLENECK", "CONVNEXT_V1", "CONVNEXT_V2"])
+def test_hrnet_block_types(bt):
+    """MODEL.HRNET.BLOCK_TYPE selects the branch block (reference
+    hrnet.py:551); BOTTLENECK widens branches x4 (hrnet.py:638)."""
+    from biapy_tpu.models.hrnet import HRNet
+
+    m = HRNet(ndim=2, variant="18", output_channels=(1,), num_stages=1,
+              num_modules=(1,), num_blocks=1, block_type=bt)
+    x = jnp.zeros((1, 32, 32, 1))
+    v = m.init(RNGS, x, train=False)
+    assert m.apply(v, x, train=False).shape == (1, 32, 32, 1)
+    joined = " ".join(jax.tree_util.keystr(p)
+                      for p, _ in jax.tree_util.tree_leaves_with_path(v["params"]))
+    if bt == "BOTTLENECK":
+        assert "Bottleneck" in joined.replace("HRModule_0", "")
+    else:
+        assert "ConvNeXtBlock" in joined
+
+
+def test_hrnet_ocr_rejects_many_heads():
+    from biapy_tpu.models import build_model
+    from biapy_tpu.config.config import get_cfg_defaults
+
+    cfg = get_cfg_defaults()
+    cfg.defrost()
+    cfg.MODEL.ARCHITECTURE = "hrnet18"
+    cfg.MODEL.HRNET.HEAD_TYPE = "OCR"
+    with pytest.raises(ValueError, match="at most two"):
+        build_model(cfg, [2, 1, 1], ["F", "class", "x"], [None, None, None])
