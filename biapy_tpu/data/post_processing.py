@@ -161,7 +161,8 @@ def watershed_by_channels(
         elif chan("C") is not None:
             topo = chan("C").astype(np.float32)
         else:
-            topo = -ndimage.distance_transform_edt(growth).astype(np.float32)
+            from biapy_tpu.data.pre_processing import _edt
+            topo = -_edt(growth)
 
     return watershed(topo, markers, growth)
 
@@ -509,7 +510,8 @@ def repair_large_blobs(labels: np.ndarray, max_size: int) -> np.ndarray:
         m = out[sl] == lab
         if m.sum() <= max_size:
             continue
-        dist = ndimage.distance_transform_edt(m).astype(np.float32)
+        from biapy_tpu.data.pre_processing import _edt
+        dist = _edt(m)
         peaks = peak_local_max(dist, min_distance=max(3, int(dist.max() / 2)), threshold_abs=1.0)
         if len(peaks) < 2:
             continue

@@ -27,6 +27,19 @@ import numpy as np
 from scipy import ndimage
 
 
+
+def _edt(mask: np.ndarray) -> np.ndarray:
+    """Exact EDT, float32: first-party threaded FH transform (native.edt,
+    the analog of the reference's `edt` C-extension dep, pyproject.toml:28)
+    with a scipy fallback if the native build is unavailable."""
+    try:
+        from biapy_tpu import native
+
+        return native.edt(mask)
+    except Exception:
+        return ndimage.distance_transform_edt(mask).astype(np.float32)
+
+
 def affinity_offsets(extra: Dict, nd: int) -> List[Tuple[int, int]]:
     """Single source of truth for the 'A' block: (axis, distance) pairs in
     grouped-by-axis order (z first in 3D). Each axis list defaults to [1]
@@ -302,7 +315,7 @@ def labels_into_channels(
                 d[d <= 0] = -float(opts.get("dist_bg", 5.0))
                 outs.append(d[..., None])
             else:
-                d = ndimage.distance_transform_edt(fg).astype(np.float32)
+                d = _edt(fg)
                 if bool(opts.get("norm", True)):
                     for lab, m in _per_instance(labels):
                         mx = d[m].max()
@@ -333,14 +346,14 @@ def labels_into_channels(
             for lab, m in _per_instance(labels):
                 others = fg & ~m
                 if others.any():
-                    d = ndimage.distance_transform_edt(~others).astype(np.float32)
+                    d = _edt(~others)
                     dn[m] = d[m]
             if dn.max() > 0:
                 dn = dn / dn.max()
             outs.append(dn[..., None])
         elif code == "D":
-            dpos = ndimage.distance_transform_edt(fg).astype(np.float32)
-            dneg = ndimage.distance_transform_edt(~fg).astype(np.float32)
+            dpos = _edt(fg)
+            dneg = _edt(~fg)
             sdf = dpos - dneg
             if bool(opts.get("norm", True)):
                 sdf = np.tanh(sdf / 10.0)

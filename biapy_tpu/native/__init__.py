@@ -50,6 +50,8 @@ def _load():
     lib.fill_holes.restype = None
     lib.union_find_merge.argtypes = [i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int64]
     lib.union_find_merge.restype = None
+    lib.edt.argtypes = [u8p, f32p, i64p, f32p, ctypes.c_int, ctypes.c_int]
+    lib.edt.restype = None
     _lib = lib
     return lib
 
@@ -99,6 +101,35 @@ def fill_holes(mask: np.ndarray) -> np.ndarray:
     m = np.ascontiguousarray(mask != 0, dtype=np.uint8)
     lib.fill_holes(m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _shape_arr(m), m.ndim)
     return m.astype(bool)
+
+
+def edt(mask: np.ndarray, sampling=None, n_threads: int = 0) -> np.ndarray:
+    """Exact Euclidean distance transform, scipy semantics (distance from
+    every nonzero element to the nearest zero), float32 output.
+
+    Felzenszwalb-Huttenlocher separable passes threaded per line — the
+    first-party replacement for the reference's multi-threaded `edt` C
+    extension dependency (reference pyproject.toml:28), O(n) per axis vs
+    scipy's single-threaded implementation.
+    """
+    lib = _load()
+    m = np.ascontiguousarray(mask != 0, dtype=np.uint8)
+    out = np.empty(m.shape, dtype=np.float32)
+    if sampling is None:
+        samp = np.ones(m.ndim, dtype=np.float32)
+    else:
+        samp = np.asarray(np.broadcast_to(np.asarray(sampling, np.float32),
+                                          (m.ndim,)), dtype=np.float32).copy()
+    if n_threads <= 0:
+        n_threads = min(16, os.cpu_count() or 1)
+    lib.edt(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _shape_arr(m),
+        samp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        m.ndim, int(n_threads),
+    )
+    return out
 
 
 def union_find_merge(edges: np.ndarray, n_labels: int) -> np.ndarray:

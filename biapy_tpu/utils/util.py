@@ -56,7 +56,8 @@ def unet_weight_map(mask: np.ndarray, w0: float = 10.0, sigma: float = 5.0) -> n
         return np.ones(mask.shape, np.float32)
     dists = []
     for lab in range(1, n + 1):
-        dists.append(ndimage.distance_transform_edt(labels != lab))
+        from biapy_tpu.data.pre_processing import _edt
+        dists.append(_edt(labels != lab))
     d = np.sort(np.stack(dists), axis=0)
     w = w0 * np.exp(-((d[0] + d[1]) ** 2) / (2 * sigma**2))
     return (1.0 + w * (mask == 0)).astype(np.float32)

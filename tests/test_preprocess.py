@@ -105,3 +105,33 @@ def test_dataset_build_applies_resize(tmp_path):
     assert tuple(f.shape[:2]) == (64, 64)
     s = train.sample_list[0]
     assert s.img.shape == (32, 32, 1)
+
+
+def test_native_edt_matches_scipy():
+    """First-party threaded FH EDT (native.edt, VERDICT r2 #7) is exact vs
+    scipy.ndimage.distance_transform_edt on every call-site pattern."""
+    from scipy import ndimage
+
+    from biapy_tpu import native
+
+    rng = np.random.default_rng(11)
+    for shape in [(48,), (33, 47), (17, 29, 41)]:
+        m = rng.random(shape) > 0.25
+        np.testing.assert_allclose(
+            native.edt(m), ndimage.distance_transform_edt(m).astype(np.float32),
+            atol=1e-4)
+        np.testing.assert_allclose(
+            native.edt(~m), ndimage.distance_transform_edt(~m).astype(np.float32),
+            atol=1e-4)
+    # no-feature and all-feature degenerate lines
+    m = np.ones((12, 12), bool)
+    assert (native.edt(m) >= 1e29).all()
+    m[3, 4] = False
+    np.testing.assert_allclose(
+        native.edt(m), ndimage.distance_transform_edt(m).astype(np.float32), atol=1e-4)
+    # anisotropic sampling (reference `edt` dep supports it)
+    m = rng.random((10, 20, 30)) > 0.1
+    np.testing.assert_allclose(
+        native.edt(m, sampling=(4.0, 1.0, 1.0)),
+        ndimage.distance_transform_edt(m, sampling=(4.0, 1.0, 1.0)).astype(np.float32),
+        rtol=1e-5, atol=1e-3)
