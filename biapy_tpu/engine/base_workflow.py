@@ -255,7 +255,31 @@ class Base_Workflow(metaclass=ABCMeta):
                 verbose=self.verbose, return_map=True)
 
         steps_per_epoch = max(1, getattr(self, "_steps_per_epoch", 100))
-        tx, self.plateau = build_optimizer(self.cfg, steps_per_epoch)
+        # list-valued TRAIN.OPTIMIZER/LR + a multi-head model -> one
+        # optimizer per loss head (reference: prepare_optimizer over
+        # model.param_groups, engine/__init__.py:21-106); ownership labels
+        # come from a one-off structural gradient probe
+        n_declared = max(len(self.cfg.TRAIN.OPTIMIZER), len(self.cfg.TRAIN.LR))
+        self._multihead_opt = (n_declared > 1 and len(self.output_channels) > 1)
+        if self._multihead_opt:
+            from biapy_tpu.engine.schedulers import (build_multihead_optimizer,
+                                                     head_param_labels)
+
+            variables_l = {"params": params}
+            if batch_stats:
+                variables_l["batch_stats"] = batch_stats
+            labels, n_heads = head_param_labels(
+                self.model.apply, variables_l, example,
+                self.output_channels, self.output_channel_info)
+            tx, self.plateau = build_multihead_optimizer(
+                self.cfg, steps_per_epoch, labels, n_heads)
+            if self.verbose:
+                import collections
+
+                counts = collections.Counter(jax.tree.leaves(labels))
+                print(f"Per-head optimizers: {dict(counts)} parameter leaves")
+        else:
+            tx, self.plateau = build_optimizer(self.cfg, steps_per_epoch)
         self.state = TrainState.create(self.model.apply, params, tx, batch_stats)
 
         # checkpoint loading (finetune / resume); MODEL.ITEMS_TO_LOAD_FROM_
@@ -493,8 +517,20 @@ class Base_Workflow(metaclass=ABCMeta):
                 record.update(val_metrics)
                 val_loss = val_metrics["val_loss"]
                 if self.plateau is not None:
+                    old_lr = self.plateau.lr
                     new_lr = self.plateau.step(val_loss)
-                    self.state = self.state.replace(opt_state=set_learning_rate(self.state.opt_state, new_lr))
+                    if getattr(self, "_multihead_opt", False):
+                        # rescale every head's lr by the same plateau factor
+                        # so the configured per-head ratios survive decay
+                        if new_lr != old_lr:
+                            from biapy_tpu.engine.schedulers import scale_learning_rates
+
+                            self.state = self.state.replace(
+                                opt_state=scale_learning_rates(
+                                    self.state.opt_state, new_lr / max(old_lr, 1e-30)))
+                    else:
+                        self.state = self.state.replace(
+                            opt_state=set_learning_rate(self.state.opt_state, new_lr))
                 # TRAIN.CHECKPOINT_MONITOR picks the best-checkpoint metric
                 # (reference: config.py:1787); '*loss' minimizes, else maximizes
                 monitor = str(cfg.TRAIN.CHECKPOINT_MONITOR or "val_loss")

@@ -178,13 +178,23 @@ def check_configuration(cfg, job_identifier: str = "job",
         req(len(cfg.TRAIN.OPTIMIZER) == len(cfg.TRAIN.LR),
             "'TRAIN.OPTIMIZER' and 'TRAIN.LR' must have the same length")
         if len(cfg.TRAIN.OPTIMIZER) > 1:
-            # the only multi-optimizer setup is GAN denoising: generator +
-            # discriminator (reference check_configuration.py:3199-3210)
-            req((cfg.PROBLEM.TYPE == "DENOISING"
-                 and bool(cfg.PROBLEM.DENOISING.LOAD_GT_DATA))
-                or str(cfg.LOSS.TYPE).upper() == "CYCLEGAN",
-                "Multiple optimizers were provided but no discriminator "
-                "architecture is configured (only GAN setups take two)")
+            # multi-optimizer setups: GAN denoising (generator +
+            # discriminator, reference check_configuration.py:3199-3210) or
+            # any multi-head model — one optimizer per loss head (reference
+            # prepare_optimizer over param_groups, engine/__init__.py:21)
+            is_gan = ((cfg.PROBLEM.TYPE == "DENOISING"
+                       and bool(cfg.PROBLEM.DENOISING.LOAD_GT_DATA))
+                      or str(cfg.LOSS.TYPE).upper() == "CYCLEGAN")
+            has_class_head = (int(cfg.DATA.N_CLASSES) > 1
+                              and cfg.PROBLEM.TYPE in ("INSTANCE_SEG", "DETECTION"))
+            is_multi_i2i = cfg.PROBLEM.TYPE == "IMAGE_TO_IMAGE"
+            req(is_gan or has_class_head or is_multi_i2i,
+                "Multiple optimizers were provided but the workflow has a "
+                "single loss head (GAN setups and multi-head models take "
+                "several)")
+            req(len(cfg.TRAIN.OPTIMIZER) == 2 or not (is_gan or has_class_head),
+                "This workflow has exactly two loss heads; provide two "
+                "optimizers/LRs")
         req(cfg.TRAIN.EPOCHS > 0, "TRAIN.EPOCHS must be > 0")
         req(cfg.TRAIN.BATCH_SIZE > 0, "TRAIN.BATCH_SIZE must be > 0")
         sch = cfg.TRAIN.LR_SCHEDULER.NAME

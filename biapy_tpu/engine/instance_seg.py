@@ -327,9 +327,11 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             return
         from biapy_tpu.data.tta import build_train_channel_handler
 
+        # the compile cache stores the class map as ONE channel of class ids
+        # (not N_CLASSES one-hots), so the label column sits one past it
         self.aug_channel_handler = build_train_channel_handler(
             self.channel_codes, self.nd, self.channel_extra_opts,
-            n_class_channels=int(getattr(self, "n_class_channels", 0) or 0))
+            n_class_channels=1 if getattr(self, "n_class_channels", 0) else 0)
 
     def _prepare_synapse_data(self, split: str):
         """Compile + cache synapse channel zarrs from CREMI point annotations

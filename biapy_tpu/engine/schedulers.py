@@ -169,6 +169,99 @@ def build_optimizer(cfg, steps_per_epoch: int, head: int = 0):
     return tx, plateau
 
 
+def head_param_labels(apply_fn, variables, example, output_channels,
+                      output_channel_info):
+    """Label every parameter leaf with the loss head that owns it.
+
+    Reference analog: prepare_optimizer builds one optimizer per entry of
+    list-valued TRAIN.OPTIMIZER over ``model.param_groups``
+    (engine/__init__.py:21-106). Flax modules have no param_groups, so
+    ownership is derived STRUCTURALLY: differentiate the sum of each head's
+    output once on the init example — a parameter whose gradient is nonzero
+    for exactly one head belongs to that head; anything shared (the
+    backbone) belongs to head 0, like the reference's param_groups[0].
+
+    Returns (labels pytree of 'h<i>' strings, n_heads).
+    """
+    import jax as _jax
+    import jax.numpy as _jnp
+    import numpy as _np
+
+    n_heads = len(output_channels)
+    # channel slices inside the concatenated "pred" / "class" outputs
+    slices = []
+    pred_off = cls_off = 0
+    for ch, info in zip(output_channels, output_channel_info):
+        is_cls = "class" in str(info)
+        off = cls_off if is_cls else pred_off
+        slices.append(("class" if is_cls else "pred", off, off + int(ch)))
+        if is_cls:
+            cls_off += int(ch)
+        else:
+            pred_off += int(ch)
+
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+
+    def head_scalar(p, i):
+        out = apply_fn({"params": p, **rest}, example, train=False)
+        key, c0, c1 = slices[i]
+        o = out[key] if isinstance(out, dict) else out
+        return _jnp.sum(o[..., c0:c1].astype(_jnp.float32))
+
+    masks = []
+    for i in range(n_heads):
+        g = _jax.grad(lambda p: head_scalar(p, i))(params)
+        masks.append(_jax.tree.map(lambda a: bool(_np.any(_np.asarray(a))), g))
+
+    def label(*leaf_used):
+        owners = [i for i, u in enumerate(leaf_used) if u]
+        return f"h{owners[0]}" if len(owners) == 1 else "h0"
+
+    labels = _jax.tree.map(label, *masks)
+    return labels, n_heads
+
+
+def build_multihead_optimizer(cfg, steps_per_epoch: int, labels, n_heads: int):
+    """One optimizer per loss head via optax.multi_transform on the head
+    labels from :func:`head_param_labels` (reference: engine/__init__.py:21).
+    Returns (tx, plateau) — the plateau controller is head 0's; on plateau
+    the epoch loop RESCALES every head's lr by the same factor, so relative
+    per-head LRs are preserved (per-head MIN_LR clamps only head 0)."""
+    txs = {}
+    plateau = None
+    for i in range(n_heads):
+        tx_i, pl_i = build_optimizer(cfg, steps_per_epoch, head=i)
+        txs[f"h{i}"] = tx_i
+        if i == 0:
+            plateau = pl_i
+    return optax.multi_transform(txs, lambda params: labels), plateau
+
+
+def scale_learning_rates(opt_state, scale: float):
+    """Multiply EVERY injected learning rate by ``scale`` (plateau decay in
+    multi-head mode: keeps per-head LR ratios)."""
+    import jax.numpy as jnp
+
+    def rebuild(s):
+        if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+            hp = dict(s.hyperparams)
+            cur = jnp.asarray(hp["learning_rate"])
+            hp["learning_rate"] = (cur * scale).astype(cur.dtype)
+            return s._replace(hyperparams=hp)
+        if hasattr(s, "inner_states"):
+            return s._replace(inner_states={k: rebuild(v) for k, v in dict(s.inner_states).items()})
+        if hasattr(s, "inner_state") and hasattr(s, "_replace"):
+            return s._replace(inner_state=rebuild(s.inner_state))
+        if isinstance(s, dict):
+            return {k: rebuild(v) for k, v in s.items()}
+        if isinstance(s, tuple) and not hasattr(s, "_fields"):
+            return tuple(rebuild(x) for x in s)
+        return s
+
+    return rebuild(opt_state)
+
+
 def _find_inject_states(opt_state):
     """Yield every Inject*HyperparamsState holding a learning_rate, at any
     nesting level (optax chains wrap states in plain tuples; the inject state
