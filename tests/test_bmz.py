@@ -731,3 +731,32 @@ def test_load_workflow_from_bmz_package(tmp_path):
     for a, b in zip(jax.tree.leaves(variables["params"]),
                     jax.tree.leaves(job.workflow.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_export_self_check_catches_corruption(tmp_path, monkeypatch):
+    """The product-path export gate (VERDICT r2 #6) must FAIL the export
+    when the re-imported weights deviate — the analog of the reference's
+    bioimageio.core.test_model validation (_biapy.py:1012-1898)."""
+    import jax
+    import numpy as np
+
+    from biapy_tpu.utils import bmz as bmz_mod
+
+    root = str(tmp_path)
+    _tiny_data(root)
+    from biapy_tpu._biapy import BiaPy
+
+    job = BiaPy(_base_cfg(root), result_dir=root + "/results", name="bmzbad",
+                silent=True)
+    job.train()
+    real_load = bmz_mod.load_bmz_model_weights
+
+    def corrupt_load(source, params, batch_stats=None, **kw):
+        out = real_load(source, params, batch_stats, **kw)
+        p = jax.tree.map(lambda a: a + 0.1, out[0])
+        return (p,) + tuple(out[1:])
+
+    monkeypatch.setattr(bmz_mod, "load_bmz_model_weights", corrupt_load)
+    with pytest.raises(RuntimeError, match="self-check FAILED"):
+        bmz_mod.export_model_to_bmz(job.workflow, str(tmp_path / "bmz_bad"),
+                                    model_name="bad")
