@@ -164,7 +164,9 @@ class HRNet(nn.Module):
         h = Conv(64, kernel_size=(3,) * nd, strides=(2,) * nd, padding="SAME",
                     use_bias=False, kernel_init=KERNEL_INIT)(h)
         h = nn.relu(Norm(norm)(h, train))
-        for _ in range(2):
+        # layer1: FOUR bottleneck blocks (reference hrnet.py layer1 —
+        # param-count parity pinned by tests/test_param_parity.py)
+        for _ in range(4):
             h = Bottleneck(64, norm)(h, train)
 
         branches = [h]
@@ -217,10 +219,14 @@ class HRNet(nn.Module):
 
             feat = OCRHead(256, num_classes=int(self.output_channels[0]),
                            norm=norm)(feat, train)
-        else:  # FCN
-            feat = Conv(feat.shape[-1], kernel_size=(1,) * nd, use_bias=False,
+        elif self.contrast:
+            # FCN + contrast: 3-conv -> norm -> dropout refinement before
+            # the classifiers (reference hrnet.py:712-719); plain FCN feeds
+            # the raw concat straight to the per-output 1-convs (:721-723)
+            feat = Conv(feat.shape[-1], kernel_size=(3,) * nd, padding="SAME",
                         kernel_init=KERNEL_INIT)(feat)
-            feat = nn.relu(Norm(norm)(feat, train))
+            feat = Norm(norm)(feat, train)
+            feat = nn.Dropout(0.10, deterministic=not train)(feat)
 
         out: Dict = {}
         one = (1,) * nd

@@ -163,16 +163,27 @@ class WDSR(nn.Module):
         out_c = self.out_channels or self.num_channels
         num_outputs = (self.scale**nd) * out_c
         res_scale = 1.0 / math.sqrt(self.num_res_blocks)
-        h = Conv(self.num_filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(x)
+
+        # every conv is weight-normalized with the reference's weight_g
+        # inits (wdsr.py:97-145,223-244): the per-block residual scaling is
+        # baked into the LEARNABLE wn scale (g=2 expand, g=res_scale reduce),
+        # not a fixed multiplier — param-count parity pinned by
+        # tests/test_param_parity.py
+        def wn(features, ksize, g):
+            return nn.WeightNorm(
+                Conv(features, kernel_size=ksize, padding="SAME",
+                     kernel_init=KERNEL_INIT),
+                scale_init=nn.initializers.constant(g))
+
+        h = wn(self.num_filters, k, 1.0)(x)
         for _ in range(self.num_res_blocks):
-            r = Conv(self.num_filters * self.res_block_expansion, kernel_size=k,
-                        padding="SAME", kernel_init=KERNEL_INIT)(h)
+            r = wn(self.num_filters * self.res_block_expansion, k, 2.0)(h)
             r = nn.relu(r)
-            r = Conv(self.num_filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(r)
-            h = h + r * res_scale
-        h = Conv(num_outputs, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
+            r = wn(self.num_filters, k, res_scale)(r)
+            h = h + r
+        h = wn(num_outputs, k, 1.0)(h)
         body = pixel_shuffle(h, self.scale)
-        skip = Conv(num_outputs, kernel_size=(5,) * nd, padding="SAME", kernel_init=KERNEL_INIT)(x)
+        skip = wn(num_outputs, (5,) * nd, 1.0)(x)
         skip = pixel_shuffle(skip, self.scale)
         return body + skip
 
@@ -194,11 +205,14 @@ class _FCAB(nn.Module):
         h = nn.gelu(h)
         h = Conv(self.filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(h)
         h = nn.gelu(h)
-        # Fourier-domain attention: magnitude spectrum, gamma-compressed,
-        # pooled to a channel descriptor.
+        # Fourier-domain attention (reference RCAB_dfcan.forward, dfcan.py:132):
+        # gamma-compressed magnitude spectrum, 3-conv on the shifted
+        # spectrum, global pool, squeeze/excite 1-convs.
         f = jnp.abs(jnp.fft.fftn(h.astype(jnp.complex64), axes=tuple(range(1, 1 + nd))))
         f = jnp.power(f + 1e-8, 0.8)
         f = _fftshift(f, nd)
+        f = Conv(self.filters, kernel_size=k, padding="SAME", kernel_init=KERNEL_INIT)(f)
+        f = nn.relu(f)
         s = jnp.mean(f, axis=tuple(range(1, 1 + nd)), keepdims=True)
         s = Conv(max(4, self.filters // 16), kernel_size=(1,) * nd, kernel_init=KERNEL_INIT)(s)
         s = nn.relu(s)

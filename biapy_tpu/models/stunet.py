@@ -95,14 +95,21 @@ class STUNet(nn.Module):
             skip = skips[num_pool - 1 - u]
             new_shape = (h.shape[0],) + skip.shape[1:-1] + (h.shape[-1],)
             h = jax.image.resize(h, new_shape, method="nearest")
-            h = Conv(target_dim, kernel_size=(1,) * nd, use_bias=False,
-                        kernel_init=KERNEL_INIT)(h)
+            # biased 1-conv (reference Upsample_Layer_nearest, stunet.py:71 —
+            # torch Conv3d default bias): param-count parity pinned by
+            # tests/test_param_parity.py
+            h = Conv(target_dim, kernel_size=(1,) * nd, kernel_init=KERNEL_INIT)(h)
             h = jnp.concatenate([h, skip], axis=-1)
             h = BasicResBlock(target_dim, k, use_1x1conv=True)(h, train)
             for _ in range(depth[-2 - u] - 1):
                 h = BasicResBlock(target_dim, k)(h, train)
 
         one = (1,) * nd
+        # seg conv (dims[0] -> output_channels[0]) feeding the per-head
+        # 1-convs, exactly the reference's seg_outputs[-1] -> heads chain
+        # (stunet.py:303,309-311)
+        h = Conv(int(self.output_channels[0]), kernel_size=one,
+                 kernel_init=KERNEL_INIT)(h)
         preds, class_outs = [], []
         for i, out_ch in enumerate(self.output_channels):
             head = Conv(out_ch, kernel_size=one, kernel_init=KERNEL_INIT)(h)

@@ -69,6 +69,7 @@ class UNETR(nn.Module):
                 ndim=nd, img_size=self.img_size, patch_size=self.patch_size,
                 in_channels=self.in_channels, embed_dim=self.embed_dim, depth=self.depth,
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                final_norm=False,
             )
             feats, saved = vit(x, train=train, features=True, save_layers=taps)
             has_cls = 1
@@ -81,35 +82,42 @@ class UNETR(nn.Module):
         act = self.decoder_activation
         f = self.decoder_filters
         two = (2,) * nd
+        tuf = n_levels  # reference total_upscale_factor = log2(patch_size)
 
         # bottom feature (z12) and intermediate taps (z3/z6/z9 analogs)
         bottom = to_grid(feats)
         skips = [to_grid(s) for s in saved]  # shallow -> deep
         while len(skips) < n_skips:  # shallow encoder: bottom fills deep slots
             skips.append(bottom)
+        skips_deep_first = list(reversed(skips))  # ref skip_connections order
 
-        # Build multi-resolution skip pyramids: tap i upsampled
-        # (n_levels - i - 1) times back to its decoder resolution.
+        # Decoder follows the reference layout exactly (unetr.py:375-447;
+        # param-count parity pinned by tests/test_param_parity.py):
+        # blue chains lift each ViT tap back to its decoder resolution
+        # ((tuf - layer) x [bias-free 2x deconv -> ConvBlock], all at
+        # f * 2^layer channels), the trunk concats + DoubleConv (yellow) +
+        # bias-free 2x deconv (green), and the raw input provides the
+        # full-resolution first skip through its own DoubleConv.
         pyr = []
-        for i, s in enumerate(skips):
-            ups = n_levels - 1 - i
-            h = s
-            for u in range(ups):
-                h = ConvTranspose(f * 2 ** (n_levels - 2 - i - u), kernel_size=two,
-                                     strides=two, kernel_init=KERNEL_INIT)(h)
-                h = ConvBlock(h.shape[-1], 3, act=act, norm=self.norm)(h, train)
+        for i in range(tuf - 1):
+            layer = tuf - 1 - i
+            h = skips_deep_first[i]
+            for _ in range(tuf - layer):
+                h = ConvTranspose(f * 2 ** layer, kernel_size=two, strides=two,
+                                  use_bias=False, kernel_init=KERNEL_INIT)(h)
+                h = ConvBlock(f * 2 ** layer, 3, act=act, norm=self.norm)(h, train)
             pyr.append(h)
-        # stem skip from the raw input at full resolution
-        stem = ConvBlock(f, 3, act=act, norm=self.norm, nconvs=2)(x, train)
 
-        h = bottom
-        for i in range(len(pyr) - 1, -1, -1):
-            h = ConvTranspose(pyr[i].shape[-1], kernel_size=two, strides=two,
-                                 kernel_init=KERNEL_INIT)(h)
+        h = ConvTranspose(f * 2 ** (tuf - 1), kernel_size=two, strides=two,
+                          use_bias=False, kernel_init=KERNEL_INIT)(bottom)
+        for i in range(tuf - 1):
+            layer = tuf - 1 - i
             h = jnp.concatenate([h, pyr[i]], axis=-1)
-            h = ConvBlock(pyr[i].shape[-1], 3, act=act, norm=self.norm, nconvs=2)(h, train)
-        h = ConvTranspose(f, kernel_size=two, strides=two, kernel_init=KERNEL_INIT)(h)
-        h = jnp.concatenate([h, stem], axis=-1)
+            h = ConvBlock(f * 2 ** layer, 3, act=act, norm=self.norm, nconvs=2)(h, train)
+            h = ConvTranspose(f * 2 ** (layer - 1), kernel_size=two, strides=two,
+                              use_bias=False, kernel_init=KERNEL_INIT)(h)
+        first_skip = ConvBlock(f, 3, act=act, norm=self.norm, nconvs=2)(x, train)
+        h = jnp.concatenate([first_skip, h], axis=-1)
         h = ConvBlock(f, 3, act=act, norm=self.norm, nconvs=2)(h, train)
 
         one = (1,) * nd

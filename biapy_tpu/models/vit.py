@@ -74,6 +74,9 @@ class ViT(nn.Module):
     n_classes: int = 0
     global_pool: bool = False
     norm_eps: float = 1e-6
+    # UNETR feeds raw block output to its decoder (reference unetr.py:532
+    # applies no post-blocks norm); the MAE/classifier paths keep it
+    final_norm: bool = True
 
     def num_patches(self) -> int:
         return (self.img_size // self.patch_size) ** self.ndim
@@ -97,7 +100,8 @@ class ViT(nn.Module):
             if save_layers and (i + 1) in save_layers:
                 saved.append(h)
         if features:
-            h = nn.LayerNorm(epsilon=self.norm_eps)(h)
+            if self.final_norm:
+                h = nn.LayerNorm(epsilon=self.norm_eps)(h)
             if save_layers:
                 return h, saved
             return h
