@@ -93,13 +93,17 @@ def main():
     vol_shape = (256, 512, 512)  # ~67M voxels; stand-in for 1024^3 (same kernel shapes)
     padding = (10, 10, 10)  # the reference's measured by-chunks halo (config.py:1974)
     halo = padding[0]
-    core_z = 128 - 2 * halo  # 108: one full patch row per slab, zero z waste
-    slab_bounds = [(z, min(z + core_z, vol_shape[0]))
-                   for z in range(0, vol_shape[0], core_z)]
+    # slab z-core follows the chosen patch: every slab computes one full
+    # patch-core row, so core_z != patch_core wastes z compute (a 40-core
+    # tail still computes patch_core rows) — slab_bounds are derived AFTER
+    # geometry selection (see below)
 
     # Largest tile that fits next to the stitch buffers wins; HBM headroom
     # differs across deployments (shared tunnel chips have less), so probe
     # from big to small and fall back on ResourceExhausted.
+    # (148,148,148) was measured SLOWER despite zero z waste (2 slabs of
+    # 128-core): the z-decomposed batched-2D convs want power-of-two z
+    # batches (BENCH r3 A/B: 10.6 vs 23+ Mvox/s compute) — z stays 128.
     candidates = [(128, 276, 276), (128, 276, 148), (128, 148, 148),
                   (128, 128, 128)]
     env_patch = None
@@ -203,7 +207,12 @@ def main():
         b = np.linspace(0, core, n_streams + 1).astype(int)
         return [(int(b[i]), int(b[i + 1])) for i in range(n_streams) if b[i] < b[i + 1]]
 
-    def run_once(wf):
+    def slabs_for_patch(patch):
+        core_z = patch[0] - 2 * halo
+        return [(z, min(z + core_z, vol_shape[0]))
+                for z in range(0, vol_shape[0], core_z)]
+
+    def run_once(wf, slab_bounds):
         drains = []
         errors = []
 
@@ -236,7 +245,7 @@ def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--probe":
         patch = tuple(int(v) for v in sys.argv[2].split(","))
         try:
-            run_once(build(patch))
+            run_once(build(patch), slabs_for_patch(patch))
         except Exception as e:
             if "RESOURCE_EXHAUSTED" in str(e) or "ResourceExhausted" in str(e):
                 sys.exit(3)
@@ -282,12 +291,13 @@ def main():
     except OSError:
         pass
     wf = build(patch)
-    run_once(wf)  # warmup/compile
+    slab_bounds = slabs_for_patch(patch)
+    run_once(wf, slab_bounds)  # warmup/compile
 
     best = None
     for _ in range(2):
         t0 = time.time()
-        run_once(wf)
+        run_once(wf, slab_bounds)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
 
@@ -306,7 +316,10 @@ def main():
                 slab, device=devices[k % len(devices)], sync=False,
                 out_splits=sp, norm_stats=compute_norm_stats(slab, norm_spec),
                 pre_padded=(True, False, False)))
-        jax.block_until_ready(outs)
+        # chain-force: block_until_ready can report ready before the async
+        # chain finishes on this platform — read one scalar per chunk
+        for o in outs:
+            float(o[0, 0, 0, 0])
 
     run_compute_only()  # warm (compiled already; first run absorbs layout)
     best_c = None
