@@ -239,12 +239,19 @@ class Base_Workflow(metaclass=ABCMeta):
         if str(self.cfg.MODEL.SOURCE).lower() == "torchvision":
             # torchvision import from a LOCAL state dict (reference downloads
             # DEFAULT weights, build_torchvision_model models/__init__.py:1609)
-            from biapy_tpu.models.efficientnet import load_torchvision_efficientnet
+            tv_name = str(self.cfg.MODEL.TORCHVISION_MODEL_NAME).lower()
+            if tv_name.startswith("resnet"):
+                from biapy_tpu.models.resnet import load_torchvision_resnet
 
-            params, batch_stats, _ = load_torchvision_efficientnet(
-                str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params, batch_stats,
-                variant=str(self.cfg.MODEL.TORCHVISION_MODEL_NAME).lower(),
-                verbose=self.verbose)
+                params, batch_stats, _ = load_torchvision_resnet(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, variant=tv_name, verbose=self.verbose)
+            else:
+                from biapy_tpu.models.efficientnet import load_torchvision_efficientnet
+
+                params, batch_stats, _ = load_torchvision_efficientnet(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params, batch_stats,
+                    variant=tv_name, verbose=self.verbose)
 
         if str(self.cfg.MODEL.SOURCE).lower() == "bmz":
             # BMZ import (reference: build_bmz_model, models/__init__.py:943)
@@ -631,7 +638,8 @@ class Base_Workflow(metaclass=ABCMeta):
                                 device=None, sync: bool = True,
                                 out_splits=None,
                                 norm_stats=None,
-                                pre_padded=False) -> Optional[np.ndarray]:
+                                pre_padded=False,
+                                grid_overrides=None) -> Optional[np.ndarray]:
         """Whole-block sliding-window inference as ONE jitted program: the
         block lives in HBM, a lax.scan walks the patch grid, the model runs
         on the MXU (bf16 when TEST.REDUCE_MEMORY) and spline-blended patches
@@ -699,9 +707,11 @@ class Base_Workflow(metaclass=ABCMeta):
         ppad = (tuple(bool(v) for v in pre_padded)
                 if isinstance(pre_padded, (tuple, list))
                 else (bool(pre_padded),) * self.nd)
+        gov = (tuple(sorted((k, tuple(v)) for k, v in grid_overrides.items()))
+               if grid_overrides else None)
         key = (tuple(block_n.shape), str(block_n.dtype), ov, pad, bs,
                reduce_mem, splits, bool(cfg.DATA.TEST.MEDIAN_PADDING), dev_norm,
-               ppad)
+               ppad, gov)
         cache = getattr(self, "_stitch_cache", None)
         if cache is None:
             cache = self._stitch_cache = {}
@@ -723,14 +733,16 @@ class Base_Workflow(metaclass=ABCMeta):
                     return sliding_window_inference(
                         apply_fn, v, x, patch, ov, pad,
                         out_channels=sum(chans), batch_size=bs, out_dtype=out_dt,
-                        out_splits=splits, pad_mode=pad_mode, pre_padded=ppad)
+                        out_splits=splits, pad_mode=pad_mode, pre_padded=ppad,
+                        grid_overrides=grid_overrides)
 
                 runner = jax.jit(_run)
             else:
                 runner = jax.jit(lambda v, vol: sliding_window_inference(
                     apply_fn, v, vol, patch, ov, pad,
                     out_channels=sum(chans), batch_size=bs, out_dtype=out_dt,
-                    out_splits=splits, pad_mode=pad_mode, pre_padded=ppad))
+                    out_splits=splits, pad_mode=pad_mode, pre_padded=ppad,
+                    grid_overrides=grid_overrides))
             cache[key] = runner
         # Zero host-side dtype work: a bfloat16 block ships as a pure memcpy
         # and anything else ships in its native width and casts ON DEVICE —
@@ -824,6 +836,82 @@ class Base_Workflow(metaclass=ABCMeta):
         instance creation (e.g. resizing Cellpose flows back to native)."""
         return pred
 
+    def _predict_block_multichip(self, img: np.ndarray, ov, pad, stats):
+        """Per-image inference across ALL local chips (VERDICT r2 #5): the
+        3D volume's z patch-rows are grouped contiguously, one group per
+        chip, each slab carrying ``pad[0]`` rows of REAL halo from its
+        neighbours and dispatched asynchronously (the by-chunks local-chip
+        pattern, engine/chunked.py:179, applied to the common per-image
+        path the reference serves single-GPU, base_workflow.py:1840).
+
+        Result is IDENTICAL to the single-chip whole-volume stitch: with
+        z-overlap 0 the whole-volume z grid is rows [0, c, 2c, ..., Z-c]
+        (the last row shifted), and a slab covering any CONTIGUOUS row range
+        with real halo reproduces exactly those rows at the same offsets —
+        including the shifted final row's flat-window averaging, which stays
+        inside the last group (equality pinned by
+        tests/test_parallel_spatial.py::test_per_image_multichip_equals_single).
+
+        Returns None when the decomposition doesn't apply (2D, one chip,
+        z overlap != 0, or fewer than two patch rows).
+        """
+        import jax
+
+        from biapy_tpu.data.patching import axis_grid
+
+        devs = jax.local_devices()
+        if not self.is_3d or len(devs) < 2 or ov[0] != 0:
+            return None
+        patch = tuple(self.cfg.DATA.PATCH_SIZE)
+        core_z = patch[0] - 2 * pad[0]
+        Z = int(img.shape[0])
+        if core_z <= 0 or Z <= core_z:
+            return None
+        zg = axis_grid(Z, patch[0], ov[0], pad[0])
+        if zg.n < 2 or zg.ov_px != 0:
+            # redistributed z overlap blends EVERY adjacent row pair — no
+            # split point exists without cross-device blending
+            return None
+        # the shifted final row averages with its predecessor inside their
+        # shared flat-window overlap — they must land in the SAME group, so
+        # the last "unit" spans both rows when the grid carries a last_shift
+        n_units = zg.n if zg.last_shift == 0 else zg.n - 1
+        if n_units < 2:
+            return None
+        n_dev = min(len(devs), n_units)
+        halo = pad[0]
+        outs = []
+        for k in range(n_dev):
+            u0, u1 = n_units * k // n_dev, n_units * (k + 1) // n_dev
+            if u0 >= u1:
+                continue
+            z0 = u0 * zg.step
+            is_last = u1 >= n_units
+            z1 = Z if is_last else u1 * zg.step
+            n_rows = (u1 - u0) + (1 if (is_last and zg.last_shift) else 0)
+            h0, h1 = max(0, z0 - halo), min(Z, z1 + halo)
+            slab = img[h0:h1]
+            pad_lo, pad_hi = halo - (z0 - h0), halo - (h1 - z1)
+            if pad_lo or pad_hi:
+                pw = ((pad_lo, pad_hi),) + ((0, 0),) * (img.ndim - 1)
+                slab = np.pad(slab, pw, mode="reflect")
+            # the slab reproduces the GLOBAL grid's rows on its z range:
+            # same step, the global last_shift on the final row only, flat
+            # window (ov_px 0) — axis_grid on the slab extent alone would
+            # redistribute the shift differently and change the blend
+            gov = {0: (n_rows, zg.step,
+                       zg.last_shift if is_last else 0, 0)}
+            out = self.predict_block_on_device(
+                slab, overlap=ov, padding=pad, device=devs[len(outs) % len(devs)],
+                sync=False, norm_stats=stats, pre_padded=(True, False, False),
+                grid_overrides=gov)
+            if out is None:  # device path doesn't apply (TTA, exotic forward)
+                return None
+            outs.append(out)
+        if len(outs) < 2:
+            return None
+        return np.concatenate([np.asarray(jax.device_get(o)) for o in outs], axis=0)
+
     def process_test_sample(self, img: np.ndarray, gt: Optional[np.ndarray], fname: str, sample=None):
         """Sliding-window inference on one image (reference:
         process_test_sample, base_workflow.py:1840)."""
@@ -897,9 +985,13 @@ class Base_Workflow(metaclass=ABCMeta):
         if all(u == 1 for u in up):
             # fast path: the whole image stitches in one jitted program on
             # the device (ops/stitch.py), normalization included — the raw
-            # image ships narrow; TTA/SR fall back to host crop/merge
-            merged = self.predict_block_on_device(img, overlap=ov, padding=pad,
-                                                  norm_stats=stats)
+            # image ships narrow; TTA/SR fall back to host crop/merge.
+            # 3D volumes slab in z across ALL local chips when possible
+            # (identical result to single-chip, see _predict_block_multichip)
+            merged = self._predict_block_multichip(img, ov, pad, stats)
+            if merged is None:
+                merged = self.predict_block_on_device(img, overlap=ov, padding=pad,
+                                                      norm_stats=stats)
         if merged is None:
             if img_n is None:
                 img_n = _norm()

@@ -100,6 +100,7 @@ def sliding_window_inference(
     pad_mode: str = "reflect",
     out_splits: Optional[Sequence[Tuple[int, int]]] = None,
     pre_padded=False,
+    grid_overrides: Optional[dict] = None,
 ):
     """Stitched prediction for one channels-last volume (spatial..., C).
 
@@ -161,6 +162,18 @@ def sliding_window_inference(
         vol_p = vol_p.astype(compute_dtype)
 
     grids = [axis_grid(spatial[d], patch[d], overlap[d], padding[d]) for d in range(nd)]
+    if grid_overrides:
+        # multi-chip slabbing: a slab must reproduce the WHOLE volume's grid
+        # geometry on its axis (same step / shift / window), not the grid a
+        # standalone volume of the slab's extent would get — axis_grid
+        # redistributes trailing shift by n, so the two differ
+        # (base_workflow._predict_block_multichip builds these)
+        from biapy_tpu.data.patching import AxisGrid
+
+        for d, (n_, step_, last_, ovpx_) in grid_overrides.items():
+            grids[d] = AxisGrid(n=n_, step=step_, last_shift=last_,
+                                patch=patch[d], pad=padding[d],
+                                length=spatial[d], ov_px=ovpx_)
     axes_starts = [np.array([g.start(i) for i in range(g.n)], np.int32) for g in grids]
     mesh_ = np.meshgrid(*axes_starts, indexing="ij")
     starts_np = np.stack([m.reshape(-1) for m in mesh_], axis=-1)

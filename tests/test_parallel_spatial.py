@@ -155,3 +155,51 @@ def test_spatial_e2e_semantic_seg(tmp_path):
     assert job.workflow.mesh.shape == {"data": 4, "space": 2}
     iou = np.mean([m.get("iou", 0.0) for m in job.workflow.metrics_per_test_file])
     assert iou > 0.5, f"spatially-partitioned training failed to learn: {iou}"
+
+
+def test_per_image_multichip_equals_single(tmp_path):
+    """Per-image 3D inference slabs the volume in z across all local chips
+    (VERDICT r2 #5) and must produce the IDENTICAL prediction as the
+    single-chip whole-volume stitch — including a non-dividing z extent
+    whose shifted final patch row averages with its predecessor."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from biapy_tpu._biapy import BiaPy
+    from biapy_tpu.data.norm import compute_norm_stats
+    from biapy_tpu.data.tiff import write_tiff
+
+    root = str(tmp_path)
+    rng = np.random.default_rng(7)
+    os.makedirs(f"{root}/x"); os.makedirs(f"{root}/y")
+    vol = (rng.random((30, 32, 32)) * 255).astype(np.uint8)
+    write_tiff(f"{root}/x/v.tif", vol)
+    write_tiff(f"{root}/y/v.tif", (vol > 128).astype(np.uint8))
+    job = BiaPy({
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "3D"},
+        "DATA": {"PATCH_SIZE": (12, 16, 16, 1),
+                 "TRAIN": {"PATH": f"{root}/x", "GT_PATH": f"{root}/y"},
+                 "TEST": {"PATH": f"{root}/x", "GT_PATH": f"{root}/y",
+                          "PADDING": (2, 2, 2), "OVERLAP": (0.0, 0.0, 0.0)}},
+        "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [4, 8],
+                  "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [2, 2],
+                  "YX_DOWN": [2, 2], "CONV_LAYERS": [1, 1]},
+        "TRAIN": {"ENABLE": True, "BATCH_SIZE": 1, "EPOCHS": 1},
+        "TEST": {"ENABLE": True},
+    }, result_dir=root + "/results", name="mc", silent=True)
+    job._build_workflow()
+    wf = job.workflow
+    wf.prepare_model()
+
+    img = vol[..., None]
+    stats = compute_norm_stats(img, wf.test_norm_spec)
+    # z=30, core=8 -> 4 rows, last shifted (30 % 8 != 0)
+    multi = wf._predict_block_multichip(img, (0.0, 0.0, 0.0), (2, 2, 2), stats)
+    assert multi is not None and multi.shape[0] == 30
+    assert len(jax.local_devices()) >= 2  # conftest CPU mesh
+    single = wf.predict_block_on_device(img, overlap=(0.0, 0.0, 0.0),
+                                        padding=(2, 2, 2), norm_stats=stats)
+    np.testing.assert_allclose(np.asarray(multi), np.asarray(single),
+                               atol=1e-5)
