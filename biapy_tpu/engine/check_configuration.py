@@ -87,7 +87,8 @@ def check_configuration(cfg, job_identifier: str = "job",
         # DEFAULT weights and supports any torchvision name,
         # build_torchvision_model models/__init__.py:1609 — impossible
         # without the package or egress)
-        tv_supported = tuple(f"efficientnet_b{i}" for i in range(8))
+        tv_supported = tuple(f"efficientnet_b{i}" for i in range(8)) + (
+            "resnet18", "resnet34", "resnet50", "resnet101", "resnet152")
         tv_name = str(cfg.MODEL.TORCHVISION_MODEL_NAME).lower()
         req(tv_name in tv_supported,
             f"MODEL.SOURCE='torchvision': TORCHVISION_MODEL_NAME '{tv_name}' "
@@ -97,7 +98,7 @@ def check_configuration(cfg, job_identifier: str = "job",
             "MODEL.SOURCE='biapy' or import a BMZ package via "
             "MODEL.SOURCE='bmz'.")
         req(cfg.PROBLEM.TYPE == "CLASSIFICATION",
-            "MODEL.SOURCE='torchvision' with an efficientnet is a "
+            "MODEL.SOURCE='torchvision' with an efficientnet/resnet is a "
             "classification model (reference: build_torchvision_model "
             "classification branch)")
         req(cfg.PROBLEM.NDIM == "2D",

@@ -170,6 +170,14 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
         kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
         return EfficientNet(**kwargs), {"class": "EfficientNet", **kwargs}
 
+    if arch.startswith("resnet"):
+        # torchvision classification family from a LOCAL state dict
+        # (reference: build_torchvision_model, models/__init__.py:1609)
+        from biapy_tpu.models.resnet import ResNet
+
+        kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
+        return ResNet(**kwargs), {"class": "ResNet", **kwargs}
+
     if arch == "nafnet":
         from biapy_tpu.models.nafnet import NAFNet
 

@@ -164,7 +164,7 @@ def test_safetensors_config_rejected_with_guidance(tmp_path):
     # check_configuration.py:1908-3400)
     ({"TRAIN": {"ENABLE": False}, "TEST": {"ENABLE": True}}, "LOAD_CHECKPOINT"),
     ({"TRAIN": {"OPTIMIZER": ["ADAMW", "ADAMW"], "LR": [1e-3, 1e-3]}},
-     "no discriminator"),
+     "single loss head"),
     ({"TRAIN": {"OPT_BETAS": [0.9, 0.99, 0.5]}}, "OPT_BETAS"),
     ({"TRAIN": {"GRADIENT_CLIP_NORM": -1.0}}, "GRADIENT_CLIP_NORM"),
     ({"TRAIN": {"LR_SCHEDULER": {"NAME": "reduceonplateau",

@@ -215,3 +215,105 @@ def test_torchvision_classification_e2e(tmp_path):
                 silent=True)
     job.run_job()
     assert "accuracy" in job.workflow.stats
+
+
+def _torch_resnet18_sd(n_classes=1000, seed=0):
+    """A torchvision-format resnet18 state dict from a real torch module
+    (standard ResNet definition — torchvision is not installed), plus the
+    module itself for numeric comparison."""
+    import torch
+    import torch.nn as tnn
+
+    class BasicBlock(tnn.Module):
+        def __init__(self, inp, out, stride=1):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inp, out, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(out)
+            self.relu = tnn.ReLU(inplace=True)
+            self.conv2 = tnn.Conv2d(out, out, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(out)
+            self.downsample = None
+            if stride != 1 or inp != out:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(inp, out, 1, stride, bias=False),
+                    tnn.BatchNorm2d(out))
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            h = self.relu(self.bn1(self.conv1(x)))
+            h = self.bn2(self.conv2(h))
+            return self.relu(h + idn)
+
+    class ResNet18(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            self.layer1 = tnn.Sequential(BasicBlock(64, 64), BasicBlock(64, 64))
+            self.layer2 = tnn.Sequential(BasicBlock(64, 128, 2), BasicBlock(128, 128))
+            self.layer3 = tnn.Sequential(BasicBlock(128, 256, 2), BasicBlock(256, 256))
+            self.layer4 = tnn.Sequential(BasicBlock(256, 512, 2), BasicBlock(512, 512))
+            self.fc = tnn.Linear(512, n_classes)
+
+        def forward(self, x):
+            h = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            h = self.layer4(self.layer3(self.layer2(self.layer1(h))))
+            return self.fc(h.mean(dim=(2, 3)))
+
+    torch.manual_seed(seed)
+    net = ResNet18().eval()
+    # randomize running stats so bn placement is actually exercised
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    return net.state_dict(), net
+
+
+def test_load_torchvision_resnet18_numeric(tmp_path):
+    """resnet18 weight import is numerically exact: the Flax forward on the
+    imported weights matches the torch module's eval forward."""
+    import jax
+    import numpy as np
+    import torch
+
+    from biapy_tpu.models.resnet import ResNet, load_torchvision_resnet
+
+    sd, net = _torch_resnet18_sd(n_classes=1000)
+    p = str(tmp_path / "resnet18.pth")
+    torch.save(sd, p)
+
+    m = ResNet(variant="resnet18", n_classes=1000)
+    x = np.random.default_rng(0).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    params, stats, n = load_torchvision_resnet(p, v["params"],
+                                               v.get("batch_stats", {}),
+                                               variant="resnet18")
+    assert n == len([k for k in sd if not k.endswith("num_batches_tracked")])
+    out = m.apply({"params": params, "batch_stats": stats}, x,
+                  train=False)["class"]
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_load_torchvision_resnet_head_replaced(tmp_path, capsys):
+    import jax
+    import numpy as np
+    import torch
+
+    from biapy_tpu.models.resnet import ResNet, load_torchvision_resnet
+
+    sd, _ = _torch_resnet18_sd(n_classes=1000)
+    p = str(tmp_path / "resnet18.pth")
+    torch.save(sd, p)
+    m = ResNet(variant="resnet18", n_classes=3)
+    v = m.init({"params": jax.random.PRNGKey(0)},
+               np.zeros((1, 64, 64, 3), np.float32), train=False)
+    params, stats, n = load_torchvision_resnet(p, v["params"],
+                                               v.get("batch_stats", {}),
+                                               variant="resnet18")
+    assert "finetunning is required" in capsys.readouterr().out
