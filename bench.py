@@ -308,17 +308,21 @@ def main():
     # in HBM (the whole output volume is only ~134 MB bf16) — device-timed
     # dispatch + H2D + MXU + stitch with the tunnel's D2H drain excluded.
     def run_compute_only():
-        outs = []
+        forced = []
         for k, (z0, z1) in enumerate(slab_bounds):
             sp = splits_for(z0, z1)
             slab = slab_view(z0, z1)
-            outs.extend(wf.predict_block_on_device(
+            chunks = wf.predict_block_on_device(
                 slab, device=devices[k % len(devices)], sync=False,
                 out_splits=sp, norm_stats=compute_norm_stats(slab, norm_spec),
-                pre_padded=(True, False, False)))
+                pre_padded=(True, False, False))
+            forced.append(chunks[-1])
         # chain-force: block_until_ready can report ready before the async
-        # chain finishes on this platform — read one scalar per chunk
-        for o in outs:
+        # chain finishes on this platform — read ONE scalar per slab (every
+        # chunk comes from the same jitted program, so one output forces the
+        # whole slab; per-chunk reads would serialize ~100 tunnel RTTs into
+        # the measurement)
+        for o in forced:
             float(o[0, 0, 0, 0])
 
     run_compute_only()  # warm (compiled already; first run absorbs layout)

@@ -43,6 +43,42 @@ def create_plots(history: List[Dict], out_dir: str, job_identifier: str) -> None
         plt.close(fig)
 
 
+def threshold_plots(preds: np.ndarray, gt: np.ndarray, job_file: str,
+                    char_dir: str, r_val: float = 0.5) -> float:
+    """IoU-vs-binarization-threshold sweep chart (reference: util.py:108):
+    binarize predictions at 0.1..0.9, plot the per-threshold Jaccard index,
+    return the IoU at ``r_val``."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    char_dir = os.path.join(char_dir, "t_" + str(job_file))
+    os.makedirs(char_dir, exist_ok=True)
+    gt_b = gt > 0.5
+    ths = np.arange(0.1, 1.0, 0.1)
+    t_jac = np.zeros(len(ths))
+    r_pos = 0
+    for i, t in enumerate(ths):
+        if abs(float(t) - r_val) < 1e-9:
+            r_pos = i
+        pb = preds > t
+        inter = np.logical_and(pb, gt_b).sum()
+        union = np.logical_or(pb, gt_b).sum()
+        t_jac[i] = inter / union if union else 0.0
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.bar([f"{t:.2f}" for t in ths], t_jac)
+    ax.set_xlabel("threshold")
+    ax.set_ylabel("IoU")
+    ax.set_title(f"{job_file}: IoU vs binarization threshold")
+    for i, v in enumerate(t_jac):
+        ax.text(i, v, f"{v:.3f}", ha="center", va="bottom", fontsize=7)
+    fig.tight_layout()
+    fig.savefig(os.path.join(char_dir, f"{job_file}_threshold_sweep.png"), dpi=100)
+    plt.close(fig)
+    return float(t_jac[r_pos])
+
+
 def unet_weight_map(mask: np.ndarray, w0: float = 10.0, sigma: float = 5.0) -> np.ndarray:
     """U-Net border weight map (reference: util.py:199; Ronneberger 2015):
     emphasises pixels between close instances via the two nearest instance

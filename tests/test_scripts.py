@@ -332,3 +332,18 @@ def test_detection_plots_and_pr_plot(tmp_path):
                "--preds", tmp_path / "preds", "--thresholds", 0.5,
                "--out", tmp_path / "pr.svg")
     assert os.path.exists(tmp_path / "pr.svg")
+
+
+def test_threshold_plots(tmp_path):
+    """IoU-vs-threshold sweep chart (reference util.py:108)."""
+    import numpy as np
+
+    from biapy_tpu.utils.util import threshold_plots
+
+    rng = np.random.default_rng(0)
+    gt = (rng.random((4, 32, 32, 1)) > 0.5).astype(np.float32)
+    preds = gt * 0.8 + rng.random((4, 32, 32, 1)) * 0.2
+    iou = threshold_plots(preds, gt, "job_1", str(tmp_path), r_val=0.5)
+    assert 0.0 <= iou <= 1.0
+    import glob
+    assert glob.glob(str(tmp_path) + "/t_job_1/*.png")
