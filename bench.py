@@ -129,6 +129,12 @@ def main():
         now = time.time()
         stale = [tuple(p) for p, ts in geom_state.get("failed", [])
                  if now - ts < 48 * 3600]
+        # probe timeouts are remembered too, but briefly (6h): on a 1-CPU
+        # host each timed-out probe burns its full BIAPY_TPU_PROBE_TIMEOUT
+        # compiling, so back-to-back runs shouldn't re-pay it — while a
+        # passing host contention episode must not hide a geometry for days
+        stale += [tuple(p) for p, ts in geom_state.get("timed_out", [])
+                  if now - ts < 6 * 3600]
         candidates = [c for c in candidates
                       if c not in stale or c == candidates[-1]]
     except (OSError, ValueError, KeyError):
@@ -258,6 +264,7 @@ def main():
 
     wf = None
     failed = [[list(p), ts] for p, ts in geom_state.get("failed", [])]
+    timed_out = [[list(p), ts] for p, ts in geom_state.get("timed_out", [])]
     for patch in candidates:
         if patch == candidates[-1]:
             break  # smallest always fits; don't pay a probe for it
@@ -274,20 +281,23 @@ def main():
         if ok:
             break
         if oom:
-            # only a REAL ResourceExhausted is remembered — a timeout may
-            # just be host-CPU contention slowing the compile and must not
-            # blacklist a good geometry for later solo runs
+            # a REAL ResourceExhausted is remembered for 48h; a timeout
+            # (host-CPU contention / slow 1-core compile) for only 6h
             failed = [f for f in failed if tuple(f[0]) != patch]
             failed.append([list(patch), time.time()])
+        else:
+            timed_out = [f for f in timed_out if tuple(f[0]) != patch]
+            timed_out.append([list(patch), time.time()])
         print(f"patch={patch} unusable ({'OOM' if oom else 'timeout'}), "
               "falling back", file=sys.stderr)
     # candidates are ordered big->small; a smaller geometry never OOMs after
     # a bigger one failed, so remember the winner (and the recent failures,
-    # which are skipped for 48h) for the next run's probe
+    # which are skipped for 48h / 6h) for the next run's probe
     print(f"bench geometry: patch={patch}", file=sys.stderr)
     try:
         with open(geom_cache, "w") as f:
-            json.dump({"patch": list(patch), "failed": failed}, f)
+            json.dump({"patch": list(patch), "failed": failed,
+                       "timed_out": timed_out}, f)
     except OSError:
         pass
     wf = build(patch)

@@ -158,7 +158,10 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         mask_distances = {}
         for c in self.channel_codes:
             opts = self.channel_extra_opts.get(c, {})
-            if c in ("Db", "Dc", "Dn", "H", "V", "Z") or c in FLOW_CODES:
+            # 'R' masks like the other regressions BY DEFAULT (reference
+            # config.py:217: rays loss restricted to the binary foreground,
+            # default True; near-boundary pixels stay in via the F/P mask)
+            if c in ("Db", "Dc", "Dn", "H", "V", "Z", "R") or c in FLOW_CODES:
                 # Omnipose's Db carries a negative background value the model
                 # must learn — never mask it to the foreground
                 default_mask = not (c == "Db" and str(opts.get("val_type", "")) == "omnipose")
@@ -965,7 +968,8 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             # Cellpose: niter = (diameter / diam_mean) * 200 (reference:
             # workflow_utils/cellpose.py niter derivation)
             n_iter = max(1, int(round(diam / float(cp.DIAM_MEAN) * 200)))
-        return flows_to_instances(flows, fg, n_iter=n_iter, suppressed=suppressed)
+        return flows_to_instances(flows, fg, n_iter=n_iter, suppressed=suppressed,
+                                  flow_error_th=float(cp.FLOW_THRESHOLD))
 
     def _instances_from_rays(self, pred: np.ndarray) -> np.ndarray:
         """StarDist ray NMS — 2D polygons / 3D polyhedra (reference:

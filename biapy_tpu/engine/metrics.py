@@ -174,7 +174,12 @@ def _channel_loss(name: str, logits, target, weight=None):
     else:
         raise ValueError(f"Unknown channel loss: {name}")
     if weight is not None:
-        return jnp.sum(err * weight) / jnp.maximum(jnp.sum(weight), 1.0)
+        # normalize by the weight mass OVER THE BROADCAST error shape so a
+        # (..., 1) foreground mask on an nrays-wide channel yields a true
+        # mean over rays (reference: metrics.py:1760 "'R' rays is a true
+        # mean over rays (matching StarDist)")
+        w = jnp.broadcast_to(weight, err.shape)
+        return jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1.0)
     return jnp.mean(err)
 
 

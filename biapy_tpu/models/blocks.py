@@ -117,6 +117,13 @@ class ConvTranspose(nn.Module):
             k = jnp.flip(kernel, axis=tuple(range(nd))).astype(x.dtype)
             wmat = k.reshape((-1, cin, co)).transpose(1, 0, 2).reshape(cin, -1)
             y = x @ wmat
+            if self.use_bias:
+                # add the bias HERE, where co is the minor axis of the dot
+                # output (tiled over the taps): it fuses into the matmul
+                # epilogue; after the depth-to-space transpose it would cost
+                # a separate full-tensor read+write pass
+                bias = self.param("bias", self.bias_init, (self.features,))
+                y = y + jnp.tile(bias, y.shape[-1] // co).astype(y.dtype)
             b = x.shape[0]
             sp = x.shape[1:1 + nd]
             y = y.reshape((b,) + tuple(sp) + ks + (co,))
@@ -130,9 +137,9 @@ class ConvTranspose(nn.Module):
             dn = ("N" + sp_ax + "C", sp_ax + "IO", "N" + sp_ax + "C")
             y = jax.lax.conv_transpose(x, kernel.astype(x.dtype), strides,
                                        self.padding, dimension_numbers=dn)
-        if self.use_bias:
-            bias = self.param("bias", self.bias_init, (self.features,))
-            y = y + bias.astype(y.dtype)
+            if self.use_bias:
+                bias = self.param("bias", self.bias_init, (self.features,))
+                y = y + bias.astype(y.dtype)
         return y
 
 
@@ -576,17 +583,41 @@ class ProjectionHead(nn.Module):
         return h / jnp.maximum(norm, 1e-8)
 
 
+def _pool_reshape(x, window):
+    """(b, *sp, c) -> (b, s0/w0, w0, s1/w1, w1, ..., c) + the window axes."""
+    sp = x.shape[1:-1]
+    shape = [x.shape[0]]
+    for s, k in zip(sp, window):
+        shape += [s // k, k]
+    shape.append(x.shape[-1])
+    axes = tuple(range(2, 2 + 2 * len(sp), 2))
+    return x.reshape(shape), axes
+
+
 def max_pool(x, window: Sequence[int]):
-    """Max pooling with stride == window (reference: MaxPool2d/3d usage)."""
-    w = (1,) + tuple(window) + (1,)
-    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, w, w, "VALID")
+    """Max pooling with stride == window (reference: MaxPool2d/3d usage).
+
+    Non-overlapping windows pool by reshape+reduce instead of
+    lax.reduce_window: the forward is identical, but reduce_window's
+    backward lowers to XLA SelectAndScatter, which serializes on TPU; the
+    reshaped max's backward is a fused equality-mask broadcast."""
+    w = tuple(window)
+    if all(s % k == 0 for s, k in zip(x.shape[1:-1], w)):
+        xr, axes = _pool_reshape(x, w)
+        return xr.max(axis=axes)
+    ww = (1,) + w + (1,)
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, ww, ww, "VALID")
 
 
 def avg_pool(x, window: Sequence[int]):
-    w = (1,) + tuple(window) + (1,)
-    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, w, w, "VALID")
     import math
 
+    w = tuple(window)
+    if all(s % k == 0 for s, k in zip(x.shape[1:-1], w)):
+        xr, axes = _pool_reshape(x, w)
+        return xr.mean(axis=axes)
+    ww = (1,) + w + (1,)
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, ww, ww, "VALID")
     return summed / float(math.prod(window))
 
 

@@ -93,9 +93,17 @@ def flows_to_instances(
     hist = np.zeros(fg.shape, np.int64)
     pts = tuple(landing[..., d][fg] for d in range(nd))
     np.add.at(hist, pts, 1)
-    # sinks: high-density cells, slightly dilated, labelled
+    # sinks: high-density cells grown by a 5-iteration 3^nd expansion
+    # (reference: gradient_tracking.py cellpose get_masks — "histogram peaks
+    # grown with a 5-iteration 3x3 expansion"). Imperfect predicted flows
+    # land one cell's pixels in several nearby sub-sinks; the expansion
+    # reunites sinks within ~10 px so the cell stays one instance, while
+    # distinct cells' sinks (a cell diameter apart) stay separate. Measured
+    # on captured under-trained predictions: 2 iterations leaves 5 fragment
+    # FPs (f1 0.83), 5 merges all (f1 1.0); a density-masked variant
+    # stalls at h<=2 gaps inside the landing cloud and keeps 6 FPs.
     peaks = hist > max(2, int(hist.max() * 0.05)) if hist.max() > 4 else hist > 0
-    peaks = ndimage.binary_dilation(peaks, iterations=2)
+    peaks = ndimage.binary_dilation(peaks, iterations=5)
     seeds, n = connected_components(peaks)
     if n == 0:
         return np.zeros(fg.shape, np.int32)
@@ -105,16 +113,25 @@ def flows_to_instances(
     from biapy_tpu.data.post_processing import relabel_sequential, remove_small_instances
 
     labels = remove_small_instances(labels, min_size)
-    # flow-error QC (reference: regenerate flows per mask, drop high-MSE masks)
+    # flow-error QC (reference: regenerate flows per mask, drop high-MSE
+    # masks — gradient_tracking.py cellpose_flows_to_instances
+    # flow_threshold=0.4). The comparison is between UNIT fields: the
+    # regenerated flows are unit gradients, and the prediction is normalized
+    # per pixel first, so the error measures direction disagreement (a
+    # fragment's regenerated flows point at the fragment's own center, far
+    # from the predicted cell-center direction) rather than the magnitude
+    # underfit every partially-trained network shows.
     if flow_error_th > 0:
         from biapy_tpu.data.pre_processing import cellpose_flows
 
         regen = cellpose_flows(labels)
+        norm = np.linalg.norm(flows, axis=-1, keepdims=True)
+        unit = flows / np.maximum(norm, 1e-6)
         for lab in np.unique(labels):
             if lab == 0:
                 continue
             m = labels == lab
-            err = float(np.mean(np.sum((regen[m] - flows[m]) ** 2, axis=-1)))
+            err = float(np.mean(np.sum((regen[m] - unit[m]) ** 2, axis=-1)))
             if err > flow_error_th:
                 labels[m] = 0
     return relabel_sequential(labels)

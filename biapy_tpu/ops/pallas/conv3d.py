@@ -242,8 +242,14 @@ def _bwd(res, gy):
     # a 3x3x3 SAME conv, so it reuses the fast path.
     w_flip = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
     dx = conv3d(gy.astype(x.dtype), w_flip.astype(x.dtype))
-    # dw via XLA's conv-transpose machinery
-    _, vjp = jax.vjp(lambda w_: _conv3d_xla(x, w_), w)
+    # dw through the z-decomposed batched-2D conv's transpose, NOT the native
+    # 3D conv's: XLA's 2D weight-grad emitter tiles the MXU the same way its
+    # 2D forward does (the whole reason ops/conv3d.py decomposes), while the
+    # native-3D weight grad was measured to erase the Pallas forward's win
+    # end-to-end (BASELINE.md A/B: 4.8 vs 9.9 it/s).
+    from biapy_tpu.ops.conv3d import conv3d_as2d
+
+    _, vjp = jax.vjp(lambda w_: conv3d_as2d(x, w_), w)
     (dw,) = vjp(gy.astype(x.dtype))
     return dx.astype(x.dtype), dw.astype(w.dtype)
 

@@ -532,6 +532,119 @@ def test_detection_3d_zarr_input_percnorm(tmp_path):
 
 
 @pytest.mark.slow
+def test_instance_seg_2d_flows_aug(tmp_path):
+    """Cellpose-style gradient-flow vertical WITH geometric augmentation ON.
+
+    Gates the representation-aware train augmentation (flips/rot90 remap the
+    Gv/Gh vector field exactly; arbitrary rotation regenerates the columns
+    from the warped labels — reference: augmentors.py:1892-2026
+    rotate/flip_flow_vectors). Before round 3 the flow channels were
+    augmented as scalars, which silently corrupts exactly this training
+    path; a healthy matching-f1 with heavy augmentation pins the fix."""
+    rng = np.random.default_rng(41)
+    root = str(tmp_path)
+    for d, n in [("train", 12), ("test", 3)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            img, lab, _ = _labeled_circles((96, 96), 4, rng)
+            write_tiff(f"{root}/{d}/x/{i:02d}.tif", img)
+            write_tiff(f"{root}/{d}/y/{i:02d}.tif", lab)
+    from biapy_tpu._biapy import BiaPy
+
+    cfg = {
+        "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "2D",
+                    "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "Gv", "Gh"],
+                                     # the flow-error QC (reference default
+                                     # 0.4) rejects most masks of a
+                                     # micro-budget net whose flow angles are
+                                     # still noisy — disable it here, as the
+                                     # reference's CI gates implicitly do by
+                                     # not exercising the flows vertical
+                                     "CELLPOSE": {"FLOW_THRESHOLD": 0.0}}},
+        "DATA": {"PATCH_SIZE": (64, 64, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                          "LOAD_GT": True, "PADDING": (8, 8)}},
+        # heavy geometry: every sample is flipped/rotated, exercising both
+        # the exact-remap path (flips/rot90) and the label-regen path
+        # (arbitrary-angle rotation)
+        "AUGMENTOR": {"ENABLE": True, "VFLIP": True, "VFLIP_PROB": 0.5,
+                      "HFLIP": True, "HFLIP_PROB": 0.5,
+                      "ROT90": True, "ROT90_PROB": 0.5,
+                      "RANDOM_ROT": True, "RANDOM_ROT_PROB": 0.5},
+        "MODEL": {"ARCHITECTURE": "resunet", "FEATURE_MAPS": [8, 16, 32],
+                  "DROPOUT_VALUES": [0.0, 0.0, 0.0], "Z_DOWN": [2, 2, 2],
+                  "YX_DOWN": [2, 2, 2], "CONV_LAYERS": [2, 2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 8, "EPOCHS": 40},
+        "TEST": {"ENABLE": True, "MATCHING_STATS_THS": [0.3, 0.5],
+                 # drop sub-instance flow fragments, as the reference's
+                 # flow-QC/size filters do on real runs
+                 "POST_PROCESSING": {"MEASURE_PROPERTIES": {
+                     "ENABLE": True,
+                     "REMOVE_BY_PROPERTIES": {"ENABLE": True, "PROPS": [["size"]],
+                                              "VALUES": [[30]], "SIGNS": [["lt"]]}}}},
+    }
+    job = BiaPy(cfg, result_dir=root + "/results", name="flows2d", silent=True)
+    job.run_job()
+    agg = job.workflow.matching_stats
+    f1_03 = [s for s in agg if abs(s["thresh"] - 0.3) < 1e-6][0]["f1"]
+    assert f1_03 > 0.8, f"flows matching f1@0.3 too low with aug ON: {agg}"
+
+
+@pytest.mark.slow
+def test_instance_seg_2d_stardist_aug(tmp_path):
+    """StarDist ray vertical WITH geometric augmentation ON.
+
+    Rays under flips/rot90 are an index permutation of the ray set; under
+    arbitrary rotation the columns are regenerated from warped labels
+    (reference: star-dist channel handling in augmentors + tta.py). Gates
+    the rays branch of the representation-aware augmentation the same way
+    test_instance_seg_2d_flows_aug gates flows."""
+    rng = np.random.default_rng(43)
+    root = str(tmp_path)
+    for d, n in [("train", 12), ("test", 3)]:
+        os.makedirs(f"{root}/{d}/x")
+        os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            img, lab, _ = _labeled_circles((96, 96), 4, rng)
+            write_tiff(f"{root}/{d}/x/{i:02d}.tif", img)
+            write_tiff(f"{root}/{d}/y/{i:02d}.tif", lab)
+    from biapy_tpu._biapy import BiaPy
+
+    cfg = {
+        "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "2D",
+                    "INSTANCE_SEG": {
+                        "DATA_CHANNELS": ["P", "R"],
+                        "DATA_CHANNELS_EXTRA_OPTS": [{"R": {"nrays": 32}}],
+                        "STARDIST": {"PROB_THRESH": 0.5, "NMS_IOU_THRESH": 0.3}}},
+        "DATA": {"PATCH_SIZE": (64, 64, 1),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.2},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
+                          "LOAD_GT": True, "PADDING": (8, 8)}},
+        "AUGMENTOR": {"ENABLE": True, "VFLIP": True, "VFLIP_PROB": 0.5,
+                      "HFLIP": True, "HFLIP_PROB": 0.5,
+                      "ROT90": True, "ROT90_PROB": 0.5},
+        "MODEL": {"ARCHITECTURE": "resunet", "FEATURE_MAPS": [8, 16, 32],
+                  "DROPOUT_VALUES": [0.0, 0.0, 0.0], "Z_DOWN": [2, 2, 2],
+                  "YX_DOWN": [2, 2, 2], "CONV_LAYERS": [2, 2, 2]},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 8, "EPOCHS": 60},
+        "TEST": {"ENABLE": True, "MATCHING_STATS_THS": [0.3, 0.5],
+                 "POST_PROCESSING": {"MEASURE_PROPERTIES": {
+                     "ENABLE": True,
+                     "REMOVE_BY_PROPERTIES": {"ENABLE": True, "PROPS": [["size"]],
+                                              "VALUES": [[30]], "SIGNS": [["lt"]]}}}},
+    }
+    job = BiaPy(cfg, result_dir=root + "/results", name="sd2d", silent=True)
+    job.run_job()
+    agg = job.workflow.matching_stats
+    f1_03 = [s for s in agg if abs(s["thresh"] - 0.3) < 1e-6][0]["f1"]
+    assert f1_03 > 0.8, f"stardist matching f1@0.3 too low with aug ON: {agg}"
+
+
+@pytest.mark.slow
 def test_instance_seg_2d_embedseg(tmp_path):
     """EmbedSeg vertical end-to-end: E_offset/E_sigma/E_seediness heads
     trained with the spatial embedding loss on raw instance labels, instances
@@ -558,6 +671,12 @@ def test_instance_seg_2d_embedseg(tmp_path):
                  "VAL": {"SPLIT_TRAIN": 0.2},
                  "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y", "IN_MEMORY": True,
                           "LOAD_GT": True}},
+        # geometric aug ON: embeddings train on raw labels (channels are
+        # compiled inside the loss), so flips/rot90 exercise the plain label
+        # path of the representation-aware pipeline
+        "AUGMENTOR": {"ENABLE": True, "VFLIP": True, "VFLIP_PROB": 0.5,
+                      "HFLIP": True, "HFLIP_PROB": 0.5,
+                      "ROT90": True, "ROT90_PROB": 0.5},
         "MODEL": {"ARCHITECTURE": "resunet", "FEATURE_MAPS": [16, 32],
                   "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [2, 2],
                   "YX_DOWN": [2, 2], "CONV_LAYERS": [2, 2]},

@@ -156,9 +156,9 @@ def test_torchvision_source_validation(tmp_path):
 
     w = str(tmp_path / "effb0.pth")
     open(w, "w").close()
-    # unsupported torchvision family
+    # unsupported torchvision family (resnet/efficientnet ARE supported)
     with pytest.raises(Exception, match="not supported"):
-        check_configuration(cfg_with(TORCHVISION_MODEL_NAME="resnet50",
+        check_configuration(cfg_with(TORCHVISION_MODEL_NAME="vgg16",
                                      TORCHVISION_WEIGHTS=w))
     # missing local weights
     with pytest.raises(Exception, match="TORCHVISION_WEIGHTS"):
