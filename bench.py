@@ -268,7 +268,7 @@ def main():
     for patch in candidates:
         if patch == candidates[-1]:
             break  # smallest always fits; don't pay a probe for it
-        oom = False
+        oom = timed = False
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__),
                                 "--probe", ",".join(map(str, patch))],
@@ -278,6 +278,7 @@ def main():
             oom = r.returncode == 3
         except subprocess.TimeoutExpired:
             ok = False  # hung compile/transfer counts as unusable
+            timed = True
         if ok:
             break
         if oom:
@@ -285,10 +286,14 @@ def main():
             # (host-CPU contention / slow 1-core compile) for only 6h
             failed = [f for f in failed if tuple(f[0]) != patch]
             failed.append([list(patch), time.time()])
-        else:
+        elif timed:
             timed_out = [f for f in timed_out if tuple(f[0]) != patch]
             timed_out.append([list(patch), time.time()])
-        print(f"patch={patch} unusable ({'OOM' if oom else 'timeout'}), "
+        # any other nonzero exit is a probe CRASH (driver error, transient
+        # tunnel failure) — label it honestly and do NOT cache it: the next
+        # run should retry the geometry
+        print(f"patch={patch} unusable "
+              f"({'OOM' if oom else 'timeout' if timed else f'crash rc={r.returncode}'}), "
               "falling back", file=sys.stderr)
     # candidates are ordered big->small; a smaller geometry never OOMs after
     # a bigger one failed, so remember the winner (and the recent failures,

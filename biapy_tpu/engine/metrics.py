@@ -257,8 +257,14 @@ def instance_segmentation_loss(
             weight = None
             if lname.lower() in ("bce",) and class_rebalance_within_channels:
                 weight = weight_binary_ratio(true_c)
-            if mask_distances.get(ch, False) and fg_idx is not None:
-                fg = (y_true[..., fg_idx : fg_idx + 1] > 0.5).astype(pred_c.dtype)
+            if mask_distances.get(ch, False):
+                if fg_idx is not None:
+                    fg = (y_true[..., fg_idx : fg_idx + 1] > 0.5).astype(pred_c.dtype)
+                else:
+                    # no binary channel in the set: fall back to (target != 0)
+                    # on the masked channel itself, as the reference does for
+                    # 'R' without 'F' (reference config.py:217 uses R > 0)
+                    fg = (jnp.abs(true_c) > 0).any(axis=-1, keepdims=True).astype(pred_c.dtype)
                 weight = fg if weight is None else weight * fg
             if w_borders is not None:
                 wb = w_borders.astype(pred_c.dtype)

@@ -15,6 +15,7 @@ TPU-first design notes:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -27,6 +28,68 @@ Dtype = Any
 # (models/blocks.py init_weights); matching it keeps residual stacks
 # (EDSR/RCAN) numerically tame at initialization.
 KERNEL_INIT = nn.initializers.xavier_uniform()
+
+
+# ---------------------------------------------------------------------------
+# Folded-3D context: inside `fold3d(d)`, 3D activations travel as
+# (b*d, y, x, c) — z-shifts become row pad/slice on dim 0 — so the whole
+# network shares ONE 4D layout instead of bouncing 5D<->4D around every
+# conv (the as2d decomposition's per-conv reshapes left XLA flipping
+# layouts at each block boundary: ~21 ms/step of copies in the r3 bench
+# train profile). The context is trace-time static (a Python int depth);
+# parameter shapes/names are untouched, so checkpoints are identical.
+# ---------------------------------------------------------------------------
+
+_FOLD_STACK: list = []
+
+
+def fold_batch() -> Optional[int]:
+    """Static true batch size when inside a fold3d context, else None.
+    The context stores b (invariant through the network) rather than the
+    z-depth: pooling/upsampling change depth per level, so each op derives
+    its current depth as rows // b."""
+    return _FOLD_STACK[-1] if _FOLD_STACK else None
+
+
+def fold_depth(x=None) -> Optional[int]:
+    """Current static z-depth of a folded activation (rows // batch), or
+    None outside a fold3d context. With no tensor, just reports whether a
+    fold context is active (returns the batch size)."""
+    b = fold_batch()
+    if b is None:
+        return None
+    if x is None:
+        return b
+    return x.shape[0] // b
+
+
+class fold3d:
+    def __init__(self, batch: int):
+        self.b = int(batch)
+
+    def __enter__(self):
+        _FOLD_STACK.append(self.b)
+        return self
+
+    def __exit__(self, *exc):
+        _FOLD_STACK.pop()
+        return False
+
+
+def data_ndim(x) -> int:
+    """Spatial rank of an activation, fold-aware: a folded (b*d, y, x, c)
+    tensor is 3D data."""
+    if fold_batch() is not None and x.ndim == 4:
+        return 3
+    return x.ndim - 2
+
+
+def unfold5d(x, d: int):
+    return x.reshape((x.shape[0] // d, d) + x.shape[1:])
+
+
+def refold4d(x):
+    return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
 
 
 class Conv(nn.Module):
@@ -63,7 +126,17 @@ class Conv(nn.Module):
                else tuple(kd) if kd is not None else (1,) * nd)
 
         y = None
-        if x.ndim == 5:
+        fb = fold_batch()
+        if fb is not None and x.ndim == 4 and nd == 3:
+            from biapy_tpu.ops.conv3d import conv3d_folded
+
+            d = x.shape[0] // fb
+            y = conv3d_folded(x, kernel.astype(x.dtype), strides,
+                              self.padding, dil, self.feature_group_count, d)
+            if y is None:  # unsupported combo: unfold, run 5D, refold
+                y5 = self._conv5d(unfold5d(x, d), kernel, strides, dil)
+                y = refold4d(y5)
+        elif x.ndim == 5:
             from biapy_tpu.ops.conv3d import conv3d_dispatch
 
             # fastest exact strategy for the shape (z-decomposed 2D convs /
@@ -80,6 +153,19 @@ class Conv(nn.Module):
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
             y = y + bias.astype(y.dtype)
+        return y
+
+    def _conv5d(self, x, kernel, strides, dil):
+        from biapy_tpu.ops.conv3d import conv3d_dispatch
+
+        y = conv3d_dispatch(x, kernel.astype(x.dtype), strides,
+                            self.padding, dil, self.feature_group_count)
+        if y is None:
+            dn = ("NDHWC", "DHWIO", "NDHWC")
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), strides, self.padding,
+                rhs_dilation=dil, feature_group_count=self.feature_group_count,
+                dimension_numbers=dn)
         return y
 
 
@@ -112,6 +198,40 @@ class ConvTranspose(nn.Module):
         strides = ((st,) * nd if isinstance(st, int)
                    else tuple(st) if st is not None else (1,) * nd)
         kernel = self.param("kernel", self.kernel_init, ks + (x.shape[-1], self.features))
+        fb = fold_batch()
+        if (fb is not None and x.ndim == 4 and nd == 3
+                and ks == strides and self.padding == "SAME"):
+            # folded fast path: one 2D transposed conv per z tap, z-taps
+            # interleaved along the folded row axis (row r = b*d + z maps
+            # to rows r*sz..r*sz+sz-1 — image blocks stay contiguous; no
+            # cross-row taps, so no seam handling). Measured on v5e
+            # (tools/convt_ab.py, 64ch@64^3): fwd+bwd 9.2 ms vs 6651 ms
+            # for the per-voxel-matmul + 7D-transpose interleave — XLA's
+            # 2D transposed-conv emitter handles the yx depth-to-space far
+            # better than the explicit transpose copy.
+            sz, sy, sx = ks
+            co = self.features
+            bd, h, w = x.shape[0], x.shape[1], x.shape[2]
+            kx = kernel.astype(x.dtype)
+            # z phase a takes kernel plane sz-1-a: lax.conv_transpose
+            # mirrors the kernel (transpose_kernel=False), and the 2D call
+            # already mirrors y/x — only the z flip is done by hand here
+            outs = [jax.lax.conv_transpose(
+                x, kx[sz - 1 - a], (sy, sx), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                for a in range(sz)]
+            if sz == 1:
+                y = outs[0]
+            else:
+                y = jnp.stack(outs, axis=1).reshape(bd * sz, h * sy, w * sx, co)
+            if self.use_bias:
+                bias = self.param("bias", self.bias_init, (self.features,))
+                y = y + bias.astype(y.dtype)
+            return y
+        if fb is not None and x.ndim == 4 and nd == 3:
+            x = unfold5d(x, x.shape[0] // fb)
+            y = self._generic(x, kernel, strides, nd)
+            return refold4d(y)
         if ks == strides and self.padding == "SAME":
             cin, co = x.shape[-1], self.features
             k = jnp.flip(kernel, axis=tuple(range(nd))).astype(x.dtype)
@@ -133,13 +253,17 @@ class ConvTranspose(nn.Module):
                 y = y.transpose(0, 1, 3, 2, 4, 5)
             y = y.reshape((b,) + tuple(s * k_ for s, k_ in zip(sp, ks)) + (co,))
         else:
-            sp_ax = "DHW"[3 - nd:]
-            dn = ("N" + sp_ax + "C", sp_ax + "IO", "N" + sp_ax + "C")
-            y = jax.lax.conv_transpose(x, kernel.astype(x.dtype), strides,
-                                       self.padding, dimension_numbers=dn)
-            if self.use_bias:
-                bias = self.param("bias", self.bias_init, (self.features,))
-                y = y + bias.astype(y.dtype)
+            y = self._generic(x, kernel, strides, nd)
+        return y
+
+    def _generic(self, x, kernel, strides, nd):
+        sp_ax = "DHW"[3 - nd:]
+        dn = ("N" + sp_ax + "C", sp_ax + "IO", "N" + sp_ax + "C")
+        y = jax.lax.conv_transpose(x, kernel.astype(x.dtype), strides,
+                                   self.padding, dimension_numbers=dn)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -189,6 +313,14 @@ class Norm(nn.Module):
         # output dtype follows x.
         if self.kind == "none":
             return x
+        fb = fold_batch()
+        if fb is not None and x.ndim == 4 and self.kind in ("gn", "in"):
+            # per-SAMPLE stats need the true batch axis: unfold around the
+            # norm (bn/ln reduce identically in folded form; gn/in do not)
+            return refold4d(self._apply(unfold5d(x, x.shape[0] // fb), train))
+        return self._apply(x, train)
+
+    def _apply(self, x, train: bool):
         if self.kind in ("bn", "sync_bn"):
             return nn.BatchNorm(
                 use_running_average=not train,
@@ -231,13 +363,23 @@ class SqExBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        spatial_axes = tuple(range(1, x.ndim - 1))
-        s = jnp.mean(x, axis=spatial_axes)  # (B, C)
+        fb = fold_batch()
+        folded = fb is not None and x.ndim == 4
+        if folded:
+            fd = x.shape[0] // fb
+            # squeeze per true sample: reduce y/x first, then the z rows
+            s = jnp.mean(x, axis=(1, 2)).reshape(fb, fd, c).mean(axis=1)
+        else:
+            spatial_axes = tuple(range(1, x.ndim - 1))
+            s = jnp.mean(x, axis=spatial_axes)  # (B, C)
         s = nn.Dense(max(1, c // self.r), use_bias=False, kernel_init=KERNEL_INIT)(s)
         s = nn.relu(s)
         s = nn.Dense(c, use_bias=False, kernel_init=KERNEL_INIT)(s)
         s = nn.sigmoid(s)
-        s = s.reshape((x.shape[0],) + (1,) * (x.ndim - 2) + (c,))
+        if folded:
+            s = jnp.repeat(s, fd, axis=0).reshape(x.shape[0], 1, 1, c)
+        else:
+            s = s.reshape((x.shape[0],) + (1,) * (x.ndim - 2) + (c,))
         return x * s
 
 
@@ -259,7 +401,7 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         act_fn = get_activation(self.act)
-        ndim = x.ndim - 2
+        ndim = data_ndim(x)
         k = _expand(self.k_size, ndim)
         for i in range(self.nconvs):
             strides = _expand(self.strides if i == 0 else 1, ndim)
@@ -314,7 +456,7 @@ class ResConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         act_fn = get_activation(self.act)
-        ndim = x.ndim - 2
+        ndim = data_ndim(x)
         k = _expand(self.k_size, ndim)
         pre = self.order == "norm_act_conv"
 
@@ -379,7 +521,7 @@ class AttentionGate(nn.Module):
 
     @nn.compact
     def __call__(self, x_skip, g, train: bool = False):
-        ndim = x_skip.ndim - 2
+        ndim = data_ndim(x_skip)
         one = (1,) * ndim
         wg = Conv(self.features, kernel_size=one, kernel_init=KERNEL_INIT)(g)
         wg = Norm(self.norm)(wg, train)
@@ -396,6 +538,15 @@ class AttentionGate(nn.Module):
 
 def upsample_nearest(x, scale: Sequence[int]):
     """Nearest-neighbour upsampling by integer per-axis factors."""
+    if fold_batch() is not None and x.ndim == 4 and len(scale) == 3:
+        # z-repeat on the folded row axis repeats each row in place, which
+        # is exactly nearest-z upsampling for any batch size
+        if scale[0] > 1:
+            x = jnp.repeat(x, scale[0], axis=0)
+        for d, s in enumerate(scale[1:]):
+            if s > 1:
+                x = jnp.repeat(x, s, axis=d + 1)
+        return x
     for d, s in enumerate(scale):
         if s > 1:
             x = jnp.repeat(x, s, axis=d + 1)
@@ -405,6 +556,10 @@ def upsample_nearest(x, scale: Sequence[int]):
 def upsample_linear(x, scale: Sequence[int]):
     """Bi/tri-linear upsampling by integer per-axis factors (reference:
     nn.Upsample(mode='bilinear'/'trilinear'))."""
+    fb = fold_batch()
+    if fb is not None and x.ndim == 4 and len(scale) == 3:
+        # z interpolation must not cross image seams: unfold around resize
+        return refold4d(upsample_linear(unfold5d(x, x.shape[0] // fb), scale))
     new_shape = (x.shape[0],) + tuple(s * f for s, f in zip(x.shape[1:-1], scale)) + (x.shape[-1],)
     return jax.image.resize(x, new_shape, method="linear")
 
@@ -493,6 +648,16 @@ class GRN(nn.Module):
         dim = x.shape[-1]
         gamma = self.param("gamma", nn.initializers.zeros, (dim,))
         beta = self.param("beta", nn.initializers.zeros, (dim,))
+        fb = fold_batch()
+        if fb is not None and x.ndim == 4:
+            fd = x.shape[0] // fb
+            # per-sample stats over (z, y, x): fold rows belong to b*d
+            sq = jnp.sum(jnp.square(x), axis=(1, 2))  # (b*d, c)
+            sq = sq.reshape(fb, fd, dim).sum(axis=1)  # (b, c)
+            gx = jnp.sqrt(sq + 1e-12)
+            nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+            nx = jnp.repeat(nx, fd, axis=0).reshape(x.shape[0], 1, 1, dim)
+            return gamma * (x * nx) + beta + x
         spatial_axes = tuple(range(1, x.ndim - 1))
         gx = jnp.sqrt(jnp.sum(jnp.square(x), axis=spatial_axes, keepdims=True) + 1e-12)
         nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
@@ -510,8 +675,14 @@ class DropPath(nn.Module):
             return x
         keep = 1.0 - self.rate
         rng = self.make_rng("dropout")
-        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-        mask = jax.random.bernoulli(rng, keep, shape)
+        fb = fold_batch()
+        if fb is not None and x.ndim == 4:
+            fd = x.shape[0] // fb
+            mask = jax.random.bernoulli(rng, keep, (fb,))
+            mask = jnp.repeat(mask, fd, axis=0).reshape((x.shape[0],) + (1,) * (x.ndim - 1))
+        else:
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = jax.random.bernoulli(rng, keep, shape)
         return jnp.where(mask, x / keep, 0.0)
 
 
@@ -526,7 +697,7 @@ class ConvNeXtBlockV1(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        ndim = x.ndim - 2
+        ndim = data_ndim(x)
         h = Conv(
             self.features, kernel_size=_expand(self.k_size, ndim), padding="SAME",
             feature_group_count=self.features, kernel_init=KERNEL_INIT,
@@ -549,7 +720,7 @@ class ConvNeXtBlockV2(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        ndim = x.ndim - 2
+        ndim = data_ndim(x)
         h = Conv(
             self.features, kernel_size=_expand(self.k_size, ndim), padding="SAME",
             feature_group_count=self.features, kernel_init=KERNEL_INIT,
@@ -570,7 +741,7 @@ class ProjectionHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        ndim = x.ndim - 2
+        ndim = data_ndim(x)
         one = (1,) * ndim
         in_ch = x.shape[-1]
         h = Conv(in_ch, kernel_size=one, kernel_init=KERNEL_INIT)(x)
@@ -583,8 +754,18 @@ class ProjectionHead(nn.Module):
         return h / jnp.maximum(norm, 1e-8)
 
 
-def _pool_reshape(x, window):
-    """(b, *sp, c) -> (b, s0/w0, w0, s1/w1, w1, ..., c) + the window axes."""
+def _pool_reshape(x, window, folded: bool = False):
+    """(b, *sp, c) -> (b, s0/w0, w0, s1/w1, w1, ..., c) + the window axes.
+
+    ``folded``: x is a z-folded (b*d, y, x, c) tensor and window[0] pools
+    the row axis (exact: rows are grouped per image and d % w0 == 0)."""
+    if folded:
+        shape = [x.shape[0] // window[0], window[0]]
+        for s, k in zip(x.shape[1:-1], window[1:]):
+            shape += [s // k, k]
+        shape.append(x.shape[-1])
+        axes = tuple(range(1, 2 * len(window), 2))
+        return x.reshape(shape), axes
     sp = x.shape[1:-1]
     shape = [x.shape[0]]
     for s, k in zip(sp, window):
@@ -594,27 +775,80 @@ def _pool_reshape(x, window):
     return x.reshape(shape), axes
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _max_pool_exact(x, w, folded=False):
+    xr, axes = _pool_reshape(x, w, folded)
+    return xr.max(axis=axes)
+
+
+def _max_pool_exact_fwd(x, w, folded=False):
+    y = _max_pool_exact(x, w, folded)
+    return y, (x, y)
+
+
+def _max_pool_exact_bwd(w, folded, res, g):
+    # Route the gradient to every max position WITHOUT the tie-splitting
+    # normalization jax's default max-vjp emits (an extra full-size
+    # reduce_sum + div per pool, ~5 ms/step on the 128^3 bench profile).
+    # Torch's MaxPool backward routes to a single argmax; ties between
+    # continuous conv outputs are measure-zero, so the eq-mask is the same
+    # gradient in practice at half the HBM traffic.
+    x, y = res
+    xr, axes = _pool_reshape(x, w, folded)
+    yb = jnp.expand_dims(y, axes)
+    gb = jnp.expand_dims(g, axes)
+    dx = jnp.where(xr == yb, gb, jnp.zeros((), g.dtype)).reshape(x.shape)
+    return (dx,)
+
+
+_max_pool_exact.defvjp(_max_pool_exact_fwd, _max_pool_exact_bwd)
+
+
+def _pool_fold_state(x, window):
+    """(window, folded, divisible) after folding adjustments."""
+    w = tuple(window)
+    fb = fold_batch()
+    if fb is not None and x.ndim == 4 and len(w) == 3:
+        d = x.shape[0] // fb
+        ok = (d % w[0] == 0
+              and all(s % k == 0 for s, k in zip(x.shape[1:-1], w[1:])))
+        return w, True, ok
+    return w, False, all(s % k == 0 for s, k in zip(x.shape[1:-1], w))
+
+
 def max_pool(x, window: Sequence[int]):
     """Max pooling with stride == window (reference: MaxPool2d/3d usage).
 
     Non-overlapping windows pool by reshape+reduce instead of
     lax.reduce_window: the forward is identical, but reduce_window's
     backward lowers to XLA SelectAndScatter, which serializes on TPU; the
-    reshaped max's backward is a fused equality-mask broadcast."""
-    w = tuple(window)
+    reshaped max carries a custom vjp (eq-mask broadcast, no tie-split)."""
+    w, folded, ok = _pool_fold_state(x, window)
+    if folded:
+        if ok:
+            return _max_pool_exact(x, w, True)
+        d = x.shape[0] // fold_batch()
+        return refold4d(max_pool_5d(unfold5d(x, d), w))
+    if ok:
+        return _max_pool_exact(x, w, False)
+    return max_pool_5d(x, w)
+
+
+def max_pool_5d(x, w):
     if all(s % k == 0 for s, k in zip(x.shape[1:-1], w)):
-        xr, axes = _pool_reshape(x, w)
-        return xr.max(axis=axes)
-    ww = (1,) + w + (1,)
+        return _max_pool_exact(x, w, False)
+    ww = (1,) + tuple(w) + (1,)
     return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, ww, ww, "VALID")
 
 
 def avg_pool(x, window: Sequence[int]):
     import math
 
-    w = tuple(window)
-    if all(s % k == 0 for s, k in zip(x.shape[1:-1], w)):
-        xr, axes = _pool_reshape(x, w)
+    w, folded, ok = _pool_fold_state(x, window)
+    if folded and not ok:
+        return refold4d(avg_pool(unfold5d(x, x.shape[0] // fold_batch()), w))
+    if ok:
+        xr, axes = _pool_reshape(x, w, folded)
         return xr.mean(axis=axes)
     ww = (1,) + w + (1,)
     summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, ww, ww, "VALID")

@@ -33,8 +33,12 @@ from biapy_tpu.models.blocks import (
     ResConvBlock,
     UpBlock,
     aniso_kernel,
+    fold3d,
+    fold_depth,
     get_decoder_feature_maps,
     max_pool,
+    refold4d,
+    unfold5d,
 )
 
 
@@ -82,6 +86,26 @@ class UNetFamily(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from biapy_tpu.ops.conv3d import fold3d_enabled
+
+        if self.ndim == 3 and x.ndim == 5 and fold3d_enabled():
+            # z-folded mode: the whole network runs on (b*z, y, x, c)
+            # activations (blocks.py fold3d) — one 4D layout end-to-end
+            # instead of 5D<->4D round trips around every conv. Parameter
+            # shapes/names are identical; outputs are unfolded at exit.
+            b, d = x.shape[0], x.shape[1]
+            with fold3d(b):
+                out = self._body(x.reshape((b * d,) + x.shape[2:]), train)
+            # branches that internally unfolded (e.g. the contrast head's
+            # broadcast dropout) already return 5D tensors
+            unfold = lambda t: (t.reshape((b, d) + t.shape[1:])
+                                if t.ndim == 4 else t)
+            if isinstance(out, dict):
+                return {k: unfold(v) for k, v in out.items()}
+            return unfold(out)
+        return self._body(x, train)
+
+    def _body(self, x, train: bool = False):
         depth = len(self.feature_maps) - 1
         iso = list(self.isotropy)
         if len(iso) == 1:
@@ -168,14 +192,18 @@ class UNetFamily(nn.Module):
         one = (1,) * self.ndim
         out = {}
         if self.contrast:
+            feat0 = feats[0]
+            if fold_depth() is not None and feat0.ndim == 4:
+                # the broadcast dropout below needs per-sample z/y/x dims
+                feat0 = unfold5d(feat0, fold_depth(feat0))
             h = Conv(dec_fm[0], kernel_size=aniso_kernel(3, self.ndim, True), padding="SAME",
-                        kernel_init=KERNEL_INIT)(feats[0])
+                        kernel_init=KERNEL_INIT)(feat0)
             h = Norm(self.normalization)(h, train)
             h = nn.Dropout(0.10, deterministic=not train,
                            broadcast_dims=tuple(range(1, 1 + self.ndim)))(h)
             out["pred"] = Conv(self.output_channels[0], kernel_size=one, use_bias=False,
                                   kernel_init=KERNEL_INIT)(h)
-            out["embed"] = ProjectionHead(self.contrast_proj_dim)(feats[0], train)
+            out["embed"] = ProjectionHead(self.contrast_proj_dim)(feat0, train)
         else:
             preds, class_outs = [], []
             for i, out_ch in enumerate(self.output_channels):

@@ -101,6 +101,99 @@ def _on_tpu() -> bool:
         return False
 
 
+def fold3d_enabled() -> bool:
+    """Whether the UNet family folds 3D activations to (b*z, y, x, c) for
+    the WHOLE network (models/blocks.py fold3d). Default on for TPU: the
+    per-conv 5D<->4D round trips of the as2d decomposition leave XLA
+    flipping layouts at every block boundary (~21 ms/step of pure copies in
+    the r3 train profile); keeping one folded layout end-to-end removes
+    them. Off on CPU so tests keep native-conv numerics, overridable via
+    BIAPY_TPU_FOLD3D=1/0."""
+    env = os.environ.get("BIAPY_TPU_FOLD3D", "").lower()
+    if env in ("0", "off", "false"):
+        return False
+    if env in ("1", "on", "true"):
+        return True
+    return _on_tpu()
+
+
+def _conv2d_general(x, w, strides, dil, groups):
+    return jax.lax.conv_general_dilated(
+        x, w, strides, "SAME", rhs_dilation=dil,
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _seam_mask(bd: int, d: int, off: int, dtype):
+    """0/1 row mask zeroing folded rows whose z+off crosses an image
+    boundary (b > 1: the row pad/slice bleeds the neighbouring image's
+    plane where a 5D SAME conv would see zero padding)."""
+    import numpy as np
+
+    z = np.arange(bd) % d
+    m = ((z + off) >= 0) & ((z + off) < d)
+    return jnp.asarray(m.astype(np.float32), dtype).reshape(bd, 1, 1, 1)
+
+
+def conv3d_folded(x4, w, strides, padding, dil, groups, d: int):
+    """3D conv on a z-folded (b*d, h, w, c) activation; returns None when
+    the shape combination is unsupported (caller unfolds to 5D).
+
+    The z taps become row-shifted batched 2D convs — the same exact
+    decomposition as conv3d_as2d, but with NO 5D reshapes: the pad/slice
+    runs on the folded row axis, so consecutive convs, norms and
+    elementwise ops all share one 4D layout.
+    """
+    kz = w.shape[0]
+    st = tuple(strides) if strides is not None else (1, 1, 1)
+    dl = tuple(dil) if dil is not None else (1, 1, 1)
+    if padding != "SAME" or st[0] != 1 or dl[0] != 1:
+        return None
+    if kz != 1 and kz % 2 == 0:
+        return None
+    bd = x4.shape[0]
+    b = bd // d
+    if kz == 1:
+        return _conv2d_general(x4, w[0], st[1:], dl[1:], groups)
+    hz = kz // 2
+    xp = jnp.pad(x4, ((hz, hz), (0, 0), (0, 0), (0, 0)))
+    taps = []
+    for dz in range(kz):
+        x2 = jax.lax.slice_in_dim(xp, dz, dz + bd, axis=0)
+        off = dz - hz
+        if b > 1 and off != 0:
+            x2 = x2 * _seam_mask(bd, d, off, x2.dtype)
+        taps.append(x2)
+    if groups == 1 and _prefer_cat(x4.shape[-1], w.shape[-1]):
+        xc = jnp.concatenate(taps, axis=-1)
+        wk = jnp.concatenate([w[dz] for dz in range(kz)], axis=2)
+        return _conv2d_general(xc, wk, st[1:], dl[1:], groups)
+    out = None
+    for dz in range(kz):
+        o = _conv2d_general(taps[dz], w[dz], st[1:], dl[1:], groups)
+        out = o if out is None else out + o
+    return out
+
+
+def _prefer_cat(cin: int, cout: int) -> bool:
+    """Strategy choice for the z-decomposed conv, measured on v5e bf16
+    (tools/conv_ab.py, fwd+bwd per conv, min of 2 runs):
+
+    | shape                | as2d    | cat2d  |
+    | 32->32  @128^3 k3    | 29.2 ms |  8.1 ms|
+    | 96->32  @128^3 k3    | 16.1 ms | 22.7 ms|
+    |  1->32  @128^3 k3    | 15.2 ms |  1.7 ms|
+    | 64->64  @64^3  k3    | 14.7 ms |  3.9 ms|
+    | 192->64 @64^3  k3    | 14.3 ms |  9.0 ms|
+    | 32->32  @128^3 k5    | 24.5 ms | 22.5 ms|
+
+    cat2d (one conv over z-concatenated channels, kz*Cin contraction depth)
+    wins everywhere except wide->narrow convs with small Cout, where the
+    sum-of-taps as2d keeps the deeper-contraction advantage without 3x
+    input materialization."""
+    return not (cin > 2 * cout and cout < 64)
+
+
 def conv3d_dispatch(x, w, strides, padding, dil, groups):
     """Pick the fastest exact strategy for a 3D conv; None = caller falls
     back to XLA. Decomposition only engages on TPU so CPU tests keep the
@@ -122,7 +215,7 @@ def conv3d_dispatch(x, w, strides, padding, dil, groups):
                 from biapy_tpu.ops.pallas.conv3d import conv3d as pallas_conv3d
 
                 return pallas_conv3d(x, w)
-        if x.shape[-1] < 8:
+        if groups == 1 and _prefer_cat(x.shape[-1], w.shape[-1]):
             return conv3d_cat2d(x, w)
         return conv3d_as2d(x, w)
     if ks[0] == 1 and ks[1] == ks[2]:
