@@ -709,9 +709,10 @@ class Base_Workflow(metaclass=ABCMeta):
                 else (bool(pre_padded),) * self.nd)
         gov = (tuple(sorted((k, tuple(v)) for k, v in grid_overrides.items()))
                if grid_overrides else None)
+        quant = bool(getattr(cfg.TEST, "OUTPUT_QUANT_UINT8", False))
         key = (tuple(block_n.shape), str(block_n.dtype), ov, pad, bs,
                reduce_mem, splits, bool(cfg.DATA.TEST.MEDIAN_PADDING), dev_norm,
-               ppad, gov)
+               ppad, gov, quant)
         cache = getattr(self, "_stitch_cache", None)
         if cache is None:
             cache = self._stitch_cache = {}
@@ -734,7 +735,7 @@ class Base_Workflow(metaclass=ABCMeta):
                         apply_fn, v, x, patch, ov, pad,
                         out_channels=sum(chans), batch_size=bs, out_dtype=out_dt,
                         out_splits=splits, pad_mode=pad_mode, pre_padded=ppad,
-                        grid_overrides=grid_overrides)
+                        grid_overrides=grid_overrides, quant_uint8=quant)
 
                 runner = jax.jit(_run)
             else:
@@ -742,7 +743,7 @@ class Base_Workflow(metaclass=ABCMeta):
                     apply_fn, v, vol, patch, ov, pad,
                     out_channels=sum(chans), batch_size=bs, out_dtype=out_dt,
                     out_splits=splits, pad_mode=pad_mode, pre_padded=ppad,
-                    grid_overrides=grid_overrides))
+                    grid_overrides=grid_overrides, quant_uint8=quant))
             cache[key] = runner
         # Zero host-side dtype work: a bfloat16 block ships as a pure memcpy
         # and anything else ships in its native width and casts ON DEVICE —

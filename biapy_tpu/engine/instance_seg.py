@@ -969,7 +969,9 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             # workflow_utils/cellpose.py niter derivation)
             n_iter = max(1, int(round(diam / float(cp.DIAM_MEAN) * 200)))
         return flows_to_instances(flows, fg, n_iter=n_iter, suppressed=suppressed,
-                                  flow_error_th=float(cp.FLOW_THRESHOLD))
+                                  flow_error_th=float(cp.FLOW_THRESHOLD),
+                                  expansion_gate=str(getattr(
+                                      cp, "EXPANSION_GATE", "cellpose")))
 
     def _instances_from_rays(self, pred: np.ndarray) -> np.ndarray:
         """StarDist ray NMS — 2D polygons / 3D polyhedra (reference:

@@ -16,6 +16,7 @@ TPU-first design notes:
 from __future__ import annotations
 
 from functools import partial
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -216,6 +217,25 @@ class ConvTranspose(nn.Module):
             # z phase a takes kernel plane sz-1-a: lax.conv_transpose
             # mirrors the kernel (transpose_kernel=False), and the 2D call
             # already mirrors y/x — only the z flip is done by hand here
+            use_zd2s = sz > 1 and jax.default_backend() not in ("cpu", "gpu")
+            if use_zd2s:
+                from biapy_tpu.ops.pallas.shuffle import shuffle_enabled, zd2s
+
+                use_zd2s = shuffle_enabled()
+            if use_zd2s:
+                # ONE 2D transposed conv with the z taps stacked on the
+                # output-channel axis, then a VMEM-local z interleave (the
+                # XLA stack/concatenate costs ~4 ms/step on the bench
+                # profile; per-tap convs also pay the emitter twice)
+                k2 = jnp.concatenate([kx[sz - 1 - a] for a in range(sz)],
+                                     axis=-1)
+                y = jax.lax.conv_transpose(
+                    x, k2, (sy, sx), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                if self.use_bias:
+                    bias = self.param("bias", self.bias_init, (self.features,))
+                    y = y + jnp.tile(bias, sz).astype(y.dtype)
+                return zd2s(y, sz)
             outs = [jax.lax.conv_transpose(
                 x, kx[sz - 1 - a], (sy, sx), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -816,6 +836,24 @@ def _pool_fold_state(x, window):
     return w, False, all(s % k == 0 for s, k in zip(x.shape[1:-1], w))
 
 
+def _max_pool_strided(x, w):
+    """Window max as an elementwise max tree over strided slices (stride ==
+    window; works folded (rows,...,c) or batched (b,...,c)). Backward =
+    window-count-smaller selects + strided pads, avoiding the full-size 6D
+    eq/broadcast of the reshape formulation. Folded rows stay within one
+    image because d % wz == 0 makes image boundaries window-aligned."""
+    import itertools
+
+    lead = x.ndim - len(w) - 1  # 0 when folded, 1 with an explicit batch dim
+    out = None
+    for off in itertools.product(*[range(k) for k in w]):
+        start = (0,) * lead + tuple(off) + (0,)
+        strides = (1,) * lead + tuple(w) + (1,)
+        s = jax.lax.slice(x, start, x.shape, strides)
+        out = s if out is None else jnp.maximum(out, s)
+    return out
+
+
 def max_pool(x, window: Sequence[int]):
     """Max pooling with stride == window (reference: MaxPool2d/3d usage).
 
@@ -826,6 +864,23 @@ def max_pool(x, window: Sequence[int]):
     w, folded, ok = _pool_fold_state(x, window)
     if folded:
         if ok:
+            if (jax.default_backend() not in ("cpu", "gpu")
+                    and os.environ.get("BIAPY_TPU_PALLAS_POOL", "") == "1"):
+                # opt-in: the Pallas pool fwd compiles, but its eq-mask
+                # backward needs a sublane upsample Mosaic rejects at
+                # c < 128 lanes; the XLA custom-vjp path below stays the
+                # default until that backward lands
+                from biapy_tpu.ops.pallas.shuffle import (pool_max_folded,
+                                                          shuffle_enabled)
+
+                if shuffle_enabled():
+                    return pool_max_folded(x, w)
+            if (jax.default_backend() not in ("cpu", "gpu")
+                    and os.environ.get("BIAPY_TPU_POOL", "") == "strided"):
+                # opt-in: measured SLOWER in the full train step (9.3 vs
+                # 11.6 it/s) — the strided-pad backwards lose to the
+                # reshape custom-vjp despite a faster standalone fwd+bwd
+                return _max_pool_strided(x, w)
             return _max_pool_exact(x, w, True)
         d = x.shape[0] // fold_batch()
         return refold4d(max_pool_5d(unfold5d(x, d), w))

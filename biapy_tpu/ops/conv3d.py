@@ -156,6 +156,30 @@ def conv3d_folded(x4, w, strides, padding, dil, groups, d: int):
     if kz == 1:
         return _conv2d_general(x4, w[0], st[1:], dl[1:], groups)
     hz = kz // 2
+    if groups == 1 and _prefer_cat(x4.shape[-1], w.shape[-1]):
+        wk = jnp.concatenate([w[dz] for dz in range(kz)], axis=2)
+        xc = None
+        if (b == 1 and x4.shape[-1] >= 8 and _on_tpu()
+                and os.environ.get("BIAPY_TPU_PALLAS_ZCAT", "") == "1"):
+            # opt-in only: measured 7.6 ms vs XLA's 1.4 ms for the same
+            # chain at (128,128,128,32) — the (1,hb,w,c) row-block grid
+            # pays per-program overhead XLA's fused pad+slice+concat
+            # doesn't. Kept for re-evaluation with larger blocks.
+            from biapy_tpu.ops.pallas.shuffle import shuffle_enabled, zcat
+
+            if shuffle_enabled():
+                xc = zcat(x4, kz)
+        if xc is None:
+            xp = jnp.pad(x4, ((hz, hz), (0, 0), (0, 0), (0, 0)))
+            taps = []
+            for dz in range(kz):
+                x2 = jax.lax.slice_in_dim(xp, dz, dz + bd, axis=0)
+                off = dz - hz
+                if b > 1 and off != 0:
+                    x2 = x2 * _seam_mask(bd, d, off, x2.dtype)
+                taps.append(x2)
+            xc = jnp.concatenate(taps, axis=-1)
+        return _conv2d_general(xc, wk, st[1:], dl[1:], groups)
     xp = jnp.pad(x4, ((hz, hz), (0, 0), (0, 0), (0, 0)))
     taps = []
     for dz in range(kz):
@@ -164,10 +188,6 @@ def conv3d_folded(x4, w, strides, padding, dil, groups, d: int):
         if b > 1 and off != 0:
             x2 = x2 * _seam_mask(bd, d, off, x2.dtype)
         taps.append(x2)
-    if groups == 1 and _prefer_cat(x4.shape[-1], w.shape[-1]):
-        xc = jnp.concatenate(taps, axis=-1)
-        wk = jnp.concatenate([w[dz] for dz in range(kz)], axis=2)
-        return _conv2d_general(xc, wk, st[1:], dl[1:], groups)
     out = None
     for dz in range(kz):
         o = _conv2d_general(taps[dz], w[dz], st[1:], dl[1:], groups)

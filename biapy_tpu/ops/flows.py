@@ -68,7 +68,8 @@ def follow_flows(flows: jnp.ndarray, n_iter: int = 200, step: float = 1.0,
 _RPAD = 20  # histogram padding, reference gradient_tracking.py:241 (rpad)
 
 
-def _cluster_landings(final: np.ndarray, fg: np.ndarray) -> np.ndarray:
+def _cluster_landings(final: np.ndarray, fg: np.ndarray,
+                      expansion_gate: str = "cellpose") -> np.ndarray:
     """Cellpose's exact histogram-peak + gated-expansion clustering
     (reference: gradient_tracking.py _cluster_to_instances:200-315).
 
@@ -78,11 +79,15 @@ def _cluster_landings(final: np.ndarray, fg: np.ndarray) -> np.ndarray:
     4. 5 iterations of 3^nd neighbourhood growth **gated by h > 2** — the
        expansion follows the landing cloud only, so sinks of adjacent cells
        separated by a zero-density gap are NOT bridged (an earlier unmasked
-       dilation under-segmented densely packed small cells). Conflicts
-       resolve strongest-seed-wins, the semantics of Cellpose's
-       ``get_masks_torch`` iterative max-pool (labels assigned in ascending
-       count order; the vectorized shift-max keeps the larger label).
-    5. Each fg pixel takes the label of its landing bin.
+       dilation under-segmented densely packed small cells).
+    5. Seeds whose gated clouds CONNECT are merged by connected components.
+       This is the one deliberate deviation from Cellpose's strongest-seed-
+       wins overlap rule: an under-converged network lands one cell's
+       pixels in several sub-sinks inside ONE diffuse connected cloud —
+       per-seed ownership fragments that cell, while cloud connectivity
+       keeps it whole; converged networks produce tight clouds separated
+       by zero-density gaps, where both rules agree.
+    6. Each fg pixel takes the label of its landing bin.
     """
     nd = final.shape[-1]
     shape = fg.shape
@@ -107,8 +112,18 @@ def _cluster_landings(final: np.ndarray, fg: np.ndarray) -> np.ndarray:
     order = np.argsort(h[seed_idx])  # ascending: larger label = stronger seed
     lab_map = np.zeros(hshape, np.int32)
     lab_map[tuple(s[order] for s in seed_idx)] = np.arange(1, len(order) + 1)
-    gate = (h > 2) | seeds_mask  # seed bins always survive (h>10 normally;
-    # the tiny-image fallback may seed sparser bins)
+    # Gate (PROBLEM.INSTANCE_SEG.CELLPOSE.EXPANSION_GATE):
+    # 'cellpose' — Cellpose's hardcoded h > 2: the expansion follows the
+    # landing cloud only, so the zero-density gap between two distinct
+    # cells' sinks is never bridged (correct for converged networks, whose
+    # clouds are tight). 'none' — ungated 5-step growth: an under-converged
+    # flow field has MULTIPLE stable attractors inside one cell, separated
+    # by zero-density gaps the gated expansion cannot cross; ungated growth
+    # + the connectivity merge below reunites sinks within ~10 bins.
+    if expansion_gate == "none":
+        gate = np.ones(hshape, bool)
+    else:
+        gate = (h > 2) | seeds_mask
     shifts = [off for off in np.ndindex(*([3] * nd))]
     for _ in range(5):
         cur = lab_map
@@ -119,8 +134,11 @@ def _cluster_landings(final: np.ndarray, fg: np.ndarray) -> np.ndarray:
             cur = np.maximum(cur, np.roll(lab_map, tuple(o - 1 for o in off),
                                           axis=tuple(range(nd))))
         lab_map = np.where(gate, cur, 0)
+    from biapy_tpu.native import connected_components
+
+    cc, n_cc = connected_components(lab_map > 0)
     labels = np.zeros(shape, np.int32)
-    labels[fg] = lab_map[pflow]
+    labels[fg] = cc[pflow]
     return labels
 
 
@@ -131,6 +149,7 @@ def flows_to_instances(
     suppressed: bool = False,
     min_size: int = 15,
     flow_error_th: float = 0.0,
+    expansion_gate: str = "cellpose",
 ) -> np.ndarray:
     """Flow field + foreground mask -> instance labels (reference:
     gradient_tracking.py:610 create_instances_from_flows).
@@ -145,7 +164,7 @@ def flows_to_instances(
     fg = np.asarray(fg_mask, bool)
     if not fg.any():
         return np.zeros(fg.shape, np.int32)
-    labels = _cluster_landings(final, fg)
+    labels = _cluster_landings(final, fg, expansion_gate)
     # drop tiny fragments
     from biapy_tpu.data.post_processing import relabel_sequential, remove_small_instances
 

@@ -101,6 +101,7 @@ def sliding_window_inference(
     out_splits: Optional[Sequence[Tuple[int, int]]] = None,
     pre_padded=False,
     grid_overrides: Optional[dict] = None,
+    quant_uint8: bool = False,
 ):
     """Stitched prediction for one channels-last volume (spatial..., C).
 
@@ -229,6 +230,13 @@ def sliding_window_inference(
     if any(deficits):
         sl = tuple(slice(d // 2, d // 2 + s) for d, s in zip(deficits, orig_spatial))
         out = out[sl]
+    if quant_uint8:
+        # opt-in quantized drain (TEST.OUTPUT_QUANT_UINT8): probability maps
+        # ship as round(p*255) uint8 — half the bytes of the bf16 the
+        # reference's REDUCE_MEMORY float16 storage implies, quantization
+        # error <= 1/510. Fuses into the stitch epilogue.
+        out = jnp.round(jnp.clip(out.astype(jnp.float32), 0.0, 1.0) * 255.0
+                        ).astype(jnp.uint8)
     if out_splits is not None:
         return tuple(out[z0:z1] for z0, z1 in out_splits)
     return out

