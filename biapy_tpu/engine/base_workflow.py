@@ -240,7 +240,13 @@ class Base_Workflow(metaclass=ABCMeta):
             # torchvision import from a LOCAL state dict (reference downloads
             # DEFAULT weights, build_torchvision_model models/__init__.py:1609)
             tv_name = str(self.cfg.MODEL.TORCHVISION_MODEL_NAME).lower()
-            if tv_name.startswith("resnet"):
+            if tv_name.startswith("deeplabv3"):
+                from biapy_tpu.models.deeplab import load_torchvision_deeplabv3
+
+                params, batch_stats, _ = load_torchvision_deeplabv3(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, variant=tv_name, verbose=self.verbose)
+            elif tv_name.startswith("resnet"):
                 from biapy_tpu.models.resnet import load_torchvision_resnet
 
                 params, batch_stats, _ = load_torchvision_resnet(

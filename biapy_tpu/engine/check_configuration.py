@@ -88,8 +88,20 @@ def check_configuration(cfg, job_identifier: str = "job",
         # build_torchvision_model models/__init__.py:1609 — impossible
         # without the package or egress)
         tv_supported = tuple(f"efficientnet_b{i}" for i in range(8)) + (
-            "resnet18", "resnet34", "resnet50", "resnet101", "resnet152")
+            "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+            "deeplabv3_resnet50", "deeplabv3_resnet101")
         tv_name = str(cfg.MODEL.TORCHVISION_MODEL_NAME).lower()
+        tv_rejected_detection = ("fasterrcnn", "maskrcnn", "retinanet",
+                                 "keypointrcnn", "ssd", "fcos")
+        req(not any(tv_name.startswith(p) for p in tv_rejected_detection),
+            f"MODEL.SOURCE='torchvision': '{tv_name}' is a torchvision "
+            "DETECTION family; this framework's detection workflow is "
+            "point-heatmap based (PROBLEM.TYPE='DETECTION' with a biapy "
+            "architecture), not box/mask R-CNN — use MODEL.SOURCE='biapy'")
+        req("quantized" not in tv_name and not tv_name.startswith("q"),
+            f"MODEL.SOURCE='torchvision': quantized torchvision models "
+            "('{tv_name}') have no TPU analog — bf16 inference via "
+            "TEST.REDUCE_MEMORY is the equivalent memory/speed option")
         req(tv_name in tv_supported,
             f"MODEL.SOURCE='torchvision': TORCHVISION_MODEL_NAME '{tv_name}' "
             "is not supported in this TPU environment (no torchvision "
@@ -97,10 +109,16 @@ def check_configuration(cfg, job_identifier: str = "job",
             f"equivalents: {list(tv_supported)}. For other families use "
             "MODEL.SOURCE='biapy' or import a BMZ package via "
             "MODEL.SOURCE='bmz'.")
-        req(cfg.PROBLEM.TYPE == "CLASSIFICATION",
-            "MODEL.SOURCE='torchvision' with an efficientnet/resnet is a "
-            "classification model (reference: build_torchvision_model "
-            "classification branch)")
+        if tv_name.startswith("deeplabv3"):
+            req(cfg.PROBLEM.TYPE == "SEMANTIC_SEG",
+                "MODEL.SOURCE='torchvision' with a deeplabv3 model is a "
+                "semantic-segmentation model (reference: "
+                "build_torchvision_model segmentation branch)")
+        else:
+            req(cfg.PROBLEM.TYPE == "CLASSIFICATION",
+                "MODEL.SOURCE='torchvision' with an efficientnet/resnet is a "
+                "classification model (reference: build_torchvision_model "
+                "classification branch)")
         req(cfg.PROBLEM.NDIM == "2D",
             "torchvision models are 2D (reference: build_torchvision_model)")
         tw = str(cfg.MODEL.TORCHVISION_WEIGHTS)

@@ -178,6 +178,14 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
         kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
         return ResNet(**kwargs), {"class": "ResNet", **kwargs}
 
+    if arch.startswith("deeplabv3"):
+        # torchvision SEGMENTATION family (reference:
+        # build_torchvision_model, models/__init__.py:1678)
+        from biapy_tpu.models.deeplab import DeepLabV3
+
+        kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
+        return DeepLabV3(**kwargs), {"class": "DeepLabV3", **kwargs}
+
     if arch == "nafnet":
         from biapy_tpu.models.nafnet import NAFNet
 

@@ -1,0 +1,210 @@
+"""First-party Flax DeepLabV3 (torchvision layout) + bit-exact weight import.
+
+Reference analog: build_torchvision_model accepts the torchvision
+SEGMENTATION family — ``deeplabv3_resnet50`` / ``deeplabv3_resnet101`` —
+for semantic segmentation (biapy/models/__init__.py:1678). This environment
+has neither torchvision nor egress, so the model is first-party Flax on the
+dilated first-party ResNet backbone (models/resnet.py), and
+``load_torchvision_deeplabv3`` places a LOCAL ``deeplabv3_*.pth`` state
+dict bit-exactly (same policy as the resnet/efficientnet loaders).
+
+Architecture (torchvision deeplabv3.py):
+- backbone: ResNet with ``replace_stride_with_dilation=(False, True, True)``
+  (output stride 8), features taken from layer4 ('out') and layer3 ('aux'),
+- classifier (DeepLabHead): ASPP(rates 12/24/36) -> 3x3 conv 256 -> BN ->
+  ReLU -> 1x1 conv to n_classes,
+- aux_classifier (FCNHead on layer3): present in the DEFAULT weights; built
+  so its tensors import, its output is unused at inference (XLA removes the
+  dead branch),
+- bilinear upsample of the logits back to the input size
+  (align_corners=False == jax.image.resize 'linear' half-pixel centers).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from biapy_tpu.models.resnet import ResNet, _VARIANTS, _bn
+
+_ASPP_RATES = (12, 24, 36)
+
+
+class _ASPP(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = []
+        h = nn.Conv(256, (1, 1), use_bias=False, name="c0_conv")(x)
+        outs.append(nn.relu(_bn("c0_bn", train)(h)))
+        for i, r in enumerate(_ASPP_RATES, start=1):
+            h = nn.Conv(256, (3, 3), padding=[(r, r), (r, r)],
+                        kernel_dilation=(r, r), use_bias=False,
+                        name=f"c{i}_conv")(x)
+            outs.append(nn.relu(_bn(f"c{i}_bn", train)(h)))
+        # ASPPPooling: global average pool -> 1x1 conv -> BN -> ReLU ->
+        # upsample (a 1x1 source makes the upsample a broadcast)
+        g = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = nn.Conv(256, (1, 1), use_bias=False, name="c4_conv")(g)
+        g = nn.relu(_bn("c4_bn", train)(g))
+        outs.append(jnp.broadcast_to(g, x.shape[:3] + (256,)))
+        h = jnp.concatenate(outs, axis=-1)
+        h = nn.Conv(256, (1, 1), use_bias=False, name="project_conv")(h)
+        h = nn.relu(_bn("project_bn", train)(h))
+        return nn.Dropout(0.5, deterministic=not train)(h)
+
+
+class _DeepLabHead(nn.Module):
+    n_classes: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = _ASPP(name="aspp")(x, train)
+        h = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                    name="head_conv")(h)
+        h = nn.relu(_bn("head_bn", train)(h))
+        return nn.Conv(self.n_classes, (1, 1), name="out_conv")(h)
+
+
+class _FCNHead(nn.Module):
+    n_classes: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(x.shape[-1] // 4, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, name="conv")(x)
+        h = nn.relu(_bn("bn", train)(h))
+        h = nn.Dropout(0.1, deterministic=not train)(h)
+        return nn.Conv(self.n_classes, (1, 1), name="out_conv")(h)
+
+
+class DeepLabV3(nn.Module):
+    """torchvision-layout DeepLabV3, channels-last 2D."""
+
+    variant: str = "deeplabv3_resnet50"
+    n_classes: int = 21
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        backbone = self.variant.replace("deeplabv3_", "")
+        l3, l4 = ResNet(variant=backbone, features_only=True,
+                        replace_stride_with_dilation=(False, True, True),
+                        name="backbone")(x, train)
+        out = _DeepLabHead(self.n_classes, name="classifier")(l4, train)
+        # aux head exists so DEFAULT state dicts import whole; its output is
+        # discarded (dead code at inference, zero-grad at training)
+        _ = _FCNHead(self.n_classes, name="aux_classifier")(l3, train)
+        return jax.image.resize(
+            out, x.shape[:3] + (self.n_classes,), method="linear")
+
+
+def deeplabv3_key_map(variant: str = "deeplabv3_resnet50",
+                      n_classes: int = 21):
+    """Static (flax_path, torch_key, transform) triples covering every
+    tensor of the torchvision ``deeplabv3_*`` state dict. transform:
+    'conv' (OIHW->HWIO), None (copy)."""
+    backbone = variant.replace("deeplabv3_", "")
+    block, layers, expansion = _VARIANTS[backbone]
+    params, stats = [], []
+
+    def conv(fpath, tkey):
+        params.append((tuple(fpath) + ("kernel",), tkey + ".weight", "conv"))
+
+    def conv_b(fpath, tkey):
+        conv(fpath, tkey)
+        params.append((tuple(fpath) + ("bias",), tkey + ".bias", None))
+
+    def bn(fpath, tkey):
+        params.append((tuple(fpath) + ("scale",), tkey + ".weight", None))
+        params.append((tuple(fpath) + ("bias",), tkey + ".bias", None))
+        stats.append((tuple(fpath) + ("mean",), tkey + ".running_mean", None))
+        stats.append((tuple(fpath) + ("var",), tkey + ".running_var", None))
+
+    conv(["backbone", "conv1"], "backbone.conv1")
+    bn(["backbone", "bn1"], "backbone.bn1")
+    in_f = 64
+    for li, reps in enumerate(layers):
+        width = 64 * (2 ** li)
+        for bi in range(reps):
+            mod = ["backbone", f"layer{li + 1}_{bi}"]
+            base = f"backbone.layer{li + 1}.{bi}"
+            n_convs = 3 if block == "bottleneck" else 2
+            for ci in range(1, n_convs + 1):
+                conv(mod + [f"conv{ci}"], f"{base}.conv{ci}")
+                bn(mod + [f"bn{ci}"], f"{base}.bn{ci}")
+            out_f = width * expansion
+            if bi == 0 and (li > 0 or in_f != out_f):
+                conv(mod + ["downsample_conv"], f"{base}.downsample.0")
+                bn(mod + ["downsample_bn"], f"{base}.downsample.1")
+            in_f = out_f
+    # DeepLabHead: classifier.0 = ASPP (convs.0-4 + project), .1 conv,
+    # .2 BN, .4 final conv
+    conv(["classifier", "aspp", "c0_conv"], "classifier.0.convs.0.0")
+    bn(["classifier", "aspp", "c0_bn"], "classifier.0.convs.0.1")
+    for i in range(1, 4):
+        conv(["classifier", "aspp", f"c{i}_conv"], f"classifier.0.convs.{i}.0")
+        bn(["classifier", "aspp", f"c{i}_bn"], f"classifier.0.convs.{i}.1")
+    conv(["classifier", "aspp", "c4_conv"], "classifier.0.convs.4.1")
+    bn(["classifier", "aspp", "c4_bn"], "classifier.0.convs.4.2")
+    conv(["classifier", "aspp", "project_conv"], "classifier.0.project.0")
+    bn(["classifier", "aspp", "project_bn"], "classifier.0.project.1")
+    conv(["classifier", "head_conv"], "classifier.1")
+    bn(["classifier", "head_bn"], "classifier.2")
+    conv_b(["classifier", "out_conv"], "classifier.4")
+    conv(["aux_classifier", "conv"], "aux_classifier.0")
+    bn(["aux_classifier", "bn"], "aux_classifier.1")
+    conv_b(["aux_classifier", "out_conv"], "aux_classifier.4")
+    return params, stats
+
+
+def load_torchvision_deeplabv3(path: str, params, batch_stats,
+                               variant: str = "deeplabv3_resnet50",
+                               verbose: bool = False) -> Tuple[dict, dict, int]:
+    """Place a LOCAL torchvision ``deeplabv3_*`` state dict onto the Flax
+    tree bit-exactly. The two class-count-dependent convs (classifier.4,
+    aux_classifier.4) are skipped with the reference's finetuning warning
+    when shapes differ (DEFAULT weights are 21-class COCO-VOC)."""
+    import numpy as np
+    import torch
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k: np.asarray(v.detach() if hasattr(v, "detach") else v)
+          for k, v in sd.items() if not k.endswith("num_batches_tracked")}
+
+    pa, sa = deeplabv3_key_map(variant)
+    flat_p = {k: np.asarray(v) for k, v in flatten_dict(params).items()}
+    flat_s = {k: np.asarray(v) for k, v in flatten_dict(batch_stats).items()} \
+        if batch_stats else {}
+    n_loaded = 0
+    for fpath, tkey, tf in pa + sa:
+        tgt = flat_p if (fpath, tkey, tf) in pa else flat_s
+        if tkey not in sd:
+            raise ValueError(
+                f"torchvision {variant} state dict {path} missing key "
+                f"'{tkey}' — wrong TORCHVISION_MODEL_NAME variant?")
+        a = sd[tkey]
+        if tf == "conv":
+            a = a.transpose(2, 3, 1, 0)
+        if fpath not in tgt:
+            raise ValueError(f"no Flax home for {tkey} (path {fpath})")
+        if tgt[fpath].shape != a.shape:
+            if fpath[-2] == "out_conv":
+                print(f"WARNING: Model's head changed from {a.shape} to "
+                      f"{tgt[fpath].shape} so a finetunning is required "
+                      "to have good results")
+                continue
+            raise ValueError(
+                f"shape mismatch at {'.'.join(fpath)}: checkpoint {a.shape} "
+                f"vs model {tgt[fpath].shape} — wrong variant?")
+        tgt[fpath] = a.astype(np.float32)
+        n_loaded += 1
+    if verbose:
+        print(f"Loaded {n_loaded} tensors from torchvision {variant} "
+              f"state dict {path}")
+    return (unflatten_dict(flat_p),
+            unflatten_dict(flat_s) if flat_s else batch_stats, n_loaded)

@@ -35,6 +35,7 @@ class _BasicBlock(nn.Module):
     features: int
     stride: int = 1
     downsample: bool = False
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -56,16 +57,21 @@ class _Bottleneck(nn.Module):
     width: int
     stride: int = 1
     downsample: bool = False
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
         out_f = self.width * 4
+        d = self.dilation
         h = nn.Conv(self.width, (1, 1), use_bias=False, name="conv1")(x)
         h = nn.relu(_bn("bn1", train)(h))
-        # torchvision ResNet v1.5: the stride sits on the 3x3 conv
+        # torchvision ResNet v1.5: the stride sits on the 3x3 conv; when a
+        # stage's stride is replaced with dilation (DeepLabV3 backbones) the
+        # 3x3 dilates instead (torchvision resnet.py _make_layer)
         h = nn.Conv(self.width, (3, 3), strides=(self.stride,) * 2,
-                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(h)
+                    padding=[(d, d), (d, d)], kernel_dilation=(d, d),
+                    use_bias=False, name="conv2")(h)
         h = nn.relu(_bn("bn2", train)(h))
         h = nn.Conv(out_f, (1, 1), use_bias=False, name="conv3")(h)
         h = _bn("bn3", train)(h)
@@ -77,10 +83,19 @@ class _Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """torchvision-layout ResNet classifier, channels-last."""
+    """torchvision-layout ResNet classifier, channels-last.
+
+    ``replace_stride_with_dilation`` mirrors torchvision's flag (one bool
+    per stage 2-4): a True stage keeps spatial resolution and dilates its
+    3x3 convs instead (the DeepLabV3 output-stride-8 backbone uses
+    (False, True, True)). ``features_only`` skips pool+fc and returns the
+    (layer3, layer4) feature maps (what torchvision's IntermediateLayerGetter
+    extracts for segmentation heads)."""
 
     variant: str = "resnet50"
     n_classes: int = 2
+    replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, False, False)
+    features_only: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -90,15 +105,28 @@ class ResNet(nn.Module):
         h = nn.relu(_bn("bn1", train)(h))
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         in_f = 64
+        dilation = 1
+        feats = {}
         for li, reps in enumerate(layers):
             width = 64 * (2 ** li)
+            stride = 2 if li > 0 else 1
+            prev_dilation = dilation
+            if li > 0 and self.replace_stride_with_dilation[li - 1]:
+                dilation *= stride
+                stride = 1
             for bi in range(reps):
-                stride = 2 if (li > 0 and bi == 0) else 1
+                st = stride if bi == 0 else 1
                 out_f = width * expansion
-                down = bi == 0 and (stride != 1 or in_f != out_f)
+                down = bi == 0 and (st != 1 or in_f != out_f)
+                # torchvision: the stage's FIRST block keeps the previous
+                # dilation; later blocks use the updated one
+                d = prev_dilation if bi == 0 else dilation
                 cls = _BasicBlock if block == "basic" else _Bottleneck
-                h = cls(width, stride, down, name=f"layer{li + 1}_{bi}")(h, train)
+                h = cls(width, st, down, d, name=f"layer{li + 1}_{bi}")(h, train)
                 in_f = out_f
+            feats[f"layer{li + 1}"] = h
+        if self.features_only:
+            return feats["layer3"], feats["layer4"]
         h = jnp.mean(h, axis=(1, 2))
         return {"class": nn.Dense(self.n_classes, name="fc")(h)}
 

@@ -222,3 +222,55 @@ def test_pre_padded_axis_shorter_than_patch_core():
         batch_size=1, pre_padded=(True, False, False)))
     assert out.shape == (40, 64, 64, 1)
     np.testing.assert_allclose(out, vol[10:50], atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# strategy dispatch: fold vs accumulate (VERDICT r3 weak #4) — both runners
+# must agree with the host-golden blend on the same inputs
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("grid", ["overlapped", "irregular"])
+def test_stitch_strategy_dispatch_equality(monkeypatch, grid):
+    """BIAPY_TPU_STITCH=fold|accum on the same overlapped + irregular grids:
+    both strategies must agree with each other AND reproduce the volume
+    through an identity model (the blend-weights golden property); the
+    accumulate fallback was previously only exercised incidentally by
+    irregular grids."""
+    rng = np.random.default_rng(7)
+    if grid == "overlapped":
+        vol = jnp.asarray(rng.random((16, 24, 24, 1), np.float32))
+        kw = dict(patch=(8, 12, 12), overlap=(0.5, 0.5, 0.5), padding=(0, 0, 0))
+    else:
+        # 20 does not divide by the 8-core step: trailing shift makes the
+        # grid irregular, where the fold path must refuse and accum run
+        vol = jnp.asarray(rng.random((20, 20, 20, 1), np.float32))
+        kw = dict(patch=(8, 8, 8), overlap=(0.0, 0.0, 0.0), padding=(2, 2, 2))
+    outs = {}
+    for path in ("fold", "accum"):
+        monkeypatch.setenv("BIAPY_TPU_STITCH", path)
+        outs[path] = np.asarray(sliding_window_inference(
+            _identity_apply, None, vol, out_channels=2, batch_size=2, **kw))
+    np.testing.assert_allclose(outs["fold"], outs["accum"], atol=2e-5)
+    for path in ("fold", "accum"):
+        np.testing.assert_allclose(outs[path][..., :1], np.asarray(vol), atol=1e-5)
+        np.testing.assert_allclose(outs[path][..., 1:], 2 * np.asarray(vol), atol=1e-5)
+
+
+def test_stitch_fold_chunks_cap_fallback(monkeypatch):
+    """A grid whose fold epilogue would exceed _FOLD_CHUNKS_CAP must drop to
+    the accumulate runner and still match the unforced result."""
+    from biapy_tpu.ops import stitch as S
+
+    rng = np.random.default_rng(8)
+    vol = jnp.asarray(rng.random((24, 24, 24, 1), np.float32))
+    kw = dict(patch=(8, 8, 8), overlap=(0.5, 0.5, 0.5), padding=(0, 0, 0),
+              out_channels=2, batch_size=2)
+    ref = np.asarray(sliding_window_inference(_identity_apply, None, vol, **kw))
+    # overlap 0.5 -> m=2 per axis -> prod(m)=8 chunks; cap of 4 trips the
+    # fallback on exactly this geometry
+    monkeypatch.setattr(S, "_FOLD_CHUNKS_CAP", 4)
+    capped = np.asarray(sliding_window_inference(_identity_apply, None, vol, **kw))
+    np.testing.assert_allclose(capped, ref, atol=2e-5)
+    # identity sanity: blend reproduces the volume
+    np.testing.assert_allclose(capped[..., :1], np.asarray(vol), atol=1e-5)

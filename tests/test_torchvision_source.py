@@ -317,3 +317,151 @@ def test_load_torchvision_resnet_head_replaced(tmp_path, capsys):
                                                v.get("batch_stats", {}),
                                                variant="resnet18")
     assert "finetunning is required" in capsys.readouterr().out
+
+
+# ---------------------------------------------------------------------------
+# deeplabv3 segmentation family (reference: build_torchvision_model
+# segmentation branch, biapy/models/__init__.py:1678)
+# ---------------------------------------------------------------------------
+
+
+def _synth_deeplab_sd(variant="deeplabv3_resnet50", n_classes=21):
+    """torchvision-format deeplabv3 state dict with index-encoded values."""
+    import torch
+
+    from biapy_tpu.models.deeplab import deeplabv3_key_map
+
+    pa, sa = deeplabv3_key_map(variant, n_classes)
+    from biapy_tpu.models.deeplab import DeepLabV3
+
+    net = DeepLabV3(variant=variant, n_classes=n_classes)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    from flax.traverse_util import flatten_dict
+
+    pflat = flatten_dict(variables["params"])
+    sflat = flatten_dict(variables["batch_stats"])
+    sd = {}
+    for i, (fpath, tkey, tf) in enumerate(pa + sa):
+        src = pflat if (fpath, tkey, tf) in pa else sflat
+        a = np.full(np.shape(src[fpath]), float(i + 1), np.float32)
+        if tf == "conv":
+            a = a.transpose(3, 2, 0, 1)
+        sd[tkey] = torch.from_numpy(np.ascontiguousarray(a))
+    return sd, variables
+
+
+def test_deeplab_key_map_matches_torchvision_format():
+    from biapy_tpu.models.deeplab import deeplabv3_key_map
+
+    pa, sa = deeplabv3_key_map("deeplabv3_resnet50")
+    keys = {t for _, t, _ in pa} | {t for _, t, _ in sa}
+    # backbone (dilated resnet50)
+    assert "backbone.conv1.weight" in keys
+    assert "backbone.layer1.0.downsample.0.weight" in keys
+    assert "backbone.layer4.2.conv3.weight" in keys
+    assert "backbone.layer4.0.downsample.1.running_var" in keys
+    # ASPP branches + pooling branch offsets (convs.4.0 is the pool layer)
+    assert "classifier.0.convs.0.0.weight" in keys
+    assert "classifier.0.convs.3.0.weight" in keys
+    assert "classifier.0.convs.4.1.weight" in keys
+    assert "classifier.0.convs.4.2.running_mean" in keys
+    assert "classifier.0.project.0.weight" in keys
+    # head + final conv (with bias) + aux head
+    assert "classifier.1.weight" in keys
+    assert "classifier.2.running_mean" in keys
+    assert "classifier.4.weight" in keys and "classifier.4.bias" in keys
+    assert "aux_classifier.0.weight" in keys
+    assert "aux_classifier.4.bias" in keys
+    # no fc: segmentation backbones drop the classifier head
+    assert not any("fc" in k for k in keys)
+
+
+def test_load_torchvision_deeplabv3_bit_exact(tmp_path):
+    import torch
+
+    from biapy_tpu.models.deeplab import (DeepLabV3, deeplabv3_key_map,
+                                          load_torchvision_deeplabv3)
+    from flax.traverse_util import flatten_dict
+
+    sd, variables = _synth_deeplab_sd()
+    p = str(tmp_path / "dl3.pth")
+    torch.save(sd, p)
+    params, stats, n = load_torchvision_deeplabv3(
+        p, variables["params"], variables["batch_stats"],
+        variant="deeplabv3_resnet50")
+    pa, sa = deeplabv3_key_map("deeplabv3_resnet50")
+    assert n == len(pa) + len(sa)
+    pflat = flatten_dict(params)
+    sflat = flatten_dict(stats)
+    for i, (fpath, tkey, tf) in enumerate(pa + sa):
+        tgt = pflat if (fpath, tkey, tf) in pa else sflat
+        assert np.all(np.asarray(tgt[fpath]) == float(i + 1)), (fpath, tkey)
+    net = DeepLabV3(variant="deeplabv3_resnet50", n_classes=21)
+    out = net.apply({"params": params, "batch_stats": stats},
+                    jnp.ones((1, 64, 64, 3)) * 0.01, train=False)
+    assert out.shape == (1, 64, 64, 21)
+
+
+def test_deeplab_head_replaced_warning(tmp_path, capsys):
+    import torch
+
+    from biapy_tpu.models.deeplab import DeepLabV3, load_torchvision_deeplabv3
+
+    sd, _ = _synth_deeplab_sd(n_classes=21)
+    p = str(tmp_path / "dl3.pth")
+    torch.save(sd, p)
+    net = DeepLabV3(variant="deeplabv3_resnet50", n_classes=1)
+    variables = net.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    params, stats, n = load_torchvision_deeplabv3(
+        p, variables["params"], variables["batch_stats"],
+        variant="deeplabv3_resnet50")
+    assert "finetunning is required" in capsys.readouterr().out
+    # backbone landed
+    assert float(np.unique(np.asarray(params["backbone"]["conv1"]["kernel"]))) == 1.0
+
+
+@pytest.mark.slow
+def test_deeplabv3_semantic_seg_e2e(tmp_path):
+    """MODEL.SOURCE=torchvision + deeplabv3_resnet50 runs a 2D semantic-seg
+    job end-to-end from a LOCAL state dict (reference:
+    biapy/models/__init__.py:1678)."""
+    import os
+
+    import torch
+
+    from biapy_tpu.data.tiff import write_tiff
+
+    sd, _ = _synth_deeplab_sd()
+    w = str(tmp_path / "dl3.pth")
+    torch.save(sd, w)
+    rng = np.random.default_rng(5)
+    root = str(tmp_path)
+    for d, n in [("train", 4), ("test", 1)]:
+        os.makedirs(f"{root}/{d}/x"); os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            img = rng.random((64, 64, 3), np.float32)
+            lab = (img[..., :1] > 0.5).astype(np.uint8)
+            write_tiff(f"{root}/{d}/x/{i}.tif", img)
+            write_tiff(f"{root}/{d}/y/{i}.tif", lab)
+    from biapy_tpu._biapy import BiaPy
+
+    cfg = {
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (64, 64, 3),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y",
+                           "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.25},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y",
+                          "IN_MEMORY": True, "LOAD_GT": True}},
+        "MODEL": {"SOURCE": "torchvision",
+                  "TORCHVISION_MODEL_NAME": "deeplabv3_resnet50",
+                  "TORCHVISION_WEIGHTS": w},
+        "TRAIN": {"ENABLE": True, "BATCH_SIZE": 2, "EPOCHS": 2},
+        "TEST": {"ENABLE": True},
+    }
+    job = BiaPy(cfg, result_dir=root + "/results", name="dl3", silent=True)
+    job.run_job()
+    # placement happened (pretrained backbone values survive into the state)
+    k = np.asarray(job.workflow.state.params["backbone"]["conv1"]["kernel"])
+    assert k.shape == (7, 7, 3, 64)
+    assert job.workflow.metrics_per_test_file, "no test metrics produced"
