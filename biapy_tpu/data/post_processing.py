@@ -78,6 +78,37 @@ def watershed_by_channels(
     growth_mask_channels = list(growth_mask_channels) if growth_mask_channels else []
     growth_mask_channel_ths = list(growth_mask_channel_ths) if growth_mask_channel_ths else []
 
+    if all(c == "A" for c in channel_codes):
+        # Affinities-only recipe (reference: post_processing.py:273-292):
+        # first three affinities, min over them to enhance borders; seeds =
+        # min-affinity > th (auto = Otsu), growth = min-affinity > th/2,
+        # topography = -min-affinity.
+        fp = np.min(data[..., :3], axis=-1) if data.shape[-1] >= 3 \
+            else np.min(data, axis=-1)
+        th = (float(seed_channel_ths[0])
+              if seed_channel_ths and seed_channel_ths[0] not in ("auto", -1, None)
+              else _otsu(data))
+        seeds_mask = fp > th
+        for op, r in zip(seed_morph_sequence, seed_morph_radius):
+            it = max(1, int(r))
+            if op == "erode":
+                seeds_mask = ndimage.binary_erosion(seeds_mask, iterations=it)
+            elif op == "dilate":
+                seeds_mask = ndimage.binary_dilation(seeds_mask, iterations=it)
+        gth = (float(growth_mask_channel_ths[0])
+               if growth_mask_channel_ths
+               and growth_mask_channel_ths[0] not in ("auto", -1, None)
+               else th / 2.0)
+        growth = fp > gth
+        seeds_mask &= growth
+        markers, n = connected_components(seeds_mask)
+        if remove_before and thres_small_before > 0 and n > 0:
+            sizes = np.bincount(markers.reshape(-1))
+            small = np.nonzero(sizes < thres_small_before)[0]
+            if len(small):
+                markers[np.isin(markers, small)] = 0
+        return watershed(-fp, markers, growth)
+
     # default seed recipe (reference auto mode): F over th AND C under th
     if not seed_channels:
         seed_channels = [c for c in ("F", "P", "Db", "D") if chan(c) is not None][:1] or ["F"]

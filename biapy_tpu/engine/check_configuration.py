@@ -100,7 +100,7 @@ def check_configuration(cfg, job_identifier: str = "job",
             "architecture), not box/mask R-CNN — use MODEL.SOURCE='biapy'")
         req("quantized" not in tv_name and not tv_name.startswith("q"),
             f"MODEL.SOURCE='torchvision': quantized torchvision models "
-            "('{tv_name}') have no TPU analog — bf16 inference via "
+            f"('{tv_name}') have no TPU analog — bf16 inference via "
             "TEST.REDUCE_MEMORY is the equivalent memory/speed option")
         req(tv_name in tv_supported,
             f"MODEL.SOURCE='torchvision': TORCHVISION_MODEL_NAME '{tv_name}' "

@@ -501,8 +501,16 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         for c, n in zip(self.channel_codes, self.channels_per_output):
             if c == "We":  # GT-only weight channel: not in predictions
                 continue
-            flat_codes.append(c)
-            flat_idx.append(off)
+            if c == "A":
+                # affinities travel whole: the A-only watershed recipe takes
+                # the min over the first three affinity channels (reference:
+                # post_processing.py:273)
+                for k in range(n):
+                    flat_codes.append("A")
+                    flat_idx.append(off + k)
+            else:
+                flat_codes.append(c)
+                flat_idx.append(off)
             off += n
         data = np.stack([pred[..., i] for i in flat_idx], axis=-1)
         labels = watershed_by_channels(
@@ -935,8 +943,11 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         comps.sort(key=lambda t: order[t[0]])
         flows = np.stack([c for _, c in comps], axis=-1)
         fg_sl = self._channel_slice("F")
+        fg_th = float(self.cfg.PROBLEM.INSTANCE_SEG.CELLPOSE.FG_THRESH)
         if fg_sl is not None:
-            fg = pred[..., fg_sl][..., 0] > 0.5
+            # PROBLEM.INSTANCE_SEG.CELLPOSE.FG_THRESH (reference:
+            # create_instances_from_flows fg_thresh, gradient_tracking.py:681)
+            fg = pred[..., fg_sl][..., 0] > fg_th
         else:
             fg = np.linalg.norm(flows, axis=-1) > 0.3
         # Omnipose is selected either by our process alias 'omnipose' or, in

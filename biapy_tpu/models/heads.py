@@ -156,8 +156,16 @@ class OCRHead(nn.Module):
         ctx = _KeyProj(self.out_dims, self.norm)(ctx, train)      # f_up
         ctx = ctx.reshape((b,) + spatial + (self.out_dims,))
 
+        # Bottleneck on cat(context, pixel features) — the OCRNet paper's
+        # composition (Yuan et al. 2020, eq. 6). The reference's torch head
+        # bottlenecks the CONTEXT ALONE (heads.py:640 returns only
+        # ocr_feats): with K softmax regions over near-uniform initial
+        # attention the context is almost spatially constant, so a
+        # classifier on it alone cannot learn (measured: spatial std 1e-5
+        # of overall 0.1 at init; training collapses to IoU 0). Keeping the
+        # pixel path is a deliberate fix over the reference, not a port.
         h = Conv(self.out_dims, kernel_size=(1,) * ndim, use_bias=False,
-                 kernel_init=KERNEL_INIT)(ctx)
+                 kernel_init=KERNEL_INIT)(jnp.concatenate([ctx, feats], axis=-1))
         h = Norm(self.norm)(h, train)
         return nn.relu(h)
 
