@@ -309,3 +309,104 @@ def test_hrnet_ocr_rejects_many_heads():
     cfg.MODEL.HRNET.HEAD_TYPE = "OCR"
     with pytest.raises(ValueError, match="at most two"):
         build_model(cfg, [2, 1, 1], ["F", "class", "x"], [None, None, None])
+
+
+# ---------------------------------------------------------------------------
+# z-folded 4D mode (models/blocks.py fold3d): bit-equivalence vs the 5D path
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("variant", ["unet", "resunet", "seunet",
+                                     "resunet_se", "attention_unet"])
+def test_fold3d_matches_5d(monkeypatch, variant):
+    """BIAPY_TPU_FOLD3D=1 (the TPU default) must reproduce the 5D path's
+    forward exactly for every UNet-family variant, batch 1 and 2 (seam
+    masks), through pooling/upsampling depth changes."""
+    import os
+
+    import jax
+
+    from biapy_tpu.models.unet_family import UNetFamily
+
+    rng = np.random.default_rng(3)
+    m = UNetFamily(variant=variant, ndim=3, feature_maps=(8, 16),
+                   drop_values=(0.0, 0.0), normalization="bn",
+                   conv_layers=(2, 2), z_down=(2,), yx_down=(2,),
+                   larger_io=True)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 16, 1)), jnp.float32)
+    monkeypatch.setenv("BIAPY_TPU_FOLD3D", "0")
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    y5 = m.apply(v, x, train=False)
+    y5t, bs5 = m.apply(v, x, train=True, mutable=["batch_stats"])
+    monkeypatch.setenv("BIAPY_TPU_FOLD3D", "1")
+    # identical param tree: fold must not change module structure
+    v1 = m.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_map(lambda a: a.shape, v) == \
+        jax.tree_util.tree_map(lambda a: a.shape, v1)
+    y4 = m.apply(v, x, train=False)
+    y4t, bs4 = m.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y5), np.asarray(y4), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y5t), np.asarray(y4t), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(bs5), jax.tree_util.tree_leaves(bs4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fold3d_gradients_match_5d(monkeypatch):
+    """Folded-mode gradients equal the 5D path's (custom vjps + seam masks
+    differentiate correctly)."""
+    import jax
+
+    from biapy_tpu.models.unet_family import UNetFamily
+
+    rng = np.random.default_rng(4)
+    m = UNetFamily(variant="resunet", ndim=3, feature_maps=(8, 16),
+                   drop_values=(0.0, 0.0), normalization="bn",
+                   conv_layers=(2, 2), z_down=(2,), yx_down=(2,))
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 16, 1)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((2, 8, 16, 16, 1)), jnp.float32)
+
+    def loss(params, bs):
+        out, _ = m.apply({"params": params, "batch_stats": bs}, x, train=True,
+                         mutable=["batch_stats"])
+        return jnp.mean((out - y) ** 2)
+
+    monkeypatch.setenv("BIAPY_TPU_FOLD3D", "0")
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    g5 = jax.grad(loss)(v["params"], v.get("batch_stats", {}))
+    monkeypatch.setenv("BIAPY_TPU_FOLD3D", "1")
+    g4 = jax.grad(loss)(v["params"], v.get("batch_stats", {}))
+    for a, b in zip(jax.tree_util.tree_leaves(g5), jax.tree_util.tree_leaves(g4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_fold3d_convtranspose_and_pool_units(monkeypatch):
+    """Folded ConvTranspose (per-z-tap 2D transposed convs + row interleave)
+    and folded max_pool are bit-exact vs their 5D references across scales,
+    including anisotropic (1, 2, 2)."""
+    import jax
+    from flax import linen as nn
+
+    from biapy_tpu.models import blocks as B
+
+    rng = np.random.default_rng(5)
+    for b, scale in [(1, (2, 2, 2)), (2, (2, 2, 2)), (2, (1, 2, 2)),
+                     (1, (3, 2, 2))]:
+        d, h, w, cin, co = 4, 6, 6, 5, 7
+        x = jnp.asarray(rng.standard_normal((b, d, h, w, cin)), jnp.float32)
+        ref_m = nn.ConvTranspose(co, kernel_size=scale, strides=scale)
+        m = B.ConvTranspose(co, kernel_size=scale, strides=scale)
+        v = ref_m.init(jax.random.PRNGKey(1), x)
+        ref = ref_m.apply(v, x)
+        with B.fold3d(b):
+            got = m.apply(v, x.reshape((b * d, h, w, cin)))
+        np.testing.assert_allclose(np.asarray(ref),
+                                   np.asarray(got.reshape(ref.shape)), atol=1e-5)
+    for b, win in [(1, (2, 2, 2)), (2, (2, 2, 2)), (2, (1, 2, 2))]:
+        d, h, w, c = 4, 8, 8, 3
+        x = jnp.asarray(rng.standard_normal((b, d, h, w, c)), jnp.float32)
+        ref = B.max_pool(x, win)
+        with B.fold3d(b):
+            got = B.max_pool(x.reshape((b * d, h, w, c)), win)
+        np.testing.assert_allclose(np.asarray(ref),
+                                   np.asarray(got.reshape(ref.shape)), atol=0)

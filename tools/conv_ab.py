@@ -94,3 +94,10 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def splitcat(x4, w):
+    # split input channels into halves, cat2d each, add — exact
+    cin = x4.shape[-1]
+    c1 = cin // 2
+    return cat2d(x4[..., :c1], w[:, :, :, :c1]) + cat2d(x4[..., c1:], w[:, :, :, c1:])
