@@ -369,13 +369,18 @@ def main():
                 out_splits=sp,
                 norm_stats=compute_norm_stats(slab_view(z0, z1), norm_spec),
                 pre_padded=(True, False, False))
-            forced.append(chunks[-1])
+            forced.append((k % len(devices), chunks[-1]))
         # chain-force: block_until_ready can report ready before the async
-        # chain finishes on this platform — read ONE scalar per slab (every
-        # chunk comes from the same jitted program, so one output forces the
-        # whole slab; per-chunk reads would serialize ~100 tunnel RTTs into
-        # the measurement)
-        for o in forced:
+        # chain finishes on this platform — read ONE scalar from the LAST
+        # slab dispatched to each device (a TPU core executes its enqueued
+        # programs in order, so the last program's output being readable
+        # implies every earlier slab on that device finished; per-slab reads
+        # would serialize one ~100ms tunnel RTT per slab into the
+        # measurement, per-chunk reads ~100 of them)
+        last_per_dev = {}
+        for di, o in forced:
+            last_per_dev[di] = o
+        for o in last_per_dev.values():
             float(o[0, 0, 0, 0])
 
     run_compute_only()  # warm (compiled already; first run absorbs layout)
