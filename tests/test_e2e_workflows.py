@@ -278,7 +278,8 @@ def test_reuse_predictions(tmp_path):
 @pytest.mark.slow
 def test_use_val_as_test(tmp_path):
     """DATA.TEST.USE_VAL_AS_TEST runs inference on the held-out validation
-    split (reference: base_workflow.py:1283)."""
+    fold (reference: base_workflow.py:1283; validation requires CROSS_VAL,
+    reference check_configuration.py:2396)."""
     rng = np.random.default_rng(44)
     root = str(tmp_path)
     os.makedirs(f"{root}/x"); os.makedirs(f"{root}/y")
@@ -290,7 +291,8 @@ def test_use_val_as_test(tmp_path):
         "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
         "DATA": {"PATCH_SIZE": (32, 32, 1),
                  "TRAIN": {"PATH": f"{root}/x", "GT_PATH": f"{root}/y"},
-                 "VAL": {"SPLIT_TRAIN": 0.3},
+                 "VAL": {"FROM_TRAIN": True, "CROSS_VAL": True,
+                         "CROSS_VAL_NFOLD": 3, "CROSS_VAL_FOLD": 1},
                  "TEST": {"USE_VAL_AS_TEST": True, "LOAD_GT": True}},
         "MODEL": {"ARCHITECTURE": "unet", "FEATURE_MAPS": [8, 16],
                   "DROPOUT_VALUES": [0.0, 0.0], "Z_DOWN": [2, 2],
