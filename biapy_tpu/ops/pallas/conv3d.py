@@ -25,6 +25,15 @@ Design (implicit im2col, MXU-shaped, VMEM-lane-exact):
 
 Backward: jax.custom_vjp — dx reuses the same kernel (flipped, IO-swapped
 weights are again a 3x3x3 SAME conv); dw falls back to XLA.
+
+Status (round 4): superseded as the training plan. The z-folded 4D mode +
+measured cat2d/as2d chooser (ops/conv3d.py) reaches ~78 TFLOP/s average on
+the full train step through XLA alone, and every Pallas custom call tried
+IN the train graph (ops/pallas/shuffle.py: zcat/pool/zd2s) lost net time by
+breaking XLA's producer/consumer fusion around it — writing the dw kernel
+would face the same economics. This kernel stays opt-in
+(BIAPY_TPU_PALLAS_CONV) for standalone inference experiments, where its
+34 TFLOP/s at C=64 still beats the native-3D emitter.
 """
 
 from __future__ import annotations
