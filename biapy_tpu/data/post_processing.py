@@ -87,7 +87,10 @@ def watershed_by_channels(
             else np.min(data, axis=-1)
         th = (float(seed_channel_ths[0])
               if seed_channel_ths and seed_channel_ths[0] not in ("auto", -1, None)
-              else _otsu(data))
+              # reference post_processing.py:275-281 slices to the first three
+              # affinities (data = data[..., [0,1,2]]) before Otsu — match that
+              # slice so >3 configured affinities don't skew the auto threshold
+              else _otsu(data[..., :3] if data.shape[-1] >= 3 else data))
         seeds_mask = fp > th
         for op, r in zip(seed_morph_sequence, seed_morph_radius):
             it = max(1, int(r))

@@ -676,6 +676,26 @@ def check_configuration(cfg, job_identifier: str = "job",
                 "'top-5-accuracy' can only be used when DATA.N_CLASSES >= 5")
 
     if cfg.TEST.ENABLE:
+        if bool(getattr(cfg.TEST, "OUTPUT_QUANT_UINT8", False)):
+            # The uint8 drain clips every output channel to [0,1] and
+            # quantizes (ops/stitch.py) — only valid when ALL channels are
+            # probabilities. Regression workflows and signed/unbounded
+            # instance channels (distances, flows, offsets, radii, EmbedSeg
+            # embeddings) would be silently destroyed.
+            req(cfg.PROBLEM.TYPE in ("SEMANTIC_SEG", "DETECTION", "INSTANCE_SEG"),
+                "TEST.OUTPUT_QUANT_UINT8 quantizes outputs as [0,1] "
+                "probabilities; it is only valid for SEMANTIC_SEG, DETECTION "
+                "and probability-channel INSTANCE_SEG workflows, not "
+                f"{cfg.PROBLEM.TYPE} (regression outputs would be clipped)")
+            if cfg.PROBLEM.TYPE == "INSTANCE_SEG":
+                _prob_codes = {"F", "B", "M", "P", "C", "A", "T", "We"}
+                bad = [c for c in cfg.PROBLEM.INSTANCE_SEG.DATA_CHANNELS
+                       if c not in _prob_codes]
+                req(not bad,
+                    "TEST.OUTPUT_QUANT_UINT8 requires every instance channel "
+                    "to be a [0,1] probability map; channels "
+                    f"{bad} are signed/unbounded (distances, flows, offsets "
+                    "or embeddings) and would be destroyed by the clip")
         if cfg.DATA.TEST.ROI_MASK.ENABLE:
             req(str(cfg.DATA.TEST.ROI_MASK.PATH) != "",
                 "DATA.TEST.ROI_MASK.PATH needs to be set when ROI_MASK.ENABLE is True")

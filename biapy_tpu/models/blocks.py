@@ -813,6 +813,11 @@ def _max_pool_exact_bwd(w, folded, res, g):
     # Torch's MaxPool backward routes to a single argmax; ties between
     # continuous conv outputs are measure-zero, so the eq-mask is the same
     # gradient in practice at half the HBM traffic.
+    # ASSUMPTION (ReLU-like activations only): post-ReLU all-zero windows tie
+    # at 0 and each tied slot receives the FULL cotangent (amplified by the
+    # tie count) — harmless there because ReLU's own backward zeroes those
+    # contributions. If a linear/ELU path ever precedes this pool, divide dx
+    # by the per-window tie count before shipping it.
     x, y = res
     xr, axes = _pool_reshape(x, w, folded)
     yb = jnp.expand_dims(y, axes)

@@ -39,6 +39,13 @@ class _BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # torchvision's BasicBlock raises for dilation > 1 ("Dilation > 1 not
+        # supported in BasicBlock") — mirror that so replace_stride_with_dilation
+        # on resnet18/34 fails loudly instead of silently dropping the dilation.
+        if self.dilation != 1:
+            raise ValueError(
+                "Dilation > 1 not supported in BasicBlock (torchvision parity); "
+                "use a bottleneck variant (resnet50/101/152) for dilated backbones")
         identity = x
         h = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
                     padding=[(1, 1), (1, 1)], use_bias=False, name="conv1")(x)

@@ -570,6 +570,25 @@ def import_torch_state_dict(state_dict: dict, params, batch_stats=None,
        torch tensor in registration order, the first unplaced flax leaf with
        a layout-compatible shape.
     """
+    # Guard: torch OCR-head checkpoints (reference heads.py:424-640 module
+    # names f_pixel/f_object/f_down/f_up) cannot map onto this repo's OCR
+    # head — it deliberately diverges (bottlenecks cat(context, pixel feats)
+    # per the OCRNet paper instead of the reference's degenerate
+    # context-only head; see docs/PARITY.md "HRNet OCR head"). Fail with an
+    # explanation instead of an opaque shape mismatch.
+    ocr_markers = [k for k in state_dict
+                   if any(m in k for m in (".f_pixel.", ".f_object.",
+                                           ".f_down.", ".f_up."))]
+    if ocr_markers:
+        raise ValueError(
+            "This state dict contains torch OCR-head modules "
+            f"({ocr_markers[0].rsplit('.', 2)[0]}...): biapy_tpu's "
+            "HEAD_TYPE=OCR deliberately diverges from the reference head "
+            "(it keeps the pixel-feature path the reference drops, which "
+            "makes the reference head untrainable — see docs/PARITY.md "
+            "'HRNet OCR head'), so torch OCR checkpoints cannot be "
+            "imported. Retrain with this framework, or import the backbone "
+            "only by stripping the OCR-head keys from the state dict.")
     try:
         out = _import_torch_module_matched(state_dict, params, batch_stats)
     except ValueError:

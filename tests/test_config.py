@@ -512,3 +512,85 @@ def test_binary_ignore_index_masks_loss_and_iou():
     y_ign = y_bad.at[0, :2].set(2.0)
     iou = float(jaccard_index(logits, y_ign, ignore_index=2))
     assert iou == 1.0, iou
+
+
+@pytest.mark.parametrize("bad, msg_frag", [
+    # regression workflows: outputs are not probabilities -> clip destroys them
+    ({"PROBLEM": {"TYPE": "SUPER_RESOLUTION"}}, "probabilit"),
+    ({"PROBLEM": {"TYPE": "DENOISING"}}, "probabilit"),
+    # instance channels with signed/unbounded semantics (distances)
+    ({"PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "3D",
+                  "INSTANCE_SEG": {"DATA_CHANNELS": ["B", "D"]}}},
+     "signed/unbounded"),
+])
+def test_output_quant_uint8_guard_rejects(bad, msg_frag):
+    """TEST.OUTPUT_QUANT_UINT8 clips all channels to [0,1] (ops/stitch.py) —
+    validation must reject workflows/channel sets whose outputs are not
+    probability maps (advisor r4)."""
+    from biapy_tpu.config.config import get_cfg_defaults
+    from biapy_tpu.engine.check_configuration import check_configuration
+
+    cfg = get_cfg_defaults()
+    is3d = bad.get("PROBLEM", {}).get("NDIM") == "3D"
+    base = {"PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "3D" if is3d else "2D"},
+            "DATA": {"PATCH_SIZE": (16, 64, 64, 1) if is3d else (64, 64, 1)},
+            "TRAIN": {"ENABLE": True},
+            "TEST": {"ENABLE": True, "OUTPUT_QUANT_UINT8": True}}
+
+    def deep(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                deep(dst[k], v)
+            else:
+                dst[k] = v
+    deep(base, bad)
+    cfg.merge_from_dict(base)
+    with pytest.raises(ValueError, match="Invalid configuration"):
+        check_configuration(cfg)
+    try:
+        check_configuration(cfg)
+    except ValueError as e:
+        assert msg_frag in str(e), str(e)
+
+
+def test_output_quant_uint8_guard_accepts_probability_outputs():
+    """Probability-only outputs (semantic seg; BC instance channels) keep
+    working with the quantized drain."""
+    from biapy_tpu.config.config import get_cfg_defaults
+    from biapy_tpu.engine.check_configuration import check_configuration
+
+    for extra in (
+        {"PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "3D"}},
+        {"PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "3D",
+                     "INSTANCE_SEG": {"DATA_CHANNELS": ["B", "C"]}}},
+    ):
+        cfg = get_cfg_defaults()
+        pads = {"OVERLAP": (0, 0, 0), "PADDING": (0, 0, 0)}
+        base = {"PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "3D"},
+                "DATA": {"PATCH_SIZE": (32, 64, 64, 1),
+                         "TRAIN": dict(pads), "VAL": dict(pads),
+                         "TEST": dict(pads)},
+                "TRAIN": {"ENABLE": True},
+                "TEST": {"ENABLE": True, "OUTPUT_QUANT_UINT8": True}}
+
+        def deep(dst, src):
+            for k, v in src.items():
+                if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                    deep(dst[k], v)
+                else:
+                    dst[k] = v
+        deep(base, extra)
+        cfg.merge_from_dict(base)
+        check_configuration(cfg)
+
+
+def test_basic_block_rejects_dilation():
+    """torchvision parity: BasicBlock raises for dilation > 1 instead of
+    silently ignoring it (advisor r4, models/resnet.py)."""
+    import jax
+    import jax.numpy as jnp
+    from biapy_tpu.models.resnet import _BasicBlock
+
+    blk = _BasicBlock(features=8, stride=1, downsample=False, dilation=2)
+    with pytest.raises(ValueError, match="BasicBlock"):
+        blk.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8)))
