@@ -246,6 +246,24 @@ class Base_Workflow(metaclass=ABCMeta):
                 params, batch_stats, _ = load_torchvision_deeplabv3(
                     str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
                     batch_stats, variant=tv_name, verbose=self.verbose)
+            elif tv_name.startswith("fcn_"):
+                from biapy_tpu.models.deeplab import load_torchvision_fcn
+
+                params, batch_stats, _ = load_torchvision_fcn(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, variant=tv_name, verbose=self.verbose)
+            elif tv_name.startswith("lraspp"):
+                from biapy_tpu.models.mobilenetv3 import load_torchvision_lraspp
+
+                params, batch_stats, _ = load_torchvision_lraspp(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, verbose=self.verbose)
+            elif tv_name.startswith("mobilenet_v3"):
+                from biapy_tpu.models.mobilenetv3 import load_torchvision_mobilenetv3
+
+                params, batch_stats, _ = load_torchvision_mobilenetv3(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, variant=tv_name, verbose=self.verbose)
             elif tv_name.startswith("resnet"):
                 from biapy_tpu.models.resnet import load_torchvision_resnet
 

@@ -89,7 +89,9 @@ def check_configuration(cfg, job_identifier: str = "job",
         # without the package or egress)
         tv_supported = tuple(f"efficientnet_b{i}" for i in range(8)) + (
             "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
-            "deeplabv3_resnet50", "deeplabv3_resnet101")
+            "mobilenet_v3_large", "mobilenet_v3_small",
+            "deeplabv3_resnet50", "deeplabv3_resnet101",
+            "fcn_resnet50", "fcn_resnet101", "lraspp_mobilenet_v3_large")
         tv_name = str(cfg.MODEL.TORCHVISION_MODEL_NAME).lower()
         tv_rejected_detection = ("fasterrcnn", "maskrcnn", "retinanet",
                                  "keypointrcnn", "ssd", "fcos")
@@ -109,16 +111,16 @@ def check_configuration(cfg, job_identifier: str = "job",
             f"equivalents: {list(tv_supported)}. For other families use "
             "MODEL.SOURCE='biapy' or import a BMZ package via "
             "MODEL.SOURCE='bmz'.")
-        if tv_name.startswith("deeplabv3"):
+        if tv_name.startswith(("deeplabv3", "fcn_", "lraspp")):
             req(cfg.PROBLEM.TYPE == "SEMANTIC_SEG",
-                "MODEL.SOURCE='torchvision' with a deeplabv3 model is a "
+                f"MODEL.SOURCE='torchvision' with '{tv_name}' is a "
                 "semantic-segmentation model (reference: "
                 "build_torchvision_model segmentation branch)")
         else:
             req(cfg.PROBLEM.TYPE == "CLASSIFICATION",
-                "MODEL.SOURCE='torchvision' with an efficientnet/resnet is a "
-                "classification model (reference: build_torchvision_model "
-                "classification branch)")
+                "MODEL.SOURCE='torchvision' with an efficientnet/resnet/"
+                "mobilenet is a classification model (reference: "
+                "build_torchvision_model classification branch)")
         req(cfg.PROBLEM.NDIM == "2D",
             "torchvision models are 2D (reference: build_torchvision_model)")
         tw = str(cfg.MODEL.TORCHVISION_WEIGHTS)

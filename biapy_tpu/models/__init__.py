@@ -186,6 +186,29 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
         kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
         return DeepLabV3(**kwargs), {"class": "DeepLabV3", **kwargs}
 
+    if arch.startswith("fcn_"):
+        # torchvision fcn_resnet50/101 (reference models/__init__.py:1745)
+        from biapy_tpu.models.deeplab import FCN
+
+        kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
+        return FCN(**kwargs), {"class": "FCN", **kwargs}
+
+    if arch.startswith("lraspp"):
+        # torchvision lraspp_mobilenet_v3_large (reference
+        # models/__init__.py:1748-1752)
+        from biapy_tpu.models.mobilenetv3 import LRASPP
+
+        kwargs = dict(n_classes=int(output_channels[0]))
+        return LRASPP(**kwargs), {"class": "LRASPP", **kwargs}
+
+    if arch.startswith("mobilenet_v3"):
+        # torchvision classification namespace (reference
+        # models/__init__.py:1676)
+        from biapy_tpu.models.mobilenetv3 import MobileNetV3
+
+        kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
+        return MobileNetV3(**kwargs), {"class": "MobileNetV3", **kwargs}
+
     if arch == "nafnet":
         from biapy_tpu.models.nafnet import NAFNet
 

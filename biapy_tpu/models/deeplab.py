@@ -100,15 +100,31 @@ class DeepLabV3(nn.Module):
             out, x.shape[:3] + (self.n_classes,), method="linear")
 
 
-def deeplabv3_key_map(variant: str = "deeplabv3_resnet50",
-                      n_classes: int = 21):
-    """Static (flax_path, torch_key, transform) triples covering every
-    tensor of the torchvision ``deeplabv3_*`` state dict. transform:
-    'conv' (OIHW->HWIO), None (copy)."""
-    backbone = variant.replace("deeplabv3_", "")
-    block, layers, expansion = _VARIANTS[backbone]
-    params, stats = [], []
+class FCN(nn.Module):
+    """torchvision-layout FCN (fcn_resnet50/101), channels-last 2D.
 
+    Reference analog: build_torchvision_model accepts ``fcn_resnet50`` /
+    ``fcn_resnet101`` for semantic segmentation
+    (biapy/models/__init__.py:1745-1752). Same dilated output-stride-8
+    backbone as DeepLabV3; classifier is torchvision's FCNHead (3x3 conv to
+    in/4 channels + BN + ReLU + dropout + 1x1 conv)."""
+
+    variant: str = "fcn_resnet50"
+    n_classes: int = 21
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        backbone = self.variant.replace("fcn_", "")
+        l3, l4 = ResNet(variant=backbone, features_only=True,
+                        replace_stride_with_dilation=(False, True, True),
+                        name="backbone")(x, train)
+        out = _FCNHead(self.n_classes, name="classifier")(l4, train)
+        _ = _FCNHead(self.n_classes, name="aux_classifier")(l3, train)
+        return jax.image.resize(
+            out, x.shape[:3] + (self.n_classes,), method="linear")
+
+
+def _map_helpers(params, stats):
     def conv(fpath, tkey):
         params.append((tuple(fpath) + ("kernel",), tkey + ".weight", "conv"))
 
@@ -122,6 +138,12 @@ def deeplabv3_key_map(variant: str = "deeplabv3_resnet50",
         stats.append((tuple(fpath) + ("mean",), tkey + ".running_mean", None))
         stats.append((tuple(fpath) + ("var",), tkey + ".running_var", None))
 
+    return conv, conv_b, bn
+
+
+def _resnet_backbone_map(backbone: str, conv, bn):
+    """torchvision ResNet backbone triples shared by deeplabv3_*/fcn_*."""
+    block, layers, expansion = _VARIANTS[backbone]
     conv(["backbone", "conv1"], "backbone.conv1")
     bn(["backbone", "bn1"], "backbone.bn1")
     in_f = 64
@@ -139,6 +161,23 @@ def deeplabv3_key_map(variant: str = "deeplabv3_resnet50",
                 conv(mod + ["downsample_conv"], f"{base}.downsample.0")
                 bn(mod + ["downsample_bn"], f"{base}.downsample.1")
             in_f = out_f
+
+
+def _fcn_head_map(name: str, torch_name: str, conv, conv_b, bn):
+    """torchvision FCNHead = Sequential(conv3x3, BN, ReLU, Dropout, conv1x1)."""
+    conv([name, "conv"], f"{torch_name}.0")
+    bn([name, "bn"], f"{torch_name}.1")
+    conv_b([name, "out_conv"], f"{torch_name}.4")
+
+
+def deeplabv3_key_map(variant: str = "deeplabv3_resnet50",
+                      n_classes: int = 21):
+    """Static (flax_path, torch_key, transform) triples covering every
+    tensor of the torchvision ``deeplabv3_*`` state dict. transform:
+    'conv' (OIHW->HWIO), None (copy)."""
+    params, stats = [], []
+    conv, conv_b, bn = _map_helpers(params, stats)
+    _resnet_backbone_map(variant.replace("deeplabv3_", ""), conv, bn)
     # DeepLabHead: classifier.0 = ASPP (convs.0-4 + project), .1 conv,
     # .2 BN, .4 final conv
     conv(["classifier", "aspp", "c0_conv"], "classifier.0.convs.0.0")
@@ -153,9 +192,17 @@ def deeplabv3_key_map(variant: str = "deeplabv3_resnet50",
     conv(["classifier", "head_conv"], "classifier.1")
     bn(["classifier", "head_bn"], "classifier.2")
     conv_b(["classifier", "out_conv"], "classifier.4")
-    conv(["aux_classifier", "conv"], "aux_classifier.0")
-    bn(["aux_classifier", "bn"], "aux_classifier.1")
-    conv_b(["aux_classifier", "out_conv"], "aux_classifier.4")
+    _fcn_head_map("aux_classifier", "aux_classifier", conv, conv_b, bn)
+    return params, stats
+
+
+def fcn_key_map(variant: str = "fcn_resnet50", n_classes: int = 21):
+    """Static triples for the torchvision ``fcn_*`` state dict."""
+    params, stats = [], []
+    conv, conv_b, bn = _map_helpers(params, stats)
+    _resnet_backbone_map(variant.replace("fcn_", ""), conv, bn)
+    _fcn_head_map("classifier", "classifier", conv, conv_b, bn)
+    _fcn_head_map("aux_classifier", "aux_classifier", conv, conv_b, bn)
     return params, stats
 
 
@@ -166,45 +213,19 @@ def load_torchvision_deeplabv3(path: str, params, batch_stats,
     tree bit-exactly. The two class-count-dependent convs (classifier.4,
     aux_classifier.4) are skipped with the reference's finetuning warning
     when shapes differ (DEFAULT weights are 21-class COCO-VOC)."""
-    import numpy as np
-    import torch
-    from flax.traverse_util import flatten_dict, unflatten_dict
-
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
-    sd = {k: np.asarray(v.detach() if hasattr(v, "detach") else v)
-          for k, v in sd.items() if not k.endswith("num_batches_tracked")}
+    from biapy_tpu.models.tv_import import load_with_key_map
 
     pa, sa = deeplabv3_key_map(variant)
-    flat_p = {k: np.asarray(v) for k, v in flatten_dict(params).items()}
-    flat_s = {k: np.asarray(v) for k, v in flatten_dict(batch_stats).items()} \
-        if batch_stats else {}
-    n_loaded = 0
-    for fpath, tkey, tf in pa + sa:
-        tgt = flat_p if (fpath, tkey, tf) in pa else flat_s
-        if tkey not in sd:
-            raise ValueError(
-                f"torchvision {variant} state dict {path} missing key "
-                f"'{tkey}' — wrong TORCHVISION_MODEL_NAME variant?")
-        a = sd[tkey]
-        if tf == "conv":
-            a = a.transpose(2, 3, 1, 0)
-        if fpath not in tgt:
-            raise ValueError(f"no Flax home for {tkey} (path {fpath})")
-        if tgt[fpath].shape != a.shape:
-            if fpath[-2] == "out_conv":
-                print(f"WARNING: Model's head changed from {a.shape} to "
-                      f"{tgt[fpath].shape} so a finetunning is required "
-                      "to have good results")
-                continue
-            raise ValueError(
-                f"shape mismatch at {'.'.join(fpath)}: checkpoint {a.shape} "
-                f"vs model {tgt[fpath].shape} — wrong variant?")
-        tgt[fpath] = a.astype(np.float32)
-        n_loaded += 1
-    if verbose:
-        print(f"Loaded {n_loaded} tensors from torchvision {variant} "
-              f"state dict {path}")
-    return (unflatten_dict(flat_p),
-            unflatten_dict(flat_s) if flat_s else batch_stats, n_loaded)
+    return load_with_key_map(path, params, batch_stats, pa, sa,
+                             variant=variant, verbose=verbose)
+
+
+def load_torchvision_fcn(path: str, params, batch_stats,
+                         variant: str = "fcn_resnet50",
+                         verbose: bool = False) -> Tuple[dict, dict, int]:
+    """Place a LOCAL torchvision ``fcn_*`` state dict bit-exactly."""
+    from biapy_tpu.models.tv_import import load_with_key_map
+
+    pa, sa = fcn_key_map(variant)
+    return load_with_key_map(path, params, batch_stats, pa, sa,
+                             variant=variant, verbose=verbose)

@@ -465,3 +465,228 @@ def test_deeplabv3_semantic_seg_e2e(tmp_path):
     k = np.asarray(job.workflow.state.params["backbone"]["conv1"]["kernel"])
     assert k.shape == (7, 7, 3, 64)
     assert job.workflow.metrics_per_test_file, "no test metrics produced"
+
+
+# ---------------------------------------------------------------------------
+# fcn_resnet50/101 + mobilenet_v3 + lraspp_mobilenet_v3_large (reference:
+# build_torchvision_model, biapy/models/__init__.py:1676,1745-1752)
+# ---------------------------------------------------------------------------
+
+
+def _synth_tv_sd(pa, sa, variables):
+    """torchvision-format state dict with index-encoded values for any
+    static key map (shapes derived from the flax tree)."""
+    import torch
+    from flax.traverse_util import flatten_dict
+
+    pflat = flatten_dict(variables["params"])
+    sflat = flatten_dict(variables.get("batch_stats", {}))
+    sd = {}
+    for i, (fpath, tkey, tf) in enumerate(list(pa) + list(sa)):
+        src = pflat if (fpath, tkey, tf) in pa else sflat
+        a = np.full(np.shape(src[tuple(fpath)]), float(i + 1), np.float32)
+        if tf == "conv":
+            a = a.transpose(3, 2, 0, 1)
+        elif tf == "linear":
+            a = a.transpose(1, 0)
+        sd[tkey] = torch.from_numpy(np.ascontiguousarray(a))
+    return sd
+
+
+def test_fcn_key_map_matches_torchvision_format():
+    from biapy_tpu.models.deeplab import fcn_key_map
+
+    pa, sa = fcn_key_map("fcn_resnet50")
+    keys = {t for _, t, _ in pa} | {t for _, t, _ in sa}
+    assert "backbone.conv1.weight" in keys
+    assert "backbone.layer4.2.conv3.weight" in keys
+    # FCNHead: Sequential(conv3x3, BN, ReLU, Dropout, conv1x1)
+    assert "classifier.0.weight" in keys
+    assert "classifier.1.running_mean" in keys
+    assert "classifier.4.weight" in keys and "classifier.4.bias" in keys
+    assert "aux_classifier.0.weight" in keys
+    # no ASPP modules in FCN
+    assert not any("convs" in k or "project" in k for k in keys)
+
+
+def test_load_torchvision_fcn_bit_exact(tmp_path):
+    import torch
+
+    from biapy_tpu.models.deeplab import FCN, fcn_key_map, load_torchvision_fcn
+    from flax.traverse_util import flatten_dict
+
+    net = FCN(variant="fcn_resnet50", n_classes=21)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    pa, sa = fcn_key_map("fcn_resnet50")
+    sd = _synth_tv_sd(pa, sa, variables)
+    p = str(tmp_path / "fcn.pth")
+    torch.save(sd, p)
+    params, stats, n = load_torchvision_fcn(
+        p, variables["params"], variables["batch_stats"], variant="fcn_resnet50")
+    assert n == len(pa) + len(sa)
+    pflat = flatten_dict(params)
+    sflat = flatten_dict(stats)
+    for i, (fpath, tkey, tf) in enumerate(pa + sa):
+        tgt = pflat if (fpath, tkey, tf) in pa else sflat
+        assert np.all(np.asarray(tgt[tuple(fpath)]) == float(i + 1)), (fpath, tkey)
+    out = net.apply({"params": params, "batch_stats": stats},
+                    jnp.ones((1, 64, 64, 3)) * 0.01, train=False)
+    assert out.shape == (1, 64, 64, 21)
+
+
+def test_mobilenetv3_param_count_golden():
+    """Param parity vs torchvision's published counts: mobilenet_v3_large =
+    5,483,032 and _small = 2,542,856 at 1000 classes; at 10 classes the
+    classifier.3 head shrinks by 1280*990+990 / 1024*990+990."""
+    from biapy_tpu.models.mobilenetv3 import MobileNetV3
+
+    for variant, want_1000, hidden in (
+            ("mobilenet_v3_large", 5_483_032, 1280),
+            ("mobilenet_v3_small", 2_542_856, 1024)):
+        net = MobileNetV3(variant=variant, n_classes=10)
+        v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        n = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(v["params"]))
+        head_delta = hidden * 990 + 990
+        assert n == want_1000 - head_delta, (variant, n)
+
+
+def test_mobilenetv3_key_map_matches_torchvision_format():
+    from biapy_tpu.models.mobilenetv3 import mobilenetv3_key_map
+
+    pa, sa = mobilenetv3_key_map("mobilenet_v3_large")
+    keys = {t for _, t, _ in pa} | {t for _, t, _ in sa}
+    assert "features.0.0.weight" in keys
+    # block 1 (16->16, no expand, no SE): dw at block.0, project at block.1
+    assert "features.1.block.0.0.weight" in keys
+    assert "features.1.block.1.1.running_mean" in keys
+    # block 4 (C2, SE): expand .0, dw .1, SE .2, project .3
+    assert "features.4.block.2.fc1.weight" in keys
+    assert "features.4.block.2.fc2.bias" in keys
+    assert "features.4.block.3.0.weight" in keys
+    # last conv + classifier
+    assert "features.16.0.weight" in keys
+    assert "classifier.0.weight" in keys and "classifier.3.bias" in keys
+
+
+def test_load_torchvision_mobilenetv3_bit_exact(tmp_path):
+    import torch
+
+    from biapy_tpu.models.mobilenetv3 import (MobileNetV3, mobilenetv3_key_map,
+                                              load_torchvision_mobilenetv3)
+    from flax.traverse_util import flatten_dict
+
+    net = MobileNetV3(variant="mobilenet_v3_small", n_classes=1000)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    pa, sa = mobilenetv3_key_map("mobilenet_v3_small", n_classes=1000)
+    sd = _synth_tv_sd(pa, sa, variables)
+    p = str(tmp_path / "mnv3.pth")
+    torch.save(sd, p)
+    params, stats, n = load_torchvision_mobilenetv3(
+        p, variables["params"], variables["batch_stats"],
+        variant="mobilenet_v3_small")
+    assert n == len(pa) + len(sa)
+    pflat = flatten_dict(params)
+    for i, (fpath, tkey, tf) in enumerate(pa):
+        assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
+
+
+def test_lraspp_key_map_matches_torchvision_format():
+    from biapy_tpu.models.mobilenetv3 import lraspp_key_map
+
+    pa, sa = lraspp_key_map()
+    keys = {t for _, t, _ in pa} | {t for _, t, _ in sa}
+    # backbone features relocated under backbone.
+    assert "backbone.features.0.0.weight" in keys
+    assert "backbone.features.16.0.weight" in keys
+    # LRASPPHead: cbr conv+bn, scale conv (after the pool at .0),
+    # low/high classifiers with bias
+    assert "classifier.cbr.0.weight" in keys
+    assert "classifier.cbr.1.running_var" in keys
+    assert "classifier.scale.1.weight" in keys
+    assert "classifier.low_classifier.weight" in keys
+    assert "classifier.low_classifier.bias" in keys
+    assert "classifier.high_classifier.weight" in keys
+    # classification head is dropped
+    assert not any(k.startswith("classifier.0") or "classifier.3" in k
+                   for k in keys)
+
+
+def test_load_torchvision_lraspp_bit_exact(tmp_path):
+    import torch
+
+    from biapy_tpu.models.mobilenetv3 import (LRASPP, lraspp_key_map,
+                                              load_torchvision_lraspp)
+    from flax.traverse_util import flatten_dict
+
+    net = LRASPP(n_classes=21)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    pa, sa = lraspp_key_map(21)
+    sd = _synth_tv_sd(pa, sa, variables)
+    p = str(tmp_path / "lraspp.pth")
+    torch.save(sd, p)
+    params, stats, n = load_torchvision_lraspp(
+        p, variables["params"], variables["batch_stats"])
+    assert n == len(pa) + len(sa)
+    pflat = flatten_dict(params)
+    for i, (fpath, tkey, tf) in enumerate(pa):
+        assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
+    out = net.apply({"params": params, "batch_stats": stats},
+                    jnp.ones((1, 64, 64, 3)) * 0.01, train=False)
+    assert out.shape == (1, 64, 64, 21)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("tv_name", ["fcn_resnet50", "lraspp_mobilenet_v3_large"])
+def test_fcn_lraspp_semantic_seg_e2e(tmp_path, tv_name):
+    """MODEL.SOURCE=torchvision + fcn/lraspp run 2D semantic-seg jobs
+    end-to-end from LOCAL state dicts (reference models/__init__.py:1745-1752)."""
+    import os
+
+    import torch
+
+    from biapy_tpu.data.tiff import write_tiff
+
+    if tv_name == "fcn_resnet50":
+        from biapy_tpu.models.deeplab import FCN, fcn_key_map
+
+        net = FCN(variant=tv_name, n_classes=21)
+        pa, sa = fcn_key_map(tv_name)
+    else:
+        from biapy_tpu.models.mobilenetv3 import LRASPP, lraspp_key_map
+
+        net = LRASPP(n_classes=21)
+        pa, sa = lraspp_key_map(21)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = _synth_tv_sd(pa, sa, variables)
+    w = str(tmp_path / "weights.pth")
+    torch.save(sd, w)
+
+    rng = np.random.default_rng(5)
+    root = str(tmp_path)
+    for d, n in [("train", 4), ("test", 1)]:
+        os.makedirs(f"{root}/{d}/x"); os.makedirs(f"{root}/{d}/y")
+        for i in range(n):
+            img = rng.random((64, 64, 3), np.float32)
+            lab = (img[..., :1] > 0.5).astype(np.uint8)
+            write_tiff(f"{root}/{d}/x/{i}.tif", img)
+            write_tiff(f"{root}/{d}/y/{i}.tif", lab)
+    from biapy_tpu._biapy import BiaPy
+
+    cfg = {
+        "PROBLEM": {"TYPE": "SEMANTIC_SEG", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (64, 64, 3),
+                 "TRAIN": {"PATH": f"{root}/train/x", "GT_PATH": f"{root}/train/y",
+                           "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.25},
+                 "TEST": {"PATH": f"{root}/test/x", "GT_PATH": f"{root}/test/y",
+                          "IN_MEMORY": True, "LOAD_GT": True}},
+        "MODEL": {"SOURCE": "torchvision",
+                  "TORCHVISION_MODEL_NAME": tv_name,
+                  "TORCHVISION_WEIGHTS": w},
+        "TRAIN": {"ENABLE": True, "BATCH_SIZE": 2, "EPOCHS": 2},
+        "TEST": {"ENABLE": True},
+    }
+    job = BiaPy(cfg, result_dir=root + "/results", name=tv_name, silent=True)
+    job.run_job()
+    assert job.workflow.metrics_per_test_file, "no test metrics produced"
