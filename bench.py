@@ -92,7 +92,12 @@ def main():
 
     from biapy_tpu._biapy import BiaPy
 
-    vol_shape = (256, 512, 512)  # ~67M voxels; stand-in for 1024^3 (same kernel shapes)
+    # headline volume: 1024x512x512 (268 Mvox — the BASELINE.json north-star
+    # scale class; resident uint8 is 268 MB next to 16 GB HBM). Overridable
+    # for co-tenant-squeezed chips; the resident-upload probe below falls
+    # back to the r4 size if the big volume itself OOMs.
+    vol_shape = tuple(int(v) for v in os.environ.get(
+        "BIAPY_TPU_BENCH_VOL", "1024,512,512").split(","))
     padding = (10, 10, 10)  # the reference's measured by-chunks halo (config.py:1974)
     halo = padding[0]
     # measured (r4): the tunnel's H2D drops from ~450-1500 MB/s to ~40 MB/s
@@ -184,16 +189,38 @@ def main():
     # one elementwise kernel ahead of the stitch. This is the PRODUCT
     # by-chunks path (engine/chunked.py computes per-tile stats on the raw
     # bytes and ships raw).
-    vol_np = rng.integers(0, 256, size=vol_shape + (1,), dtype=np.uint8)
     # predictions drain as round(p*255) uint8 (TEST.OUTPUT_QUANT_UINT8, the
     # product opt-in; quantization error <= 1/510): halves the bytes of the
     # bf16 the reference's fp16 REDUCE_MEMORY storage implies
     drain_uint8 = os.environ.get("BIAPY_TPU_DRAIN_UINT8", "1") != "0"
-    vol_padded = np.pad(vol_np, ((halo, halo), (0, 0), (0, 0), (0, 0)),
-                        mode="reflect")
     import jax as _jax
 
-    _vol_dev = {}
+    # resident-volume ladder: shrink z when the co-tenant-squeezed chip
+    # cannot even hold the raw volume (268 -> 134 -> 67 MB)
+    _vol_ladder = [vol_shape]
+    for z in (512, 256):
+        if z < vol_shape[0]:
+            _vol_ladder.append((z,) + tuple(vol_shape[1:]))
+    vol_np = vol_padded = None
+    for _cand in _vol_ladder:
+        try:
+            vol_np = rng.integers(0, 256, size=_cand + (1,), dtype=np.uint8)
+            vol_padded = np.pad(vol_np, ((halo, halo), (0, 0), (0, 0), (0, 0)),
+                                mode="reflect")
+            probe = _jax.device_put(vol_padded, jax.local_devices()[0])
+            probe.block_until_ready()
+            vol_shape = _cand
+            _vol_dev = {jax.local_devices()[0]: probe}
+            break
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) and \
+                    "ResourceExhausted" not in str(e):
+                raise
+            print(f"resident volume {_cand} OOM, shrinking", file=sys.stderr)
+            vol_np = vol_padded = None
+            _vol_dev = {}
+    if vol_padded is None:
+        raise RuntimeError("no resident volume size fits this chip")
 
     def vol_on(device):
         if device not in _vol_dev:
@@ -405,6 +432,98 @@ def main():
         "drain_mb_per_s": (round(drain_stats["bytes"] / 1e6 / drain_dt, 1)
                            if drain_dt else None),
     }
+
+    # --- D2H drain bandwidth vs stream count at scale (VERDICT r4 task #8):
+    # pull a resident ~67 MB uint8 device buffer in N concurrent chunked
+    # gets — isolates the transport from compute. Informs the default
+    # BIAPY_TPU_D2H_STREAMS for both this bench and engine/chunked.py.
+    try:
+        sweep = {}
+        src = vol_on(devices[0])[: max(1, 67_000_000 // int(
+            np.prod(vol_padded.shape[1:])))]
+        src.block_until_ready()
+        nbytes = int(np.prod(src.shape))
+        for ns in (8, 16, 32, 64):
+            bounds = np.linspace(0, src.shape[0], ns + 1).astype(int)
+            chunks = [src[bounds[i]:bounds[i + 1]] for i in range(ns)
+                      if bounds[i] < bounds[i + 1]]
+            for c in chunks:
+                c.block_until_ready()
+            sink = [None] * len(chunks)
+
+            def _pull(i, c=None):
+                sink[i] = np.asarray(jax.device_get(c))
+
+            t0 = time.time()
+            ts = [threading.Thread(target=_pull, args=(i,), kwargs={"c": c})
+                  for i, c in enumerate(chunks)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            sweep[str(ns)] = round(nbytes / 1e6 / (time.time() - t0), 1)
+        extra["drain_sweep_mb_per_s"] = sweep
+    except Exception as e:
+        extra["drain_sweep_error"] = f"{type(e).__name__}: {e}"
+
+    # --- product by-chunks engine at the claimed scale (VERDICT r4 task #3):
+    # ChunkedInference.predict_volume — real Zarr in, streamed tiles with
+    # halo, one compiled program for ALL tiles (uniform pre-padded blocks),
+    # quantized multi-stream drain, Zarr out. This is the flagship
+    # long-context path (reference: the measured chunked table,
+    # config.py:1974-1988 — (2,2,2) patches-per-tile geometry).
+    if os.environ.get("BIAPY_TPU_BENCH_CHUNKED", "1") != "0":
+        import shutil
+        import tempfile
+
+        from biapy_tpu.data.zarr_store import ZarrArray
+        from biapy_tpu.engine.chunked import ChunkedInference
+
+        try:
+            cdir = tempfile.mkdtemp(prefix="bench_chunked_")
+            # 5x3x3 tiles of 216^3 core = (1080, 648, 648), 453 Mvox — every
+            # tile shares one program shape (>= the 1024x512x512 ask)
+            cshape = tuple(int(v) for v in os.environ.get(
+                "BIAPY_TPU_BENCH_CHUNKED_VOL", "1080,648,648").split(","))
+            cvol = ZarrArray.create(
+                os.path.join(cdir, "vol.zarr"), shape=cshape + (1,),
+                chunks=(216, 216, 216, 1), dtype="u1",
+                compressor={"id": "zlib", "level": 1})
+            crng = np.random.default_rng(7)
+            for z in range(0, cshape[0], 216):
+                z1 = min(z + 216, cshape[0])
+                cvol[z:z1] = crng.integers(
+                    0, 256, size=(z1 - z,) + cshape[1:] + (1,), dtype=np.uint8)
+            cwf = wf if tuple(patch) == (128, 128, 128) else build((128, 128, 128))
+            # warmup: a single-tile (216^3) volume compiles THE tile program
+            # (uniform pre-padded blocks -> every big-volume tile reuses it),
+            # so the timed run measures execution, not the tunnel compile
+            wvol = ZarrArray.create(
+                os.path.join(cdir, "warm.zarr"), shape=(216, 216, 216, 1),
+                chunks=(216, 216, 216, 1), dtype="u1",
+                compressor={"id": "zlib", "level": 1})
+            wvol[:] = crng.integers(0, 256, size=(216, 216, 216, 1),
+                                    dtype=np.uint8)
+            ChunkedInference(cwf, (128, 128, 128), (0.0, 0.0, 0.0), padding,
+                             (2, 2, 2), 1, cdir).predict_volume(
+                os.path.join(cdir, "warm.zarr"), out_name="warm_pred.zarr",
+                verbose=False)
+            ci = ChunkedInference(cwf, (128, 128, 128), (0.0, 0.0, 0.0),
+                                  padding, (2, 2, 2), 1, cdir)
+            t0 = time.time()
+            raw = ci.predict_volume(os.path.join(cdir, "vol.zarr"),
+                                    verbose=False)
+            dt = time.time() - t0
+            extra["chunked"] = {
+                "volume": list(cshape),
+                "e2e_voxels_per_sec": round(float(np.prod(cshape)) / dt, 1),
+                "seconds": round(dt, 2),
+                "drain": getattr(ci, "last_drain_stats", None),
+                "out_dtype": str(ZarrArray(raw).dtype),
+            }
+            shutil.rmtree(cdir, ignore_errors=True)
+        except Exception as e:
+            extra["chunked_error"] = f"{type(e).__name__}: {e}"
 
     # --- train throughput: steady-state jitted step (fwd+loss+bwd+adamw) on
     # the same 3D ResUNet, DATA.PATCH_SIZE 128^3, batch 1, bf16 mixed

@@ -1205,9 +1205,11 @@ class Base_Workflow(metaclass=ABCMeta):
                     # whole-volume TIF of the raw prediction (reference:
                     # TEST.BY_CHUNKS.SAVE_OUT_TIF, base_workflow.py:2581)
                     from biapy_tpu.data.io import open_lazy, save_tif
+                    from biapy_tpu.engine.chunked import dequant_pred
 
                     vol, handle = open_lazy(raw_path)
-                    save_tif(np.asarray(vol[:])[None], cfg.PATHS.RESULT_DIR.PER_IMAGE,
+                    save_tif(dequant_pred(vol[:])[None],
+                             cfg.PATHS.RESULT_DIR.PER_IMAGE,
                              [base + ".tif"], verbose=False)
                     if hasattr(handle, "close"):
                         handle.close()

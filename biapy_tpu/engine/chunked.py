@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -35,6 +36,16 @@ import numpy as np
 from biapy_tpu.data.io import open_lazy
 from biapy_tpu.data.zarr_store import ZarrArray
 from biapy_tpu.parallel import all_gather_objects, barrier, is_main_process
+
+
+def dequant_pred(a) -> np.ndarray:
+    """Undo the quantized uint8 raw-prediction storage
+    (TEST.OUTPUT_QUANT_UINT8): uint8 reads back as value/255 float32;
+    anything else passes through as float32."""
+    a = np.asarray(a)
+    if a.dtype == np.uint8:
+        return a.astype(np.float32) / 255.0
+    return a.astype(np.float32, copy=False)
 
 
 @dataclass(frozen=True)
@@ -165,11 +176,19 @@ class ChunkedInference:
         tiles = [t for t in tiles if z0 <= t.core_start[0] < z1]
         mine = self.my_tiles(tiles)
 
+        # Quantized raw-prediction storage (TEST.OUTPUT_QUANT_UINT8): the
+        # drain ships round(p*255) uint8 — 1/4 the D2H bytes and Zarr size
+        # of f32 — and every downstream reader dequantizes via dequant_pred
+        # (error <= 1/510 on probability maps; config validation restricts
+        # the flag to probability-only channel sets).
+        quant = bool(getattr(getattr(getattr(self.wf, "cfg", None), "TEST", None),
+                             "OUTPUT_QUANT_UINT8", False))
         out_path = os.path.join(self.out_dir, out_name)
         os.makedirs(self.out_dir, exist_ok=True)
         out = ZarrArray.create(
             out_path, shape=spatial + (self.out_channels,),
-            chunks=self.tile_size + (self.out_channels,), dtype="f4",
+            chunks=self.tile_size + (self.out_channels,),
+            dtype="u1" if quant else "f4",
             compressor={"id": "zlib", "level": 1},
         )
         if verbose and is_main_process():
@@ -180,22 +199,75 @@ class ChunkedInference:
         # chip k computes tile i, the host reads tile i+1 from Zarr and chip
         # k+1 computes it — compute, H2D/D2H and disk IO all overlap. The
         # host path (TTA) degrades to synchronous single-device.
+        # The D2H drain is MULTI-STREAM: each tile's program emits z-chunked
+        # output buffers (out_splits) and a thread pool pulls them
+        # concurrently — measured on the tunnel transport, one stream moves
+        # ~2 MB/s while 16-32 concurrent pulls reach ~25-79 MB/s aggregate
+        # (BASELINE.md); on local PCIe the pool is harmless. Tile Zarr
+        # writes land on disjoint, tile-aligned chunks, so drains of
+        # different tiles can also overlap.
+        import threading as _threading
+        from concurrent.futures import ThreadPoolExecutor
+
         import jax as _jax
 
         devices = _jax.local_devices()
         inflight: List[tuple] = []
+        n_streams = max(1, int(os.environ.get("BIAPY_TPU_D2H_STREAMS", "16")))
+        pull_pool = ThreadPoolExecutor(max_workers=n_streams)
+        drain_pool = ThreadPoolExecutor(max_workers=2)
+        drain_futures: List = []
+        drain_lock = _threading.Lock()
+        drain_stats = {"bytes": 0, "t0": None, "t1": None}
+
+        def _z_splits(extent: int):
+            b = np.linspace(0, extent, n_streams + 1).astype(int)
+            return [(int(b[i]), int(b[i + 1])) for i in range(n_streams)
+                    if b[i] < b[i + 1]]
 
         def drain(entry):
             t, pred, roi_core = entry
-            pred = np.asarray(pred).astype(np.float32)
-            core_sl_local = tuple(
-                slice(t.core_start[d] - t.halo_start[d],
-                      t.core_end[d] - t.halo_start[d]) for d in range(self.nd)
-            )
+            if isinstance(pred, (list, tuple)):  # chunked device buffers
+                splits, chunks = pred
+                z_extent = splits[-1][1]
+                first = None
+
+                def _pull(args):
+                    (z0c, z1c), chunk = args
+                    ts = time.time()
+                    arr = np.asarray(_jax.device_get(chunk))
+                    te = time.time()
+                    with drain_lock:
+                        drain_stats["bytes"] += arr.nbytes
+                        if drain_stats["t0"] is None or ts < drain_stats["t0"]:
+                            drain_stats["t0"] = ts
+                        if drain_stats["t1"] is None or te > drain_stats["t1"]:
+                            drain_stats["t1"] = te
+                    return (z0c, arr)
+
+                parts = dict()
+                for z0c, arr in pull_pool.map(_pull, zip(splits, chunks)):
+                    parts[z0c] = arr
+                first = parts[splits[0][0]]
+                pred = np.empty((z_extent,) + first.shape[1:], first.dtype)
+                for (z0c, z1c) in splits:
+                    pred[z0c:z1c] = parts[z0c]
+            else:
+                pred = np.asarray(pred)
+            if not quant:
+                pred = pred.astype(np.float32)
+            core_shape = tuple(t.core_end[d] - t.core_start[d]
+                               for d in range(self.nd))
+            if pred.shape[: self.nd] != core_shape:
+                # host (TTA) fallback returns the full padded-block extent;
+                # the device path's pre_padded output IS the core already
+                pred = pred[tuple(slice(self.halo[d],
+                                        self.halo[d] + core_shape[d])
+                                  for d in range(self.nd))]
             core_sl_out = tuple(slice(t.core_start[d], t.core_end[d]) for d in range(self.nd))
-            core = pred[core_sl_local]
+            core = pred
             if roi_core is not None:
-                core = core * roi_core[..., None]
+                core = (core * roi_core[..., None]).astype(core.dtype)
             out[core_sl_out + (slice(None),)] = core
 
         if roi is not None and tuple(roi.shape[: self.nd]) != tuple(spatial):
@@ -226,6 +298,20 @@ class ChunkedInference:
                 block = np.asarray(vol[region])
                 if not has_c:
                     block = block[..., None]
+                # Uniform pre-padded blocks: every tile ships as
+                # core + 2*halo (volume-edge tiles reflect-padded on the
+                # host, interior tiles use the real halo), so (a) ALL
+                # interior tiles share ONE compiled program instead of up to
+                # 8 edge-shape variants, and (b) the patch grid covers only
+                # the CORE rows — the un-padded path's grid also walked the
+                # halo band (27 patches instead of 8 per (2,2,2) tile at the
+                # reference geometry, config.py:1974), a ~3.4x compute waste
+                # whose outputs the drain then threw away.
+                pw = [(self.halo[d] - (t.core_start[d] - t.halo_start[d]),
+                       self.halo[d] - (t.halo_end[d] - t.core_end[d]))
+                      for d in range(self.nd)] + [(0, 0)]
+                if any(p != (0, 0) for p in pw):
+                    block = np.pad(block, pw, mode="reflect")
                 from biapy_tpu.data.norm import compute_norm_stats, normalize_image
 
                 # Normalization runs ON DEVICE: the host computes the
@@ -236,10 +322,12 @@ class ChunkedInference:
                 # host, chunked_test_pair_data_generator.py:524).
                 spec = getattr(self.wf, "test_norm_spec", self.wf.norm_spec)
                 stats = compute_norm_stats(block, spec)
+                sp = _z_splits(int(t.core_end[0] - t.core_start[0]))
                 dev_pred = self.wf.predict_block_on_device(
                     block, overlap=self.overlap, padding=self.padding,
                     device=devices[dispatched % len(devices)], sync=False,
-                    norm_stats=stats)
+                    out_splits=sp, norm_stats=stats,
+                    pre_padded=(True,) * self.nd)
                 dispatched += 1
                 if dev_pred is None:
                     # host (TTA) fallback: same stats -> identical values
@@ -247,18 +335,29 @@ class ChunkedInference:
                         block.astype(np.float32), spec, stats=stats)
                     drain((t, self._predict_block(block_n), roi_core))
                 else:
-                    inflight.append((t, dev_pred, roi_core))
-                    if len(inflight) >= len(devices):
-                        drain(inflight.pop(0))
+                    inflight.append((t, (sp, dev_pred), roi_core))
+                    if len(inflight) >= max(2, len(devices)):
+                        drain_futures.append(
+                            drain_pool.submit(drain, inflight.pop(0)))
                 if verbose:
                     print(f"[by-chunks] rank {self.rank}: tile {ti + 1}/{len(mine)} dispatched")
             if skipped and verbose:
                 print(f"[by-chunks] rank {self.rank}: {skipped} tiles outside the ROI skipped")
             for entry in inflight:
-                drain(entry)
+                drain_futures.append(drain_pool.submit(drain, entry))
+            for fu in drain_futures:
+                fu.result()  # re-raises drain/pull errors (e.g. async OOM)
         finally:
+            pull_pool.shutdown(wait=True)
+            drain_pool.shutdown(wait=True)
             if handle is not None:
                 handle.close()
+        dt = ((drain_stats["t1"] - drain_stats["t0"])
+              if drain_stats["t0"] is not None else None)
+        self.last_drain_stats = {
+            "bytes": drain_stats["bytes"], "seconds": dt, "streams": n_streams,
+            "mb_per_s": (drain_stats["bytes"] / 1e6 / dt) if dt else None,
+        }
         barrier("chunked_raw_pred")
         return out_path
 
@@ -311,7 +410,7 @@ class ChunkedInference:
         local_max: Dict[Tuple[int, ...], int] = {}
         for t in mine:
             region = tuple(slice(t.halo_start[d], t.halo_end[d]) for d in range(self.nd))
-            p = pred[region + (slice(None),)]
+            p = dequant_pred(pred[region + (slice(None),)])
             labels = instance_fn(p)
             core_local = tuple(slice(t.core_start[d] - t.halo_start[d],
                                      t.core_end[d] - t.halo_start[d]) for d in range(self.nd))

@@ -412,7 +412,9 @@ class Detection_Workflow(Base_Workflow):
         local_cls: List[np.ndarray] = []
         for ti, t in mine:
             region = tuple(slice(t.halo_start[d], t.halo_end[d]) for d in range(self.nd))
-            hm = pred[region + (slice(None),)]
+            from biapy_tpu.engine.chunked import dequant_pred
+
+            hm = dequant_pred(pred[region + (slice(None),)])
             coords = self._extract_points(hm, global_post=False)
             if len(coords):
                 coords = coords[core_keep_mask(coords, t, self.nd)]

@@ -1024,7 +1024,9 @@ class Instance_Segmentation_Workflow(Base_Workflow):
             from biapy_tpu.parallel import is_main_process
 
             if is_main_process():
-                pred = np.asarray(ZarrArray(raw_path), np.float32)
+                from biapy_tpu.engine.chunked import dequant_pred
+
+                pred = dequant_pred(ZarrArray(raw_path))
                 self.after_merge_patches(pred, None, base + ".tif")
             return
         # size filtering happens post-merge: pull a min size from the
@@ -1092,7 +1094,9 @@ class Instance_Segmentation_Workflow(Base_Workflow):
         local: Dict[str, list] = {}
         for ti, t in mine:
             region = tuple(slice(t.halo_start[d], t.halo_end[d]) for d in range(self.nd))
-            p = pred[region + (slice(None),)]
+            from biapy_tpu.engine.chunked import dequant_pred
+
+            p = dequant_pred(pred[region + (slice(None),)])
             pts = self._extract_synapse_points(p, do_post_processing=False, connect=False)
             shift = np.asarray(t.halo_start, np.float32)
             for k, arr in pts.items():

@@ -27,6 +27,28 @@ def _spheres(shape=(48, 96, 96), n=10, seed=3):
     return lab
 
 
+class _IdentityStubWF:
+    """Identity 'prediction' honoring predict_block_on_device's chunked
+    pre-padded contract: blocks arrive uniformly padded by `padding` per
+    side, and with out_splits the return is a tuple of CORE z-chunks."""
+
+    norm_spec = {"type": "none", "percentile_clip": False, "out_dtype": "float32"}
+
+    def __init__(self):
+        self.calls = 0
+
+    def predict_block_on_device(self, block, overlap=None, padding=None,
+                                device=None, sync=False, norm_stats=None,
+                                out_splits=None, pre_padded=False):
+        self.calls += 1
+        h = tuple(padding) if padding is not None else (0,) * (block.ndim - 1)
+        nd = block.ndim - 1
+        core = block[tuple(slice(h[d], block.shape[d] - h[d]) for d in range(nd))]
+        if out_splits is not None:
+            return tuple(core[z0:z1] for z0, z1 in out_splits)
+        return block
+
+
 def test_tile_grid_covers_volume():
     tiles = tile_grid((48, 96, 96), (32, 48, 48), (8, 8, 8))
     assert len(tiles) == 2 * 2 * 2
@@ -319,16 +341,7 @@ def test_by_chunks_roi_skips_tiles(tmp_path):
     are never predicted, partially-covered cores are masked (reference:
     config.py:934)."""
 
-    class _IdentityWF:
-        norm_spec = {"type": "none", "percentile_clip": False, "out_dtype": "float32"}
-
-        def __init__(self):
-            self.calls = 0
-
-        def predict_block_on_device(self, block, overlap=None, padding=None,
-                                    device=None, sync=False, norm_stats=None):
-            self.calls += 1
-            return block
+    _IdentityWF = _IdentityStubWF
 
     vol = np.random.default_rng(0).random((48, 96, 96)).astype(np.float32)
     vol_path = str(tmp_path / "vol.zarr")
@@ -399,12 +412,7 @@ def test_by_chunks_axes_order_cyx(tmp_path):
     the lazy canonical view — never materialised, same result as ZYXC
     (reference: chunked generator axes translation)."""
 
-    class _IdentityWF:
-        norm_spec = {"type": "none", "percentile_clip": False, "out_dtype": "float32"}
-
-        def predict_block_on_device(self, block, overlap=None, padding=None,
-                                    device=None, sync=False, norm_stats=None):
-            return block
+    _IdentityWF = _IdentityStubWF
 
     rng = np.random.default_rng(1)
     vol = rng.random((2, 48, 96, 96)).astype(np.float32)  # C,Z,Y,X on disk
@@ -471,12 +479,7 @@ def test_by_chunks_default_axes_channels_last(tmp_path):
     """With the untouched 'TZCYX' config default, a (Z,Y,X,C<=4) zarr must be
     recognized as channels-last instead of being misread as Z,C,Y,X."""
 
-    class _IdentityWF:
-        norm_spec = {"type": "none", "percentile_clip": False, "out_dtype": "float32"}
-
-        def predict_block_on_device(self, block, overlap=None, padding=None,
-                                    device=None, sync=False, norm_stats=None):
-            return block
+    _IdentityWF = _IdentityStubWF
 
     rng = np.random.default_rng(2)
     vol = rng.random((48, 96, 96, 2)).astype(np.float32)  # Z,Y,X,C on disk
@@ -557,3 +560,103 @@ def test_detection_by_chunks_multiclass(tmp_path):
     assert sorted(entry["classes"].tolist()) == [1, 1, 2]
     m = wf.metrics_per_test_file[0]
     assert m["det_f1"] == 1.0 and m["det_f1_class"] == 1.0, m
+
+
+def test_dequant_pred_roundtrip():
+    from biapy_tpu.engine.chunked import dequant_pred
+
+    p = np.linspace(0, 1, 11, dtype=np.float32)
+    q = np.round(p * 255).astype(np.uint8)
+    back = dequant_pred(q)
+    assert back.dtype == np.float32
+    assert np.abs(back - p).max() <= 1 / 510 + 1e-6
+    # float input passes through
+    f = np.asarray([0.25], np.float32)
+    assert dequant_pred(f).dtype == np.float32 and float(dequant_pred(f)[0]) == 0.25
+
+
+def test_predict_volume_quant_uint8_storage(tmp_path):
+    """TEST.OUTPUT_QUANT_UINT8 makes predict_volume store the raw-pred Zarr
+    as uint8 (1/4 the bytes) and every downstream reader dequantizes —
+    pinned here end-to-end through the oracle merge (VERDICT r4 drain
+    story)."""
+    from biapy_tpu.config.config import get_cfg_defaults
+    from biapy_tpu.data.pre_processing import labels_into_channels
+    from biapy_tpu.engine.instance_seg import Instance_Segmentation_Workflow
+    from biapy_tpu.utils.matching import matching
+
+    labels = _spheres()
+    chans = labels_into_channels(labels, ["F", "C"]).astype(np.float32)
+
+    class _QuantOracleWF:
+        norm_spec = {"type": "none", "percentile_clip": False,
+                     "out_dtype": "float32"}
+
+        def __init__(self):
+            cfg = get_cfg_defaults()
+            cfg.merge_from_dict({
+                "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "3D",
+                            "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"]}},
+                "DATA": {"PATCH_SIZE": (32, 48, 48, 1)},
+                "TEST": {"OUTPUT_QUANT_UINT8": True},
+            })
+            self.cfg = cfg
+
+        def predict_block_on_device(self, block, overlap=None, padding=None,
+                                    device=None, sync=False, norm_stats=None,
+                                    out_splits=None, pre_padded=False):
+            # oracle: quantized GT channels for the block's CORE (mirrors
+            # the real program's round(p*255) uint8 output under quant)
+            h = tuple(padding)
+            nd = block.ndim - 1
+            core = self._core
+            q = np.round(np.clip(core, 0.0, 1.0) * 255).astype(np.uint8)
+            if out_splits is not None:
+                return tuple(q[z0:z1] for z0, z1 in out_splits)
+            return q
+
+    # volume = the channels themselves; identity-net semantics via _core
+    vol_path = str(tmp_path / "vol.zarr")
+    z = ZarrArray.create(vol_path, shape=chans.shape, chunks=(32, 48, 48, 2),
+                         dtype="f4", compressor={"id": "zlib", "level": 1})
+    z[:, :, :, :] = chans
+
+    wf = _QuantOracleWF()
+    out_dir = str(tmp_path / "chunks")
+    ci = ChunkedInference(wf, (32, 48, 48), (0, 0, 0), (4, 8, 8), (1, 1, 1),
+                          2, out_dir)
+    # feed the per-tile core through the stub (predict_volume hands blocks;
+    # the stub needs the core slice -> wrap predict_block_on_device)
+    import types
+
+    orig = wf.predict_block_on_device
+
+    def wrapped(block, **kw):
+        h = tuple(kw.get("padding"))
+        nd = block.ndim - 1
+        wf._core = block[tuple(slice(h[d], block.shape[d] - h[d])
+                               for d in range(nd))]
+        return orig(block, **kw)
+
+    wf.predict_block_on_device = wrapped
+    raw_path = ci.predict_volume(vol_path, verbose=False)
+
+    raw = ZarrArray(raw_path)
+    assert str(raw.dtype) in ("uint8", "u1", "|u1"), raw.dtype
+    from biapy_tpu.engine.chunked import dequant_pred
+
+    back = dequant_pred(raw[:, :, :, :])
+    assert np.abs(back - chans).max() <= 1 / 510 + 1e-6
+
+    # the merge dequantizes pass-A reads (u1 -> [0,1]) and still
+    # reassembles the instances
+    cfg = wf.cfg
+    inst_wf = Instance_Segmentation_Workflow.__new__(Instance_Segmentation_Workflow)
+    inst_wf.cfg = cfg
+    inst_wf.nd = 3
+    inst_wf.define_activations_and_channels()
+    inst_path = ci.create_and_merge_instances(
+        raw_path, inst_wf.instance_seg_process, merge_iou_th=0.2, verbose=False)
+    merged = np.asarray(ZarrArray(inst_path))
+    stats = matching(labels, merged, thresh=[0.5])[0]
+    assert stats["f1"] > 0.9, stats
