@@ -745,14 +745,17 @@ class Base_Workflow(metaclass=ABCMeta):
             out_dt = jnp.bfloat16 if reduce_mem else jnp.float32
             pad_mode = "median" if cfg.DATA.TEST.MEDIAN_PADDING else "reflect"
             if dev_norm:
-                # normalization stats travel as runtime (C,)-arrays — new
-                # tiles with different stats reuse the compiled program. The
+                # normalization stats travel as ONE runtime (4, C) array —
+                # new tiles with different stats reuse the compiled program,
+                # and the per-tile dispatch pays a single tiny H2D instead
+                # of four (each costs a transport RTT on tunnel links). The
                 # uint8->f32->clip->affine->bf16 chain fuses into a single
                 # elementwise kernel; the volume is stored in HBM already at
                 # the compute width.
                 vol_dt = jnp.bfloat16 if reduce_mem else jnp.float32
 
-                def _run(v, vol, lo, hi, sub, div):
+                def _run(v, vol, aff):
+                    lo, hi, sub, div = aff[0], aff[1], aff[2], aff[3]
                     x = jnp.clip(vol.astype(jnp.float32), lo, hi)
                     x = ((x - sub) / div).astype(vol_dt)
                     return sliding_window_inference(
@@ -775,9 +778,14 @@ class Base_Workflow(metaclass=ABCMeta):
         # H2D, and the device cast overlaps earlier slabs' compute. (bf16
         # still halves HBM for the volume under REDUCE_MEMORY.)
         if dev_norm:
+            import numpy as _np
+
             from biapy_tpu.data.norm import stats_to_affine
 
-            norm_args = tuple(jnp.asarray(a) for a in stats_to_affine(norm_stats))
+            norm_args = (jnp.asarray(_np.stack(
+                [_np.broadcast_to(_np.asarray(a, _np.float32),
+                                  (block_n.shape[-1],))
+                 for a in stats_to_affine(norm_stats)])),)
         else:
             norm_args = ()
         block_j = block_n
