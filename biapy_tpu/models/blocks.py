@@ -807,6 +807,20 @@ def _max_pool_exact_fwd(x, w, folded=False):
 
 
 def _max_pool_exact_bwd(w, folded, res, g):
+    if os.environ.get("BIAPY_TPU_POOL_BWD", "") == "repeat4d":
+        # A/B variant: same eq-mask semantics expressed with per-axis
+        # jnp.repeat upsampling in the ORIGINAL rank instead of the 6D
+        # reshape/broadcast (candidate fix for the strided access the 6D
+        # form lowers to; see tools/roofline.py)
+        x, y = res
+        yu, gu = y, g
+        for i, k in enumerate(w):
+            ax = i if folded else i + 1
+            if k > 1:
+                yu = jnp.repeat(yu, k, axis=ax)
+                gu = jnp.repeat(gu, k, axis=ax)
+        dx = jnp.where(x == yu, gu, jnp.zeros((), g.dtype))
+        return (dx,)
     # Route the gradient to every max position WITHOUT the tie-splitting
     # normalization jax's default max-vjp emits (an extra full-size
     # reduce_sum + div per pool, ~5 ms/step on the 128^3 bench profile).

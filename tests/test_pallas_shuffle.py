@@ -159,3 +159,26 @@ def test_max_pool_strided_matches_reference(lead, win):
     _, vjp_ref = jax.vjp(ref, x)
     np.testing.assert_allclose(np.asarray(vjp(g)[0]),
                                np.asarray(vjp_ref(g)[0]), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("folded,shape,w", [
+    (True, (8, 8, 8, 3), (2, 2, 2)),
+    (False, (2, 8, 8, 8, 3), (2, 2, 2)),
+    (False, (2, 8, 8, 3), (2, 2)),
+])
+def test_max_pool_bwd_repeat4d_equivalent(monkeypatch, folded, shape, w):
+    """BIAPY_TPU_POOL_BWD=repeat4d (A/B formulation of the eq-mask pool
+    backward in the original rank) must be bit-equal to the default 6D
+    reshape form."""
+    from biapy_tpu.models.blocks import _max_pool_exact
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.permutation(np.prod(shape)).astype(np.float32)
+                    .reshape(shape))
+    _, vjp = jax.vjp(lambda v: _max_pool_exact(v, w, folded), x)
+    y = _max_pool_exact(x, w, folded)
+    g = jnp.asarray(rng.standard_normal(y.shape).astype(np.float32))
+    base = np.asarray(vjp(g)[0])
+    monkeypatch.setenv("BIAPY_TPU_POOL_BWD", "repeat4d")
+    _, vjp2 = jax.vjp(lambda v: _max_pool_exact(v, w, folded), x)
+    np.testing.assert_array_equal(base, np.asarray(vjp2(g)[0]))
