@@ -264,6 +264,12 @@ class Base_Workflow(metaclass=ABCMeta):
                 params, batch_stats, _ = load_torchvision_mobilenetv3(
                     str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
                     batch_stats, variant=tv_name, verbose=self.verbose)
+            elif tv_name.startswith("convnext"):
+                from biapy_tpu.models.convnext_tv import load_torchvision_convnext
+
+                params, batch_stats, _ = load_torchvision_convnext(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, variant=tv_name, verbose=self.verbose)
             elif tv_name.startswith("resnet"):
                 from biapy_tpu.models.resnet import load_torchvision_resnet
 

@@ -90,6 +90,8 @@ def check_configuration(cfg, job_identifier: str = "job",
         tv_supported = tuple(f"efficientnet_b{i}" for i in range(8)) + (
             "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
             "mobilenet_v3_large", "mobilenet_v3_small",
+            "convnext_tiny", "convnext_small", "convnext_base",
+            "convnext_large",
             "deeplabv3_resnet50", "deeplabv3_resnet101",
             "fcn_resnet50", "fcn_resnet101", "lraspp_mobilenet_v3_large")
         tv_name = str(cfg.MODEL.TORCHVISION_MODEL_NAME).lower()

@@ -209,6 +209,14 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
         kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
         return MobileNetV3(**kwargs), {"class": "MobileNetV3", **kwargs}
 
+    if arch.startswith("convnext"):
+        # torchvision classification namespace (reference
+        # models/__init__.py:1676)
+        from biapy_tpu.models.convnext_tv import ConvNeXt
+
+        kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
+        return ConvNeXt(**kwargs), {"class": "ConvNeXt", **kwargs}
+
     if arch == "nafnet":
         from biapy_tpu.models.nafnet import NAFNet
 

@@ -56,6 +56,10 @@ def load_with_key_map(path: str, params, batch_stats, pa, sa,
         fpath = tuple(fpath)
         if fpath not in tgt:
             raise ValueError(f"no Flax home for {tkey} (path {fpath})")
+        if tf == "flat" and a.size == tgt[fpath].size:
+            # shape-preserving squeeze (e.g. torch layer_scale (C,1,1) ->
+            # flax (C,))
+            a = a.reshape(tgt[fpath].shape)
         if tgt[fpath].shape != a.shape:
             if any(head_marker in str(p) for p in fpath):
                 print(f"WARNING: Model's head changed from {a.shape} to "

@@ -690,3 +690,69 @@ def test_fcn_lraspp_semantic_seg_e2e(tmp_path, tv_name):
     job = BiaPy(cfg, result_dir=root + "/results", name=tv_name, silent=True)
     job.run_job()
     assert job.workflow.metrics_per_test_file, "no test metrics produced"
+
+
+def test_convnext_key_map_matches_torchvision_format():
+    from biapy_tpu.models.convnext_tv import convnext_key_map
+
+    pa, sa = convnext_key_map("convnext_tiny")
+    assert sa == []  # LayerNorm only — no running stats
+    keys = {t for _, t, _ in pa}
+    assert "features.0.0.weight" in keys and "features.0.1.weight" in keys
+    # CNBlock: dw conv .0, LN .2, Linear .3/.5, layer_scale
+    assert "features.1.0.block.0.weight" in keys
+    assert "features.1.0.block.2.weight" in keys
+    assert "features.1.0.block.3.weight" in keys
+    assert "features.1.0.block.5.bias" in keys
+    assert "features.1.0.layer_scale" in keys
+    # stage 3 (features.5) has 9 blocks in tiny
+    assert "features.5.8.block.0.weight" in keys
+    assert "features.5.9.block.0.weight" not in keys
+    # downsample between stages: LN .0 + conv .1
+    assert "features.2.0.weight" in keys and "features.2.1.weight" in keys
+    assert "classifier.0.weight" in keys and "classifier.2.bias" in keys
+
+
+def test_convnext_param_count_golden():
+    """convnext_tiny at 1000 classes must hit torchvision's published
+    28,589,128 parameters exactly."""
+    from biapy_tpu.models.convnext_tv import ConvNeXt
+
+    net = ConvNeXt(variant="convnext_tiny", n_classes=1000)
+    v = net.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3)))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v["params"]))
+    assert n == 28_589_128, n
+
+
+def test_load_torchvision_convnext_bit_exact(tmp_path):
+    import torch
+
+    from biapy_tpu.models.convnext_tv import (ConvNeXt, convnext_key_map,
+                                              load_torchvision_convnext)
+    from flax.traverse_util import flatten_dict
+
+    net = ConvNeXt(variant="convnext_tiny", n_classes=1000)
+    variables = net.init({"params": jax.random.PRNGKey(0)},
+                         jnp.zeros((1, 32, 32, 3)))
+    pa, sa = convnext_key_map("convnext_tiny")
+    # synth with torch-side shapes (incl. layer_scale (C,1,1) -> 'flat')
+    pflat = flatten_dict(variables["params"])
+    sd = {}
+    for i, (fpath, tkey, tf) in enumerate(pa):
+        a = np.full(np.shape(pflat[tuple(fpath)]), float(i + 1), np.float32)
+        if tf == "conv":
+            a = a.transpose(3, 2, 0, 1)
+        elif tf == "linear":
+            a = a.transpose(1, 0)
+        elif tf == "flat":
+            a = a.reshape(a.shape[0], 1, 1)
+        sd[tkey] = torch.from_numpy(np.ascontiguousarray(a))
+    p = str(tmp_path / "cn.pth")
+    torch.save(sd, p)
+    params, stats, n = load_torchvision_convnext(p, variables["params"])
+    assert n == len(pa)
+    pflat2 = flatten_dict(params)
+    for i, (fpath, tkey, tf) in enumerate(pa):
+        assert np.all(np.asarray(pflat2[tuple(fpath)]) == float(i + 1)), tkey
+    y = net.apply({"params": params}, jnp.ones((1, 32, 32, 3)) * 0.01)
+    assert y.shape == (1, 1000)
