@@ -270,6 +270,12 @@ class Base_Workflow(metaclass=ABCMeta):
                 params, batch_stats, _ = load_torchvision_convnext(
                     str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
                     batch_stats, variant=tv_name, verbose=self.verbose)
+            elif tv_name.startswith("squeezenet"):
+                from biapy_tpu.models.squeezenet import load_torchvision_squeezenet
+
+                params, batch_stats, _ = load_torchvision_squeezenet(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, variant=tv_name, verbose=self.verbose)
             elif tv_name.startswith("resnet"):
                 from biapy_tpu.models.resnet import load_torchvision_resnet
 

@@ -91,7 +91,7 @@ def check_configuration(cfg, job_identifier: str = "job",
             "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
             "mobilenet_v3_large", "mobilenet_v3_small",
             "convnext_tiny", "convnext_small", "convnext_base",
-            "convnext_large",
+            "convnext_large", "squeezenet1_0", "squeezenet1_1",
             "deeplabv3_resnet50", "deeplabv3_resnet101",
             "fcn_resnet50", "fcn_resnet101", "lraspp_mobilenet_v3_large")
         tv_name = str(cfg.MODEL.TORCHVISION_MODEL_NAME).lower()

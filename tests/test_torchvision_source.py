@@ -756,3 +756,67 @@ def test_load_torchvision_convnext_bit_exact(tmp_path):
         assert np.all(np.asarray(pflat2[tuple(fpath)]) == float(i + 1)), tkey
     y = net.apply({"params": params}, jnp.ones((1, 32, 32, 3)) * 0.01)
     assert y.shape == (1, 1000)
+
+
+@pytest.mark.parametrize("variant,want", [("squeezenet1_0", 1_248_424),
+                                          ("squeezenet1_1", 1_235_496)])
+def test_squeezenet_param_count_golden(variant, want):
+    """torchvision's published counts: 1_0 = 1,248,424 / 1_1 = 1,235,496."""
+    from biapy_tpu.models.squeezenet import SqueezeNet
+
+    net = SqueezeNet(variant=variant, n_classes=1000)
+    v = net.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3)))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v["params"]))
+    assert n == want, n
+
+
+def test_load_torchvision_squeezenet_bit_exact(tmp_path):
+    import torch
+
+    from biapy_tpu.models.squeezenet import (SqueezeNet, squeezenet_key_map,
+                                             load_torchvision_squeezenet)
+    from flax.traverse_util import flatten_dict
+
+    net = SqueezeNet(variant="squeezenet1_1", n_classes=1000)
+    variables = net.init({"params": jax.random.PRNGKey(0)},
+                         jnp.zeros((1, 64, 64, 3)))
+    pa, sa = squeezenet_key_map("squeezenet1_1")
+    keys = {t for _, t, _ in pa}
+    # torchvision fire layout: squeeze/expand1x1/expand3x3, 1_1 pools at 2/5/8
+    assert "features.3.squeeze.weight" in keys
+    assert "features.12.expand3x3.bias" in keys
+    assert "classifier.1.weight" in keys
+    sd = _synth_tv_sd(pa, sa, variables)
+    p = str(tmp_path / "sq.pth")
+    torch.save(sd, p)
+    params, _, n = load_torchvision_squeezenet(p, variables["params"],
+                                               variant="squeezenet1_1")
+    assert n == len(pa)
+    pflat = flatten_dict(params)
+    for i, (fpath, tkey, tf) in enumerate(pa):
+        assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
+    y = net.apply({"params": params}, jnp.ones((1, 64, 64, 3)) * 0.01)
+    assert y.shape == (1, 1000)
+
+
+def test_squeezenet_head_replacement_warns(tmp_path, capsys):
+    """n_classes != 1000 swaps the 1x1 conv head (reference special-case,
+    models/__init__.py:1711) — loader skips it with the warning."""
+    import torch
+
+    from biapy_tpu.models.squeezenet import (SqueezeNet, squeezenet_key_map,
+                                             load_torchvision_squeezenet)
+
+    donor = SqueezeNet(variant="squeezenet1_1", n_classes=1000)
+    dv = donor.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3)))
+    pa, sa = squeezenet_key_map("squeezenet1_1")
+    sd = _synth_tv_sd(pa, sa, dv)
+    p = str(tmp_path / "sq.pth")
+    torch.save(sd, p)
+    net = SqueezeNet(variant="squeezenet1_1", n_classes=5)
+    variables = net.init({"params": jax.random.PRNGKey(1)},
+                         jnp.zeros((1, 64, 64, 3)))
+    params, _, n = load_torchvision_squeezenet(p, variables["params"],
+                                               variant="squeezenet1_1")
+    assert "finetunning is required" in capsys.readouterr().out
+    assert n == len(pa) - 2  # head kernel+bias skipped
