@@ -276,7 +276,7 @@ class Base_Workflow(metaclass=ABCMeta):
                 params, batch_stats, _ = load_torchvision_squeezenet(
                     str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
                     batch_stats, variant=tv_name, verbose=self.verbose)
-            elif tv_name.startswith("resnet"):
+            elif tv_name.startswith(("resnet", "resnext", "wide_resnet")):
                 from biapy_tpu.models.resnet import load_torchvision_resnet
 
                 params, batch_stats, _ = load_torchvision_resnet(

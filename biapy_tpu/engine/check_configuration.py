@@ -89,6 +89,8 @@ def check_configuration(cfg, job_identifier: str = "job",
         # without the package or egress)
         tv_supported = tuple(f"efficientnet_b{i}" for i in range(8)) + (
             "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+            "resnext50_32x4d", "resnext101_32x8d", "resnext101_64x4d",
+            "wide_resnet50_2", "wide_resnet101_2",
             "mobilenet_v3_large", "mobilenet_v3_small",
             "convnext_tiny", "convnext_small", "convnext_base",
             "convnext_large", "squeezenet1_0", "squeezenet1_1",

@@ -170,7 +170,7 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
         kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
         return EfficientNet(**kwargs), {"class": "EfficientNet", **kwargs}
 
-    if arch.startswith("resnet"):
+    if arch.startswith(("resnet", "resnext", "wide_resnet")):
         # torchvision classification family from a LOCAL state dict
         # (reference: build_torchvision_model, models/__init__.py:1609)
         from biapy_tpu.models.resnet import ResNet

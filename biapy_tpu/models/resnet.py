@@ -23,6 +23,22 @@ _VARIANTS = {
     "resnet50": ("bottleneck", (3, 4, 6, 3), 4),
     "resnet101": ("bottleneck", (3, 4, 23, 3), 4),
     "resnet152": ("bottleneck", (3, 8, 36, 3), 4),
+    # same skeleton, grouped/wider bottlenecks (torchvision resnet.py)
+    "resnext50_32x4d": ("bottleneck", (3, 4, 6, 3), 4),
+    "resnext101_32x8d": ("bottleneck", (3, 4, 23, 3), 4),
+    "resnext101_64x4d": ("bottleneck", (3, 4, 23, 3), 4),
+    "wide_resnet50_2": ("bottleneck", (3, 4, 6, 3), 4),
+    "wide_resnet101_2": ("bottleneck", (3, 4, 23, 3), 4),
+}
+
+# (groups, width_per_group) — torchvision bottleneck width =
+# int(planes * width_per_group / 64) * groups
+_GROUPS = {
+    "resnext50_32x4d": (32, 4),
+    "resnext101_32x8d": (32, 8),
+    "resnext101_64x4d": (64, 4),
+    "wide_resnet50_2": (1, 128),
+    "wide_resnet101_2": (1, 128),
 }
 
 
@@ -61,23 +77,29 @@ class _BasicBlock(nn.Module):
 
 
 class _Bottleneck(nn.Module):
-    width: int
+    width: int                  # planes — out = planes * 4
     stride: int = 1
     downsample: bool = False
     dilation: int = 1
+    groups: int = 1
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
         out_f = self.width * 4
+        # torchvision: bottleneck conv width scales with width_per_group
+        # and groups (ResNeXt / Wide-ResNet families)
+        wb = int(self.width * self.base_width / 64.0) * self.groups
         d = self.dilation
-        h = nn.Conv(self.width, (1, 1), use_bias=False, name="conv1")(x)
+        h = nn.Conv(wb, (1, 1), use_bias=False, name="conv1")(x)
         h = nn.relu(_bn("bn1", train)(h))
         # torchvision ResNet v1.5: the stride sits on the 3x3 conv; when a
         # stage's stride is replaced with dilation (DeepLabV3 backbones) the
         # 3x3 dilates instead (torchvision resnet.py _make_layer)
-        h = nn.Conv(self.width, (3, 3), strides=(self.stride,) * 2,
+        h = nn.Conv(wb, (3, 3), strides=(self.stride,) * 2,
                     padding=[(d, d), (d, d)], kernel_dilation=(d, d),
+                    feature_group_count=self.groups,
                     use_bias=False, name="conv2")(h)
         h = nn.relu(_bn("bn2", train)(h))
         h = nn.Conv(out_f, (1, 1), use_bias=False, name="conv3")(h)
@@ -128,8 +150,14 @@ class ResNet(nn.Module):
                 # torchvision: the stage's FIRST block keeps the previous
                 # dilation; later blocks use the updated one
                 d = prev_dilation if bi == 0 else dilation
-                cls = _BasicBlock if block == "basic" else _Bottleneck
-                h = cls(width, st, down, d, name=f"layer{li + 1}_{bi}")(h, train)
+                if block == "basic":
+                    h = _BasicBlock(width, st, down, d,
+                                    name=f"layer{li + 1}_{bi}")(h, train)
+                else:
+                    g, wpg = _GROUPS.get(self.variant, (1, 64))
+                    h = _Bottleneck(width, st, down, d, groups=g,
+                                    base_width=wpg,
+                                    name=f"layer{li + 1}_{bi}")(h, train)
                 in_f = out_f
             feats[f"layer{li + 1}"] = h
         if self.features_only:

@@ -820,3 +820,64 @@ def test_squeezenet_head_replacement_warns(tmp_path, capsys):
                                                variant="squeezenet1_1")
     assert "finetunning is required" in capsys.readouterr().out
     assert n == len(pa) - 2  # head kernel+bias skipped
+
+
+@pytest.mark.parametrize("variant,want", [
+    ("resnext50_32x4d", 25_028_904),
+    ("wide_resnet50_2", 68_883_240),
+])
+def test_resnext_wide_param_count_golden(variant, want):
+    """Grouped/wider bottlenecks on the shared ResNet skeleton must hit
+    torchvision's published counts exactly."""
+    from biapy_tpu.models.resnet import ResNet
+
+    net = ResNet(variant=variant, n_classes=1000)
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v["params"]))
+    assert n == want, n
+
+
+def test_load_torchvision_resnext_bit_exact(tmp_path):
+    """The mechanical key translation covers the grouped variants too (same
+    module names as resnet50)."""
+    import torch
+
+    from biapy_tpu.models.resnet import ResNet, load_torchvision_resnet
+    from flax.traverse_util import flatten_dict
+
+    net = ResNet(variant="resnext50_32x4d", n_classes=1000)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    pflat = flatten_dict(variables["params"])
+    sflat = flatten_dict(variables["batch_stats"])
+    sd = {}
+    # reconstruct the torch state dict from the flax tree (inverse of the
+    # loader's mechanical translation)
+    for path, a in list(pflat.items()) + list(sflat.items()):
+        a = np.asarray(a)
+        mod = list(path[:-1])
+        leaf = path[-1]
+        tparts = []
+        for m in mod:
+            if m.startswith("layer") and "_" in m:
+                st, bi = m.split("_")
+                tparts += [st, bi]
+            elif m == "downsample_conv":
+                tparts += ["downsample", "0"]
+            elif m == "downsample_bn":
+                tparts += ["downsample", "1"]
+            else:
+                tparts.append(m)
+        tl = {"kernel": "weight", "scale": "weight", "bias": "bias",
+              "mean": "running_mean", "var": "running_var"}[leaf]
+        if leaf == "kernel" and a.ndim == 4:
+            a = a.transpose(3, 2, 0, 1)
+        elif leaf == "kernel" and a.ndim == 2:
+            a = a.transpose(1, 0)
+        sd[".".join(tparts + [tl])] = torch.from_numpy(np.ascontiguousarray(a))
+    p = str(tmp_path / "rx.pth")
+    torch.save(sd, p)
+    params, stats, n = load_torchvision_resnet(
+        p, variables["params"], variables["batch_stats"],
+        variant="resnext50_32x4d")
+    for path, a in flatten_dict(params).items():
+        assert np.array_equal(np.asarray(a), np.asarray(pflat[path])), path
