@@ -270,6 +270,12 @@ class Base_Workflow(metaclass=ABCMeta):
                 params, batch_stats, _ = load_torchvision_convnext(
                     str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
                     batch_stats, variant=tv_name, verbose=self.verbose)
+            elif tv_name.startswith("vgg"):
+                from biapy_tpu.models.vgg import load_torchvision_vgg
+
+                params, batch_stats, _ = load_torchvision_vgg(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, variant=tv_name, verbose=self.verbose)
             elif tv_name.startswith("squeezenet"):
                 from biapy_tpu.models.squeezenet import load_torchvision_squeezenet
 

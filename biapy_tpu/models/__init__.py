@@ -217,6 +217,14 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
         kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
         return ConvNeXt(**kwargs), {"class": "ConvNeXt", **kwargs}
 
+    if arch.startswith("vgg"):
+        # torchvision classification namespace (reference
+        # models/__init__.py:1676)
+        from biapy_tpu.models.vgg import VGG
+
+        kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
+        return VGG(**kwargs), {"class": "VGG", **kwargs}
+
     if arch.startswith("squeezenet"):
         # torchvision classification namespace — squeezenet's head is a 1x1
         # conv, special-cased by the reference (models/__init__.py:1711)

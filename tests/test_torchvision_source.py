@@ -881,3 +881,64 @@ def test_load_torchvision_resnext_bit_exact(tmp_path):
         variant="resnext50_32x4d")
     for path, a in flatten_dict(params).items():
         assert np.array_equal(np.asarray(a), np.asarray(pflat[path])), path
+
+
+@pytest.mark.parametrize("variant,want", [
+    ("vgg11", 132_863_336), ("vgg16", 138_357_544),
+    ("vgg16_bn", 138_365_992), ("vgg19", 143_667_240)])
+def test_vgg_param_count_golden(variant, want):
+    from biapy_tpu.models.vgg import VGG
+
+    net = VGG(variant=variant, n_classes=1000)
+    v = net.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3)))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v["params"]))
+    assert n == want, n
+
+
+def test_load_torchvision_vgg_bit_exact_and_flatten_order(tmp_path):
+    """The classifier.0 import permutes torch's (C,7,7) flatten order into
+    this model's (7,7,C) — verified numerically: a torch-built VGG11 and
+    the imported flax one must produce identical logits."""
+    import torch
+
+    from biapy_tpu.models.vgg import VGG, load_torchvision_vgg
+
+    torch.manual_seed(0)
+    # build a REAL torch vgg11 (torchvision-layout) to generate both the
+    # state dict and the reference logits
+    cfg = [64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"]
+    layers = []
+    in_c = 3
+    for v in cfg:
+        if v == "M":
+            layers.append(torch.nn.MaxPool2d(2, 2))
+        else:
+            layers += [torch.nn.Conv2d(in_c, v, 3, padding=1),
+                       torch.nn.ReLU(inplace=True)]
+            in_c = v
+    tnet = torch.nn.Sequential()
+    tnet.features = torch.nn.Sequential(*layers)
+    tnet.avgpool = torch.nn.AdaptiveAvgPool2d((7, 7))
+    tnet.classifier = torch.nn.Sequential(
+        torch.nn.Linear(512 * 49, 4096), torch.nn.ReLU(True), torch.nn.Dropout(),
+        torch.nn.Linear(4096, 4096), torch.nn.ReLU(True), torch.nn.Dropout(),
+        torch.nn.Linear(4096, 1000))
+    tnet.eval()
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        h = tnet.features(x)
+        h = tnet.avgpool(h)
+        ref = tnet.classifier(torch.flatten(h, 1)).numpy()
+
+    sd = {f"features.{k}": v for k, v in tnet.features.state_dict().items()}
+    sd.update({f"classifier.{k}": v for k, v in tnet.classifier.state_dict().items()})
+    p = str(tmp_path / "vgg11.pth")
+    torch.save(sd, p)
+
+    net = VGG(variant="vgg11", n_classes=1000)
+    variables = net.init({"params": jax.random.PRNGKey(0)},
+                         jnp.zeros((1, 64, 64, 3)))
+    params, _, n = load_torchvision_vgg(p, variables["params"], variant="vgg11")
+    out = np.asarray(net.apply(
+        {"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
