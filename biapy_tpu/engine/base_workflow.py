@@ -270,6 +270,12 @@ class Base_Workflow(metaclass=ABCMeta):
                 params, batch_stats, _ = load_torchvision_convnext(
                     str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
                     batch_stats, variant=tv_name, verbose=self.verbose)
+            elif tv_name.startswith("densenet"):
+                from biapy_tpu.models.densenet import load_torchvision_densenet
+
+                params, batch_stats, _ = load_torchvision_densenet(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, variant=tv_name, verbose=self.verbose)
             elif tv_name.startswith("vgg"):
                 from biapy_tpu.models.vgg import load_torchvision_vgg
 

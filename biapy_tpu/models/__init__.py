@@ -217,6 +217,14 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
         kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
         return ConvNeXt(**kwargs), {"class": "ConvNeXt", **kwargs}
 
+    if arch.startswith("densenet"):
+        # torchvision classification namespace (reference
+        # models/__init__.py:1676)
+        from biapy_tpu.models.densenet import DenseNet
+
+        kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
+        return DenseNet(**kwargs), {"class": "DenseNet", **kwargs}
+
     if arch.startswith("vgg"):
         # torchvision classification namespace (reference
         # models/__init__.py:1676)

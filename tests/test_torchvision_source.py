@@ -942,3 +942,40 @@ def test_load_torchvision_vgg_bit_exact_and_flatten_order(tmp_path):
     out = np.asarray(net.apply(
         {"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_densenet_param_count_golden():
+    """densenet121 at 1000 classes = torchvision's published 7,978,856."""
+    from biapy_tpu.models.densenet import DenseNet
+
+    net = DenseNet(variant="densenet121", n_classes=1000)
+    v = net.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3)))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v["params"]))
+    assert n == 7_978_856, n
+
+
+def test_load_torchvision_densenet_bit_exact(tmp_path):
+    import torch
+
+    from biapy_tpu.models.densenet import (DenseNet, densenet_key_map,
+                                           load_torchvision_densenet)
+    from flax.traverse_util import flatten_dict
+
+    net = DenseNet(variant="densenet121", n_classes=1000)
+    variables = net.init({"params": jax.random.PRNGKey(0)},
+                         jnp.zeros((1, 32, 32, 3)))
+    pa, sa = densenet_key_map("densenet121")
+    keys = {t for _, t, _ in pa} | {t for _, t, _ in sa}
+    assert "features.denseblock1.denselayer1.norm1.weight" in keys
+    assert "features.denseblock4.denselayer16.conv2.weight" in keys
+    assert "features.transition3.conv.weight" in keys
+    assert "features.norm5.running_var" in keys
+    sd = _synth_tv_sd(pa, sa, variables)
+    p = str(tmp_path / "dn.pth")
+    torch.save(sd, p)
+    params, stats, n = load_torchvision_densenet(
+        p, variables["params"], variables["batch_stats"])
+    assert n == len(pa) + len(sa)
+    pflat = flatten_dict(params)
+    for i, (fpath, tkey, tf) in enumerate(pa):
+        assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
