@@ -97,6 +97,7 @@ def check_configuration(cfg, job_identifier: str = "job",
             "vgg11", "vgg13", "vgg16", "vgg19",
             "vgg11_bn", "vgg13_bn", "vgg16_bn", "vgg19_bn",
             "densenet121", "densenet161", "densenet169", "densenet201",
+            "alexnet",
             "deeplabv3_resnet50", "deeplabv3_resnet101",
             "fcn_resnet50", "fcn_resnet101", "lraspp_mobilenet_v3_large")
         tv_name = str(cfg.MODEL.TORCHVISION_MODEL_NAME).lower()

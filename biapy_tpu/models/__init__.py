@@ -217,6 +217,12 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
         kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
         return ConvNeXt(**kwargs), {"class": "ConvNeXt", **kwargs}
 
+    if arch == "alexnet":
+        from biapy_tpu.models.alexnet import AlexNet
+
+        kwargs = dict(n_classes=int(output_channels[0]))
+        return AlexNet(**kwargs), {"class": "AlexNet", **kwargs}
+
     if arch.startswith("densenet"):
         # torchvision classification namespace (reference
         # models/__init__.py:1676)

@@ -979,3 +979,45 @@ def test_load_torchvision_densenet_bit_exact(tmp_path):
     pflat = flatten_dict(params)
     for i, (fpath, tkey, tf) in enumerate(pa):
         assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
+
+
+def test_alexnet_param_golden_and_numeric_import(tmp_path):
+    """AlexNet = torchvision's published 61,100,840 params; import verified
+    NUMERICALLY against a live torch-built AlexNet (flatten-order fixup)."""
+    import torch
+
+    from biapy_tpu.models.alexnet import AlexNet, load_torchvision_alexnet
+
+    net = AlexNet(n_classes=1000)
+    v = net.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3)))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v["params"]))
+    assert n == 61_100_840, n
+
+    torch.manual_seed(0)
+    feats = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 64, 11, 4, 2), torch.nn.ReLU(True),
+        torch.nn.MaxPool2d(3, 2),
+        torch.nn.Conv2d(64, 192, 5, padding=2), torch.nn.ReLU(True),
+        torch.nn.MaxPool2d(3, 2),
+        torch.nn.Conv2d(192, 384, 3, padding=1), torch.nn.ReLU(True),
+        torch.nn.Conv2d(384, 256, 3, padding=1), torch.nn.ReLU(True),
+        torch.nn.Conv2d(256, 256, 3, padding=1), torch.nn.ReLU(True),
+        torch.nn.MaxPool2d(3, 2))
+    cls = torch.nn.Sequential(
+        torch.nn.Dropout(), torch.nn.Linear(256 * 36, 4096), torch.nn.ReLU(True),
+        torch.nn.Dropout(), torch.nn.Linear(4096, 4096), torch.nn.ReLU(True),
+        torch.nn.Linear(4096, 1000))
+    feats.eval(); cls.eval()
+    x = torch.randn(1, 3, 224, 224)
+    with torch.no_grad():
+        h = feats(x)
+        h = torch.nn.AdaptiveAvgPool2d((6, 6))(h)
+        ref = cls(torch.flatten(h, 1)).numpy()
+    sd = {f"features.{k}": w for k, w in feats.state_dict().items()}
+    sd.update({f"classifier.{k}": w for k, w in cls.state_dict().items()})
+    p = str(tmp_path / "alex.pth")
+    torch.save(sd, p)
+    params, _, _ = load_torchvision_alexnet(p, v["params"])
+    out = np.asarray(net.apply(
+        {"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
