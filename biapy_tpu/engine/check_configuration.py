@@ -112,6 +112,12 @@ def check_configuration(cfg, job_identifier: str = "job",
             f"MODEL.SOURCE='torchvision': quantized torchvision models "
             f"('{tv_name}') have no TPU analog — bf16 inference via "
             "TEST.REDUCE_MEMORY is the equivalent memory/speed option")
+        req(not tv_name.startswith("maxvit"),
+            "MODEL.SOURCE='torchvision': maxvit_t (hybrid MBConv +"
+            " block/grid attention) is not reimplemented — use the "
+            "first-party ViT (MODEL.ARCHITECTURE='vit') or UNETR for "
+            "attention-based models, or convnext_tiny for a modern conv "
+            "classifier")
         req(tv_name in tv_supported,
             f"MODEL.SOURCE='torchvision': TORCHVISION_MODEL_NAME '{tv_name}' "
             "is not supported in this TPU environment (no torchvision "
