@@ -156,9 +156,13 @@ def test_torchvision_source_validation(tmp_path):
 
     w = str(tmp_path / "effb0.pth")
     open(w, "w").close()
-    # unsupported torchvision family (resnet/efficientnet ARE supported)
+    # unsupported torchvision family (vgg/resnet/... ARE supported now)
     with pytest.raises(Exception, match="not supported"):
-        check_configuration(cfg_with(TORCHVISION_MODEL_NAME="vgg16",
+        check_configuration(cfg_with(TORCHVISION_MODEL_NAME="shufflenet_v2_x1_0",
+                                     TORCHVISION_WEIGHTS=w))
+    # maxvit is a documented guided rejection
+    with pytest.raises(Exception, match="maxvit"):
+        check_configuration(cfg_with(TORCHVISION_MODEL_NAME="maxvit_t",
                                      TORCHVISION_WEIGHTS=w))
     # missing local weights
     with pytest.raises(Exception, match="TORCHVISION_WEIGHTS"):
