@@ -270,6 +270,12 @@ class Base_Workflow(metaclass=ABCMeta):
                 params, batch_stats, _ = load_torchvision_convnext(
                     str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
                     batch_stats, variant=tv_name, verbose=self.verbose)
+            elif tv_name.startswith("vit_"):
+                from biapy_tpu.models.vit_tv import load_torchvision_vit
+
+                params, batch_stats, _ = load_torchvision_vit(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, variant=tv_name, verbose=self.verbose)
             elif tv_name == "alexnet":
                 from biapy_tpu.models.alexnet import load_torchvision_alexnet
 

@@ -217,6 +217,13 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
         kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
         return ConvNeXt(**kwargs), {"class": "ConvNeXt", **kwargs}
 
+    if arch.startswith("vit_") and str(cfg.MODEL.SOURCE).lower() == "torchvision":
+        # torchvision ViT names map onto the first-party ViT (models/vit_tv)
+        from biapy_tpu.models.vit_tv import build_tv_vit
+
+        kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
+        return build_tv_vit(arch, int(output_channels[0])), {"class": "TVViT", **kwargs}
+
     if arch == "alexnet":
         from biapy_tpu.models.alexnet import AlexNet
 

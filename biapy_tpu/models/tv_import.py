@@ -51,17 +51,17 @@ def load_with_key_map(path: str, params, batch_stats, pa, sa,
         a = sd[tkey]
         if tf == "conv":
             a = a.transpose(2, 3, 1, 0)
-        elif tf == "linear":
+        elif tf in ("linear", "linear_flat"):
             a = a.transpose(1, 0)
         fpath = tuple(fpath)
         if fpath not in tgt:
             raise ValueError(f"no Flax home for {tkey} (path {fpath})")
-        if tf == "flat" and a.size == tgt[fpath].size:
-            # shape-preserving squeeze (e.g. torch layer_scale (C,1,1) ->
-            # flax (C,))
+        if tf in ("flat", "linear_flat") and a.size == tgt[fpath].size:
+            # shape-preserving reshape (torch layer_scale (C,1,1) -> (C,);
+            # packed attention (D, H*hd) -> flax (D, H, hd))
             a = a.reshape(tgt[fpath].shape)
         if tgt[fpath].shape != a.shape:
-            if any(head_marker in str(p) for p in fpath):
+            if any(head_marker in str(p) for p in fpath) or head_marker in tkey:
                 print(f"WARNING: Model's head changed from {a.shape} to "
                       f"{tgt[fpath].shape} so a finetunning is required "
                       "to have good results")

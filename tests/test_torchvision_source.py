@@ -1025,3 +1025,61 @@ def test_alexnet_param_golden_and_numeric_import(tmp_path):
     out = np.asarray(net.apply(
         {"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_tv_vit_param_golden_and_bit_exact_import(tmp_path):
+    """vit_b_16 = torchvision's published 86,567,656 params; the packed
+    in_proj q/k/v split + (D,H,hd) reshape is bit-exact (the reshape
+    convention itself is verified numerically against
+    torch.nn.MultiheadAttention in the module's development checks)."""
+    import torch
+
+    from biapy_tpu.models.vit_tv import (build_tv_vit, vit_key_map,
+                                         load_torchvision_vit)
+    from flax.traverse_util import flatten_dict
+
+    net = build_tv_vit("vit_b_16", 1000)
+    variables = net.init({"params": jax.random.PRNGKey(0)},
+                         jnp.zeros((1, 224, 224, 3)))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert n == 86_567_656, n
+
+    # synth a torchvision-format state dict (packed in_proj)
+    pa, sa = vit_key_map("vit_b_16")
+    pflat = flatten_dict(variables["params"])
+    vals = {}
+    sd = {}
+    packed = {}
+    for i, (fpath, tkey, tf) in enumerate(pa):
+        shape = np.shape(pflat[tuple(fpath)])
+        a = np.full(shape, float(i + 1), np.float32)
+        vals[tuple(fpath)] = float(i + 1)
+        if "__" in tkey:  # goes into the packed in_proj tensor
+            base, syn, leaf = tkey.rsplit(".", 2)
+            packed.setdefault((base, leaf), {})[syn] = a
+            continue
+        if tf == "conv":
+            a = a.transpose(3, 2, 0, 1)
+        elif tf in ("linear", "linear_flat"):
+            a = a.reshape(shape[0], -1).transpose(1, 0)
+        sd[tkey] = torch.from_numpy(np.ascontiguousarray(a))
+    for (base, leaf), roles in packed.items():
+        rows = []
+        for syn in ("__q__", "__k__", "__v__"):
+            a = roles[syn]
+            if leaf == "weight":
+                a = a.reshape(a.shape[0], -1).transpose(1, 0)
+            else:
+                a = a.reshape(-1)
+            rows.append(a)
+        tname = "in_proj_weight" if leaf == "weight" else "in_proj_bias"
+        sd[f"{base}.{tname}"] = torch.from_numpy(
+            np.ascontiguousarray(np.concatenate(rows, axis=0)))
+    p = str(tmp_path / "vit.pth")
+    torch.save(sd, p)
+    params, _, n_loaded = load_torchvision_vit(p, variables["params"],
+                                               variant="vit_b_16")
+    assert n_loaded == len(pa)
+    pflat2 = flatten_dict(params)
+    for fpath, want in vals.items():
+        assert np.all(np.asarray(pflat2[fpath]) == want), fpath
