@@ -236,6 +236,20 @@ class ConvTranspose(nn.Module):
                     bias = self.param("bias", self.bias_init, (self.features,))
                     y = y + jnp.tile(bias, sz).astype(y.dtype)
                 return zd2s(y, sz)
+            if sz > 1 and os.environ.get("BIAPY_TPU_CONVT", "") == "fusedxla":
+                # A/B variant: ONE 2D transposed conv with z taps stacked on
+                # the output-channel axis, then a pure-XLA z depth-to-space
+                # (single transpose instead of per-tap convs + stack)
+                k2 = jnp.concatenate([kx[sz - 1 - a] for a in range(sz)],
+                                     axis=-1)
+                y = jax.lax.conv_transpose(
+                    x, k2, (sy, sx), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                if self.use_bias:
+                    bias = self.param("bias", self.bias_init, (self.features,))
+                    y = y + jnp.tile(bias, sz).astype(y.dtype)
+                return y.reshape(bd, h * sy, w * sx, sz, co).transpose(
+                    0, 3, 1, 2, 4).reshape(bd * sz, h * sy, w * sx, co)
             outs = [jax.lax.conv_transpose(
                 x, kx[sz - 1 - a], (sy, sx), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))

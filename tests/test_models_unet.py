@@ -410,3 +410,23 @@ def test_fold3d_convtranspose_and_pool_units(monkeypatch):
             got = B.max_pool(x.reshape((b * d, h, w, c)), win)
         np.testing.assert_allclose(np.asarray(ref),
                                    np.asarray(got.reshape(ref.shape)), atol=0)
+
+
+def test_fold3d_convtranspose_fusedxla_equivalent(monkeypatch):
+    """BIAPY_TPU_CONVT=fusedxla (one wide 2D transposed conv + XLA z
+    depth-to-space) must match the default per-tap formulation bit-for-bit."""
+    import numpy as np
+
+    import biapy_tpu.models.blocks as B
+
+    rng = np.random.default_rng(0)
+    b, d, h, w, cin, co = 2, 4, 6, 6, 5, 7
+    x = jnp.asarray(rng.standard_normal((b * d, h, w, cin)).astype(np.float32))
+    m = B.ConvTranspose(co, kernel_size=(2, 2, 2), strides=(2, 2, 2))
+    with B.fold3d(b):
+        v = m.init(jax.random.PRNGKey(0), x)
+        base = np.asarray(m.apply(v, x))
+    monkeypatch.setenv("BIAPY_TPU_CONVT", "fusedxla")
+    with B.fold3d(b):
+        alt = np.asarray(m.apply(v, x))
+    np.testing.assert_allclose(alt, base, rtol=1e-6, atol=1e-6)

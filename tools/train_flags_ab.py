@@ -15,10 +15,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 VARIANTS = [
     ("baseline", {}),
     ("pool_bwd_repeat4d", {"BIAPY_TPU_POOL_BWD": "repeat4d"}),
+    ("convt_fusedxla", {"BIAPY_TPU_CONVT": "fusedxla"}),
     ("vmem_96m", {"XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=98304"}),
     ("vmem_48m", {"XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=49152"}),
-    ("pool_bwd_repeat4d+vmem_96m",
-     {"BIAPY_TPU_POOL_BWD": "repeat4d",
+    ("all_three",
+     {"BIAPY_TPU_POOL_BWD": "repeat4d", "BIAPY_TPU_CONVT": "fusedxla",
       "XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=98304"}),
 ]
 
