@@ -128,9 +128,13 @@ def test_instance_merge_across_tiles(tmp_path):
 
 
 @pytest.mark.slow
-def test_by_chunks_end_to_end(tmp_path):
+@pytest.mark.parametrize("quant", [False, True],
+                         ids=["f32_store", "uint8_store"])
+def test_by_chunks_end_to_end(tmp_path, quant):
     """Train a tiny 3D net on spheres, then by-chunks zarr inference with
-    instance merging (reference: run_checks Test24-style)."""
+    instance merging (reference: run_checks Test24-style). The quant variant
+    stores the raw-pred Zarr as round(p*255) uint8 (TEST.OUTPUT_QUANT_UINT8,
+    the bench's product drain) and must reach the same f1 gate."""
     from biapy_tpu.data.tiff import write_tiff
 
     rng = np.random.default_rng(5)
@@ -170,6 +174,7 @@ def test_by_chunks_end_to_end(tmp_path):
         "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 2.0e-3, "BATCH_SIZE": 8,
                   "EPOCHS": 25},
         "TEST": {"ENABLE": True,
+                 "OUTPUT_QUANT_UINT8": quant,
                  "BY_CHUNKS": {"ENABLE": True,
                                "WORKFLOW_PROCESS": {"ENABLE": True, "PATCHES_PER_TILE": [2, 2, 2],
                                                     "INSTANCE_SEG_MERGE_IOU_TH": 0.2}},
