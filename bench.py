@@ -534,6 +534,81 @@ def main():
                 "drain": getattr(ci, "last_drain_stats", None),
                 "out_dtype": str(ZarrArray(raw).dtype),
             }
+
+            # instance-merge wall time at the same scale (VERDICT r4 task
+            # #3): analytic sphere F/C channels (exact — no slab-boundary
+            # artifacts) written as the raw-pred Zarr, then the full A-E
+            # cross-tile merge. Skippable via BIAPY_TPU_BENCH_MERGE=0.
+            if os.environ.get("BIAPY_TPU_BENCH_MERGE", "1") != "0":
+                mrng = np.random.default_rng(11)
+                n_sph = 400
+                centers = mrng.uniform([12, 12, 12],
+                                       np.array(cshape) - 12, (n_sph, 3))
+                radii = mrng.uniform(6.0, 12.0, n_sph)
+                # drop overlapping spheres (instances must be disjoint)
+                keep = []
+                for i in range(n_sph):
+                    if all(np.sum((centers[i] - centers[j]) ** 2)
+                           > (radii[i] + radii[j] + 2) ** 2 for j in keep):
+                        keep.append(i)
+                centers, radii = centers[keep], radii[keep]
+                chz = ZarrArray.create(
+                    os.path.join(cdir, "chans.zarr"),
+                    shape=cshape + (2,), chunks=(216, 216, 216, 2),
+                    dtype="u1", compressor={"id": "zlib", "level": 1})
+                for z in range(0, cshape[0], 216):
+                    z1 = min(z + 216, cshape[0])
+                    F = np.zeros((z1 - z,) + cshape[1:], np.float32)
+                    C = np.zeros_like(F)
+                    zz = np.arange(z, z1)
+                    for c3, r in zip(centers, radii):
+                        if c3[0] + r + 2 < z or c3[0] - r - 2 > z1:
+                            continue
+                        y0, y1 = int(max(0, c3[1] - r - 2)), int(min(cshape[1], c3[1] + r + 3))
+                        x0, x1 = int(max(0, c3[2] - r - 2)), int(min(cshape[2], c3[2] + r + 3))
+                        dz = (zz - c3[0])[:, None, None]
+                        dy = (np.arange(y0, y1) - c3[1])[None, :, None]
+                        dx = (np.arange(x0, x1) - c3[2])[None, None, :]
+                        dist = np.sqrt(dz * dz + dy * dy + dx * dx)
+                        F[:, y0:y1, x0:x1] = np.maximum(
+                            F[:, y0:y1, x0:x1], (dist < r).astype(np.float32))
+                        C[:, y0:y1, x0:x1] = np.maximum(
+                            C[:, y0:y1, x0:x1],
+                            (np.abs(dist - r) < 1.5).astype(np.float32))
+                    chz[z:z1] = np.round(
+                        np.stack([F, C], axis=-1) * 255).astype(np.uint8)
+                from biapy_tpu.config.config import get_cfg_defaults
+                from biapy_tpu.engine.instance_seg import \
+                    Instance_Segmentation_Workflow
+
+                icfg = get_cfg_defaults()
+                icfg.merge_from_dict({
+                    "PROBLEM": {"TYPE": "INSTANCE_SEG", "NDIM": "3D",
+                                "INSTANCE_SEG": {"DATA_CHANNELS": ["F", "C"]}},
+                    "DATA": {"PATCH_SIZE": (128, 128, 128, 1)},
+                })
+                iwf = Instance_Segmentation_Workflow.__new__(
+                    Instance_Segmentation_Workflow)
+                iwf.cfg = icfg
+                iwf.nd = 3
+                iwf.define_activations_and_channels()
+                mci = ChunkedInference(cwf, (128, 128, 128), (0.0, 0.0, 0.0),
+                                       padding, (2, 2, 2), 2, cdir)
+                t0 = time.time()
+                inst_path = mci.create_and_merge_instances(
+                    os.path.join(cdir, "chans.zarr"),
+                    iwf.instance_seg_process, merge_iou_th=0.3,
+                    out_name="instances.zarr", verbose=False)
+                mdt = time.time() - t0
+                inst = ZarrArray(inst_path)
+                ids = set()
+                for z in range(0, cshape[0], 216):
+                    z1 = min(z + 216, cshape[0])
+                    u = np.unique(np.asarray(inst[z:z1]))
+                    ids.update(int(v) for v in u if v > 0)
+                extra["chunked"]["instance_merge_seconds"] = round(mdt, 2)
+                extra["chunked"]["instances_expected"] = int(len(radii))
+                extra["chunked"]["instances_found"] = len(ids)
             shutil.rmtree(cdir, ignore_errors=True)
         except Exception as e:
             extra["chunked_error"] = f"{type(e).__name__}: {e}"
