@@ -75,8 +75,28 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
     # the tunnel chip is shared — a transient 'Unable to initialize backend'
-    # (UNAVAILABLE) just means another tenant holds it. JAX caches backend
-    # init failures in-process, so wait and RE-EXEC for a clean retry.
+    # (UNAVAILABLE) just means another tenant holds it, and a co-tenant can
+    # also leave the tunnel in a HANG state where backend init blocks
+    # forever instead of erroring (observed r5). Probe liveness in a
+    # THROWAWAY SUBPROCESS with a hard timeout first, so the in-process
+    # init below only runs when the tunnel actually answers.
+    import subprocess as _sp
+
+    if not os.environ.get("BIAPY_TPU_BENCH_NO_GATE") and \
+            "--probe" not in sys.argv:
+        for _gate in range(10):
+            try:
+                r = _sp.run([sys.executable, "-c",
+                             "import jax; jax.devices()"],
+                            timeout=90, stdout=_sp.DEVNULL, stderr=_sp.DEVNULL)
+                if r.returncode == 0:
+                    break
+            except _sp.TimeoutExpired:
+                pass
+            print(f"TPU tunnel not answering (gate {_gate + 1}/10), "
+                  "retrying in 120s...", file=sys.stderr)
+            time.sleep(120)
+        time.sleep(10)  # teardown cushion after the gate client exits
     try:
         jax.devices()
     except RuntimeError as e:
