@@ -98,6 +98,7 @@ def check_configuration(cfg, job_identifier: str = "job",
             "vgg11_bn", "vgg13_bn", "vgg16_bn", "vgg19_bn",
             "densenet121", "densenet161", "densenet169", "densenet201",
             "alexnet", "vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32",
+            "swin_t", "swin_s", "swin_b",
             "deeplabv3_resnet50", "deeplabv3_resnet101",
             "fcn_resnet50", "fcn_resnet101", "lraspp_mobilenet_v3_large")
         tv_name = str(cfg.MODEL.TORCHVISION_MODEL_NAME).lower()
@@ -137,10 +138,11 @@ def check_configuration(cfg, job_identifier: str = "job",
                 "build_torchvision_model classification branch)")
         req(cfg.PROBLEM.NDIM == "2D",
             "torchvision models are 2D (reference: build_torchvision_model)")
-        if tv_name.startswith("vit_"):
+        if tv_name.startswith(("vit_", "swin")):
             req(tuple(cfg.DATA.PATCH_SIZE)[:2] == (224, 224),
-                "torchvision ViTs are 224-input models (their pos embedding "
-                "is sized for 196+1 tokens): set DATA.PATCH_SIZE to "
+                "torchvision ViT/Swin are 224-input models here (ViT pos "
+                "embeddings are sized for 196+1 tokens; Swin is traced for "
+                "the 56/28/14/7 window grids): set DATA.PATCH_SIZE to "
                 "(224, 224, C) or use the first-party "
                 "MODEL.ARCHITECTURE='vit' for free-size ViTs")
         tw = str(cfg.MODEL.TORCHVISION_WEIGHTS)

@@ -224,6 +224,14 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
         kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
         return build_tv_vit(arch, int(output_channels[0])), {"class": "TVViT", **kwargs}
 
+    if arch.startswith("swin"):
+        # torchvision classification namespace (reference
+        # models/__init__.py:1676)
+        from biapy_tpu.models.swin import Swin
+
+        kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
+        return Swin(**kwargs), {"class": "Swin", **kwargs}
+
     if arch == "alexnet":
         from biapy_tpu.models.alexnet import AlexNet
 

@@ -1083,3 +1083,95 @@ def test_tv_vit_param_golden_and_bit_exact_import(tmp_path):
     pflat2 = flatten_dict(params)
     for fpath, want in vals.items():
         assert np.all(np.asarray(pflat2[fpath]) == want), fpath
+
+
+@pytest.mark.parametrize("variant,want", [
+    ("swin_t", 28_288_354), ("swin_s", 49_606_258), ("swin_b", 87_768_224)])
+def test_swin_param_count_golden(variant, want):
+    """Swin v1 param counts pinned to torchvision's published numbers;
+    the shifted-window attention itself is numerically verified against
+    the torchvision algorithm in the module's development checks."""
+    from biapy_tpu.models.swin import Swin
+
+    net = Swin(variant=variant, n_classes=1000)
+    v = net.init({"params": jax.random.PRNGKey(0)},
+                 jnp.zeros((1, 224, 224, 3)))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v["params"]))
+    assert n == want, n
+
+
+def test_swin_shifted_window_attention_reference():
+    """Pure-numpy reference of one shifted window-attention pass (the
+    torchvision algorithm: roll, 7x7 partition, rel-pos bias, region mask)
+    vs the flax module — pins roll direction, partition order and bias
+    indexing permanently in the fast suite."""
+    from biapy_tpu.models.swin import _WindowAttention, _rel_index, _shift_mask
+
+    rng = np.random.default_rng(0)
+    H = W = 14; C = 8; heads = 2; w = 7; s = 3
+    x = rng.standard_normal((1, H, W, C)).astype(np.float32)
+    qkv_k = rng.standard_normal((C, 3 * C)).astype(np.float32) * 0.1
+    qkv_b = rng.standard_normal(3 * C).astype(np.float32) * 0.1
+    proj_k = rng.standard_normal((C, C)).astype(np.float32) * 0.1
+    proj_b = rng.standard_normal(C).astype(np.float32) * 0.1
+    rpb = rng.standard_normal(((2 * w - 1) ** 2, heads)).astype(np.float32) * 0.1
+
+    # numpy reference
+    xr = np.roll(x, (-s, -s), axis=(1, 2))
+    nh = H // w
+    xw = xr.reshape(1, nh, w, nh, w, C).transpose(0, 1, 3, 2, 4, 5).reshape(nh * nh, w * w, C)
+    qkv = xw @ qkv_k + qkv_b
+    hd = C // heads
+    q, k, v = np.split(qkv, 3, axis=-1)
+    q = q.reshape(-1, w * w, heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(-1, w * w, heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(-1, w * w, heads, hd).transpose(0, 2, 1, 3)
+    attn = (q @ k.transpose(0, 1, 3, 2)) * (hd ** -0.5)
+    attn = attn + rpb[_rel_index(w)].transpose(2, 0, 1)[None]
+    attn = attn + _shift_mask(H, W, w, s)[:, None]
+    attn = attn - attn.max(axis=-1, keepdims=True)
+    attn = np.exp(attn); attn /= attn.sum(axis=-1, keepdims=True)
+    out = (attn @ v).transpose(0, 2, 1, 3).reshape(-1, w * w, C) @ proj_k + proj_b
+    out = out.reshape(1, nh, nh, w, w, C).transpose(0, 1, 3, 2, 4, 5).reshape(1, H, W, C)
+    ref = np.roll(out, (s, s), axis=(1, 2))
+
+    mod = _WindowAttention(C, heads, s)
+    params = {"qkv_kernel": qkv_k, "qkv_bias": qkv_b,
+              "proj_kernel": proj_k, "proj_bias": proj_b, "rel_pos_bias": rpb}
+    got = np.asarray(mod.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                               jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_load_torchvision_swin_bit_exact(tmp_path):
+    import torch
+
+    from biapy_tpu.models.swin import Swin, swin_key_map, load_torchvision_swin
+    from flax.traverse_util import flatten_dict
+
+    net = Swin(variant="swin_t", n_classes=1000)
+    variables = net.init({"params": jax.random.PRNGKey(0)},
+                         jnp.zeros((1, 224, 224, 3)))
+    pa, sa = swin_key_map("swin_t")
+    keys = {t for _, t, _ in pa}
+    assert "features.0.0.weight" in keys and "features.0.2.weight" in keys
+    assert "features.1.0.attn.qkv.weight" in keys
+    assert "features.1.0.attn.relative_position_bias_table" in keys
+    assert "features.2.reduction.weight" in keys
+    assert "features.5.5.mlp.3.bias" in keys  # stage 3 has 6 blocks in tiny
+    assert "norm.weight" in keys and "head.weight" in keys
+    sd = _synth_tv_sd(pa, sa, variables)
+    # torch state dicts also carry relative_position_index buffers — the
+    # importer must IGNORE them (recomputed here)
+    import numpy as _np
+
+    sd["features.1.0.attn.relative_position_index"] = torch.zeros(49 * 49,
+                                                                  dtype=torch.long)
+    p = str(tmp_path / "swin.pth")
+    torch.save(sd, p)
+    params, _, n = load_torchvision_swin(p, variables["params"],
+                                         variant="swin_t")
+    assert n == len(pa)
+    pflat = flatten_dict(params)
+    for i, (fpath, tkey, tf) in enumerate(pa):
+        assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
