@@ -256,6 +256,12 @@ class ChunkedInference:
                 pred = np.asarray(pred)
             if not quant:
                 pred = pred.astype(np.float32)
+            elif pred.dtype != np.uint8:
+                # host (TTA) fallback emits floats; quantize them the same
+                # way the device program does — a bare u1 Zarr write would
+                # TRUNCATE [0,1] floats to 0/1
+                pred = np.round(np.clip(pred.astype(np.float32), 0.0, 1.0)
+                                * 255.0).astype(np.uint8)
             core_shape = tuple(t.core_end[d] - t.core_start[d]
                                for d in range(self.nd))
             if pred.shape[: self.nd] != core_shape:

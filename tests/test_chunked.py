@@ -665,3 +665,43 @@ def test_predict_volume_quant_uint8_storage(tmp_path):
     merged = np.asarray(ZarrArray(inst_path))
     stats = matching(labels, merged, thresh=[0.5])[0]
     assert stats["f1"] > 0.9, stats
+
+
+def test_predict_volume_quant_host_fallback_quantizes(tmp_path):
+    """A workflow falling back to the host path (predict_block_on_device
+    returning None, e.g. TTA) must still produce a correctly quantized u1
+    Zarr — a bare float write would truncate [0,1] to 0/1."""
+    from biapy_tpu.config.config import get_cfg_defaults
+
+    vol = np.full((24, 24, 24, 1), 0.5, np.float32)
+    vol_path = str(tmp_path / "vol.zarr")
+    z = ZarrArray.create(vol_path, shape=vol.shape, chunks=(12, 12, 12, 1),
+                         dtype="f4", compressor={"id": "zlib", "level": 1})
+    z[:, :, :, :] = vol
+
+    class _HostWF:
+        norm_spec = {"type": "none", "percentile_clip": False,
+                     "out_dtype": "float32"}
+
+        def __init__(self):
+            cfg = get_cfg_defaults()
+            cfg.merge_from_dict({"TEST": {"OUTPUT_QUANT_UINT8": True}})
+            self.cfg = cfg
+
+        def predict_block_on_device(self, block, **kw):
+            return None  # force the host fallback
+
+        def _predict_block_probs(self, block):
+            return block
+
+    wf = _HostWF()
+    ci = ChunkedInference(wf, (12, 12, 12), (0, 0, 0), (2, 2, 2), (1, 1, 1),
+                          1, str(tmp_path / "chunks"))
+    # identity host predictor: reuse the engine's fallback hook by patching
+    ci._predict_block = lambda block: block[..., :1]
+    out_path = ci.predict_volume(vol_path, verbose=False)
+    out = ZarrArray(out_path)
+    assert str(out.dtype) in ("uint8", "u1", "|u1")
+    vals = np.unique(np.asarray(out[:, :, :]))
+    # 0.5 must quantize to 127/128, not truncate to 0
+    assert set(int(v) for v in vals) <= {127, 128}, vals
