@@ -276,6 +276,12 @@ class Base_Workflow(metaclass=ABCMeta):
                 params, batch_stats, _ = load_torchvision_vit(
                     str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
                     batch_stats, variant=tv_name, verbose=self.verbose)
+            elif tv_name == "inception_v3":
+                from biapy_tpu.models.inception import load_torchvision_inception
+
+                params, batch_stats, _ = load_torchvision_inception(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, verbose=self.verbose)
             elif tv_name.startswith("swin"):
                 from biapy_tpu.models.swin import load_torchvision_swin
 

@@ -99,6 +99,7 @@ def check_configuration(cfg, job_identifier: str = "job",
             "densenet121", "densenet161", "densenet169", "densenet201",
             "alexnet", "vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32",
             "swin_t", "swin_s", "swin_b",
+            "inception_v3",
             "deeplabv3_resnet50", "deeplabv3_resnet101",
             "fcn_resnet50", "fcn_resnet101", "lraspp_mobilenet_v3_large")
         tv_name = str(cfg.MODEL.TORCHVISION_MODEL_NAME).lower()

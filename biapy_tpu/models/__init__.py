@@ -224,6 +224,12 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
         kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
         return build_tv_vit(arch, int(output_channels[0])), {"class": "TVViT", **kwargs}
 
+    if arch == "inception_v3":
+        from biapy_tpu.models.inception import InceptionV3
+
+        kwargs = dict(n_classes=int(output_channels[0]))
+        return InceptionV3(**kwargs), {"class": "InceptionV3", **kwargs}
+
     if arch.startswith("swin"):
         # torchvision classification namespace (reference
         # models/__init__.py:1676)

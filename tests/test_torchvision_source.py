@@ -1175,3 +1175,35 @@ def test_load_torchvision_swin_bit_exact(tmp_path):
     pflat = flatten_dict(params)
     for i, (fpath, tkey, tf) in enumerate(pa):
         assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
+
+
+def test_inception_v3_param_golden_and_bit_exact(tmp_path):
+    """inception_v3 (aux_logits) = torchvision's published 27,161,264
+    params; bit-exact import through the BasicConv2d key map."""
+    import torch
+
+    from biapy_tpu.models.inception import (InceptionV3, inception_key_map,
+                                            load_torchvision_inception)
+    from flax.traverse_util import flatten_dict
+
+    net = InceptionV3(n_classes=1000)
+    variables = net.init({"params": jax.random.PRNGKey(0)},
+                         jnp.zeros((1, 147, 147, 3)))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert n == 27_161_264, n
+    pa, sa = inception_key_map()
+    keys = {t for _, t, _ in pa} | {t for _, t, _ in sa}
+    assert "Conv2d_1a_3x3.conv.weight" in keys
+    assert "Mixed_5b.branch5x5_2.bn.running_var" in keys
+    assert "Mixed_6b.branch7x7dbl_5.conv.weight" in keys
+    assert "Mixed_7c.branch3x3dbl_3b.conv.weight" in keys
+    assert "AuxLogits.fc.weight" in keys and "fc.bias" in keys
+    sd = _synth_tv_sd(pa, sa, variables)
+    p = str(tmp_path / "iv3.pth")
+    torch.save(sd, p)
+    params, stats, nl = load_torchvision_inception(
+        p, variables["params"], variables["batch_stats"])
+    assert nl == len(pa) + len(sa)
+    pflat = flatten_dict(params)
+    for i, (fpath, tkey, tf) in enumerate(pa):
+        assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
