@@ -144,6 +144,24 @@ def analytic_table(bw_gbs: float = 600.0, conv_ms: float = 36.0):
     print(f"@ measured {bw_gbs:.0f} GB/s -> elementwise floor {floor_ms:.1f} ms")
     print(f"+ convs at measured MXU ceilings ({conv_ms:.0f} ms) "
           f"-> step floor {step_floor:.1f} ms = {1000/step_floor:.1f} it/s")
+
+    # Lane-granularity-adjusted floor: TPU vector memory moves (8, 128)
+    # tiles on the two minor dims. CHANNEL-KEEPING structured passes
+    # (BN statistics/backward reductions over N keeping C; window pools
+    # whose compare/select must preserve the (y, x, c) structure) cannot be
+    # flattened by XLA the way pure elementwise can, so at C=32 only
+    # 32/128 lanes carry payload in those passes — a 4x effective-traffic
+    # multiplier the naive byte count above ignores. The multiplier applies
+    # to the L0/decoder-L0 tensors' BN+pool share of traffic (~55% here).
+    lane_c = 32
+    waste = 128 / lane_c
+    structured_share = 0.55
+    adj = total * (structured_share * waste + (1 - structured_share))
+    adj_ms = adj / (bw_gbs * 1e9) * 1e3
+    print(f"lane-adjusted (structured passes at C={lane_c} use "
+          f"{lane_c}/128 lanes): effective traffic {adj/1e9:.2f} GB -> "
+          f"floor {adj_ms:.1f} ms -> step {conv_ms + adj_ms:.1f} ms = "
+          f"{1000/(conv_ms + adj_ms):.1f} it/s")
     return total, floor_ms
 
 
