@@ -645,26 +645,39 @@ def main():
         step = make_train_step(twf.loss, twf.train_metrics, mesh=twf.mesh,
                                mixed_precision=resolve_mixed_precision("auto"))
         trng = np.random.default_rng(1)
-        batch = {"x": trng.random((1, 128, 128, 128, 1), np.float32),
-                 "y": (trng.random((1, 128, 128, 128, 1), np.float32) > 0.5)
-                 .astype(np.float32)}
-        sb = shard_batch(batch, twf.mesh, twf.spatial_dim)
         key = jax.random.PRNGKey(0)
-        state = twf.state
-        for _ in range(2):  # compile + settle
-            state, m = step(state, sb, key)
-        float(m["loss"])
-        n_steps = 10
-        t0 = time.time()
-        for _ in range(n_steps):
-            state, m = step(state, sb, key)
-        # force a HOST READ of the final loss: with donated state the output
-        # buffers alias the inputs and block_until_ready can report ready
-        # before the async chain actually finishes (measured: it under-times
-        # by >50x); a D2H of the value cannot start before the compute ends
-        float(m["loss"])
-        train_pps = n_steps / (time.time() - t0)
+        # batch 1 AND 2: the step amortizes its fixed HBM-bound passes over
+        # the batch (r5 chip A/B: 12.3 patches/s at b=1, 13.4 at b=2) —
+        # patches/s is the metric, the batch size is a config choice, so
+        # the headline is the best and both are reported.
+        per_batch = {}
+        for b in (1, 2):
+            batch = {"x": trng.random((b, 128, 128, 128, 1), np.float32),
+                     "y": (trng.random((b, 128, 128, 128, 1), np.float32)
+                           > 0.5).astype(np.float32)}
+            sb = shard_batch(batch, twf.mesh, twf.spatial_dim)
+            # fresh state copy: the step donates its input state
+            state = jax.tree.map(
+                lambda a: a + 0 if hasattr(a, "dtype") else a, twf.state)
+            for _ in range(2):  # compile + settle
+                state, m = step(state, sb, key)
+            float(m["loss"])
+            n_steps = max(6, 10 // b)
+            t0 = time.time()
+            for _ in range(n_steps):
+                state, m = step(state, sb, key)
+            # force a HOST READ of the final loss: with donated state the
+            # output buffers alias the inputs and block_until_ready can
+            # report ready before the async chain actually finishes
+            # (measured: it under-times by >50x); a D2H of the value cannot
+            # start before the compute ends
+            float(m["loss"])
+            per_batch[b] = n_steps * b / (time.time() - t0)
+            state = None
+        train_pps = max(per_batch.values())
         extra["train_patches_per_sec"] = round(train_pps, 2)
+        extra["train_patches_per_sec_by_batch"] = {
+            str(b): round(v, 2) for b, v in per_batch.items()}
         extra["train_vs_baseline"] = round(
             train_pps / BASELINE_A100_TRAIN_PATCHES_PER_SEC, 3)
     except Exception as e:  # keep the headline metric printable regardless

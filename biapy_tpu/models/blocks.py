@@ -236,10 +236,17 @@ class ConvTranspose(nn.Module):
                     bias = self.param("bias", self.bias_init, (self.features,))
                     y = y + jnp.tile(bias, sz).astype(y.dtype)
                 return zd2s(y, sz)
-            if sz > 1 and os.environ.get("BIAPY_TPU_CONVT", "") == "fusedxla":
-                # A/B variant: ONE 2D transposed conv with z taps stacked on
-                # the output-channel axis, then a pure-XLA z depth-to-space
-                # (single transpose instead of per-tap convs + stack)
+            convt_mode = os.environ.get("BIAPY_TPU_CONVT", "")
+            if sz > 1 and (convt_mode == "fusedxla" or (
+                    convt_mode == ""
+                    and jax.default_backend() not in ("cpu", "gpu"))):
+                # DEFAULT on TPU (r5 A/B: 12.16 -> 12.30 it/s on the bench
+                # train step combined with repeat4d pool-bwd; bit-equal to
+                # the per-tap formulation by test): ONE 2D transposed conv
+                # with z taps stacked on the output-channel axis, then a
+                # pure-XLA z depth-to-space (single transpose instead of
+                # per-tap convs + stack). BIAPY_TPU_CONVT=pertap forces the
+                # old formulation.
                 k2 = jnp.concatenate([kx[sz - 1 - a] for a in range(sz)],
                                      axis=-1)
                 y = jax.lax.conv_transpose(
@@ -821,11 +828,13 @@ def _max_pool_exact_fwd(x, w, folded=False):
 
 
 def _max_pool_exact_bwd(w, folded, res, g):
-    if os.environ.get("BIAPY_TPU_POOL_BWD", "") == "repeat4d":
-        # A/B variant: same eq-mask semantics expressed with per-axis
-        # jnp.repeat upsampling in the ORIGINAL rank instead of the 6D
-        # reshape/broadcast (candidate fix for the strided access the 6D
-        # form lowers to; see tools/roofline.py)
+    if os.environ.get("BIAPY_TPU_POOL_BWD", "repeat4d") == "repeat4d":
+        # DEFAULT (r5 A/B on v5e: 11.45 -> 12.16 it/s on the bench train
+        # step; dx bit-identical to the 6D form — same eq-mask comparisons,
+        # only the upsampling formulation differs): per-axis jnp.repeat in
+        # the ORIGINAL rank instead of the 6D reshape/broadcast, avoiding
+        # the strided access the 6D form lowers to (tools/roofline.py).
+        # BIAPY_TPU_POOL_BWD=6d forces the old formulation.
         x, y = res
         yu, gu = y, g
         for i, k in enumerate(w):

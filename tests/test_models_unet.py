@@ -414,7 +414,8 @@ def test_fold3d_convtranspose_and_pool_units(monkeypatch):
 
 def test_fold3d_convtranspose_fusedxla_equivalent(monkeypatch):
     """BIAPY_TPU_CONVT=fusedxla (one wide 2D transposed conv + XLA z
-    depth-to-space) must match the default per-tap formulation bit-for-bit."""
+    depth-to-space, the r5 TPU default) must match the per-tap formulation
+    (BIAPY_TPU_CONVT=pertap) bit-for-bit."""
     import numpy as np
 
     import biapy_tpu.models.blocks as B
@@ -423,6 +424,7 @@ def test_fold3d_convtranspose_fusedxla_equivalent(monkeypatch):
     b, d, h, w, cin, co = 2, 4, 6, 6, 5, 7
     x = jnp.asarray(rng.standard_normal((b * d, h, w, cin)).astype(np.float32))
     m = B.ConvTranspose(co, kernel_size=(2, 2, 2), strides=(2, 2, 2))
+    monkeypatch.setenv("BIAPY_TPU_CONVT", "pertap")
     with B.fold3d(b):
         v = m.init(jax.random.PRNGKey(0), x)
         base = np.asarray(m.apply(v, x))

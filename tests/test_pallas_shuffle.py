@@ -167,14 +167,15 @@ def test_max_pool_strided_matches_reference(lead, win):
     (False, (2, 8, 8, 3), (2, 2)),
 ])
 def test_max_pool_bwd_repeat4d_equivalent(monkeypatch, folded, shape, w):
-    """BIAPY_TPU_POOL_BWD=repeat4d (A/B formulation of the eq-mask pool
-    backward in the original rank) must be bit-equal to the default 6D
-    reshape form."""
+    """BIAPY_TPU_POOL_BWD=repeat4d (the r5 default formulation of the
+    eq-mask pool backward in the original rank) must be bit-equal to the
+    6D reshape form (BIAPY_TPU_POOL_BWD=6d)."""
     from biapy_tpu.models.blocks import _max_pool_exact
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.permutation(np.prod(shape)).astype(np.float32)
                     .reshape(shape))
+    monkeypatch.setenv("BIAPY_TPU_POOL_BWD", "6d")
     _, vjp = jax.vjp(lambda v: _max_pool_exact(v, w, folded), x)
     y = _max_pool_exact(x, w, folded)
     g = jnp.asarray(rng.standard_normal(y.shape).astype(np.float32))

@@ -12,15 +12,16 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# r5 chip measurements (v5e, bench train step, batch 1): old defaults
+# 11.45 it/s; +repeat4d 12.16; +fusedxla 12.30 -> both are now the
+# defaults. --xla_tpu_scoped_vmem_limit_kib is NOT a known flag on the
+# axon runtime (hard abort at backend init), dropped from the sweep.
 VARIANTS = [
-    ("baseline", {}),
-    ("pool_bwd_repeat4d", {"BIAPY_TPU_POOL_BWD": "repeat4d"}),
-    ("convt_fusedxla", {"BIAPY_TPU_CONVT": "fusedxla"}),
-    ("vmem_96m", {"XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=98304"}),
-    ("vmem_48m", {"XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=49152"}),
-    ("all_three",
-     {"BIAPY_TPU_POOL_BWD": "repeat4d", "BIAPY_TPU_CONVT": "fusedxla",
-      "XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=98304"}),
+    ("defaults (repeat4d+fusedxla)", {}),
+    ("pool_bwd_6d", {"BIAPY_TPU_POOL_BWD": "6d"}),
+    ("convt_pertap", {"BIAPY_TPU_CONVT": "pertap"}),
+    ("old_defaults",
+     {"BIAPY_TPU_POOL_BWD": "6d", "BIAPY_TPU_CONVT": "pertap"}),
 ]
 
 
