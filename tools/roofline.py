@@ -145,14 +145,15 @@ def analytic_table(bw_gbs: float = 600.0, conv_ms: float = 36.0):
     print(f"+ convs at measured MXU ceilings ({conv_ms:.0f} ms) "
           f"-> step floor {step_floor:.1f} ms = {1000/step_floor:.1f} it/s")
 
-    # Lane-granularity-adjusted floor: TPU vector memory moves (8, 128)
-    # tiles on the two minor dims. CHANNEL-KEEPING structured passes
-    # (BN statistics/backward reductions over N keeping C; window pools
-    # whose compare/select must preserve the (y, x, c) structure) cannot be
-    # flattened by XLA the way pure elementwise can, so at C=32 only
-    # 32/128 lanes carry payload in those passes — a 4x effective-traffic
-    # multiplier the naive byte count above ignores. The multiplier applies
-    # to the L0/decoder-L0 tensors' BN+pool share of traffic (~55% here).
+    # Lane-granularity-adjusted floor — RETRACTED by round-5 chip
+    # measurement (kept for the record): the optimized HLO shows XLA
+    # assigns {0,3,2,1} layouts that put the FOLDED ROW axis (bd=128) in
+    # the 128-lane dimension with C=32 in sublanes, and the BN-backward
+    # reduction measures 660 GiB/s — no 4x lane padding exists. The real
+    # gap between the naive floor and the measured step is SCHEDULE
+    # TRAFFIC (35.4 GB/patch measured vs 6.3 GB minimal: cat2d concats,
+    # their backward splits, separate BN/ELU/residual passes); see
+    # BASELINE.md "HBM roofline — MEASURED".
     lane_c = 32
     waste = 128 / lane_c
     structured_share = 0.55
