@@ -264,6 +264,30 @@ class Base_Workflow(metaclass=ABCMeta):
                 params, batch_stats, _ = load_torchvision_mobilenetv3(
                     str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
                     batch_stats, variant=tv_name, verbose=self.verbose)
+            elif tv_name == "mobilenet_v2":
+                from biapy_tpu.models.mobilenetv2 import load_torchvision_mobilenetv2
+
+                params, batch_stats, _ = load_torchvision_mobilenetv2(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, verbose=self.verbose)
+            elif tv_name.startswith("shufflenet"):
+                from biapy_tpu.models.shufflenet import load_torchvision_shufflenet
+
+                params, batch_stats, _ = load_torchvision_shufflenet(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, variant=tv_name, verbose=self.verbose)
+            elif tv_name.startswith("mnasnet"):
+                from biapy_tpu.models.mnasnet import load_torchvision_mnasnet
+
+                params, batch_stats, _ = load_torchvision_mnasnet(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, variant=tv_name, verbose=self.verbose)
+            elif tv_name == "googlenet":
+                from biapy_tpu.models.googlenet import load_torchvision_googlenet
+
+                params, batch_stats, _ = load_torchvision_googlenet(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, verbose=self.verbose)
             elif tv_name.startswith("convnext"):
                 from biapy_tpu.models.convnext_tv import load_torchvision_convnext
 

@@ -91,13 +91,18 @@ def check_configuration(cfg, job_identifier: str = "job",
             "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
             "resnext50_32x4d", "resnext101_32x8d", "resnext101_64x4d",
             "wide_resnet50_2", "wide_resnet101_2",
-            "mobilenet_v3_large", "mobilenet_v3_small",
+            "mobilenet_v3_large", "mobilenet_v3_small", "mobilenet_v2",
+            "shufflenet_v2_x0_5", "shufflenet_v2_x1_0",
+            "shufflenet_v2_x1_5", "shufflenet_v2_x2_0",
+            "mnasnet0_5", "mnasnet0_75", "mnasnet1_0", "mnasnet1_3",
+            "googlenet",
             "convnext_tiny", "convnext_small", "convnext_base",
             "convnext_large", "squeezenet1_0", "squeezenet1_1",
             "vgg11", "vgg13", "vgg16", "vgg19",
             "vgg11_bn", "vgg13_bn", "vgg16_bn", "vgg19_bn",
             "densenet121", "densenet161", "densenet169", "densenet201",
             "alexnet", "vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32",
+            "vit_h_14",
             "swin_t", "swin_s", "swin_b",
             "inception_v3",
             "deeplabv3_resnet50", "deeplabv3_resnet101",

@@ -209,6 +209,38 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
         kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
         return MobileNetV3(**kwargs), {"class": "MobileNetV3", **kwargs}
 
+    if arch == "mobilenet_v2":
+        # torchvision classification namespace (reference
+        # models/__init__.py:1676)
+        from biapy_tpu.models.mobilenetv2 import MobileNetV2
+
+        kwargs = dict(n_classes=int(output_channels[0]))
+        return MobileNetV2(**kwargs), {"class": "MobileNetV2", **kwargs}
+
+    if arch.startswith("shufflenet"):
+        # torchvision classification namespace (reference
+        # models/__init__.py:1676)
+        from biapy_tpu.models.shufflenet import ShuffleNetV2
+
+        kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
+        return ShuffleNetV2(**kwargs), {"class": "ShuffleNetV2", **kwargs}
+
+    if arch.startswith("mnasnet"):
+        # torchvision classification namespace (reference
+        # models/__init__.py:1676)
+        from biapy_tpu.models.mnasnet import MNASNet
+
+        kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
+        return MNASNet(**kwargs), {"class": "MNASNet", **kwargs}
+
+    if arch == "googlenet":
+        # torchvision classification namespace (reference
+        # models/__init__.py:1676)
+        from biapy_tpu.models.googlenet import GoogLeNet
+
+        kwargs = dict(n_classes=int(output_channels[0]))
+        return GoogLeNet(**kwargs), {"class": "GoogLeNet", **kwargs}
+
     if arch.startswith("convnext"):
         # torchvision classification namespace (reference
         # models/__init__.py:1676)

@@ -22,6 +22,7 @@ _VARIANTS = {
     "vit_b_32": (32, 768, 12, 12),
     "vit_l_16": (16, 1024, 24, 16),
     "vit_l_32": (32, 1024, 24, 16),
+    "vit_h_14": (14, 1280, 32, 16),
 }
 
 

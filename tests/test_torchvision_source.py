@@ -156,9 +156,10 @@ def test_torchvision_source_validation(tmp_path):
 
     w = str(tmp_path / "effb0.pth")
     open(w, "w").close()
-    # unsupported torchvision family (vgg/resnet/... ARE supported now)
+    # unsupported torchvision family (vgg/resnet/shufflenet/... ARE
+    # supported now; swin_v2 is not)
     with pytest.raises(Exception, match="not supported"):
-        check_configuration(cfg_with(TORCHVISION_MODEL_NAME="shufflenet_v2_x1_0",
+        check_configuration(cfg_with(TORCHVISION_MODEL_NAME="swin_v2_t",
                                      TORCHVISION_WEIGHTS=w))
     # maxvit is a documented guided rejection
     with pytest.raises(Exception, match="maxvit"):
@@ -1207,3 +1208,298 @@ def test_inception_v3_param_golden_and_bit_exact(tmp_path):
     pflat = flatten_dict(params)
     for i, (fpath, tkey, tf) in enumerate(pa):
         assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
+
+
+# ---------------------------------------------------------------------------
+# mobilenet_v2 + shufflenet_v2_* + vit_h_14 (reference: the whole torchvision
+# classification namespace, models/__init__.py:1676)
+# ---------------------------------------------------------------------------
+
+
+def test_mobilenetv2_param_golden_and_bit_exact(tmp_path):
+    """mobilenet_v2 = torchvision's published 3,504,872 params at 1000
+    classes; bit-exact import through the features.{i}.conv.{j} key map."""
+    import torch
+
+    from biapy_tpu.models.mobilenetv2 import (MobileNetV2, mobilenetv2_key_map,
+                                              load_torchvision_mobilenetv2)
+    from flax.traverse_util import flatten_dict
+
+    net = MobileNetV2(n_classes=1000)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    n = sum(int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert n == 3_504_872, n
+    pa, sa = mobilenetv2_key_map()
+    keys = {t for _, t, _ in pa} | {t for _, t, _ in sa}
+    assert "features.0.0.weight" in keys
+    # block 1 (t=1): dw at conv.0.0, project at conv.1
+    assert "features.1.conv.0.0.weight" in keys
+    assert "features.1.conv.2.running_mean" in keys
+    # block 2 (t=6): expand conv.0.0, dw conv.1.0, project conv.2
+    assert "features.2.conv.1.0.weight" in keys
+    assert "features.2.conv.3.running_var" in keys
+    assert "features.18.0.weight" in keys and "classifier.1.bias" in keys
+    sd = _synth_tv_sd(pa, sa, variables)
+    p = str(tmp_path / "mnv2.pth")
+    torch.save(sd, p)
+    params, stats, nl = load_torchvision_mobilenetv2(
+        p, variables["params"], variables["batch_stats"])
+    assert nl == len(pa) + len(sa)
+    pflat = flatten_dict(params)
+    for i, (fpath, tkey, tf) in enumerate(pa):
+        assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
+
+
+def test_shufflenet_param_golden_and_bit_exact(tmp_path):
+    """shufflenet_v2_x0_5/x1_0/x1_5/x2_0 = torchvision's published
+    1,366,792 / 2,278,604 / 3,503,624 / 7,393,996 params; bit-exact import
+    through the stage{s}.{j}.branch{1,2} key map."""
+    import torch
+
+    from biapy_tpu.models.shufflenet import (ShuffleNetV2, shufflenet_key_map,
+                                             load_torchvision_shufflenet)
+    from flax.traverse_util import flatten_dict
+
+    for variant, want in (("shufflenet_v2_x0_5", 1_366_792),
+                          ("shufflenet_v2_x1_0", 2_278_604),
+                          ("shufflenet_v2_x1_5", 3_503_624),
+                          ("shufflenet_v2_x2_0", 7_393_996)):
+        net = ShuffleNetV2(variant=variant, n_classes=1000)
+        variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        n = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(variables["params"]))
+        assert n == want, (variant, n)
+    pa, sa = shufflenet_key_map("shufflenet_v2_x1_0")
+    keys = {t for _, t, _ in pa} | {t for _, t, _ in sa}
+    assert "conv1.0.weight" in keys
+    assert "stage2.0.branch1.0.weight" in keys
+    assert "stage2.1.branch2.5.weight" in keys
+    assert "stage4.3.branch2.6.running_var" in keys
+    assert "conv5.0.weight" in keys and "fc.bias" in keys
+    # stride-1 units must NOT claim branch1 keys
+    assert "stage2.1.branch1.0.weight" not in keys
+    sd = _synth_tv_sd(pa, sa, variables)
+    p = str(tmp_path / "shuf.pth")
+    torch.save(sd, p)
+    params, stats, nl = load_torchvision_shufflenet(
+        p, variables["params"], variables["batch_stats"],
+        variant="shufflenet_v2_x1_0")
+    assert nl == len(pa) + len(sa)
+    pflat = flatten_dict(params)
+    for i, (fpath, tkey, tf) in enumerate(pa):
+        assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
+
+
+def test_channel_shuffle_matches_torch_semantics():
+    """Channels-last channel_shuffle == torch's NCHW channel_shuffle
+    (reshape (g, c/g) -> transpose -> flatten on the channel axis)."""
+    from biapy_tpu.models.shufflenet import _channel_shuffle
+
+    x = np.arange(2 * 3 * 3 * 8, dtype=np.float32).reshape(2, 3, 3, 8)
+    got = np.asarray(_channel_shuffle(jnp.asarray(x), 2))
+    # torch: x.view(b, g, c//g, h, w).transpose(1, 2).reshape(b, c, h, w)
+    xt = x.transpose(0, 3, 1, 2)
+    b, c, h, w = xt.shape
+    want = xt.reshape(b, 2, c // 2, h, w).transpose(0, 2, 1, 3, 4).reshape(
+        b, c, h, w).transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_vit_h_14_variant():
+    """vit_h_14 (patch 14, dim 1280, depth 32, heads 16) joins the TV ViT
+    table; torchvision's published count is 632,045,800 at 1000 classes —
+    too big to init here, so assert the analytic param arithmetic and that
+    the builder/validator accept the name."""
+    from biapy_tpu.models.vit_tv import _VARIANTS, build_tv_vit
+
+    assert _VARIANTS["vit_h_14"] == (14, 1280, 32, 16)
+    m = build_tv_vit("vit_h_14", 10)
+    assert m.patch_size == 14 and m.embed_dim == 1280 and m.depth == 32
+    p, d, depth, heads = _VARIANTS["vit_h_14"]
+    n_tok = (224 // p) ** 2 + 1
+    # exact per-block: ln1 (2d) + qkv (3d*d+3d) + proj (d*d+d) + ln2 (2d)
+    # + mlp (d*4d+4d + 4d*d+d)
+    per_block = 2 * d + 3 * d * d + 3 * d + d * d + d + 2 * d \
+        + d * 4 * d + 4 * d + 4 * d * d + d
+    analytic = (p * p * 3 + 1) * d + n_tok * d + d + depth * per_block \
+        + 2 * d + d * 1000 + 1000      # final LN + head
+    assert analytic == 632_045_800, analytic
+
+
+def test_new_tv_names_accepted_by_validator():
+    from biapy_tpu.config.config import get_cfg_defaults
+    from biapy_tpu.engine.check_configuration import check_configuration
+
+    for name in ("mobilenet_v2", "shufflenet_v2_x1_0", "shufflenet_v2_x2_0",
+                 "vit_h_14"):
+        cfg = get_cfg_defaults()
+        ps = [224, 224, 3] if name.startswith("vit") else [64, 64, 3]
+        cfg.merge_from_dict({
+            "PROBLEM": {"TYPE": "CLASSIFICATION", "NDIM": "2D"},
+            "DATA": {"PATCH_SIZE": ps, "N_CLASSES": 3,
+                     "TRAIN": {"PATH": "/tmp/x"}},
+            "MODEL": {"SOURCE": "torchvision",
+                      "TORCHVISION_MODEL_NAME": name,
+                      "TORCHVISION_WEIGHTS": __file__},
+            "TRAIN": {"ENABLE": True},
+        })
+        check_configuration(cfg)
+
+
+def test_mnasnet_param_golden_and_bit_exact(tmp_path):
+    """mnasnet0_5/0_75/1_0/1_3 = torchvision's published 2,218,512 /
+    3,170,208 / 4,383,312 / 6,282,256 params; bit-exact import through the
+    flat layers.{i} key map."""
+    import torch
+
+    from biapy_tpu.models.mnasnet import (MNASNet, mnasnet_key_map,
+                                          load_torchvision_mnasnet)
+    from flax.traverse_util import flatten_dict
+
+    for variant, want in (("mnasnet0_5", 2_218_512),
+                          ("mnasnet0_75", 3_170_208),
+                          ("mnasnet1_0", 4_383_312),
+                          ("mnasnet1_3", 6_282_256)):
+        net = MNASNet(variant=variant, n_classes=1000)
+        variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        n = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(variables["params"]))
+        assert n == want, (variant, n)
+    pa, sa = mnasnet_key_map("mnasnet1_0")
+    keys = {t for _, t, _ in pa} | {t for _, t, _ in sa}
+    assert "layers.0.weight" in keys and "layers.6.weight" in keys
+    assert "layers.8.0.layers.0.weight" in keys
+    assert "layers.13.0.layers.7.running_var" in keys
+    assert "layers.14.weight" in keys and "classifier.1.bias" in keys
+    net = MNASNet(variant="mnasnet0_5", n_classes=1000)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    pa, sa = mnasnet_key_map("mnasnet0_5")
+    sd = _synth_tv_sd(pa, sa, variables)
+    p = str(tmp_path / "mnas.pth")
+    torch.save(sd, p)
+    params, stats, nl = load_torchvision_mnasnet(
+        p, variables["params"], variables["batch_stats"],
+        variant="mnasnet0_5")
+    assert nl == len(pa) + len(sa)
+    pflat = flatten_dict(params)
+    for i, (fpath, tkey, tf) in enumerate(pa):
+        assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
+
+
+def test_googlenet_param_golden_and_bit_exact(tmp_path):
+    """googlenet = torchvision's published 6,624,904 params without the aux
+    heads / 13,004,888 with them (the pretrained state dict ships both);
+    bit-exact import incl. the aux fc1 flatten-order fixup."""
+    import torch
+
+    from biapy_tpu.models.googlenet import (GoogLeNet, googlenet_key_map,
+                                            load_torchvision_googlenet)
+    from flax.traverse_util import flatten_dict
+
+    net = GoogLeNet(n_classes=1000, aux_logits=False)
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    n = sum(int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(v["params"]))
+    assert n == 6_624_904, n
+    net = GoogLeNet(n_classes=1000, aux_logits=True)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    n = sum(int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert n == 13_004_888, n
+    pa, sa = googlenet_key_map()
+    keys = {t for _, t, _ in pa} | {t for _, t, _ in sa}
+    assert "conv1.conv.weight" in keys
+    assert "inception3a.branch2.1.conv.weight" in keys
+    assert "inception5b.branch4.1.bn.running_var" in keys
+    assert "aux1.fc1.weight" in keys and "aux2.conv.bn.weight" in keys
+    assert "fc.weight" in keys
+    sd = _synth_tv_sd(pa, sa, variables)
+    p = str(tmp_path / "goog.pth")
+    torch.save(sd, p)
+    params, stats, nl = load_torchvision_googlenet(
+        p, variables["params"], variables["batch_stats"])
+    assert nl == len(pa) + len(sa)
+    pflat = flatten_dict(params)
+    for i, (fpath, tkey, tf) in enumerate(pa):
+        if "fc1" in tkey and "aux" in tkey:
+            continue  # permuted by the flatten-order fixup (constant anyway)
+        assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
+
+
+def test_googlenet_aux_adaptive_pool_matches_torch():
+    """_adaptive_avg_pool(x, 4) == torch.nn.functional.adaptive_avg_pool2d
+    on the 14x14 aux tap size (variable windows)."""
+    import torch
+    import torch.nn.functional as F
+
+    from biapy_tpu.models.googlenet import _adaptive_avg_pool
+
+    x = np.random.default_rng(0).standard_normal((2, 14, 14, 5)).astype(np.float32)
+    got = np.asarray(_adaptive_avg_pool(jnp.asarray(x), 4))
+    want = F.adaptive_avg_pool2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), 4).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("tv_name", ["mobilenet_v2", "shufflenet_v2_x0_5",
+                                     "mnasnet0_5", "googlenet"])
+def test_new_tv_families_classification_e2e(tmp_path, tv_name):
+    """Classification e2e for the round-5 torchvision families (reference:
+    the whole classification namespace, models/__init__.py:1676)."""
+    import os
+
+    import torch
+
+    from biapy_tpu._biapy import BiaPy
+    from biapy_tpu.data.tiff import write_tiff
+
+    # synthesize a torchvision-format state dict from the family's key map
+    if tv_name == "mobilenet_v2":
+        from biapy_tpu.models.mobilenetv2 import MobileNetV2, mobilenetv2_key_map
+        net, (pa, sa) = MobileNetV2(n_classes=1000), mobilenetv2_key_map()
+    elif tv_name.startswith("shufflenet"):
+        from biapy_tpu.models.shufflenet import ShuffleNetV2, shufflenet_key_map
+        net = ShuffleNetV2(variant=tv_name, n_classes=1000)
+        pa, sa = shufflenet_key_map(tv_name)
+    elif tv_name.startswith("mnasnet"):
+        from biapy_tpu.models.mnasnet import MNASNet, mnasnet_key_map
+        net = MNASNet(variant=tv_name, n_classes=1000)
+        pa, sa = mnasnet_key_map(tv_name)
+    else:
+        from biapy_tpu.models.googlenet import GoogLeNet, googlenet_key_map
+        net, (pa, sa) = GoogLeNet(n_classes=1000), googlenet_key_map()
+    size = 224 if tv_name == "googlenet" else 64
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
+    sd = _synth_tv_sd(pa, sa, variables)
+    wpath = str(tmp_path / f"{tv_name}.pth")
+    torch.save(sd, wpath)
+
+    rng = np.random.default_rng(5)
+    root = str(tmp_path)
+    for split, n in [("train", 8), ("test", 4)]:
+        for cls in ("0", "1"):
+            os.makedirs(f"{root}/{split}/{cls}", exist_ok=True)
+            for i in range(n):
+                base = 40 if cls == "0" else 180
+                img = (rng.random((size, size, 3)) * 40 + base).astype(np.uint8)
+                write_tiff(f"{root}/{split}/{cls}/{i}.tif", img)
+    cfg = {
+        "PROBLEM": {"TYPE": "CLASSIFICATION", "NDIM": "2D"},
+        "DATA": {"PATCH_SIZE": (size, size, 3), "N_CLASSES": 2,
+                 "TRAIN": {"PATH": f"{root}/train", "IN_MEMORY": True},
+                 "VAL": {"SPLIT_TRAIN": 0.25},
+                 "TEST": {"PATH": f"{root}/test", "IN_MEMORY": True,
+                          "LOAD_GT": True}},
+        "MODEL": {"SOURCE": "torchvision",
+                  "TORCHVISION_MODEL_NAME": tv_name,
+                  "TORCHVISION_WEIGHTS": wpath},
+        "TRAIN": {"ENABLE": True, "OPTIMIZER": "ADAMW", "LR": 1.0e-3,
+                  "BATCH_SIZE": 4, "EPOCHS": 1},
+        "TEST": {"ENABLE": True},
+    }
+    job = BiaPy(cfg, result_dir=os.path.join(root, "results"),
+                name=f"tv_{tv_name}", silent=True)
+    job.run_job()
+    assert "accuracy" in job.workflow.stats
