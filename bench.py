@@ -273,7 +273,7 @@ def main():
     # measured on the axon tunnel: D2H is ~2 MB/s on one stream, ~34 MB/s on
     # 8, and plateaus at ~79 MB/s from 32 streams — the drain wants many
     # concurrent small pulls
-    n_streams = int(os.environ.get("BIAPY_TPU_D2H_STREAMS", "32"))
+    n_streams = int(os.environ.get("BIAPY_TPU_D2H_STREAMS", "64"))
 
     def splits_for(z0, z1):
         # chunked INSIDE the jitted program: each chunk is its own output

@@ -288,6 +288,12 @@ class Base_Workflow(metaclass=ABCMeta):
                 params, batch_stats, _ = load_torchvision_googlenet(
                     str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
                     batch_stats, verbose=self.verbose)
+            elif tv_name.startswith("regnet"):
+                from biapy_tpu.models.regnet import load_torchvision_regnet
+
+                params, batch_stats, _ = load_torchvision_regnet(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, variant=tv_name, verbose=self.verbose)
             elif tv_name.startswith("convnext"):
                 from biapy_tpu.models.convnext_tv import load_torchvision_convnext
 

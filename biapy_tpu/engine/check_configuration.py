@@ -96,6 +96,11 @@ def check_configuration(cfg, job_identifier: str = "job",
             "shufflenet_v2_x1_5", "shufflenet_v2_x2_0",
             "mnasnet0_5", "mnasnet0_75", "mnasnet1_0", "mnasnet1_3",
             "googlenet",
+            "regnet_y_400mf", "regnet_y_800mf", "regnet_y_1_6gf",
+            "regnet_y_3_2gf", "regnet_y_8gf", "regnet_y_16gf",
+            "regnet_y_32gf", "regnet_x_400mf", "regnet_x_800mf",
+            "regnet_x_1_6gf", "regnet_x_3_2gf", "regnet_x_8gf",
+            "regnet_x_16gf", "regnet_x_32gf",
             "convnext_tiny", "convnext_small", "convnext_base",
             "convnext_large", "squeezenet1_0", "squeezenet1_1",
             "vgg11", "vgg13", "vgg16", "vgg19",

@@ -213,7 +213,7 @@ class ChunkedInference:
 
         devices = _jax.local_devices()
         inflight: List[tuple] = []
-        n_streams = max(1, int(os.environ.get("BIAPY_TPU_D2H_STREAMS", "16")))
+        n_streams = max(1, int(os.environ.get("BIAPY_TPU_D2H_STREAMS", "64")))
         pull_pool = ThreadPoolExecutor(max_workers=n_streams)
         drain_pool = ThreadPoolExecutor(max_workers=2)
         drain_futures: List = []

@@ -241,6 +241,14 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
         kwargs = dict(n_classes=int(output_channels[0]))
         return GoogLeNet(**kwargs), {"class": "GoogLeNet", **kwargs}
 
+    if arch.startswith("regnet"):
+        # torchvision classification namespace (reference
+        # models/__init__.py:1676)
+        from biapy_tpu.models.regnet import RegNet
+
+        kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
+        return RegNet(**kwargs), {"class": "RegNet", **kwargs}
+
     if arch.startswith("convnext"):
         # torchvision classification namespace (reference
         # models/__init__.py:1676)

@@ -1444,7 +1444,8 @@ def test_googlenet_aux_adaptive_pool_matches_torch():
 
 @pytest.mark.slow
 @pytest.mark.parametrize("tv_name", ["mobilenet_v2", "shufflenet_v2_x0_5",
-                                     "mnasnet0_5", "googlenet"])
+                                     "mnasnet0_5", "googlenet",
+                                     "regnet_y_400mf"])
 def test_new_tv_families_classification_e2e(tmp_path, tv_name):
     """Classification e2e for the round-5 torchvision families (reference:
     the whole classification namespace, models/__init__.py:1676)."""
@@ -1467,6 +1468,10 @@ def test_new_tv_families_classification_e2e(tmp_path, tv_name):
         from biapy_tpu.models.mnasnet import MNASNet, mnasnet_key_map
         net = MNASNet(variant=tv_name, n_classes=1000)
         pa, sa = mnasnet_key_map(tv_name)
+    elif tv_name.startswith("regnet"):
+        from biapy_tpu.models.regnet import RegNet, regnet_key_map
+        net = RegNet(variant=tv_name, n_classes=1000)
+        pa, sa = regnet_key_map(tv_name)
     else:
         from biapy_tpu.models.googlenet import GoogLeNet, googlenet_key_map
         net, (pa, sa) = GoogLeNet(n_classes=1000), googlenet_key_map()
@@ -1503,3 +1508,59 @@ def test_new_tv_families_classification_e2e(tmp_path, tv_name):
                 name=f"tv_{tv_name}", silent=True)
     job.run_job()
     assert "accuracy" in job.workflow.stats
+
+
+def test_regnet_param_golden_and_structure():
+    """RegNet stage derivation matches the RegNet paper / torchvision
+    BlockParams: pinned stage widths+depths for X/Y 400MF-1.6GF and param
+    counts corroborated against torchvision/pycls published values."""
+    from biapy_tpu.models.regnet import RegNet, regnet_stage_params
+
+    # (variant, stage_widths, stage_depths, params or None)
+    want = (
+        ("regnet_y_400mf", [48, 104, 208, 440], [1, 3, 6, 6], 4_344_144),
+        ("regnet_x_400mf", [32, 64, 160, 384], [1, 2, 7, 12], 5_157_512),
+        ("regnet_y_800mf", [64, 128, 320, 768], [1, 3, 8, 2], 6_263_168),
+        ("regnet_x_800mf", [64, 128, 288, 672], [1, 3, 7, 5], 7_259_656),
+        ("regnet_y_1_6gf", [48, 120, 336, 888], [2, 6, 17, 2], 11_202_430),
+        ("regnet_x_1_6gf", [72, 168, 408, 912], [2, 4, 10, 2], 9_190_136),
+    )
+    for variant, widths, depths, n_want in want:
+        w, d, g, se = regnet_stage_params(variant)
+        assert w == widths and d == depths, (variant, w, d)
+        assert (se == 0.25) == variant.startswith("regnet_y")
+        net = RegNet(variant=variant, n_classes=1000)
+        v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        n = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(v["params"]))
+        assert n == n_want, (variant, n)
+
+
+def test_regnet_key_map_and_bit_exact(tmp_path):
+    import torch
+
+    from biapy_tpu.models.regnet import (RegNet, regnet_key_map,
+                                         load_torchvision_regnet)
+    from flax.traverse_util import flatten_dict
+
+    pa, sa = regnet_key_map("regnet_y_400mf")
+    keys = {t for _, t, _ in pa} | {t for _, t, _ in sa}
+    assert "stem.0.weight" in keys
+    assert "trunk_output.block1.block1-0.proj.0.weight" in keys
+    assert "trunk_output.block1.block1-0.f.a.0.weight" in keys
+    assert "trunk_output.block2.block2-1.f.b.1.running_var" in keys
+    assert "trunk_output.block4.block4-5.f.se.fc1.bias" in keys
+    assert "trunk_output.block2.block2-1.proj.0.weight" not in keys
+    assert "fc.weight" in keys
+    net = RegNet(variant="regnet_y_400mf", n_classes=1000)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    sd = _synth_tv_sd(pa, sa, variables)
+    p = str(tmp_path / "regnet.pth")
+    torch.save(sd, p)
+    params, stats, nl = load_torchvision_regnet(
+        p, variables["params"], variables["batch_stats"],
+        variant="regnet_y_400mf")
+    assert nl == len(pa) + len(sa)
+    pflat = flatten_dict(params)
+    for i, (fpath, tkey, tf) in enumerate(pa):
+        assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
