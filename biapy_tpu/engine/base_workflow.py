@@ -294,6 +294,13 @@ class Base_Workflow(metaclass=ABCMeta):
                 params, batch_stats, _ = load_torchvision_regnet(
                     str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
                     batch_stats, variant=tv_name, verbose=self.verbose)
+            elif tv_name.startswith("efficientnet_v2"):
+                from biapy_tpu.models.efficientnet_v2 import \
+                    load_torchvision_efficientnet_v2
+
+                params, batch_stats, _ = load_torchvision_efficientnet_v2(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, variant=tv_name, verbose=self.verbose)
             elif tv_name.startswith("convnext"):
                 from biapy_tpu.models.convnext_tv import load_torchvision_convnext
 

@@ -88,6 +88,7 @@ def check_configuration(cfg, job_identifier: str = "job",
         # build_torchvision_model models/__init__.py:1609 — impossible
         # without the package or egress)
         tv_supported = tuple(f"efficientnet_b{i}" for i in range(8)) + (
+            "efficientnet_v2_s", "efficientnet_v2_m", "efficientnet_v2_l",
             "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
             "resnext50_32x4d", "resnext101_32x8d", "resnext101_64x4d",
             "wide_resnet50_2", "wide_resnet101_2",

@@ -164,6 +164,14 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
         kwargs = dict(ndim=ndim, n_classes=int(output_channels[0]))
         return SimpleCNN(**kwargs), {"class": "SimpleCNN", **kwargs}
 
+    if arch.startswith("efficientnet_v2"):
+        # torchvision classification namespace (reference
+        # models/__init__.py:1676) — must dispatch before the b0-b7 family
+        from biapy_tpu.models.efficientnet_v2 import EfficientNetV2
+
+        kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
+        return EfficientNetV2(**kwargs), {"class": "EfficientNetV2", **kwargs}
+
     if "efficientnet" in arch:
         from biapy_tpu.models.efficientnet import EfficientNet
 

@@ -1564,3 +1564,48 @@ def test_regnet_key_map_and_bit_exact(tmp_path):
     pflat = flatten_dict(params)
     for i, (fpath, tkey, tf) in enumerate(pa):
         assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
+
+
+def test_efficientnet_v2_param_golden_and_bit_exact(tmp_path):
+    """efficientnet_v2_s/m/l = torchvision's published 21,458,488 /
+    54,139,356 / 118,515,272 params; bit-exact import through the
+    FusedMBConv/MBConv key map."""
+    import torch
+
+    from biapy_tpu.models.efficientnet_v2 import (
+        EfficientNetV2, efficientnet_v2_key_map,
+        load_torchvision_efficientnet_v2)
+    from flax.traverse_util import flatten_dict
+
+    for variant, want in (("efficientnet_v2_s", 21_458_488),
+                          ("efficientnet_v2_m", 54_139_356),
+                          ("efficientnet_v2_l", 118_515_272)):
+        net = EfficientNetV2(variant=variant, n_classes=1000)
+        variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        n = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(variables["params"]))
+        assert n == want, (variant, n)
+    pa, sa = efficientnet_v2_key_map("efficientnet_v2_s")
+    keys = {t for _, t, _ in pa} | {t for _, t, _ in sa}
+    assert "features.0.0.weight" in keys
+    # stage 0 (fused, expand 1): single conv at block.0
+    assert "features.1.0.block.0.0.weight" in keys
+    assert "features.1.0.block.1.0.weight" not in keys
+    # stage 1 (fused, expand 4): expand at block.0, project at block.1
+    assert "features.2.0.block.1.0.weight" in keys
+    # stage 3 (MBConv): SE at block.2
+    assert "features.4.0.block.2.fc1.weight" in keys
+    assert "features.4.0.block.3.1.running_var" in keys
+    assert "features.7.0.weight" in keys and "classifier.1.bias" in keys
+    net = EfficientNetV2(variant="efficientnet_v2_s", n_classes=1000)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    sd = _synth_tv_sd(pa, sa, variables)
+    p = str(tmp_path / "effv2.pth")
+    torch.save(sd, p)
+    params, stats, nl = load_torchvision_efficientnet_v2(
+        p, variables["params"], variables["batch_stats"],
+        variant="efficientnet_v2_s")
+    assert nl == len(pa) + len(sa)
+    pflat = flatten_dict(params)
+    for i, (fpath, tkey, tf) in enumerate(pa):
+        assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
