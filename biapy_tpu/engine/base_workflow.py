@@ -319,6 +319,12 @@ class Base_Workflow(metaclass=ABCMeta):
                 params, batch_stats, _ = load_torchvision_inception(
                     str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
                     batch_stats, verbose=self.verbose)
+            elif tv_name.startswith("swin_v2"):
+                from biapy_tpu.models.swin import load_torchvision_swin_v2
+
+                params, batch_stats, _ = load_torchvision_swin_v2(
+                    str(self.cfg.MODEL.TORCHVISION_WEIGHTS), params,
+                    batch_stats, variant=tv_name, verbose=self.verbose)
             elif tv_name.startswith("swin"):
                 from biapy_tpu.models.swin import load_torchvision_swin
 

@@ -110,6 +110,7 @@ def check_configuration(cfg, job_identifier: str = "job",
             "alexnet", "vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32",
             "vit_h_14",
             "swin_t", "swin_s", "swin_b",
+            "swin_v2_t", "swin_v2_s", "swin_v2_b",
             "inception_v3",
             "deeplabv3_resnet50", "deeplabv3_resnet101",
             "fcn_resnet50", "fcn_resnet101", "lraspp_mobilenet_v3_large")
@@ -150,7 +151,12 @@ def check_configuration(cfg, job_identifier: str = "job",
                 "build_torchvision_model classification branch)")
         req(cfg.PROBLEM.NDIM == "2D",
             "torchvision models are 2D (reference: build_torchvision_model)")
-        if tv_name.startswith(("vit_", "swin")):
+        if tv_name.startswith("swin_v2"):
+            req(tuple(cfg.DATA.PATCH_SIZE)[:2] == (256, 256),
+                "torchvision Swin V2 is a 256-input model here (traced for "
+                "the 64/32/16/8 window-8 grids): set DATA.PATCH_SIZE to "
+                "(256, 256, C)")
+        elif tv_name.startswith(("vit_", "swin")):
             req(tuple(cfg.DATA.PATCH_SIZE)[:2] == (224, 224),
                 "torchvision ViT/Swin are 224-input models here (ViT pos "
                 "embeddings are sized for 196+1 tokens; Swin is traced for "

@@ -278,6 +278,14 @@ def build_model(cfg, output_channels: List[int], output_channel_info: List[str],
         kwargs = dict(n_classes=int(output_channels[0]))
         return InceptionV3(**kwargs), {"class": "InceptionV3", **kwargs}
 
+    if arch.startswith("swin_v2"):
+        # torchvision classification namespace (reference
+        # models/__init__.py:1676)
+        from biapy_tpu.models.swin import SwinV2
+
+        kwargs = dict(variant=arch, n_classes=int(output_channels[0]))
+        return SwinV2(**kwargs), {"class": "SwinV2", **kwargs}
+
     if arch.startswith("swin"):
         # torchvision classification namespace (reference
         # models/__init__.py:1676)

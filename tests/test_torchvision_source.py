@@ -156,10 +156,10 @@ def test_torchvision_source_validation(tmp_path):
 
     w = str(tmp_path / "effb0.pth")
     open(w, "w").close()
-    # unsupported torchvision family (vgg/resnet/shufflenet/... ARE
-    # supported now; swin_v2 is not)
+    # unsupported torchvision family (vgg/resnet/shufflenet/swin_v2/... ARE
+    # supported now; the SWAG-only regnet_y_128gf is not)
     with pytest.raises(Exception, match="not supported"):
-        check_configuration(cfg_with(TORCHVISION_MODEL_NAME="swin_v2_t",
+        check_configuration(cfg_with(TORCHVISION_MODEL_NAME="regnet_y_128gf",
                                      TORCHVISION_WEIGHTS=w))
     # maxvit is a documented guided rejection
     with pytest.raises(Exception, match="maxvit"):
@@ -1606,6 +1606,104 @@ def test_efficientnet_v2_param_golden_and_bit_exact(tmp_path):
         p, variables["params"], variables["batch_stats"],
         variant="efficientnet_v2_s")
     assert nl == len(pa) + len(sa)
+    pflat = flatten_dict(params)
+    for i, (fpath, tkey, tf) in enumerate(pa):
+        assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
+
+
+@pytest.mark.parametrize("variant,want", [
+    ("swin_v2_t", 28_351_570), ("swin_v2_s", 49_737_442),
+    ("swin_v2_b", 87_930_848)])
+def test_swin_v2_param_count_golden(variant, want):
+    """Param parity vs torchvision's published Swin V2 counts (256-input,
+    window 8, cosine attention + CPB MLP + post-norm)."""
+    from biapy_tpu.models.swin import SwinV2
+
+    net = SwinV2(variant=variant, n_classes=1000)
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+    n = sum(int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(v["params"]))
+    assert n == want, (variant, n)
+
+
+def test_swin_v2_cosine_attention_reference():
+    """Pure-numpy reference of one Swin V2 window-attention pass (the
+    torchvision algorithm: L2-normalized q/k, clamped learned logit scale,
+    16*sigmoid(cpb_mlp(log-coords)) bias) vs the flax module."""
+    from biapy_tpu.models.swin import (_WindowAttentionV2, _cpb_table,
+                                       _rel_index, _shift_mask)
+
+    rng = np.random.default_rng(1)
+    H = W = 16; C = 8; heads = 2; w = 8; s = 4
+    x = rng.standard_normal((1, H, W, C)).astype(np.float32)
+    qkv_k = rng.standard_normal((C, 3 * C)).astype(np.float32) * 0.1
+    qkv_b = rng.standard_normal(3 * C).astype(np.float32) * 0.1
+    proj_k = rng.standard_normal((C, C)).astype(np.float32) * 0.1
+    proj_b = rng.standard_normal(C).astype(np.float32) * 0.1
+    logit_scale = rng.standard_normal((heads, 1, 1)).astype(np.float32)
+    cpb1_k = rng.standard_normal((2, 512)).astype(np.float32) * 0.1
+    cpb1_b = rng.standard_normal(512).astype(np.float32) * 0.1
+    cpb2_k = rng.standard_normal((512, heads)).astype(np.float32) * 0.1
+
+    xr = np.roll(x, (-s, -s), axis=(1, 2))
+    nh = H // w
+    xw = xr.reshape(1, nh, w, nh, w, C).transpose(0, 1, 3, 2, 4, 5).reshape(nh * nh, w * w, C)
+    qkv = xw @ qkv_k + qkv_b
+    hd = C // heads
+    q, k, v = np.split(qkv, 3, axis=-1)
+    q = q.reshape(-1, w * w, heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(-1, w * w, heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(-1, w * w, heads, hd).transpose(0, 2, 1, 3)
+    q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    k = k / np.maximum(np.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+    scale = np.exp(np.minimum(logit_scale, np.log(100.0)))
+    attn = (q @ k.transpose(0, 1, 3, 2)) * scale[None]
+    tbl = _cpb_table(w)[0]
+    cpb = np.maximum(tbl @ cpb1_k + cpb1_b, 0.0) @ cpb2_k
+    bias = 16.0 / (1.0 + np.exp(-cpb))
+    attn = attn + bias[_rel_index(w)].transpose(2, 0, 1)[None]
+    attn = attn + _shift_mask(H, W, w, s)[:, None]
+    attn = attn - attn.max(axis=-1, keepdims=True)
+    attn = np.exp(attn); attn /= attn.sum(axis=-1, keepdims=True)
+    out = (attn @ v).transpose(0, 2, 1, 3).reshape(-1, w * w, C) @ proj_k + proj_b
+    out = out.reshape(1, nh, nh, w, w, C).transpose(0, 1, 3, 2, 4, 5).reshape(1, H, W, C)
+    ref = np.roll(out, (s, s), axis=(1, 2))
+
+    mod = _WindowAttentionV2(C, heads, s)
+    params = {"qkv_kernel": qkv_k, "qkv_bias": qkv_b,
+              "proj_kernel": proj_k, "proj_bias": proj_b,
+              "logit_scale": logit_scale, "cpb1_kernel": cpb1_k,
+              "cpb1_bias": cpb1_b, "cpb2_kernel": cpb2_k}
+    got = np.asarray(mod.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_load_torchvision_swin_v2_bit_exact(tmp_path):
+    import torch
+
+    from biapy_tpu.models.swin import (SwinV2, swin_v2_key_map,
+                                       load_torchvision_swin_v2)
+    from flax.traverse_util import flatten_dict
+
+    net = SwinV2(variant="swin_v2_t", n_classes=1000)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+    pa, sa = swin_v2_key_map("swin_v2_t")
+    keys = {t for _, t, _ in pa}
+    assert "features.1.0.attn.logit_scale" in keys
+    assert "features.1.0.attn.cpb_mlp.0.weight" in keys
+    assert "features.1.0.attn.cpb_mlp.2.weight" in keys
+    assert "features.2.reduction.weight" in keys
+    sd = _synth_tv_sd(pa, sa, variables)
+    # torch state dicts also carry recomputed buffers — must be ignored
+    sd["features.1.0.attn.relative_coords_table"] = torch.zeros(1, 15, 15, 2)
+    sd["features.1.0.attn.relative_position_index"] = torch.zeros(64, 64)
+    p = str(tmp_path / "swinv2.pth")
+    torch.save(sd, p)
+    params, _, n = load_torchvision_swin_v2(
+        p, variables["params"], variant="swin_v2_t")
+    assert n == len(pa)
     pflat = flatten_dict(params)
     for i, (fpath, tkey, tf) in enumerate(pa):
         assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
