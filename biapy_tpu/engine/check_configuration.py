@@ -114,6 +114,7 @@ def check_configuration(cfg, job_identifier: str = "job",
             "swin_v2_t", "swin_v2_s", "swin_v2_b",
             "inception_v3",
             "deeplabv3_resnet50", "deeplabv3_resnet101",
+            "deeplabv3_mobilenet_v3_large",
             "fcn_resnet50", "fcn_resnet101", "lraspp_mobilenet_v3_large")
         tv_name = str(cfg.MODEL.TORCHVISION_MODEL_NAME).lower()
         tv_rejected_detection = ("fasterrcnn", "maskrcnn", "retinanet",

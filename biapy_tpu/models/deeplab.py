@@ -89,9 +89,19 @@ class DeepLabV3(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         backbone = self.variant.replace("deeplabv3_", "")
-        l3, l4 = ResNet(variant=backbone, features_only=True,
-                        replace_stride_with_dilation=(False, True, True),
-                        name="backbone")(x, train)
+        if backbone == "mobilenet_v3_large":
+            # torchvision deeplabv3_mobilenet_v3_large: dilated MobileNetV3,
+            # out = the final 960-ch conv features, aux = the stride-8 40-ch
+            # C2 tap (the same taps the LRASPP wrapper extracts)
+            from biapy_tpu.models.mobilenetv3 import MobileNetV3
+
+            l3, l4 = MobileNetV3(variant="mobilenet_v3_large", dilated=True,
+                                 features_only="lraspp",
+                                 name="backbone")(x, train)
+        else:
+            l3, l4 = ResNet(variant=backbone, features_only=True,
+                            replace_stride_with_dilation=(False, True, True),
+                            name="backbone")(x, train)
         out = _DeepLabHead(self.n_classes, name="classifier")(l4, train)
         # aux head exists so DEFAULT state dicts import whole; its output is
         # discarded (dead code at inference, zero-grad at training)
@@ -177,7 +187,17 @@ def deeplabv3_key_map(variant: str = "deeplabv3_resnet50",
     'conv' (OIHW->HWIO), None (copy)."""
     params, stats = [], []
     conv, conv_b, bn = _map_helpers(params, stats)
-    _resnet_backbone_map(variant.replace("deeplabv3_", ""), conv, bn)
+    backbone = variant.replace("deeplabv3_", "")
+    if backbone == "mobilenet_v3_large":
+        from biapy_tpu.models.mobilenetv3 import mobilenetv3_key_map
+
+        bp, bs = mobilenetv3_key_map(
+            "mobilenet_v3_large", prefix="backbone.", fprefix=("backbone",),
+            include_classifier=False, strip_features=True)
+        params.extend(bp)
+        stats.extend(bs)
+    else:
+        _resnet_backbone_map(backbone, conv, bn)
     # DeepLabHead: classifier.0 = ASPP (convs.0-4 + project), .1 conv,
     # .2 BN, .4 final conv
     conv(["classifier", "aspp", "c0_conv"], "classifier.0.convs.0.0")

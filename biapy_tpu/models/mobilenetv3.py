@@ -210,37 +210,45 @@ class LRASPP(nn.Module):
 def mobilenetv3_key_map(variant: str = "mobilenet_v3_large",
                         n_classes: int = 1000, prefix: str = "",
                         fprefix: Tuple[str, ...] = (),
-                        include_classifier: bool = True):
+                        include_classifier: bool = True,
+                        strip_features: bool = False):
     """Static (flax_path, torch_key, transform) triples for the torchvision
     ``mobilenet_v3_*`` state dict. ``prefix``/``fprefix`` relocate the
-    feature tree (LRASPP wraps it under ``backbone.``)."""
+    feature tree (LRASPP/DeepLabV3 wrap it under ``backbone.``), and
+    ``strip_features`` drops the ``features.`` segment — torchvision's
+    segmentation wrappers build an IntermediateLayerGetter over
+    ``model.features``' INDEXED children, so their state-dict keys are
+    ``backbone.0.0.weight``, not ``backbone.features.0.0.weight``."""
     conf, last_ch, hidden, _ = _VARIANTS[variant]
     params, stats = [], []
 
+    def _t(tkey):
+        return tkey.replace("features.", "", 1) if strip_features else tkey
+
     def conv(fpath, tkey):
         params.append((fprefix + tuple(fpath) + ("kernel",),
-                       prefix + tkey + ".weight", "conv"))
+                       prefix + _t(tkey) + ".weight", "conv"))
 
     def conv_b(fpath, tkey):
         conv(fpath, tkey)
         params.append((fprefix + tuple(fpath) + ("bias",),
-                       prefix + tkey + ".bias", None))
+                       prefix + _t(tkey) + ".bias", None))
 
     def bn(fpath, tkey):
         params.append((fprefix + tuple(fpath) + ("scale",),
-                       prefix + tkey + ".weight", None))
+                       prefix + _t(tkey) + ".weight", None))
         params.append((fprefix + tuple(fpath) + ("bias",),
-                       prefix + tkey + ".bias", None))
+                       prefix + _t(tkey) + ".bias", None))
         stats.append((fprefix + tuple(fpath) + ("mean",),
-                      prefix + tkey + ".running_mean", None))
+                      prefix + _t(tkey) + ".running_mean", None))
         stats.append((fprefix + tuple(fpath) + ("var",),
-                      prefix + tkey + ".running_var", None))
+                      prefix + _t(tkey) + ".running_var", None))
 
     def linear(fpath, tkey):
         params.append((fprefix + tuple(fpath) + ("kernel",),
-                       prefix + tkey + ".weight", "linear"))
+                       prefix + _t(tkey) + ".weight", "linear"))
         params.append((fprefix + tuple(fpath) + ("bias",),
-                       prefix + tkey + ".bias", None))
+                       prefix + _t(tkey) + ".bias", None))
 
     conv(["conv_stem"], "features.0.0")
     bn(["bn_stem"], "features.0.1")
@@ -271,11 +279,12 @@ def mobilenetv3_key_map(variant: str = "mobilenet_v3_large",
 
 def lraspp_key_map(n_classes: int = 21):
     """Static triples for the torchvision ``lraspp_mobilenet_v3_large``
-    state dict (backbone features under ``backbone.``, LRASPPHead under
-    ``classifier.``)."""
+    state dict (backbone features under ``backbone.{idx}`` — the
+    IntermediateLayerGetter indexes features' children directly — and
+    LRASPPHead under ``classifier.``)."""
     params, stats = mobilenetv3_key_map(
         "mobilenet_v3_large", prefix="backbone.", fprefix=("backbone",),
-        include_classifier=False)
+        include_classifier=False, strip_features=True)
 
     def conv(fpath, tkey, bias=False):
         params.append((tuple(fpath) + ("kernel",), tkey + ".weight", "conv"))

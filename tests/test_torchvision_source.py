@@ -601,9 +601,12 @@ def test_lraspp_key_map_matches_torchvision_format():
 
     pa, sa = lraspp_key_map()
     keys = {t for _, t, _ in pa} | {t for _, t, _ in sa}
-    # backbone features relocated under backbone.
-    assert "backbone.features.0.0.weight" in keys
-    assert "backbone.features.16.0.weight" in keys
+    # backbone features relocated under backbone.{idx}: torchvision's
+    # IntermediateLayerGetter indexes model.features' children directly,
+    # so there is NO "features." segment in the segmentation state dicts
+    assert "backbone.0.0.weight" in keys
+    assert "backbone.16.0.weight" in keys
+    assert not any(".features." in k for k in keys)
     # LRASPPHead: cbr conv+bn, scale conv (after the pool at .0),
     # low/high classifiers with bias
     assert "classifier.cbr.0.weight" in keys
@@ -1709,6 +1712,40 @@ def test_load_torchvision_swin_v2_bit_exact(tmp_path):
     params, _, n = load_torchvision_swin_v2(
         p, variables["params"], variant="swin_v2_t")
     assert n == len(pa)
+    pflat = flatten_dict(params)
+    for i, (fpath, tkey, tf) in enumerate(pa):
+        assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
+
+
+def test_deeplabv3_mobilenet_param_golden_and_key_map(tmp_path):
+    """deeplabv3_mobilenet_v3_large = torchvision's published 11,029,328
+    params at 21 classes; backbone keys are backbone.{idx} (no 'features.'
+    segment) and the head/aux maps are shared with the resnet variants."""
+    import torch
+
+    from biapy_tpu.models.deeplab import (DeepLabV3, deeplabv3_key_map,
+                                          load_torchvision_deeplabv3)
+    from flax.traverse_util import flatten_dict
+
+    net = DeepLabV3(variant="deeplabv3_mobilenet_v3_large", n_classes=21)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    n = sum(int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert n == 11_029_328, n
+    pa, sa = deeplabv3_key_map("deeplabv3_mobilenet_v3_large")
+    keys = {t for _, t, _ in pa} | {t for _, t, _ in sa}
+    assert "backbone.0.0.weight" in keys
+    assert "backbone.16.0.weight" in keys
+    assert not any(".features." in k for k in keys)
+    assert "classifier.0.convs.0.0.weight" in keys
+    assert "aux_classifier.0.weight" in keys
+    sd = _synth_tv_sd(pa, sa, variables)
+    p = str(tmp_path / "dlv3m.pth")
+    torch.save(sd, p)
+    params, stats, nl = load_torchvision_deeplabv3(
+        p, variables["params"], variables["batch_stats"],
+        variant="deeplabv3_mobilenet_v3_large")
+    assert nl == len(pa) + len(sa)
     pflat = flatten_dict(params)
     for i, (fpath, tkey, tf) in enumerate(pa):
         assert np.all(np.asarray(pflat[tuple(fpath)]) == float(i + 1)), tkey
