@@ -156,10 +156,11 @@ def test_torchvision_source_validation(tmp_path):
 
     w = str(tmp_path / "effb0.pth")
     open(w, "w").close()
-    # unsupported torchvision family (vgg/resnet/shufflenet/swin_v2/... ARE
-    # supported now; the SWAG-only regnet_y_128gf is not)
+    # a name outside the supported namespace (every real torchvision
+    # classification family IS supported now — timm's resnet200 is not a
+    # torchvision model)
     with pytest.raises(Exception, match="not supported"):
-        check_configuration(cfg_with(TORCHVISION_MODEL_NAME="regnet_y_128gf",
+        check_configuration(cfg_with(TORCHVISION_MODEL_NAME="resnet200",
                                      TORCHVISION_WEIGHTS=w))
     # maxvit is a documented guided rejection
     with pytest.raises(Exception, match="maxvit"):
